@@ -1,0 +1,67 @@
+"""Benchmark driver: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON
+line {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed once warm-up-free but after a shared-session JVM
+start; timing covers logical-plan build + execution + a count() action
+(materializes every row without driver-side collect costs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_db_spark.plans.queries import QUERIES  # noqa: E402
+from graph_db_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "event_day_stats",
+    "broadcast_dim_join",
+    "asof_nearest_line",
+    "sessionization",
+    "interval_scoped_avg",
+    "running_idx",
+    "dedup_first_wins",
+    "topk_per_group",
+    "enrich_missing_brand",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("graph-db-spark-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    extra = [n for n in QUERIES if n not in HEADLINE]
+    for name in HEADLINE + extra:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

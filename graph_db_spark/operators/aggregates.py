@@ -1,0 +1,149 @@
+"""Aggregation operators — SURVEY.md §2.4 (A1-A11).
+
+The reference hand-rolls these as dict-bucket folds over row objects; here
+each is one ``groupBy().agg()`` (map-side partial aggregation + final merge,
+shuffle only on the group keys — scales linearly with executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    zero_sum_to_null: bool = False,
+    min_col: str | None = None,
+    max_col: str | None = None,
+    avg_col: str | None = None,
+    sum_col: str | None = None,
+) -> DataFrame:
+    """Hourly/raw → daily grouped statistics.
+
+    A1 "weather flavor" (parity: ``_aggregate_hourly_to_daily``
+    /root/reference/app/graph_weather_day.py:69-117): group by
+    (day, *key_cols); ``data→mean``, ``min→min``, ``max→max``,
+    ``avg→mean-of-avgs`` (deliberately NOT time-weighted — SURVEY §2.10.2),
+    ``sum→sum``. Spark aggregates skip nulls by default, matching
+    ``_mean_safe`` (:69-72).
+
+    A2 "flow flavor" (parity: /root/reference/app/graph_irrigation_day.py:77-135)
+    sets ``zero_sum_to_null=True`` to replicate the ``sum==0.0 → None`` quirk
+    (:116; SURVEY §2.10.1 — replicated behind this flag, default off=fixed).
+
+    When the input is already-aggregated stats rows, pass min/max/avg/sum
+    source columns; otherwise they derive from ``value_col``.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    mn = F.min(min_col or value_col)
+    mx = F.max(max_col or value_col)
+    av = F.avg(avg_col or value_col)
+    sm = F.sum(sum_col or value_col)
+    if zero_sum_to_null:
+        sm = F.when(sm == 0.0, F.lit(None).cast("double")).otherwise(sm)
+    return (
+        df.groupBy(day, *key_cols)
+        .agg(
+            F.avg(value_col).alias("data"),
+            mn.alias("min"),
+            mx.alias("max"),
+            av.alias("avg"),
+            sm.alias("sum"),
+            F.count(value_col).alias("n"),
+        )
+        .orderBy("day", *key_cols)  # W2 chronological sort (graph_weather_day.py:116)
+    )
+
+
+def earliest_per_group(df: DataFrame, group_cols: list[str], ts_col: str) -> DataFrame:
+    """A4 — min timestamp per group (parity: reached_at per depth,
+    /root/reference/app/graph_irrigation_event.py:167-178)."""
+    return df.groupBy(*group_cols).agg(F.min(ts_col).alias("earliest"))
+
+
+def distinct_sorted_set(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """A5 — sorted unique values per group (parity: ``root_zone_list``,
+    /root/reference/app/graph_irrigation_event.py:193-196)."""
+    return df.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_set(value_col)).alias("distinct_values")
+    )
+
+
+def running_index(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column | str], idx_name: str = "idx"
+) -> DataFrame:
+    """A7 — per-group sequential counter in deterministic order.
+
+    Parity: the in-memory ``counters[(field,date,crop,app_type)] += 1``
+    /root/reference/app/graph_application_event.py:99,146-150 — arrival order
+    becomes an explicit ``order_cols`` contract (distributed systems have no
+    arrival order).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(idx_name, F.row_number().over(w))
+
+
+def dedup_first(df: DataFrame, key_cols: list[str], order_cols: list[Column | str]) -> DataFrame:
+    """A8 — keep one row per key, "first" defined by ``order_cols``.
+
+    Parity: the ``seen: Set`` skip-if-seen pattern
+    /root/reference/app/graph_optimum_sap_range.py:29-62 — again with an
+    explicit deterministic order instead of arrival order.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def capped_sample(df: DataFrame, group_cols: list[str], value_col: str, cap: int = 20) -> DataFrame:
+    """A9/W3 — per-group distinct sample capped at ``cap`` (parity: label
+    samples capped at 20, /root/reference/app/graph_soil_layer.py:64-68)."""
+    return df.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_set(value_col)), 1, cap).alias("sample")
+    )
+
+
+def pick_longest_label(df: DataFrame, group_cols: list[str], label_col: str) -> DataFrame:
+    """A10 — prefer the longest label per group (parity: ``_pick_label``
+    /root/reference/app/graph_soil_layer.py:45-51)."""
+    return df.groupBy(*group_cols).agg(
+        F.max_by(label_col, F.length(label_col)).alias("label")
+    )
+
+
+def pivot_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    value_col: str,
+    values: list[str] | None = None,
+    agg: str = "avg",
+) -> DataFrame:
+    """A11 / dynamic measurement pivot (SURVEY §4.1.4).
+
+    Runtime-discovered measurement keys become wide columns. The discovery
+    pass (``values=None`` → Spark collects distinct pivot keys) must stay
+    tiny at 100 TB — pass ``values`` explicitly (from a dimension table or a
+    capped ``distinct().collect()``) or store map-typed via
+    :func:`metrics_map` when key cardinality is unbounded.
+
+    Parity: per-depth regrouping /root/reference/app/graph_soil_layer.py:197-213
+    and the dynamic property names (graph_weather_day.py:53-67).
+    """
+    aggf = getattr(F, agg)
+    piv = df.groupBy(*group_cols).pivot(pivot_col, values)
+    return piv.agg(aggf(value_col))
+
+
+def metrics_map(df: DataFrame, group_cols: list[str], key_col: str, value_col: str) -> DataFrame:
+    """Map-typed alternative to :func:`pivot_metrics` for unbounded key
+    cardinality: ``map<key, value>`` per group — no driver-side key collect,
+    no schema explosion (SURVEY §7.4.4 scale fallback)."""
+    return df.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct(key_col, value_col))).alias("metrics")
+    )

@@ -1,0 +1,171 @@
+"""Join operators — SURVEY.md §2.3 (J1-J7).
+
+The reference does all joins as row-at-a-time dict probes or Neo4j MATCH
+pairs; here each is a declarative Spark join so Catalyst picks broadcast vs
+sort-merge (we hint ``broadcast()`` on dimension sides) and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edge_join(
+    src: DataFrame,
+    dst: DataFrame,
+    on: list[str] | Column,
+    rel_type: str,
+    src_key: str,
+    dst_key: str,
+    broadcast_dst: bool = False,
+    broadcast_src: bool = False,
+) -> DataFrame:
+    """J1 — build a typed edge table from two node tables.
+
+    Parity: the ``MATCH (a {key}) MATCH (b {key}) MERGE (a)-[:R]->(b)``
+    pattern (e.g. /root/reference/app/graph_stations.py:33-39 and the 26
+    other relationship writers, SURVEY §1.3). An inner equi-join replaces the
+    per-row double MATCH; whichever side is the dimension gets broadcast so
+    the fact side never shuffles.
+    """
+    left = F.broadcast(src) if broadcast_src else src
+    right = F.broadcast(dst) if broadcast_dst else dst
+    return (
+        left.join(right, on=on, how="inner")
+        .select(
+            src[src_key].alias("src"),
+            dst[dst_key].alias("dst"),
+            F.lit(rel_type).alias("rel_type"),
+        )
+    )
+
+
+def broadcast_lookup(fact: DataFrame, dim: DataFrame, on: list[str], how: str = "inner") -> DataFrame:
+    """J2 — dimension lookup (parity: ``stations_by_field`` /
+    ``timezone_by_field`` dicts, /root/reference/main_graph_topraq.py:108-111).
+    Explicit ``broadcast()`` so the fact side never shuffles."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: float | None = None,
+    tiebreak_cols: list[str] | None = None,
+    direction: str = "nearest",
+) -> DataFrame:
+    """J3 — as-of / nearest-timestamp join.
+
+    For each left row, pick the single right row (sharing ``on`` keys) whose
+    ``right_ts`` minimizes ``abs(left_ts - right_ts)``; ties broken by
+    ``tiebreak_cols`` ascending.
+
+    Parity: the Neo4j read-back + argmin pick
+    /root/reference/app/graph_product_application.py:156-214 (argmin
+    :202-214, ``ORDER BY start_at, idx`` tiebreak :166).
+
+    Scale note (SURVEY §7.4.2): this is join-on-keys → rank. The join fans
+    out |left|×|right-per-key|; when a key is hot, pre-bucket both sides by
+    (key, coarse time bucket) and join on the bucket too, or pass
+    ``tolerance_seconds`` so the range predicate bounds the fan-out and lets
+    AQE's skew-join split oversized partitions.
+    """
+    lt = F.col("__l_ts")
+    rt = F.col("__r_ts")
+    left2 = left.withColumn("__l_ts", F.col(left_ts).cast("timestamp"))
+    right2 = right.withColumn("__r_ts", F.col(right_ts).cast("timestamp"))
+    cond = [left2[c] == right2[c] for c in on]
+    diff = F.abs(lt.cast("double") - rt.cast("double"))
+    if direction == "backward":
+        range_cond = rt <= lt
+    elif direction == "forward":
+        range_cond = rt >= lt
+    else:
+        range_cond = F.lit(True)
+    if tolerance_seconds is not None:
+        range_cond = range_cond & (diff <= F.lit(float(tolerance_seconds)))
+    joined = left2.join(right2, on=[*cond, range_cond], how="left")
+    order = [diff.asc_nulls_last()]
+    for c in tiebreak_cols or []:
+        order.append(right2[c].asc_nulls_last())
+    w = Window.partitionBy(*[left2[c] for c in on], lt).orderBy(*order)
+    ranked = joined.withColumn("__rn", F.row_number().over(w))
+    picked = ranked.filter(F.col("__rn") == 1)
+    # emit left columns + right non-key columns (disambiguated refs)
+    out_cols = [left2[c].alias(c) for c in left.columns]
+    out_cols += [right2[c].alias(c) for c in right.columns if c not in set(on) | set(left.columns)]
+    return picked.select(*out_cols)
+
+
+def enrich_join(
+    base: DataFrame,
+    lookup: DataFrame,
+    on: list[str],
+    fill: dict[str, str],
+    broadcast_lookup_side: bool = True,
+) -> DataFrame:
+    """J4 — enrichment left join: ``fill[target] = source`` columns from the
+    lookup patch nulls in the base (``coalesce(base, lookup)``).
+
+    Parity: inventories lacking inline nutrients pull them from
+    FertilizerProduct by (name, brand) —
+    /root/reference/app/graph_app_nutrient_content.py:306-354.
+    """
+    right = F.broadcast(lookup) if broadcast_lookup_side else lookup
+    out = base.join(right, on=on, how="left")
+    for target, source in fill.items():
+        out = out.withColumn(target, F.coalesce(base[target], lookup[source]))
+    return out.select([out[c] for c in base.columns])
+
+
+def interval_agg_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_keys: list[str],
+    interval_keys: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    aggs: list[Column],
+    interval_id_cols: list[str],
+) -> DataFrame:
+    """J5 — interval-scoped aggregation join: for each interval, aggregate
+    the points whose timestamp falls inside [start, end].
+
+    Parity: per-irrigation-event flow averaging
+    /root/reference/app/graph_irrigation_event.py:119-152,280-291.
+
+    Scale note: the equi-key part of the condition keeps this a partitioned
+    sort-merge join (never a cartesian range join as long as ``point_keys``
+    is non-empty); the range predicate is applied post-match. Skewed
+    stations → AQE skew split.
+
+    Contract: ``intervals`` column names must be disjoint from ``points``
+    (intervals are usually derived FROM the points — e.g. sessionization
+    output — and Spark cannot attribute shared names across a self-join).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"interval columns must be disjoint from points; overlap: {sorted(overlap)}")
+    cond = [F.col(a) == F.col(b) for a, b in zip(point_keys, interval_keys)]
+    cond.append(F.col(ts_col) >= F.col(start_col))
+    cond.append(F.col(ts_col) <= F.col(end_col))
+    joined = points.join(intervals, on=cond, how="inner")
+    return joined.groupBy(*interval_id_cols).agg(*aggs)
+
+
+def semi_keep(df: DataFrame, parent: DataFrame, on: list[str]) -> DataFrame:
+    """J6 — keep only rows whose parent exists (parity: products skipped when
+    no matching ApplicationEvent,
+    /root/reference/app/graph_product_application.py:173-176)."""
+    return df.join(parent, on=on, how="left_semi")
+
+
+def anti_missing(df: DataFrame, parent: DataFrame, on: list[str]) -> DataFrame:
+    """J6' — report rows with a missing parent (dangling-edge candidates;
+    the assertion the reference lacks, SURVEY §2.10.3-4)."""
+    return df.join(parent, on=on, how="left_anti")

@@ -1,0 +1,60 @@
+"""Gap-based sessionization — SURVEY.md §2.8 / §4.1.3.
+
+The reference consumes pre-computed irrigation intervals from a missing SQL
+(``GET_IRRIGATIONS``, /root/reference/app/graph_irrigation_event.py:17-22,
+rows ``{id, start_at, end_at, duration_min}`` :55-75). We define the interval
+semantics explicitly: events for one key belong to the same session while the
+gap to the previous event is ≤ ``gap``; a session's start/end are the
+min/max timestamps and duration is their difference.
+
+Batch implementation: lag + cumulative-sum of session-start flags — two
+window passes over data partitioned by key, ordered by ts. One shuffle on
+the key; scales with executors. The streaming analogue is
+``F.session_window`` (see graph_db_spark.streaming.sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Assign a per-key session id to every row.
+
+    Adds ``session_id`` (1-based, per key, chronological).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ts_sec = F.col(ts_col).cast("double")
+    prev = F.lag(ts_sec).over(w)
+    is_new = F.when(prev.isNull() | ((ts_sec - prev) > F.lit(float(gap_seconds))), 1).otherwise(0)
+    return df.withColumn("session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def session_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Collapse sessions to interval rows ``(key..., session_id, start_at,
+    end_at, duration_min, n_events)`` — the shape GET_IRRIGATIONS returns
+    (graph_irrigation_event.py:55-75, duration in minutes :67)."""
+    with_ids = sessionize(df, key_cols, ts_col, gap_seconds)
+    return (
+        with_ids.groupBy(*key_cols, "session_id")
+        .agg(
+            F.min(ts_col).alias("start_at"),
+            F.max(ts_col).alias("end_at"),
+            (
+                (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+                / F.lit(60.0)
+            ).alias("duration_min"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,864 @@
+"""Driver-contract query registry.
+
+One named entry per implemented SURVEY.md §2 operator:
+``QUERIES[name](spark, sf_dir) -> DataFrame`` and ``ORACLE_SQL[name]`` —
+equivalent ANSI SQL for the DuckDB oracle (views: region nation customer
+supplier part orders lineitem events documents embeddings).
+
+Conventions that keep the value-hash comparison deterministic:
+
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are ``round(x, 4)`` on both sides (eliminates
+  summation-order last-bit drift);
+- dates/timestamps are emitted as formatted strings on both sides;
+- integer aggregates are cast to BIGINT on both sides (DuckDB sums of
+  integers are HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_db_spark.functions import scalars as S
+from graph_db_spark.operators import aggregates as A
+from graph_db_spark.operators import joins as J
+from graph_db_spark.operators.sessionize import session_intervals
+from graph_db_spark.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+def _fmt_ts(c: Column) -> Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+# ---------------------------------------------------------------------------
+# A1 — daily grouped stats (flagship; weather-day semantics on `events`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_day_stats",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           round(avg(value), 4) AS data,
+           round(min(value), 4) AS min,
+           round(max(value), 4) AS max,
+           round(sum(value), 4) AS sum,
+           count(value) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def event_day_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — hourly→daily grouped aggregation, weather flavor (parity:
+    _aggregate_hourly_to_daily /root/reference/app/graph_weather_day.py:69-117;
+    avg-of-avgs semantics §2.10.2). One shuffle on the group key; map-side
+    partial aggregation makes it scale linearly."""
+    ev = load_table(spark, sf_dir, "events")
+    out = A.daily_stats(ev, "ts", ["user_id", "event_type"], "value")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        r4(F.col("data")).alias("data"),
+        r4(F.col("min")).alias("min"),
+        r4(F.col("max")).alias("max"),
+        r4(F.col("sum")).alias("sum"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "event_day_stats_zero_null",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           round(CASE WHEN sum(CASE WHEN event_type = 'error' THEN value END) = 0.0
+                      THEN NULL
+                      ELSE sum(CASE WHEN event_type = 'error' THEN value END) END, 4) AS sum,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_day_stats_zero_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — flow-flavor daily agg with the zero-sum→NULL quirk replicated
+    (parity: /root/reference/app/graph_irrigation_day.py:116; SURVEY §2.10.1
+    decision: quirk kept behind a flag, exercised here)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "error", F.col("value"))
+    sm = F.sum(masked)
+    sm = F.when(sm == 0.0, F.lit(None).cast("double")).otherwise(sm)
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(r4(sm).alias("sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P4 — projections & filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_rename",
+    oracle="""
+    SELECT c_custkey AS field_id, c_name AS name,
+           c_mktsegment AS crop_name, CAST(c_nationkey AS BIGINT) AS region_ref
+    FROM customer
+    """,
+)
+def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — projection + rename (parity: city→province/county→district
+    aliasing, /root/reference/app/graph_fields.py:13-30). Column pruning
+    reaches the parquet scan (ReadSchema shows 4 columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("field_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("crop_name"),
+        F.col("c_nationkey").cast("bigint").alias("region_ref"),
+    )
+
+
+@register(
+    "null_guard_filter",
+    oracle="""
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+      AND trim(event_type) <> ''
+    """,
+)
+def null_guard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P7 — null-guard + empty-string normalize filter (parity: serial /
+    device-id guards, /root/reference/app/graph_weather_day.py:165-174;
+    _norm_str graph_application_event.py:23-28). Pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & S.norm_str("event_type").isNotNull()
+    ).select("event_id", F.col("user_id").cast("bigint").alias("user_id"), "event_type")
+
+
+@register(
+    "set_membership",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events WHERE event_type IN ('error', 'purchase')
+    GROUP BY 1
+    """,
+)
+def set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/U2 — set-membership predicate (parity: fw_key ∈ wanted set,
+    /root/reference/app/graph_weather_day.py:178-186)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — edge creation & broadcast dimension joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "edge_customer_order",
+    oracle="""
+    SELECT CAST(c.c_custkey AS BIGINT) AS src, CAST(o.o_orderkey AS BIGINT) AS dst,
+           'HAS_ORDER' AS rel_type
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def edge_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — typed edge table from two node tables (parity: the
+    MATCH/MATCH/MERGE relationship writers, e.g.
+    /root/reference/app/graph_stations.py:33-39 and SURVEY §1.3's 27 types).
+    customer is the dimension side → broadcast, no fact shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return J.edge_join(
+        c, o, on=c["c_custkey"] == o["o_custkey"], rel_type="HAS_ORDER",
+        src_key="c_custkey", dst_key="o_orderkey", broadcast_src=True,
+    ).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "rel_type",
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — broadcast dimension lookup (parity: stations_by_field dict probe,
+    /root/reference/main_graph_topraq.py:108-111). `part` broadcast: the
+    lineitem side never shuffles for the join; only the groupBy shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = J.broadcast_lookup(li, p, on=[li["l_partkey"] == p["p_partkey"]])
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_nearest_line",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM (
+      SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY abs(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)), l.l_linenumber
+             ) AS rn
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ) WHERE rn = 1
+    """,
+)
+def asof_nearest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — as-of / nearest-timestamp join: for each order pick the line
+    whose shipdate is closest to the order date, ties by linenumber (parity:
+    best_idx argmin over |AE.start_at − activity.start_at| with
+    ORDER BY start_at, idx tiebreak,
+    /root/reference/app/graph_product_application.py:156-214)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_shipdate"
+    )
+    out = J.asof_join(
+        o, li, on=["o_orderkey"], left_ts="o_orderdate", right_ts="l_shipdate",
+        tiebreak_cols=["l_linenumber"],
+    )
+    return out.filter(F.col("l_linenumber").isNotNull()).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — enrichment join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "enrich_missing_brand",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           coalesce(CASE WHEN l.l_linenumber % 2 = 0 THEN NULL ELSE 'inline' END,
+                    p.p_brand) AS brand
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def enrich_missing_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — enrichment left-join: rows lacking an inline value pull it from
+    the catalog (parity: nutrients looked up from FertilizerProduct by
+    (name,brand), /root/reference/app/graph_app_nutrient_content.py:306-354).
+    part is broadcast — no shuffle on the fact side."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "brand", F.when(F.col("l_linenumber") % 2 == 0, F.lit(None)).otherwise(F.lit("inline"))
+    )
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    out = J.enrich_join(li, p, on=["l_partkey"], fill={"brand": "p_brand"})
+    return out.select("l_orderkey", "l_linenumber", "brand")
+
+
+# ---------------------------------------------------------------------------
+# J5 — interval-scoped aggregation join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_scoped_avg",
+    oracle="""
+    WITH intervals AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             min(ts) AS start_at, max(ts) AS end_at
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(i.user_id AS BIGINT) AS user_id, i.day,
+           round(avg(e.value), 4) AS avg_value,
+           count(*) AS n_points
+    FROM events e
+    JOIN intervals i
+      ON e.user_id = i.user_id AND e.ts >= i.start_at AND e.ts <= i.end_at
+    GROUP BY 1, 2
+    """,
+)
+def interval_scoped_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — interval-scoped aggregation join (parity: per-irrigation-event
+    flow averaging in [start,end],
+    /root/reference/app/graph_irrigation_event.py:119-152). The equi-key
+    keeps it a partitioned join; the range predicate filters post-match."""
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.col("user_id").alias("i_user_id"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.min("ts").alias("start_at"), F.max("ts").alias("end_at"))
+    )
+    out = J.interval_agg_join(
+        ev.select("user_id", "ts", "value"), intervals,
+        point_keys=["user_id"], interval_keys=["i_user_id"],
+        ts_col="ts", start_col="start_at", end_col="end_at",
+        aggs=[r4(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n_points")],
+        interval_id_cols=["i_user_id", "day"],
+    )
+    return out.select(F.col("i_user_id").cast("bigint").alias("user_id"), "day", "avg_value", "n_points")
+
+
+# ---------------------------------------------------------------------------
+# J6 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — anti-join: rows with no parent/reference (parity: the
+    skip-if-no-ApplicationEvent semantics,
+    /root/reference/app/graph_product_application.py:173-176, inverted to
+    report the missing side — the dangling-edge check the reference lacks)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return J.anti_missing(p, li, on=["p_partkey"]).select("p_partkey", "p_name")
+
+
+@register(
+    "semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — semi-join keep-if-parent-exists."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.semi_keep(c, o, on=["c_custkey"]).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# A4/A5/A7/A8 — group helpers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "earliest_per_group",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS earliest
+    FROM events GROUP BY 1, 2
+    """,
+)
+def earliest_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — earliest timestamp per group (parity: min reached_at per depth,
+    /root/reference/app/graph_irrigation_event.py:167-178)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = A.earliest_per_group(ev, ["user_id", "event_type"], "ts")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        _fmt_ts(F.col("earliest")).alias("earliest"),
+    )
+
+
+@register(
+    "distinct_sorted_set",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_list
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_sorted_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — sorted distinct-set aggregation (parity: root_zone_list,
+    /root/reference/app/graph_irrigation_event.py:193-196). Emitted as a
+    joined string so the oracle hash is type-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    out = A.distinct_sorted_set(ev, ["user_id"], "event_type")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.array_join("distinct_values", ",").alias("type_list"),
+    )
+
+
+@register(
+    "running_idx",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS BIGINT) AS idx
+    FROM lineitem
+    """,
+)
+def running_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — per-group sequential index in deterministic order (parity: the
+    in-memory idx counters, /root/reference/app/graph_application_event.py:99,146-150)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.running_index(li, ["l_orderkey"], ["l_shipdate", "l_linenumber"])
+    return out.select("l_orderkey", "l_linenumber", F.col("idx").cast("bigint").alias("idx"))
+
+
+@register(
+    "dedup_first_wins",
+    oracle="""
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderkey
+    FROM (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — dedup by key with deterministic first-wins (parity: the
+    seen-set skip, /root/reference/app/graph_optimum_sap_range.py:29-62)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = A.dedup_first(o, ["o_custkey", "o_orderdate"], ["o_orderkey"])
+    return out.select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"), "o_orderkey"
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — top-k per group by rank (parity: the top-1-by-proximity argmin
+    generalized, /root/reference/app/graph_product_application.py:202-214)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", r4(F.col("o_totalprice")).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_at,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_at,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 4) AS duration_min,
+           count(*) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — gap-based sessionization, gap=30min (defines the semantics of
+    the reference's missing GET_IRRIGATIONS SQL,
+    /root/reference/app/graph_irrigation_event.py:17-22,55-75: intervals
+    {start_at, end_at, duration_min})."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_intervals(ev, ["user_id"], "ts", gap_seconds=1800)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_id").cast("bigint").alias("session_id"),
+        _fmt_ts(F.col("start_at")).alias("start_at"),
+        _fmt_ts(F.col("end_at")).alias("end_at"),
+        r4(F.col("duration_min")).alias("duration_min"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar library queries (F-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sanitize_prop_names",
+    oracle="""
+    SELECT DISTINCT p_type,
+           regexp_replace(lower(p_type), '[^a-z0-9_]+', '_', 'g') AS prop_name
+    FROM part
+    """,
+)
+def sanitize_prop_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — property-name sanitize (parity: _sanitize,
+    /root/reference/app/graph_weather_day.py:46-51)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_type").distinct().withColumn("prop_name", S.sanitize_prop_name("p_type"))
+
+
+@register(
+    "depth_from_label",
+    oracle="""
+    SELECT label,
+           CAST(coalesce(
+             CAST(round(CAST(replace(regexp_extract(label, '(\\d{1,3}(?:[.,]\\d+)?)', 1), ',', '.') AS DOUBLE)) AS INT),
+             -1) AS INT) AS depth_cm
+    FROM (SELECT concat('soil_', CAST(p_size AS VARCHAR), ',5_cm') AS label FROM part)
+    """,
+)
+def depth_from_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — depth-from-label with decimal-comma tolerance (parity:
+    _depth_from_label, /root/reference/app/graph_soil_layer.py:28-42).
+    Labels synthesized as 'soil_<size>,5_cm' → round(size.5) = size+1 when
+    size is even... no: round-half-up of size.5."""
+    p = load_table(spark, sf_dir, "part")
+    labeled = p.select(
+        F.concat(F.lit("soil_"), F.col("p_size").cast("string"), F.lit(",5_cm")).alias("label")
+    )
+    return labeled.withColumn("depth_cm", S.depth_from_label("label"))
+
+
+@register(
+    "loose_number_parse",
+    oracle="""
+    SELECT raw,
+           CAST(replace(regexp_extract(raw, '([-+]?\\d+(?:[.,]\\d+)?)', 1), ',', '.') AS DOUBLE) AS parsed
+    FROM (
+      SELECT CASE CAST(l_linenumber % 4 AS INT)
+                  WHEN 0 THEN concat('~', CAST(l_quantity AS VARCHAR))
+                  WHEN 1 THEN concat('>= ', replace(CAST(l_quantity AS VARCHAR), '.', ','))
+                  WHEN 2 THEN concat(CAST(l_quantity AS VARCHAR), ' %')
+                  ELSE CAST(l_quantity AS VARCHAR) END AS raw
+      FROM lineitem
+    )
+    """,
+)
+def loose_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — loose numeric token parse tolerating ~, >=, %, decimal comma
+    (parity: _to_float, /root/reference/app/graph_sap_element_result.py:16-29)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("string")
+    raw = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.concat(F.lit("~"), qty))
+        .when(F.col("l_linenumber") % 4 == 1, F.concat(F.lit(">= "), F.regexp_replace(qty, r"\.", ",")))
+        .when(F.col("l_linenumber") % 4 == 2, F.concat(qty, F.lit(" %")))
+        .otherwise(qty)
+    )
+    return li.select(raw.alias("raw")).withColumn("parsed", S.loose_number("raw"))
+
+
+@register(
+    "range_parse",
+    oracle="""
+    SELECT raw,
+           CASE WHEN kind = 0 THEN CAST(p_size AS DOUBLE)
+                WHEN kind = 1 THEN CAST(p_size AS DOUBLE)
+                ELSE NULL END AS range_min,
+           CASE WHEN kind = 0 THEN CAST(p_size + 3 AS DOUBLE)
+                WHEN kind = 2 THEN CAST(p_size AS DOUBLE)
+                ELSE NULL END AS range_max
+    FROM (
+      SELECT CAST(p_size % 3 AS INT) AS kind, p_size,
+             CASE CAST(p_size % 3 AS INT)
+                  WHEN 0 THEN concat(CAST(p_size AS VARCHAR), '-', CAST(p_size + 3 AS VARCHAR))
+                  WHEN 1 THEN concat('>=', CAST(p_size AS VARCHAR))
+                  ELSE concat('<= ', CAST(p_size AS VARCHAR)) END AS raw
+      FROM part
+    )
+    """,
+)
+def range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — optimum-range string parse ("1-4" / ">=2.5" / "<=7" / "3")
+    (parity: _parse_range, /root/reference/app/graph_optimum_element_range.py:16-61)."""
+    p = load_table(spark, sf_dir, "part")
+    size = F.col("p_size").cast("string")
+    raw = (
+        F.when(F.col("p_size") % 3 == 0, F.concat(size, F.lit("-"), (F.col("p_size") + 3).cast("string")))
+        .when(F.col("p_size") % 3 == 1, F.concat(F.lit(">="), size))
+        .otherwise(F.concat(F.lit("<= "), size))
+    )
+    parsed = p.select(raw.alias("raw")).withColumn("r", S.parse_range("raw"))
+    return parsed.select("raw", F.col("r.range_min").alias("range_min"), F.col("r.range_max").alias("range_max"))
+
+
+@register(
+    "point_parse",
+    oracle="""
+    SELECT c_custkey, round(CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5, 4) AS lon,
+           round(CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.25, 4) AS lat
+    FROM customer
+    """,
+)
+def point_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 — Postgres point "(x,y)" parse → lon/lat doubles (parity: the
+    monkey-patched point loader /root/reference/app/patches.py:17-27 +
+    flattening graph_fields.py:7-11). Point strings synthesized from keys,
+    round-tripped through the parser."""
+    c = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") % 360 - 180).cast("double") + 0.5
+    lat = (F.col("c_custkey") % 180 - 90).cast("double") + 0.25
+    pts = c.select(
+        "c_custkey",
+        F.concat(F.lit("("), lon.cast("string"), F.lit(","), lat.cast("string"), F.lit(")")).alias("pt"),
+    )
+    parsed = pts.withColumn("p", S.parse_point("pt"))
+    return parsed.select(
+        "c_custkey", r4(F.col("p.lon")).alias("lon"), r4(F.col("p.lat")).alias("lat")
+    )
+
+
+@register(
+    "composite_id",
+    oracle="""
+    SELECT concat_ws(':', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+                     CAST(l_linenumber AS VARCHAR)) AS line_id,
+           round(l_quantity, 4) AS qty
+    FROM lineitem
+    """,
+)
+def composite_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — stable composite natural-key id (parity:
+    /root/reference/app/graph_sap_element_result.py:65-67)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        S.composite_id("l_orderkey", "l_partkey", "l_linenumber").alias("line_id"),
+        r4(F.col("l_quantity")).alias("qty"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F18 — JSON property access on the stringly-typed payloads the
+    reference stores (SURVEY §1.4); engine policy is native structs with
+    JSON only at the edges — this is the edge reader."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@register(
+    "unit_conversion",
+    oracle="""
+    SELECT unit, round(sum(liters), 4) AS total_liters, count(*) AS n
+    FROM (
+      SELECT CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'L' WHEN 1 THEN 'ml' ELSE 'oz' END AS unit,
+             CASE CAST(event_id % 3 AS INT)
+                  WHEN 0 THEN value
+                  WHEN 1 THEN value / 1000.0
+                  ELSE NULL END AS liters
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 + A6 — unit→liters conversion with unconvertible units skipped
+    (parity: _unit_to_liters + the heuristic sum,
+    /root/reference/app/graph_application_event.py:51-85)."""
+    ev = load_table(spark, sf_dir, "events")
+    unit = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("L"))
+        .when(F.col("event_id") % 3 == 1, F.lit("ml"))
+        .otherwise(F.lit("oz"))
+    )
+    w = ev.select(unit.alias("unit"), "value")
+    return (
+        w.withColumn("liters", S.to_liters("value", "unit"))
+        .groupBy("unit")
+        .agg(r4(F.sum("liters")).alias("total_liters"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "datetime_coercion",
+    oracle="""
+    SELECT raw, strftime(CASE CAST(o_orderkey % 3 AS INT)
+             WHEN 0 THEN o_orderdate
+             WHEN 1 THEN date_trunc('minute', o_orderdate)
+             ELSE date_trunc('day', o_orderdate) END, '%Y-%m-%d %H:%M:%S') AS parsed
+    FROM (
+      SELECT o_orderkey, o_orderdate,
+             CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+                  WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M')
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
+      FROM orders
+    )
+    """,
+)
+def datetime_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — multi-format datetime coercion (parity: _coerce_dt,
+    /root/reference/app/utils.py:19-32)."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    return (
+        o.select(raw.alias("raw"))
+        .withColumn("parsed", F.date_format(S.coerce_datetime("raw"), "yyyy-MM-dd HH:mm:ss"))
+    )
+
+
+@register(
+    "first_non_empty_pick",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(trim(CASE WHEN CAST(o_orderkey % 4 AS INT) = 0 THEN '' ELSE o_orderpriority END), ''),
+                    nullif(trim(o_orderstatus), ''), 'unknown') AS app_type
+    FROM orders
+    """,
+)
+def first_non_empty_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F17 — first-non-empty alias pick with default (parity: _app_type,
+    /root/reference/app/graph_application_event.py:30-36)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.when(F.col("o_orderkey") % 4 == 0, F.lit("")).otherwise(F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        S.first_non_empty(prio, F.col("o_orderstatus")).alias("app_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U3 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_dedup",
+    oracle="""
+    SELECT name, kind FROM (
+      SELECT DISTINCT c_name AS name, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT DISTINCT s_name AS name, 'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3 — stream concatenation + distinct (parity: chain(elements,
+    others), /root/reference/app/graph_optimum_element_range.py:132-136)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    ).distinct()
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# Headline TPC-H-style pricing summary (bench anchor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2025-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the bench anchor query: full-scan
+    grouped aggregation, map-side partial agg, 2-key shuffle. The filter and
+    the 7-column projection push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+builder config applies (AQE on, adaptive skew-join on, Arrow enabled for the
+few Pandas-UDF operators). Shuffle partitions default small for local runs
+but should be sized to ~2-3× total executor cores at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "graph_db_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    AQE handles runtime coalescing of shuffle partitions and skew-join
+    splitting, so the static ``spark.sql.shuffle.partitions`` only sets the
+    upper bound; at 100 TB we'd raise it to O(cores×3) and let AQE coalesce.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # type — read as long and convert in the table layer (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,114 @@
+"""Operator semantics: daily stats (incl. zero-sum quirk), sessionization
+gap edges, as-of tiebreaks, interval join, dedup determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graph_db_spark.operators import aggregates as A
+from graph_db_spark.operators import joins as J
+from graph_db_spark.operators.sessionize import session_intervals, sessionize
+
+T0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_daily_stats_weather_flavor(spark):
+    df = spark.createDataFrame(
+        [(ts(0), "k", 1.0), (ts(60), "k", 3.0), (ts(120), "k", None)],
+        "t timestamp, key string, v double",
+    )
+    out = A.daily_stats(df, "t", ["key"], "v").collect()[0]
+    # nulls skipped (_mean_safe parity); avg-of-avgs == avg here
+    assert out["data"] == 2.0 and out["min"] == 1.0 and out["max"] == 3.0
+    assert out["sum"] == 4.0 and out["n"] == 2
+
+
+def test_daily_stats_zero_sum_quirk(spark):
+    df = spark.createDataFrame(
+        [(ts(0), "k", 0.0), (ts(60), "k", 0.0)], "t timestamp, key string, v double"
+    )
+    fixed = A.daily_stats(df, "t", ["key"], "v").collect()[0]
+    assert fixed["sum"] == 0.0  # default: quirk fixed
+    quirk = A.daily_stats(df, "t", ["key"], "v", zero_sum_to_null=True).collect()[0]
+    assert quirk["sum"] is None  # graph_irrigation_day.py:116 semantics
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap 600s: 10-minute spacing is INSIDE the session (<=), 11 min starts new
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (1, ts(22)), (2, ts(0))], "u int, t timestamp"
+    )
+    out = {(r["u"], r["t"].minute): r["session_id"] for r in sessionize(df, ["u"], "t", 600).collect()}
+    assert out[(1, 0)] == 1 and out[(1, 10)] == 1 and out[(1, 22)] == 2
+    assert out[(2, 0)] == 1
+
+
+def test_session_intervals_duration(spark):
+    df = spark.createDataFrame([(1, ts(0)), (1, ts(5)), (1, ts(9))], "u int, t timestamp")
+    out = session_intervals(df, ["u"], "t", 600).collect()
+    assert len(out) == 1
+    assert out[0]["duration_min"] == 9.0 and out[0]["n_events"] == 3
+
+
+def test_asof_join_nearest_with_tiebreak(spark):
+    left = spark.createDataFrame([(1, ts(10))], "k int, lt timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(7), "far"), (1, ts(9), "near_a"), (1, ts(11), "near_b")],
+        "k int, rt timestamp, tag string",
+    )
+    # ts(9) and ts(11) are both 60s away; tiebreak on tag ascending → near_a
+    out = J.asof_join(left, right, ["k"], "lt", "rt", tiebreak_cols=["tag"]).collect()
+    assert len(out) == 1 and out[0]["tag"] == "near_a"
+
+
+def test_asof_join_direction_and_tolerance(spark):
+    left = spark.createDataFrame([(1, ts(10))], "k int, lt timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(9), "before"), (1, ts(10, ), "exact")], "k int, rt timestamp, tag string"
+    )
+    back = J.asof_join(left, right, ["k"], "lt", "rt", direction="backward").collect()
+    assert back[0]["tag"] == "exact"
+    tol = J.asof_join(left, right, ["k"], "lt", "rt", tolerance_seconds=30.0).collect()
+    assert tol[0]["tag"] == "exact"
+
+
+def test_asof_join_no_match_keeps_left(spark):
+    left = spark.createDataFrame([(1, ts(0)), (2, ts(0))], "k int, lt timestamp")
+    right = spark.createDataFrame([(1, ts(1), "x")], "k int, rt timestamp, tag string")
+    out = {r["k"]: r["tag"] for r in J.asof_join(left, right, ["k"], "lt", "rt").collect()}
+    assert out == {1: "x", 2: None}
+
+
+def test_interval_agg_join_disjoint_contract(spark):
+    pts = spark.createDataFrame([(1, ts(1), 10.0)], "u int, t timestamp, v double")
+    iv = spark.createDataFrame([(1, ts(0), ts(2))], "u int, s timestamp, e timestamp")
+    try:
+        J.interval_agg_join(pts, iv, ["u"], ["u"], "t", "s", "e", [F.avg("v").alias("a")], ["u"])
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_dedup_first_deterministic(spark):
+    df = spark.createDataFrame([(1, "b"), (1, "a"), (2, "z")], "k int, v string")
+    out = {r["k"]: r["v"] for r in A.dedup_first(df, ["k"], ["v"]).collect()}
+    assert out == {1: "a", 2: "z"}
+
+
+def test_running_index(spark):
+    df = spark.createDataFrame([(1, 30), (1, 10), (1, 20), (2, 5)], "k int, o int")
+    out = {(r["k"], r["o"]): r["idx"] for r in A.running_index(df, ["k"], ["o"]).collect()}
+    assert out == {(1, 10): 1, (1, 20): 2, (1, 30): 3, (2, 5): 1}
+
+
+def test_metrics_map_unbounded_keys(spark):
+    df = spark.createDataFrame([(1, "a", 1.0), (1, "b", 2.0)], "k int, m string, v double")
+    out = A.metrics_map(df, ["k"], "m", "v").collect()[0]
+    assert out["metrics"] == {"a": 1.0, "b": 2.0}

@@ -1,0 +1,68 @@
+"""Keyed-upsert writer: the three MERGE strategies + idempotence property
+(SURVEY §4.1.1, §5.4 — re-running overlapping windows must be a no-op)."""
+
+from __future__ import annotations
+
+from graph_db_spark.writers.upsert import assert_unique_key, collapse_duplicates, upsert
+
+import pytest
+
+
+def df_of(spark, data):
+    return spark.createDataFrame(data, "k int, a string, b string")
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_first_write(spark):
+    new = df_of(spark, [(1, "x", "y")])
+    assert as_set(upsert(None, new, ["k"])) == {(1, "x", "y")}
+
+
+def test_overwrite(spark):
+    old = df_of(spark, [(1, "x", "y"), (2, "m", "n")])
+    new = df_of(spark, [(1, "X", None), (3, "p", "q")])
+    out = upsert(old, new, ["k"], "overwrite")
+    assert as_set(out) == {(1, "X", None), (2, "m", "n"), (3, "p", "q")}
+
+
+def test_coalesce_keeps_existing_unless_new_non_null(spark):
+    # parity: FertilizerProduct CASE WHEN $v IS NULL THEN old ELSE new
+    # (/root/reference/app/graph_fertilizer_product.py:211-219)
+    old = df_of(spark, [(1, "x", "y")])
+    new = df_of(spark, [(1, None, "Y2"), (2, "p", None)])
+    out = upsert(old, new, ["k"], "coalesce")
+    assert as_set(out) == {(1, "x", "Y2"), (2, "p", None)}
+
+
+def test_if_absent_only_fills_nulls(spark):
+    # parity: coalesce(sl.depth_label, $depth_label)
+    # (/root/reference/app/graph_soil_layer.py:226)
+    old = df_of(spark, [(1, "x", None)])
+    new = df_of(spark, [(1, "IGNORED", "filled")])
+    out = upsert(old, new, ["k"], "if_absent")
+    assert as_set(out) == {(1, "x", "filled")}
+
+
+def test_batch_duplicate_collapse(spark):
+    new = df_of(spark, [(1, "a", "1"), (1, "b", "2")])
+    out = collapse_duplicates(new, ["k"], order=["b"])
+    assert as_set(out) == {(1, "b", "2")}  # last by order col wins
+
+
+def test_idempotent_rerun(spark):
+    old = df_of(spark, [(1, "x", "y"), (2, "m", "n")])
+    batch = df_of(spark, [(2, "M", "N"), (3, "p", "q")])
+    once = upsert(old, batch, ["k"], "overwrite")
+    twice = upsert(once, batch, ["k"], "overwrite")
+    assert as_set(once) == as_set(twice)
+
+
+def test_assert_unique_key(spark):
+    ok = df_of(spark, [(1, "a", "b"), (2, "a", "b")])
+    assert_unique_key(ok, ["k"])
+    bad = df_of(spark, [(1, "a", "b"), (1, "c", "d")])
+    with pytest.raises(AssertionError):
+        assert_unique_key(bad, ["k"])
