@@ -1,0 +1,131 @@
+"""Graph analytics on DataFrames — connected components and PageRank.
+
+BASELINE.json's north star: "Graph database analytics (PageRank, connected
+components) fit GraphX ... GraphX for analytics". Implemented directly on
+DataFrames (no GraphFrames/GraphX dependency — SURVEY §7.4.6 fallback):
+iterative join programs with ``localCheckpoint`` lineage truncation, the
+same dataflow shape Pregel-on-a-dataflow-engine systems use (Pregelix,
+VLDB 2014).
+
+Scale notes:
+- Each iteration is one join + one aggregation — shuffle on vertex id.
+  Pre-partitioning vertices and edges by id/src lets consecutive iterations
+  reuse the exchange.
+- Convergence checks are tiny aggregations (count of changed rows).
+- ``localCheckpoint(eager=True)`` bounds plan growth; on a real cluster use
+  reliable checkpointing to HDFS/S3 instead (driver-fault tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components via iterative min-label propagation
+    (large-star/small-star style: each round every vertex adopts the minimum
+    component id among itself and its neighbors).
+
+    ``edges`` needs ``src``/``dst`` columns (direction ignored). Returns
+    ``(id, component)`` where ``component`` is the minimum vertex id in the
+    component (stable, deterministic).
+
+    O(diameter) rounds; for 100 TB graphs switch the propagation to the
+    alternating star contractions (O(log n) rounds) — the per-round dataflow
+    is identical, so the plan shape below is the one to optimize.
+    """
+    sym = (
+        edges.select(F.col("src").cast("string").alias("a"), F.col("dst").cast("string").alias("b"))
+        .unionAll(
+            edges.select(F.col("dst").cast("string").alias("a"), F.col("src").cast("string").alias("b"))
+        )
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    comp = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: for each vertex, min(component) over neighbors
+        nbr_min = (
+            sym.join(comp.withColumnRenamed("id", "b"), on="b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            comp.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
+        comp = updated.select("id", F.col("new_component").alias("component")).localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            break
+    return comp
+
+
+def pagerank(
+    edges: DataFrame,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """PageRank with uniform reset; dangling mass redistributed uniformly.
+
+    ``edges``: ``src``/``dst``. Returns ``(id, rank)`` summing to ~1.
+
+    Per iteration: contributions = rank/out_degree shuffled to dst + two
+    scalar aggregations. out_degree is computed once and joined each round —
+    co-partitioned with ranks on id, so AQE reuses the exchange.
+    """
+    e = edges.select(F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst"))
+    if vertices is not None:
+        v = vertices.select(F.col("id").cast("string").alias("id")).distinct()
+    else:
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    v = v.localCheckpoint(eager=True)
+    n = v.count()
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    out_deg = v.join(out_deg, on="id", how="left").fillna(0, subset=["out_degree"])
+    out_deg = out_deg.localCheckpoint(eager=True)
+
+    ranks = v.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        with_deg = ranks.join(out_deg, on="id")
+        # dangling vertices spread their rank uniformly
+        dangling = (
+            with_deg.filter(F.col("out_degree") == 0).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        )
+        contribs = (
+            with_deg.filter(F.col("out_degree") > 0)
+            .join(e, with_deg["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_contrib"))
+        )
+        base = reset_prob / n + (1 - reset_prob) * dangling / n
+        ranks = (
+            v.join(contribs, on="id", how="left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(1 - reset_prob) * F.coalesce(F.col("in_contrib"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

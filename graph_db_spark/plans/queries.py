@@ -862,3 +862,66 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph layer — degrees, motifs, analytics (SURVEY §7.2.7)
+# ---------------------------------------------------------------------------
+
+from graph_db_spark.graph.build import build_graph, edges_sql  # noqa: E402
+from graph_db_spark.graph.algorithms import connected_components, pagerank  # noqa: E402
+
+
+@register(
+    "graph_degrees",
+    oracle=f"""
+    WITH edges AS ({edges_sql()})
+    SELECT id, count(*) AS degree FROM (
+      SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+    ) GROUP BY 1
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer — undirected degree per vertex over the full 7-type edge
+    set (the property graph projected from the fixtures the same way the
+    reference projects Postgres rows into Neo4j labels, SURVEY §1.1-1.3)."""
+    g = build_graph(spark, sf_dir)
+    return g.degrees().select("id", F.col("degree").cast("bigint").alias("degree"))
+
+
+@register(
+    "motif_region_order_path",
+    oracle=f"""
+    WITH edges AS ({edges_sql()})
+    SELECT e1.src AS region, count(*) AS n_orders
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst AND e2.rel_type = 'HAS_CUSTOMER'
+    JOIN edges e3 ON e3.src = e2.dst AND e3.rel_type = 'HAS_ORDER'
+    WHERE e1.rel_type = 'HAS_NATION'
+    GROUP BY 1
+    """,
+)
+def motif_region_order_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer — 3-hop path motif Region→Nation→Customer→Order (the
+    join-composition equivalent of Cypher MATCH path patterns like
+    Field→Station→WeatherDay, SURVEY §1.3)."""
+    g = build_graph(spark, sf_dir)
+    path = g.motif_path(["HAS_NATION", "HAS_CUSTOMER", "HAS_ORDER"])
+    return path.groupBy(F.col("v0").alias("region")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register("connected_components")  # iterative — not SQL-expressible; rows-only check
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — connected components by min-label propagation
+    (BASELINE.json north star; deterministic output: component = min vertex
+    id). Rows-only driver check; determinism unit-tested in tests/."""
+    g = build_graph(spark, sf_dir)
+    return connected_components(g.edges)
+
+
+@register("pagerank")  # iterative — not SQL-expressible; rows-only check
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — PageRank (10 iterations, reset 0.15, dangling mass
+    redistributed). Rows-only driver check; convergence unit-tested."""
+    g = build_graph(spark, sf_dir)
+    return pagerank(g.edges, max_iter=10).select("id", F.round("rank", 8).alias("rank"))

@@ -1,0 +1,51 @@
+"""Graph layer: degrees, motif joins, connected components, PageRank."""
+
+from __future__ import annotations
+
+from graph_db_spark.graph.algorithms import connected_components, pagerank
+from graph_db_spark.graph.model import PropertyGraph
+
+
+def edges_of(spark, pairs, rel="E"):
+    return spark.createDataFrame([(a, b, rel) for a, b in pairs], "src string, dst string, rel_type string")
+
+
+def test_connected_components_two_islands(spark):
+    e = edges_of(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    out = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long chain needs multiple propagation rounds
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    e = edges_of(spark, pairs)
+    out = {r["component"] for r in connected_components(e).collect()}
+    assert out == {"n0"}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    # star: everyone points at hub → hub has max rank
+    e = edges_of(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")])
+    ranks = {r["id"]: r["rank"] for r in pagerank(e, max_iter=15).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert max(ranks, key=ranks.get) == "hub"
+
+
+def test_pagerank_dangling_mass(spark):
+    # b is dangling (no out-edges); total rank still ~1
+    e = edges_of(spark, [("a", "b")])
+    ranks = {r["id"]: r["rank"] for r in pagerank(e, max_iter=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_degrees_and_motif(spark):
+    e = edges_of(spark, [("a", "b")], rel="R1").unionByName(
+        edges_of(spark, [("b", "c")], rel="R2")
+    )
+    v = spark.createDataFrame([("a", "L"), ("b", "L"), ("c", "L")], "id string, label string")
+    g = PropertyGraph(v, e)
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert deg == {"a": 1, "b": 2, "c": 1}
+    path = [tuple(r) for r in g.motif_path(["R1", "R2"]).collect()]
+    assert path == [("a", "b", "c")]
