@@ -1,0 +1,189 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash, and n-gram Jaccard — each designed so the shuffle volume is
+signatures/buckets, never all-pairs text.
+
+Scale design:
+- exact: one shuffle on a 128-bit content hash — linear.
+- minhash-lsh: per-doc signature (narrow), explode to `bands` rows/doc,
+  shuffle on (band, band-signature); candidate pairs only within buckets —
+  the all-pairs O(n²) never materializes. Verification joins texts back
+  only for candidate pairs.
+- simhash: 64-bit signature per doc; near-dup = signatures within Hamming
+  distance d, found by the standard block-rotation trick (split into d+1
+  blocks; exact-match on one block is necessary for distance ≤ d).
+- n-gram jaccard: token-set explode → inverted index on shingle → pair
+  counts (posting-list self-join), again never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graph_db_spark.operators.text import normalize_text, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized content hash; keeps the minimum id per
+    group (deterministic canonical representative). Returns
+    ``(content_hash, canonical_id, n_dups)``."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (distinct) from normalized text — the MinHash input
+    universe. Uses a transform over a token-index sequence: JVM-side, no
+    UDF."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    ``xxhash64(shingle, i)`` — an array<bigint> of length ``num_hashes``.
+    Pure Column expression: aggregate over the shingle array per hash seed.
+    """
+    sh = shingles(text, k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of the MinHash
+    signature. Returns ``(id_a, id_b)`` with id_a < id_b, distinct.
+
+    rows/doc after explode = ``bands`` (a constant), so shuffle volume is
+    O(n·bands), and pairs emerge per-bucket — never a cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select("id", band_idx, "sig").select(
+        "id",
+        "band",
+        F.concat_ws(",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band).cast("array<string>")).alias(
+            "band_sig"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.band_sig") == F.col("b.band_sig"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """n-gram (word-set) Jaccard similarity for document pairs, optionally
+    blocked by ``block_col`` (language, source, length band...) so the pair
+    space stays bounded. Returns ``(id_a, id_b, jaccard)``.
+
+    Implementation is a blocked self-join on distinct token sets —
+    ``array_intersect``/``array_union`` sizes, all JVM-side. At scale,
+    prefer :func:`minhash_lsh_candidates` to propose pairs and use this
+    only to verify them.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash signature (bigint): per token, xxhash64 gives ``bits``
+    pseudo-random bits; each bit position accumulates +1/-1 over tokens;
+    the sign vector packs back into a 64-bit integer. Near-dup docs differ
+    in few bits (Hamming distance).
+
+    Pure Column program: per bit position (Python-level loop — shift
+    amounts must be literals), an ``aggregate`` over the token-hash array
+    accumulates the +1/-1 counter; the sign bits pack back into a bigint.
+    """
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_counter(mask):
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    packed = F.lit(0).cast("bigint")
+    for i in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("bigint"), i)
+        count_i = F.aggregate(hashes, F.lit(0), bit_counter(mask))
+        packed = packed + F.when(count_i > 0, mask).otherwise(F.lit(0).cast("bigint"))
+    return packed
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` using
+    the block-rotation trick: split the signature into ``max_hamming+1``
+    blocks; any pair within distance d must agree exactly on ≥1 block →
+    bucket-join on (block_idx, block_value), verify with bit_count.
+    Returns ``(id_a, id_b, hamming)``."""
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
+    blk_idx = F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("blk")
+    mask = F.shiftleft(F.lit(1).cast("bigint"), block_bits) - 1
+    blocked = sig.select("id", "sig", blk_idx).select(
+        "id",
+        "sig",
+        "blk",
+        # shiftright with a Column bit count needs the SQL form (the Python
+        # wrapper only accepts int literals)
+        F.expr(f"shiftright(sig, blk * {block_bits})").bitwiseAND(mask).alias("blk_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.blk_val") == F.col("b.blk_val"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

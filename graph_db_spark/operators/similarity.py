@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline; random-hyperplane
+LSH bucketing as the scale path (candidate generation + exact re-rank).
+
+Scale design: brute force is O(n_queries × n_corpus) — fine when the query
+set is small and the corpus is partitioned (each partition scores its
+slice; top-k per partition then global top-k merge, which is exactly what
+``row_number`` over the scored join compiles to with AQE). For large query
+sets, LSH buckets cut candidates to same-bucket pairs, and the plane
+projections are a fixed small matrix broadcast as literals.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — zip_with + aggregate,
+    JVM-side."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (excluding itself when ids collide). Returns
+    ``(query_id, neighbor_id, cosine_sim, rank)``.
+
+    The corpus side stays partitioned; the query side is broadcast — the
+    join is a broadcast nested loop producing per-partition scored rows,
+    then a single shuffle on query_id for the global top-k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-Python LCG so the
+    planes are reproducible without numpy state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            vec.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / n for v in vec])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random-hyperplane projections — vectors with
+    the same bucket are cosine-close with high probability."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.lit(plane).cast("array<double>"))
+        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` hash tables buckets vectors by ``n_planes`` sign
+    bits (independent plane sets); candidates = corpus vectors sharing a
+    bucket with the query in ANY table; exact cosine re-rank on the
+    candidate union. Recall rises with ``n_tables`` (union of probes),
+    selectivity with ``n_planes`` (smaller buckets).
+
+    Scale shape: each table contributes one bucket-id column; the explode
+    to (table, bucket) rows keeps shuffle volume O(n·n_tables) and the
+    per-bucket joins never approach O(n²). Candidate dedup happens before
+    the exact re-rank, so each candidate is scored once.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    q_buckets, c_buckets = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        q_buckets.append(lsh_bucket(F.col("q_vec"), planes).alias(f"b{t}"))
+        c_buckets.append(lsh_bucket(F.col("c_vec"), planes).alias(f"b{t}"))
+    qb = q.select("query_id", "q_vec", F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"), q_buckets[t].alias("bucket")) for t in range(n_tables)
+    ])).alias("tb")).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    cb = c.select("neighbor_id", "c_vec", F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"), c_buckets[t].alias("bucket")) for t in range(n_tables)
+    ])).alias("tb")).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
+    candidates = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

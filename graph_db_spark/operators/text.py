@@ -1,0 +1,88 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All native Column expressions over the ``documents`` table — language ID
+(stopword-overlap heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Everything stays JVM-side (whole-stage codegen); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword sets for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "mit"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks —
+    a `\\w+|[^\\w\\s]` segmentation, the standard pre-tokenizer shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(c)
+    alnum = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
+    return F.when(total > 0, (total - alnum) / total).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of DISTINCT stopwords of ``lang`` present in the text."""
+    return F.size(F.array_intersect(tokens(text), F.lit(STOPWORDS[lang])))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality score in [0,1]: rewards reasonable length,
+    low punctuation density, and stopword presence — the standard cheap
+    pre-filter shape for pretraining corpora."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    sw = (stopword_hits(c, "en") + stopword_hits(c, "es") + stopword_hits(c, "de")).cast("double")
+    sw_score = F.least(sw / F.lit(5.0), F.lit(1.0))
+    return (len_score + punct_score + sw_score) / F.lit(3.0)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Language-ID heuristic: argmax of distinct-stopword overlap across
+    the known sets; 'und' (undetermined) when no stopwords hit."""
+    c = F.col(text) if isinstance(text, str) else text
+    scores = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: de < es < en (later wins)
+    for lang in ["de", "es", "en"]:
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 is identical
+    in Spark and DuckDB, so oracles can reproduce it bit-for-bit)."""
+    return F.md5(normalize_text(text))

@@ -925,3 +925,221 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributed). Rows-only driver check; convergence unit-tested."""
     g = build_graph(spark, sf_dir)
     return pagerank(g.edges, max_iter=10).select("id", F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+from graph_db_spark.operators import dedup as D  # noqa: E402
+from graph_db_spark.operators import similarity as SIM  # noqa: E402
+from graph_db_spark.operators import text as TX  # noqa: E402
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_ish,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                 / nullif(length(text), 0), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — token counting (whitespace + BPE-ish regex
+    segmentation) and punctuation density, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_ish"),
+        r4(TX.punct_ratio("text")).alias("punct_ratio"),
+    )
+
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]" for lang in TX.STOPWORDS
+}
+
+@register(
+    "text_quality_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, text,
+             len(list_distinct(list_intersect(t, {_SW_SQL['en']}))) AS h_en,
+             len(list_distinct(list_intersect(t, {_SW_SQL['es']}))) AS h_es,
+             len(list_distinct(list_intersect(t, {_SW_SQL['de']}))) AS h_de,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM toks
+    )
+    SELECT doc_id,
+           round((least(n_tok / 50.0, 1.0)
+                  + (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                                  / nullif(length(text), 0)) * 5.0, 1.0))
+                  + least((h_en + h_es + h_de) / 5.0, 1.0)) / 3.0, 4) AS quality,
+           CASE WHEN greatest(h_en, h_es, h_de) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM hits
+    """,
+)
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — deterministic quality score (length/punct/stopword
+    components) and stopword-overlap language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        r4(TX.quality_score("text")).alias("quality"),
+        TX.lang_id("text").alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — exact content dedup by md5 fingerprint of normalized text;
+    canonical row = min doc_id. One shuffle on the 128-bit hash — the
+    linear-scale exact-dedup baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_distinct(list_intersect(a.t, b.t))) * 1.0
+                 / (len(a.t) + len(b.t) - len(list_distinct(list_intersect(a.t, b.t)))), 4) AS jaccard
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_intersect(a.t, b.t))) * 1.0
+          / (len(a.t) + len(b.t) - len(list_distinct(list_intersect(a.t, b.t)))) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — n-gram (word-set) Jaccard near-dup pairs, blocked by lang,
+    threshold 0.8. At scale the pair proposal moves to MinHash-LSH
+    (minhash_lsh_dedup below); this is the exact verifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("blk"),
+        F.array_distinct(TX.tokens(F.col("text"))).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - F.size(
+        F.array_intersect(F.col("a.toks"), F.col("b.toks"))
+    )
+    jac = inter / union
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), r4(jac).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register("minhash_lsh_dedup")  # xxhash64 not reproducible in DuckDB → rows-only
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — MinHash+LSH candidate pairs (32 hashes, 8 bands, 3-shingles).
+    Shuffle volume O(n·bands); the O(n²) pair space never materializes.
+    Recall/precision vs exact Jaccard is unit-tested (tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+@register("simhash_near_dups")  # xxhash64-based → rows-only
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — SimHash near-dup pairs (64-bit signatures, Hamming ≤ 3,
+    block-rotation bucketing so no all-pairs join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, round(cosine_sim, 4) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity — brute-force cosine top-5 for 10 query vectors over the
+    corpus (the exact baseline; LSH variant below is the scale path).
+    Queries broadcast; corpus stays partitioned; one shuffle for the global
+    top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.cosine_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — embedding-cosine near-dup pairs (≥0.9), blocked by label so
+    the pair space is bounded per block (at scale: LSH buckets replace the
+    label blocking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    cos = SIM.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, on=["lbl"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", r4(cos).alias("cosine_sim"), cos.alias("_raw"))
+        .filter(F.col("_raw") >= 0.9)
+        .drop("_raw")
+    )
+
+
+@register("ann_lsh_topk")  # approximate (recall<1) → rows-only; recall unit-tested
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity — ANN top-k via multi-table random-hyperplane LSH
+    (16 tables × 4 planes, ~0.93 recall@3 on the fixture embeddings) with
+    exact re-rank on the deduped candidate union. Candidate generation
+    shuffles on (table, bucket): O(n·tables), the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk_lsh(emb, q, dim=64, k=5, n_planes=4, n_tables=16)

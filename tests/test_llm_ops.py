@@ -1,0 +1,141 @@
+"""LLM-data-pipeline operators: dedup recall properties, similarity search
+correctness/recall, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_spark.operators import dedup as D
+from graph_db_spark.operators import similarity as SIM
+from graph_db_spark.operators import text as TX
+from graph_db_spark.operators.multimodal import (
+    extract_features,
+    synthesize_media_from_documents,
+)
+
+
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different words about spark catalyst optimizer plans"),
+        (5, "el la de y que en un una es por palabras distintas aqui"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_exact_copies(spark):
+    out = D.exact_dedup(docs_df(spark), "text", "doc_id")
+    groups = {r["canonical_id"]: r["n_dups"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1 and 2 collapse
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs_df(spark), "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (3, 1) in pairs or (1, 3) in pairs  # near dup should collide on ≥1 band
+    assert (1, 4) not in pairs and (4, 5) not in pairs  # unrelated docs don't
+
+
+def test_jaccard_pairs_exact_values(spark):
+    out = D.jaccard_pairs(docs_df(spark), "text", "doc_id", threshold=0.99)
+    exact = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert exact == {(1, 2)}
+
+
+def test_simhash_identical_and_near(spark):
+    sig = docs_df(spark).select("doc_id", D.simhash(F.col("text")).alias("s"))
+    sigs = {r["doc_id"]: r["s"] for r in sig.collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(docs_df(spark), "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_bruteforce(spark):
+    df = emb_df(spark)
+    out = SIM.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]  # nearest is 1; 4 (opposite) must be last, not in top2
+
+
+def test_lsh_ann_recall_against_bruteforce(spark, sf_dir):
+    from graph_db_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_lsh(emb, q, dim=64, k=3, n_planes=4, n_tables=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # 16-table 4-plane LSH (measured 0.93 on fixtures)
+    # every approx hit must share the query's bucket → subset sanity
+    assert all(qid < 5 for qid, _ in approx)
+
+
+def test_text_analysis(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat of the house is on a mat for it"), (2, "el la de y que !!!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.token_count("text").alias("n"),
+        TX.lang_id("text").alias("lang"),
+        TX.quality_score("text").alias("q"),
+        TX.fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1]["n"] == 11 and out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert 0.0 <= out[2]["q"] <= 1.0 and out[1]["q"] > out[2]["q"]
+    assert len(out[1]["fp"]) == 32
+
+
+def test_multimodal_plumbing_fake_decode(spark, sf_dir):
+    from graph_db_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = synthesize_media_from_documents(docs)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["n_bytes"] > 0 and r["feature_ok"] == 1 for r in rows)
+    assert all(len(r["content_hash"]) == 32 for r in rows)
+    assert "content" not in feats.columns  # binary column dropped post-extract
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    import pandas as pd
+
+    from graph_db_spark.operators.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), fake=False)
