@@ -1143,3 +1143,117 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return SIM.cosine_topk_lsh(emb, q, dim=64, k=5, n_planes=4, n_tables=16)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-DAG outputs (the reference's 25-task ETL re-expressed — §3.1/§3.3)
+# ---------------------------------------------------------------------------
+
+from graph_db_spark.plans import pipeline as P  # noqa: E402
+
+
+@register(
+    "pipeline_application_event_idx",
+    oracle="""
+    SELECT o_custkey AS field_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS date,
+           coalesce(nullif(trim(o_orderpriority), ''), nullif(trim(o_orderstatus), ''), 'unknown') AS app_type,
+           o_orderkey AS order_ref,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m-%d'),
+                          coalesce(nullif(trim(o_orderpriority), ''), nullif(trim(o_orderstatus), ''), 'unknown')
+             ORDER BY o_orderkey) AS BIGINT) AS idx
+    FROM orders
+    """,
+)
+def pipeline_application_event_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — ApplicationEvent idx assignment (A7 row_number replacing
+    the reference's in-memory counters, graph_application_event.py:99,146-150)."""
+    ae = P.build(spark, sf_dir, only=["application_events"])["application_events"]
+    return ae.select(
+        "field_id", "date", "app_type", "order_ref", F.col("idx").cast("bigint").alias("idx")
+    )
+
+
+@register(
+    "pipeline_soil_param_results",
+    oracle="""
+    SELECT concat_ws(':', o.o_custkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderkey) AS analysis_id,
+           concat('param_', l.l_partkey) AS parameter,
+           round(l.l_quantity, 4) AS value
+    FROM (SELECT l_orderkey, l_partkey, l_quantity FROM (
+            SELECT l_orderkey, l_partkey, l_quantity,
+                   row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                      ORDER BY l_linenumber, l_quantity) AS rn
+            FROM lineitem) WHERE rn = 1) l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'P'
+    """,
+)
+def pipeline_soil_param_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — per-parameter lab results with composite ids (F15) and
+    inequality-trimmed value parse (F4); dedup keeps the first line per
+    (analysis, parameter) in linenumber order."""
+    spr = P.build(spark, sf_dir, only=["soil_param_results"])["soil_param_results"]
+    return spr.select("analysis_id", "parameter", r4(F.col("value")).alias("value"))
+
+
+@register(
+    "pipeline_irrigation_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT concat('ST', user_id) AS serial_number,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_at,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_at,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 4) AS duration_min,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def pipeline_irrigation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — IrrigationEvent intervals: the engine-defined
+    GET_IRRIGATIONS semantics (gap 30 min) keyed by station serial."""
+    ev = P.build(spark, sf_dir, only=["irrigation_events"])["irrigation_events"]
+    return ev.select("serial_number", "start_at", "end_at", "duration_min", "n_events")
+
+
+@register(
+    "pipeline_weather_day_metrics",
+    oracle="""
+    SELECT concat('ST', user_id) AS serial_number,
+           strftime(ts, '%Y-%m-%d') AS date,
+           event_type AS measurement,
+           round(avg(value), 4) AS data,
+           round(min(value), 4) AS min,
+           round(max(value), 4) AS max,
+           round(sum(value), 4) AS sum,
+           count(value) AS n
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_weather_day_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — WeatherDay node metrics exploded back to long form (the
+    MapType dynamic-measurement storage round-trips losslessly)."""
+    wd = P.build(spark, sf_dir, only=["weather_days"])["weather_days"]
+    m = wd.select(
+        "serial_number", "date", F.explode("metrics").alias("measurement", "v")
+    )
+    return m.select(
+        "serial_number", "date", "measurement",
+        r4(F.col("v.data")).alias("data"), r4(F.col("v.min")).alias("min"),
+        r4(F.col("v.max")).alias("max"), r4(F.col("v.sum")).alias("sum"),
+        F.col("v.n").cast("bigint").alias("n"),
+    )
