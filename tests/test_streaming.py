@@ -1,0 +1,93 @@
+"""Structured Streaming jobs: stream results must match the batch operators
+on the same data (one definition, two runners)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_spark.operators.sessionize import session_intervals
+from graph_db_spark.streaming.jobs import (
+    dedupe_within_watermark,
+    stream_daily_stats,
+    stream_sessions,
+)
+from graph_db_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Streaming file source needs a directory — rewrite the events fixture."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.sql(f"select * from {name}")
+
+
+def test_stream_daily_stats_matches_batch(spark, events_stream_dir):
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    out = run_to_memory(
+        stream_daily_stats(stream, watermark="10 days"), "daily_stream"
+    )
+    got = {
+        (r["day"], r["user_id"], r["event_type"]): (round(r["sum"], 4), r["n"])
+        for r in out.collect()
+    }
+    expected = {
+        (r["day"], r["user_id"], r["event_type"]): (round(r["sum"], 4), r["n"])
+        for r in batch.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+            "event_type",
+        )
+        .agg(F.sum("value").alias("sum"), F.count("value").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stream_sessions_matches_batch(spark, events_stream_dir):
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    out = run_to_memory(
+        stream_sessions(stream, gap="30 minutes", watermark="10 days"), "session_stream"
+    )
+    got = {
+        (r["user_id"], r["start_at"], r["end_at"]): r["n_events"] for r in out.collect()
+    }
+    expected = {
+        (r["user_id"], r["start_at"], r["end_at"]): r["n_events"]
+        for r in session_intervals(batch, ["user_id"], "ts", 1800).collect()
+    }
+    assert got == expected
+
+
+def test_dedupe_within_watermark(spark, events_stream_dir, tmp_path):
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    # duplicate the stream: union of the same dir twice → exact replays
+    dup_dir = str(tmp_path / "dup")
+    batch.unionAll(batch).write.mode("overwrite").parquet(dup_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(dup_dir)
+    deduped = dedupe_within_watermark(stream, ["event_id"], watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_stream").collect()[0]
+    assert n["c"] == n["n"] == batch.count()
