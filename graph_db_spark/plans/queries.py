@@ -1257,3 +1257,303 @@ def pipeline_weather_day_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("v.max")).alias("max"), r4(F.col("v.sum")).alias("sum"),
         F.col("v.n").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2 coverage: scalar family + agg family + set ops + melt
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tz_offset_map",
+    oracle="""
+    SELECT tz,
+           CASE lower(trim(tz))
+                WHEN 'utc' THEN '+00:00'
+                WHEN 'gmt' THEN '+00:00'
+                WHEN 'europe/istanbul' THEN '+03:00'
+                WHEN 'asia/istanbul' THEN '+03:00'
+                WHEN 'turkey' THEN '+03:00'
+                ELSE NULL END AS offset
+    FROM (
+      SELECT CASE CAST(c_custkey % 4 AS INT)
+                  WHEN 0 THEN 'UTC' WHEN 1 THEN 'Europe/Istanbul'
+                  WHEN 2 THEN 'America/New_York' ELSE 'GMT' END AS tz
+      FROM customer
+    )
+    """,
+)
+def tz_offset_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — the reference's lossy tz→offset map (app/utils.py:34-43),
+    replicated for parity; real pipelines use convert_timezone."""
+    c = load_table(spark, sf_dir, "customer")
+    tz = (
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("UTC"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("Europe/Istanbul"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit("America/New_York"))
+        .otherwise(F.lit("GMT"))
+    )
+    return c.select(tz.alias("tz")).withColumn("offset", S.tz_offset("tz"))
+
+
+@register(
+    "datetime_components",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month,
+           CAST(day(o_orderdate) AS INT) AS day, CAST(hour(o_orderdate) AS INT) AS hour,
+           CAST(minute(o_orderdate) AS INT) AS minute, CAST(second(o_orderdate) AS INT) AS second
+    FROM orders
+    """,
+)
+def datetime_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — datetime→component struct (Neo4j-export edge; app/utils.py:45-63),
+    flattened for the oracle hash."""
+    o = load_table(spark, sf_dir, "orders")
+    comp = S.datetime_components("o_orderdate")
+    return o.withColumn("comp", comp).select(
+        "o_orderkey",
+        F.col("comp.year").alias("year"), F.col("comp.month").alias("month"),
+        F.col("comp.day").alias("day"), F.col("comp.hour").alias("hour"),
+        F.col("comp.minute").alias("minute"), F.col("comp.second").alias("second"),
+    )
+
+
+@register(
+    "epoch_seconds",
+    oracle="""
+    SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def epoch_seconds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 — epoch seconds from TimestampType (the reference's heterogenous
+    temporal branching collapses after ingest,
+    graph_product_application.py:179-197)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", S.epoch_seconds("o_orderdate").cast("bigint").alias("epoch_s")
+    )
+
+
+@register(
+    "nutrient_alias_wide",
+    oracle="""
+    SELECT field_id,
+           round(sum(CASE WHEN canon = 'total_nitrogen' THEN val END), 4) AS total_nitrogen,
+           round(sum(CASE WHEN canon = 'total_potassium' THEN val END), 4) AS total_potassium,
+           round(sum(CASE WHEN canon = 'total_carbon' THEN val END), 4) AS total_carbon
+    FROM (
+      SELECT o_custkey AS field_id,
+             CASE CAST(o_orderkey % 4 AS INT)
+                  WHEN 0 THEN 'total_nitrogen' WHEN 1 THEN 'total_potassium'
+                  WHEN 2 THEN 'total_carbon' ELSE NULL END AS canon,
+             o_totalprice AS val
+      FROM orders
+    )
+    WHERE canon IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def nutrient_alias_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13 + A11 — nutrient alias→canonical mapping then wide pivot of
+    total_* columns (graph_tnd_analysis.py:66-114). Alias spellings
+    synthesized per row; the alias map resolves them; fixed pivot values so
+    no discovery pass."""
+    o = load_table(spark, sf_dir, "orders")
+    raw_name = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(" N "))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("Potassium"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("carbon"))
+        .otherwise(F.lit("mystery"))
+    )
+    rows = o.select(
+        F.col("o_custkey").alias("field_id"),
+        S.nutrient_canonical(S.mineral_norm(raw_name)).alias("canon"),
+        F.col("o_totalprice").alias("val"),
+    ).filter(F.col("canon").isNotNull())
+    return (
+        rows.groupBy("field_id")
+        .pivot("canon", ["total_nitrogen", "total_potassium", "total_carbon"])
+        .agg(r4(F.sum("val")))
+    )
+
+
+@register(
+    "depth_diff",
+    oracle="""
+    SELECT p_partkey, CAST(p_size + 15 - p_size AS DOUBLE) AS sample_depth_cm
+    FROM part
+    """,
+)
+def depth_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — sample depth = ending − beginning (graph_haney_analysis.py:99-102)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        S.depth_diff((F.col("p_size") + 15), F.col("p_size")).alias("sample_depth_cm"),
+    )
+
+
+@register(
+    "iso_z_parse",
+    oracle="""
+    SELECT raw, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS parsed
+    FROM (SELECT strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || 'Z' AS raw, o_orderdate FROM orders)
+    """,
+)
+def iso_z_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — 'Z'-suffixed ISO parse (graph_product_application.py:26-38)."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = F.concat(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"))
+    return o.select(raw.alias("raw")).withColumn(
+        "parsed", F.date_format(S.iso_z_timestamp("raw"), "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+@register(
+    "area_normalized_sum",
+    oracle="""
+    SELECT unit, round(sum(CASE factor WHEN 0 THEN NULL ELSE val / factor END), 4) AS per_da, count(*) AS n
+    FROM (
+      SELECT CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'da' WHEN 1 THEN 'ha' WHEN 2 THEN 'm2' ELSE 'acre' END AS unit,
+             CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 1.0 WHEN 1 THEN 10.0 WHEN 2 THEN 0.01 ELSE 0 END AS factor,
+             value AS val
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def area_normalized_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 + A6 — area-unit normalization to decares with unconvertible
+    units skipped (the _estimate_water_per_da_L heuristic,
+    graph_application_event.py:38-85)."""
+    ev = load_table(spark, sf_dir, "events")
+    unit = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("da"))
+        .when(F.col("event_id") % 4 == 1, F.lit("ha"))
+        .when(F.col("event_id") % 4 == 2, F.lit("m2"))
+        .otherwise(F.lit("acre"))
+    )
+    w = ev.select(unit.alias("unit"), F.col("value").alias("val"))
+    per_da = F.col("val") / S.area_decare_factor("unit")
+    return w.groupBy("unit").agg(
+        r4(F.sum(per_da)).alias("per_da"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "capped_label_sample",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           array_to_string(list_sort(list_distinct(list(event_type)))[1:3], ',') AS sample
+    FROM events GROUP BY 1
+    """,
+)
+def capped_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W3 — capped distinct sample per group (label samples capped at 20,
+    graph_soil_layer.py:64-68; cap=3 here)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = A.capped_sample(ev, ["user_id"], "event_type", cap=3)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.array_join("sample", ",").alias("sample"),
+    )
+
+
+@register(
+    "longest_label_pick",
+    oracle="""
+    SELECT o_custkey,
+           min(o_orderpriority) FILTER (
+             WHERE length(o_orderpriority) = maxlen) AS label
+    FROM (
+      SELECT o_custkey, o_orderpriority,
+             max(length(o_orderpriority)) OVER (PARTITION BY o_custkey) AS maxlen
+      FROM orders
+    )
+    GROUP BY o_custkey
+    """,
+)
+def longest_label_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — prefer the longest label per group, min-string tiebreak for
+    determinism (_pick_label, graph_soil_layer.py:45-51)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    maxlen = F.max(F.length("o_orderpriority")).over(w)
+    return (
+        o.withColumn("maxlen", maxlen)
+        .filter(F.length("o_orderpriority") == F.col("maxlen"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderpriority").alias("label"))
+    )
+
+
+@register(
+    "intersect_types",
+    oracle="""
+    SELECT event_type FROM events WHERE user_id = 0
+    INTERSECT
+    SELECT event_type FROM events WHERE user_id = 1
+    """,
+)
+def intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — set intersection (discovered ∩ wanted measurement keys,
+    graph_weather_day.py:178-186)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") == 0).select("event_type")
+    b = ev.filter(F.col("user_id") == 1).select("event_type")
+    return a.intersect(b)
+
+
+@register(
+    "except_types",
+    oracle="""
+    SELECT event_type FROM events
+    EXCEPT
+    SELECT event_type FROM events WHERE event_type IN ('error', 'view')
+    """,
+)
+def except_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family — EXCEPT set difference (the skip-if-seen anti-pattern as a
+    set op, SURVEY §2.6 note): measurement keys minus an exclusion set."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type").distinct()
+        .subtract(ev.filter(F.col("event_type").isin("error", "view")).select("event_type").distinct())
+    )
+
+
+@register(
+    "wide_melt_roundtrip",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           event_type AS measurement,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE event_type IN ('error', 'view', 'click')
+    GROUP BY 1, 2, 3
+    """,
+)
+def wide_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A11 — wide sensor-key rows melted back to long format: pivot to
+    wide (the reference's c167_110-style stat columns,
+    graph_soil_layer.py:186,205-209) then `unpivot` (melt) back; the
+    round-trip must be lossless."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "view", "click")
+    )
+    wide = (
+        ev.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .pivot("event_type", ["error", "view", "click"])
+        .agg(F.sum("value"))
+    )
+    long = wide.unpivot(
+        ids=["user_id", "day"], values=["error", "view", "click"],
+        variableColumnName="measurement", valueColumnName="total",
+    ).filter(F.col("total").isNotNull())
+    return long.select("user_id", "day", "measurement", r4(F.col("total")).alias("total"))
