@@ -55,6 +55,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # checkpoint FIRST (single execution of the join+agg), then run the
+        # convergence probe against the materialized result — otherwise the
+        # probe action and the checkpoint each execute the full iteration.
         updated = (
             comp.join(nbr_min, on="id", how="left")
             .select(
@@ -64,11 +67,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ),
                 "component",
             )
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
-        comp = updated.select("id", F.col("new_component").alias("component")).localCheckpoint(
-            eager=True
-        )
+        comp = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     return comp
@@ -99,33 +101,39 @@ def pagerank(
         )
     v = v.localCheckpoint(eager=True)
     n = v.count()
-    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
-    out_deg = v.join(out_deg, on="id", how="left").fillna(0, subset=["out_degree"])
-    out_deg = out_deg.localCheckpoint(eager=True)
+    # only vertices with out-edges produce contributions; dangling mass is
+    # recovered by conservation (see below), so the per-iteration plan never
+    # touches zero-degree vertices on the contribution side.
+    out_deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = v.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
-        with_deg = ranks.join(out_deg, on="id")
-        # dangling vertices spread their rank uniformly
-        dangling = (
-            with_deg.filter(F.col("out_degree") == 0).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
-        )
         contribs = (
-            with_deg.filter(F.col("out_degree") > 0)
-            .join(e, with_deg["id"] == e["src"])
+            ranks.join(out_deg, on="id")
+            .join(e, F.col("id") == e["src"])
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_contrib"))
         )
-        base = reset_prob / n + (1 - reset_prob) * dangling / n
-        ranks = (
+        # partial update without dangling redistribution; one heavy job.
+        partial = (
             v.join(contribs, on="id", how="left")
             .select(
                 "id",
-                (F.lit(base) + F.lit(1 - reset_prob) * F.coalesce(F.col("in_contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(reset_prob / n)
+                    + F.lit(1 - reset_prob) * F.coalesce(F.col("in_contrib"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
+        # mass conservation: 1 - sum(partial) == (1-reset)*dangling_mass,
+        # redistributed uniformly — a cheap scan of the checkpointed result
+        # instead of a second join pipeline per iteration.
+        mass = partial.agg(F.sum("rank")).collect()[0][0]
+        ranks = partial.withColumn("rank", F.col("rank") + F.lit((1.0 - mass) / n))
     return ranks

@@ -119,15 +119,27 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
-    )
+    ).withColumn("sz", F.size("toks"))
     a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    # exact length prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+    # threshold t admits only pairs with |A| >= t*|B| and |B| >= t*|A| —
+    # pruned inside the join, before any array_intersect evaluates.
+    cond = [F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")]
+    if threshold > 0:
+        cond += [
+            F.col("a.sz").cast("double") >= threshold * F.col("b.sz"),
+            F.col("b.sz").cast("double") >= threshold * F.col("a.sz"),
+        ]
+    pairs = a.join(b, on=cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double").alias("inter"),
+        (F.col("a.sz") + F.col("b.sz")).cast("double").alias("szsum"),
+    )
+    union = F.col("szsum") - F.col("inter")
+    jac = F.when(union > 0, F.col("inter") / union).otherwise(F.lit(0.0))
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

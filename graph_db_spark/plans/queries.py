@@ -1044,16 +1044,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.col("lang").alias("blk"),
         F.array_distinct(TX.tokens(F.col("text"))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    # language blocks are few, so a join keyed on blk alone runs ~serially;
+    # bucket side a by id-hash and replicate side b across the buckets so the
+    # join key (blk, bucket) has enough distinct values to parallelize.
+    nb = 32
+    a = (
+        toks.withColumn("bkt", F.pmod(F.xxhash64("id"), F.lit(nb)))
+        .repartition(nb, "blk", "bkt")  # the source is one small file → one
+        .alias("a")                     # task; spread the probe side explicitly
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - F.size(
-        F.array_intersect(F.col("a.toks"), F.col("b.toks"))
+    b = toks.withColumn(
+        "bkt", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)).cast("array<bigint>"))
+    ).alias("b")
+    # exact length prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
+    # threshold t requires |A| >= t*|B| and |B| >= t*|A| — prunes the pair
+    # space inside the join before any array_intersect runs.
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.blk") == F.col("b.blk"),
+            F.col("a.bkt") == F.col("b.bkt"),
+            F.col("a.id") < F.col("b.id"),
+            F.col("a.sz").cast("double") >= 0.8 * F.col("b.sz"),
+            F.col("b.sz").cast("double") >= 0.8 * F.col("a.sz"),
+        ],
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double").alias("inter"),
+        (F.col("a.sz") + F.col("b.sz")).alias("szsum"),
     )
-    jac = inter / union
+    jac = F.col("inter") / (F.col("szsum") - F.col("inter"))
     return (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), r4(jac).alias("jaccard"))
+        pairs.select("id_a", "id_b", r4(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
