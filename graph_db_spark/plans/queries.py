@@ -1581,3 +1581,188 @@ def wide_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measurement", valueColumnName="total",
     ).filter(F.col("total").isNotNull())
     return long.select("user_id", "day", "measurement", r4(F.col("total")).alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# Check jobs (S14 + §5.5), multimodal plumbing, and remaining P/S/F operators
+# ---------------------------------------------------------------------------
+
+from graph_db_spark import checks as CK  # noqa: E402
+from graph_db_spark.operators import multimodal as MM  # noqa: E402
+
+
+@register(
+    "constraint_violations",
+    oracle="""
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY 1, 2
+    HAVING count(*) > 1
+    """,
+)
+def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/§5.5 — composite-key uniqueness check as a data-quality job
+    (the reference's CREATE CONSTRAINT DDL, graph_constraints.py:4-133,
+    turned into an assertable violation set). Keyed (customer, day) over
+    orders, which deliberately has collisions — the check must find them."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    )
+    return CK.key_violations(o, ["o_custkey", "day"]).select(
+        "o_custkey", "day", F.col("n_rows").cast("bigint").alias("n_rows")
+    )
+
+
+@register(
+    "dangling_edge_check",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def dangling_edge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5.5 — dangling-edge detection via left_anti join (the integrity
+    breach the reference silently produces when writer key types disagree,
+    SURVEY §2.10.3-4). Node set restricted to status-'F' orders so the
+    check provably finds the dangling remainder."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    nodes = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return CK.dangling_edges(li, nodes, ["l_orderkey"], ["o_orderkey"])
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(CASE WHEN octet_length(encode(text)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS feature_ok
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — opaque binary media column through the
+    ``mapInPandas`` feature extractor (Arrow batches, binary dropped on
+    output). Decode is the deterministic fake (no media libs in container);
+    the byte-level features are oracle-checkable. mean_byte is unit-tested
+    (not SQL-friendly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_documents(docs)
+    feats = MM.extract_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes", "content_hash", "feature_ok")
+
+
+@register(
+    "fallback_selection",
+    oracle="""
+    SELECT user_id, event_type, n FROM (
+      SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS pri,
+             max(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS mx
+      FROM events GROUP BY user_id, event_type
+    ) WHERE pri = mx
+    """,
+)
+def fallback_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — conditional fallback selection, per group and fully declarative:
+    prefer the wanted measurement set; groups where it is empty fall back to
+    everything (the reference's filtered→unfiltered discovery fallback,
+    graph_weather_day.py:197, graph_soil_layer.py:82-118 — done there with
+    a driver-side if-empty re-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pri = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    w = Window.partitionBy("user_id")
+    return (
+        counts.withColumn("pri", pri)
+        .withColumn("mx", F.max("pri").over(w))
+        .filter(F.col("pri") == F.col("mx"))
+        .select("user_id", "event_type", "n")
+    )
+
+
+@register(
+    "data_field_discovery",
+    oracle="""
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    """,
+)
+def data_field_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — data-field discovery scan: which measurement keys exist per
+    device in a window (``_get_data_fields``, graph_soil_layer.py:82-118) —
+    a distinct() over the pushed-down time-range scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        )
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "event_type")
+        .distinct()
+    )
+
+
+@register(
+    "ineq_trimmed_float",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(coalesce(
+             TRY_CAST(raw AS DOUBLE),
+             TRY_CAST(regexp_replace(raw, '^[<>=\\s]+', '') AS DOUBLE)
+           ), 4) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CASE CAST(l_linenumber % 4 AS INT)
+                  WHEN 0 THEN CAST(l_quantity AS VARCHAR)
+                  WHEN 1 THEN '<' || CAST(l_quantity AS VARCHAR)
+                  WHEN 2 THEN '>= ' || CAST(l_quantity AS VARCHAR)
+                  ELSE 'n/a' END AS raw
+      FROM lineitem
+    )
+    """,
+)
+def ineq_trimmed_float_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — inequality-trimmed float parse: plain cast, else strip leading
+    ``<>=`` and retry (graph_tnd_analysis.py:24-37)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("string")
+    raw = (
+        F.when(F.col("l_linenumber") % 4 == 0, qty)
+        .when(F.col("l_linenumber") % 4 == 1, F.concat(F.lit("<"), qty))
+        .when(F.col("l_linenumber") % 4 == 2, F.concat(F.lit(">= "), qty))
+        .otherwise(F.lit("n/a"))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", r4(S.ineq_trimmed_float(raw)).alias("val")
+    )
+
+
+@register(
+    "json_encode_props",
+    oracle="""
+    SELECT o_orderkey,
+           '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"s":"' || o_orderstatus || '"}' AS packed
+    FROM orders
+    """,
+)
+def json_encode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — JSON-encode packed structures at the export edge
+    (``json.dumps`` of wetting-depth structures,
+    graph_irrigation_event.py:33-41; engine keeps native structs internally
+    and emits JSON only here)."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = S.json_encode(
+        F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"))
+    )
+    return o.select("o_orderkey", packed.alias("packed"))
