@@ -42,34 +42,34 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
-    comp = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+    ids = sym.select(F.col("a")).distinct()
+    # self-loops fold "min over self" into the same groupBy as "min over
+    # neighbors": per iteration the plan is exactly one join + one
+    # aggregation (two key shuffles), no separate left-join-back step.
+    sym = sym.unionAll(ids.select("a", F.col("a").alias("b"))).localCheckpoint(eager=True)
+    comp = ids.select(F.col("a").alias("id")).withColumn("component", F.col("id"))
     for _ in range(max_iter):
-        # neighbor minimum: for each vertex, min(component) over neighbors
-        nbr_min = (
-            sym.join(comp.withColumnRenamed("id", "b"), on="b")
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
         # checkpoint FIRST (single execution of the join+agg), then run the
         # convergence probe against the materialized result — otherwise the
         # probe action and the checkpoint each execute the full iteration.
         updated = (
-            comp.join(nbr_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
-                    "new_component"
+            sym.join(
+                comp.select(F.col("id").alias("b"), "component"), on="b"
+            )
+            .groupBy(F.col("a").alias("id"))
+            .agg(
+                F.min("component").alias("new_component"),
+                # the self-loop row carries this vertex's own (old) component
+                # through the same join — no join-back needed for convergence
+                F.min(F.when(F.col("b") == F.col("a"), F.col("component"))).alias(
+                    "old_component"
                 ),
-                "component",
             )
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
+        changed = (
+            updated.filter(F.col("new_component") != F.col("old_component")).limit(1).count()
+        )
         comp = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break

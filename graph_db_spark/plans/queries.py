@@ -1144,8 +1144,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space is bounded per block (at scale: LSH buckets replace the
     label blocking)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
-                   F.col("embedding").cast("array<double>").alias("va"))
+    from graph_db_spark.util import spread
+
+    a = spread(emb).select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+                           F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
                    F.col("embedding").cast("array<double>").alias("vb"))
     cos = SIM.cosine(F.col("va"), F.col("vb"))
