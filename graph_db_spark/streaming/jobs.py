@@ -112,3 +112,69 @@ def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` — the
+    escape hatch for operators ``session_window`` can't express (per-key
+    custom state machines; SURVEY §2.8 "flatMapGroupsWithState-equivalent").
+
+    Same gap semantics as the batch ``session_intervals`` (a strictly
+    greater-than-``gap`` silence starts a new session,
+    operators/sessionize.py): state per key = (start, last, n) of the open
+    session; each closed session is emitted as
+    ``(key, start_at, end_at, duration_min, n_events)``. The open tail
+    session stays in state until a later event (or a sentinel) closes it.
+
+    Scale: state is three longs per key — bounded by key cardinality, not
+    history; Arrow-batched per micro-batch, no per-row Python crossings.
+    """
+    import pandas as pd  # noqa: F401 — required by the worker closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        ts_all = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+        closed: list[tuple] = []
+        for t in ts_all:
+            tus = pd.Timestamp(t).value // 1000  # ns → µs
+            if last_us is None:
+                start_us, last_us, n = tus, tus, 1
+            elif tus - last_us > gap_us:
+                closed.append((key[0], start_us, last_us, n))
+                start_us, last_us, n = tus, tus, 1
+            else:
+                last_us, n = tus, n + 1
+        if last_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[key_col, "start_us", "end_us", "n_events"]
+            )
+
+    raw = events.select(key_col, ts_col).groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, start_us bigint, end_us bigint, n_events bigint",
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw.select(
+        key_col,
+        F.timestamp_micros(F.col("start_us")).alias("start_at"),
+        F.timestamp_micros(F.col("end_us")).alias("end_at"),
+        ((F.col("end_us") - F.col("start_us")) / F.lit(60_000_000.0)).alias("duration_min"),
+        "n_events",
+    )

@@ -91,3 +91,43 @@ def test_dedupe_within_watermark(spark, events_stream_dir, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_stream").collect()[0]
     assert n["c"] == n["n"] == batch.count()
+
+
+def test_stateful_sessions_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch session_intervals.
+
+    A far-future sentinel event per user closes every real session (the
+    stateful operator only emits a session once a later event proves the
+    gap); sentinel sessions themselves stay open in state and are never
+    emitted, so the output is exactly the batch intervals of the real data.
+    """
+    from graph_db_spark.streaming.jobs import stateful_sessions
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    sentinel = (
+        batch.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select("user_id", (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    )
+    aug_dir = str(tmp_path / "aug")
+    batch.select("user_id", "ts").unionByName(sentinel).write.mode("overwrite").parquet(aug_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(aug_dir)
+    out = stateful_sessions(stream, key_col="user_id", ts_col="ts", gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_at"], r["end_at"]): (r["n_events"], round(r["duration_min"], 4))
+        for r in spark.sql("select * from stateful_sessions").collect()
+    }
+    expected = {
+        (r["user_id"], r["start_at"], r["end_at"]): (r["n_events"], round(r["duration_min"], 4))
+        for r in session_intervals(batch, ["user_id"], "ts", 1800).collect()
+    }
+    assert got == expected
