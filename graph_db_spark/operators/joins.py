@@ -76,7 +76,11 @@ def asof_join(
     """
     lt = F.col("__l_ts")
     rt = F.col("__r_ts")
-    left2 = left.withColumn("__l_ts", F.col(left_ts).cast("timestamp"))
+    # unique per-left-row id: two left rows with identical (keys, ts) must
+    # each keep their match (a shared window partition would collapse them)
+    left2 = left.withColumn("__l_ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "__lid", F.monotonically_increasing_id()
+    )
     right2 = right.withColumn("__r_ts", F.col(right_ts).cast("timestamp"))
     cond = [left2[c] == right2[c] for c in on]
     diff = F.abs(lt.cast("double") - rt.cast("double"))
@@ -92,7 +96,7 @@ def asof_join(
     order = [diff.asc_nulls_last()]
     for c in tiebreak_cols or []:
         order.append(right2[c].asc_nulls_last())
-    w = Window.partitionBy(*[left2[c] for c in on], lt).orderBy(*order)
+    w = Window.partitionBy(F.col("__lid")).orderBy(*order)
     ranked = joined.withColumn("__rn", F.row_number().over(w))
     picked = ranked.filter(F.col("__rn") == 1)
     # emit left columns + right non-key columns (disambiguated refs)
@@ -169,3 +173,68 @@ def anti_missing(df: DataFrame, parent: DataFrame, on: list[str]) -> DataFrame:
     """J6' — report rows with a missing parent (dangling-edge candidates;
     the assertion the reference lacks, SURVEY §2.10.3-4)."""
     return df.join(parent, on=on, how="left_anti")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: float,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """J3 at scale — tolerance-bounded nearest as-of via coarse time
+    bucketing (SURVEY §7.4.2: "naive join-then-rank explodes on skewed
+    keys; bucket by (key, coarse time) first").
+
+    Bucket width = tolerance: a right row within tolerance of a left row
+    lives in the left row's bucket ±1, so replicating the right side to its
+    three adjacent buckets makes (keys..., bucket) a pure equi-join key.
+    Candidate fan-out per left row is bounded by right-rows-per-3·tolerance
+    — independent of total history length per key, which is what kills the
+    naive form on hot keys. Output contract identical to
+    :func:`asof_join` (direction="nearest", same tolerance, same
+    tiebreaks); equivalence is property-tested.
+    """
+    tol = float(tolerance_seconds)
+    lt = F.col("__l_ts")
+    rt = F.col("__r_ts")
+    left2 = (
+        left.withColumn("__l_ts", F.col(left_ts).cast("timestamp"))
+        .withColumn("__lid", F.monotonically_increasing_id())
+        .withColumn("__bkt", F.floor(F.col(left_ts).cast("timestamp").cast("double") / tol))
+    )
+    right2 = (
+        right.withColumn("__r_ts", F.col(right_ts).cast("timestamp"))
+        .withColumn(
+            "__bkt",
+            F.explode(
+                F.array(
+                    *[
+                        F.floor(F.col(right_ts).cast("timestamp").cast("double") / tol) + d
+                        for d in (-1, 0, 1)
+                    ]
+                )
+            ),
+        )
+    )
+    diff = F.abs(lt.cast("double") - rt.cast("double"))
+    cond = [left2[c] == right2[c] for c in on] + [
+        left2["__bkt"] == right2["__bkt"],
+        diff <= F.lit(tol),
+    ]
+    # left join: unmatched left rows survive with null right columns (the
+    # asof_join contract) — same single-tree shape as the naive form, so no
+    # cross-branch row-id consistency concerns.
+    candidates = left2.join(right2, on=cond, how="left")
+    order = [diff.asc_nulls_last()]
+    for c in tiebreak_cols or []:
+        order.append(right2[c].asc_nulls_last())
+    w = Window.partitionBy(F.col("__lid")).orderBy(*order)
+    right_payload = [c for c in right.columns if c not in set(on) | set(left.columns)]
+    picked = candidates.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return picked.select(
+        *[left2[c].alias(c) for c in left.columns],
+        *[right2[c].alias(c) for c in right_payload],
+    )

@@ -1768,3 +1768,39 @@ def json_encode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"))
     )
     return o.select("o_orderkey", packed.alias("packed"))
+
+
+@register(
+    "asof_bucketed_line",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, ship_day FROM (
+      SELECT o.o_orderkey, l.l_linenumber,
+             strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY abs(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)), l.l_linenumber
+             ) AS rn
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         AND abs(epoch(l.l_shipdate) - epoch(o.o_orderdate)) <= 90 * 86400
+    ) WHERE rn = 1
+    """,
+)
+def asof_bucketed_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 scale path — tolerance-bounded as-of via (key, coarse-time-bucket)
+    equi-join (SURVEY §7.4.2): candidate fan-out per row is bounded by
+    right-rows-per-3·tolerance regardless of per-key history. Equivalence
+    to the naive join-then-rank is property-tested
+    (tests/test_property.py)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_shipdate"
+    )
+    out = J.asof_join_bucketed(
+        o, li, on=["o_orderkey"], left_ts="o_orderdate", right_ts="l_shipdate",
+        tolerance_seconds=90 * 86400, tiebreak_cols=["l_linenumber"],
+    )
+    return out.filter(F.col("l_linenumber").isNotNull()).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )

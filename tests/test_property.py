@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): the bucketed as-of join is
+result-identical to the naive join-then-rank form, and sessionization
+matches a pure-Python reference implementation on arbitrary inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graph_db_spark.operators.joins import asof_join, asof_join_bucketed
+from graph_db_spark.operators.sessionize import session_intervals
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _ts(seconds: int) -> datetime.datetime:
+    return EPOCH + datetime.timedelta(seconds=seconds)
+
+
+asof_case = st.tuples(
+    st.lists(  # left: (key, ts_seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=12
+    ),
+    st.lists(  # right: (key, ts_seconds); unique idx added below as tiebreak
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=0, max_size=12
+    ),
+    st.sampled_from([60, 300, 900]),  # tolerance seconds
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=asof_case)
+def test_bucketed_asof_equals_naive(spark, case):
+    left_rows, right_rows, tol = case
+    left = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(left_rows)], ["k", "lts", "lrow"]
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(right_rows)],
+        ["k", "rts", "idx"],
+    ) if right_rows else spark.createDataFrame([], "k int, rts timestamp, idx int")
+    naive = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        tolerance_seconds=tol, tiebreak_cols=["idx"], direction="nearest",
+    )
+    bucketed = asof_join_bucketed(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        tolerance_seconds=tol, tiebreak_cols=["idx"],
+    )
+    key = lambda r: (r["k"], r["lts"], r["lrow"], r["rts"], r["idx"])  # noqa: E731
+    assert sorted(map(key, naive.collect())) == sorted(map(key, bucketed.collect()))
+
+
+def _python_sessions(rows, gap_s):
+    """Reference sessionizer: per key, sorted timestamps, > gap starts a new
+    session; returns {(key, start, end, n), ...}."""
+    by_key: dict[int, list[int]] = {}
+    for k, s in rows:
+        by_key.setdefault(k, []).append(s)
+    out = set()
+    for k, ts in by_key.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap_s:
+                out.add((k, start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        out.add((k, start, prev, n))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=25
+    ),
+    gap=st.sampled_from([30, 600, 3600]),
+)
+def test_session_intervals_match_python(spark, rows, gap):
+    df = spark.createDataFrame([(k, _ts(s)) for k, s in rows], ["k", "ts"])
+    got = {
+        (
+            r["k"],
+            int((r["start_at"] - EPOCH).total_seconds()),
+            int((r["end_at"] - EPOCH).total_seconds()),
+            r["n_events"],
+        )
+        for r in session_intervals(df, ["k"], "ts", gap).collect()
+    }
+    assert got == _python_sessions(rows, gap)
