@@ -1804,3 +1804,118 @@ def asof_bucketed_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming entries — availableNow runs of the Structured Streaming jobs;
+# stream result == batch result on static input, so both are oracle-checked.
+# ---------------------------------------------------------------------------
+
+from graph_db_spark.streaming import jobs as STRM  # noqa: E402
+
+
+def _run_stream_to_table(spark, sf_dir, name, transform):
+    """Run a streaming job over the (static) events fixture with
+    trigger(availableNow) into a memory sink; return the result table.
+    The fixture is re-written to a temp dir because the file streaming
+    source wants a directory of (already ns→µs-converted) files."""
+    import os
+    import tempfile
+
+    batch = load_table(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_stream_{name}_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    qname = f"mem_{name}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+@register(
+    "streaming_daily_stats",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           round(avg(value), 4) AS data,
+           round(min(value), 4) AS min,
+           round(max(value), 4) AS max,
+           round(avg(value), 4) AS avg,
+           round(sum(value), 4) AS sum,
+           CAST(count(value) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming — tumbling 1-day windowed stats via Structured
+    Streaming (watermark wide enough that the static fixture drops nothing);
+    on static input the stream result equals the batch A1 aggregation, so
+    the same DuckDB oracle applies."""
+    out = _run_stream_to_table(
+        spark, sf_dir, "daily_stats",
+        lambda s: STRM.stream_daily_stats(s, watermark="3650 days"),
+    )
+    return out.select(
+        "day",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        r4(F.col("data")).alias("data"),
+        r4(F.col("min")).alias("min"),
+        r4(F.col("max")).alias("max"),
+        r4(F.col("avg")).alias("avg"),
+        r4(F.col("sum")).alias("sum"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "streaming_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_at,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_at,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 4) AS duration_min,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming — session_window sessionization (gap 30min) via
+    Structured Streaming; equals the batch lag+cumsum intervals on static
+    input, so the batch sessionization oracle applies (minus session_id,
+    which streaming doesn't number)."""
+    out = _run_stream_to_table(
+        spark, sf_dir, "sessions",
+        lambda s: STRM.stream_sessions(s, gap="30 minutes", watermark="3650 days"),
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        _fmt_ts(F.col("start_at")).alias("start_at"),
+        _fmt_ts(F.col("end_at")).alias("end_at"),
+        r4(F.col("duration_min")).alias("duration_min"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
