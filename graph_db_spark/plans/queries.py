@@ -1919,3 +1919,59 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("duration_min")).alias("duration_min"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "conditional_edge_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name IS NOT NULL AND trim(p.p_name) <> ''
+      AND p.p_brand IS NOT NULL AND trim(p.p_brand) <> ''
+      AND p.p_size >= 25
+    """,
+)
+def conditional_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/P6 — conditional edge creation: the edge exists only when the
+    endpoint passes a predicate (Cypher ``CALL { WITH ... WHERE }`` guard,
+    ProductApplication→FertilizerProduct only when name+brand non-null,
+    /root/reference/app/graph_app_nutrient_content.py:154-162). A filtered
+    broadcast join; the filter prunes the build side before broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").isNotNull() & (F.trim("p_name") != "")
+        & F.col("p_brand").isNotNull() & (F.trim("p_brand") != "")
+        & (F.col("p_size") >= 25)
+    )
+    return li.join(
+        F.broadcast(p), on=li["l_partkey"] == p["p_partkey"], how="inner"
+    ).select("l_orderkey", "l_linenumber", "p_partkey")
+
+
+@register(
+    "window_widened_scan",
+    oracle="""
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' - INTERVAL 7 DAY
+      AND ts <  TIMESTAMP '2024-01-10' + INTERVAL 1 DAY
+    """,
+)
+def window_widened_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — interval scan with boundary widening (−7d/+1d so events
+    straddling the window edge are re-processed idempotently,
+    /root/reference/app/graph_irrigation_event.py:43-75, widening :52-53).
+    The widened predicate still pushes into the scan / prunes partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    start, end = F.lit("2024-01-08").cast("timestamp"), F.lit("2024-01-10").cast("timestamp")
+    return ev.filter(
+        (F.col("ts") >= start - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("ts") < end + F.expr("INTERVAL 1 DAYS"))
+    ).select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        _fmt_ts(F.col("ts")).alias("ts"),
+    )
