@@ -41,6 +41,8 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.range(1).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     extra = [n for n in QUERIES if n not in HEADLINE]
     for name in HEADLINE + extra:
@@ -48,6 +50,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release cached blocks (iterative queries localCheckpoint; the
+        # blocks only free when the Python-side handles are collected) so
+        # later queries aren't squeezed by dead checkpoint storage.
+        gc.collect()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -90,15 +90,26 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random-hyperplane projections — vectors with
-    the same bucket are cosine-close with high probability."""
-    bits = []
-    for i, plane in enumerate(planes):
-        proj = dot(vec, F.lit(plane).cast("array<double>"))
-        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    the same bucket are cosine-close with high probability.
+
+    Single pass: one ``transform`` over the literal plane matrix computes
+    all projections (the one-aggregate-per-plane unroll compiles a plan
+    ``n_planes`` times larger and re-traverses the vector per plane — same
+    lesson as the single-pass SimHash)."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    )
+    projs = F.transform(planes_lit, lambda p: dot(vec, p))
+    bits = F.zip_with(
+        projs,
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)).cast("array<bigint>"),
+        # 2^i instead of shiftleft (whose shift must be a Python literal);
+        # exact in doubles for the small plane counts LSH uses (< 53 bits)
+        lambda proj, i: F.when(
+            proj >= 0, F.pow(F.lit(2.0), i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
 
 
 def cosine_topk_lsh(

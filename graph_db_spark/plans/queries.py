@@ -1975,3 +1975,39 @@ def window_widened_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("bigint").alias("user_id"),
         _fmt_ts(F.col("ts")).alias("ts"),
     )
+
+
+@register(
+    "motif_4hop_counts",
+    oracle="""
+    WITH edges AS (
+      SELECT concat('R:', n_regionkey) AS src, concat('N:', n_nationkey) AS dst, 'HAS_NATION' AS rel_type FROM nation
+      UNION ALL
+      SELECT concat('N:', c_nationkey), concat('C:', c_custkey), 'HAS_CUSTOMER' FROM customer
+      UNION ALL
+      SELECT concat('C:', o_custkey), concat('O:', o_orderkey), 'HAS_ORDER' FROM orders
+      UNION ALL
+      SELECT concat('O:', l_orderkey), concat('L:', l_orderkey, ':', l_linenumber), 'HAS_LINE' FROM lineitem
+    )
+    SELECT e1.src AS region, CAST(count(*) AS BIGINT) AS n_paths
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst AND e2.rel_type = 'HAS_CUSTOMER'
+    JOIN edges e3 ON e3.src = e2.dst AND e3.rel_type = 'HAS_ORDER'
+    JOIN edges e4 ON e4.src = e3.dst AND e4.rel_type = 'HAS_LINE'
+    WHERE e1.rel_type = 'HAS_NATION'
+    GROUP BY 1
+    """,
+)
+def motif_4hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer — 4-hop typed motif traversal
+    Region→Nation→Customer→Order→Line with per-region path counts (the
+    Field→Station→WeatherDay chain shape, SURVEY §1.3, two hops deeper).
+    Each hop is one equi-join on vertex id; Catalyst chains them without
+    materializing intermediate paths."""
+    g = build_graph(spark, sf_dir)
+    path = g.motif_path(["HAS_NATION", "HAS_CUSTOMER", "HAS_ORDER", "HAS_LINE"])
+    first = path.columns[0]
+    return (
+        path.groupBy(F.col(first).alias("region"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
