@@ -2011,3 +2011,40 @@ def motif_4hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.groupBy(F.col(first).alias("region"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
     )
+
+
+@register(
+    "dynamic_measurement_pivot",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+           round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def dynamic_measurement_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.1.4 — dynamic measurement pivot: the wide per-measurement property
+    columns whose names the reference resolves at runtime
+    (graph_weather_day.py:53-67,235-248). Two passes: (1) discover the
+    measurement keys (tiny distinct → driver), (2) pivot with the explicit
+    value list (skips Spark's own discovery job and keeps the plan
+    deterministic). At unbounded key cardinality the engine stores MapType
+    instead (pipeline_weather_day_metrics) — this is the bounded-key path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keys = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .pivot("event_type", keys)
+        .agg(r4(F.sum("value")))
+    )
