@@ -1,7 +1,8 @@
 """Similarity search over embedding columns (``array<float>``).
 
 Brute-force cosine top-k as the correctness baseline; random-hyperplane
-LSH bucketing as the scale path (candidate generation + exact re-rank).
+LSH bucketing and an IVF coarse quantizer as the scale paths (candidate
+generation + exact re-rank).
 
 Scale design: brute force is O(n_queries × n_corpus) — fine when the query
 set is small and the corpus is partitioned (each partition scores its
@@ -161,6 +162,125 @@ def cosine_topk_lsh(
     )
     scored = candidates.select(
         "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine-proxy scores (dot products against unit
+    centroids) — one ``transform`` over the broadcast literal matrix, a
+    single traversal of the vector per row."""
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(mat, lambda c: dot(vec, c))
+
+
+def _top_clusters(sims: Column, nprobe: int) -> Column:
+    """Indices of the ``nprobe`` highest-scoring centroids. Struct sort
+    compares field-by-field, so (sim, idx) descending gives a deterministic
+    probe order — all JVM-side array ops."""
+    idx = F.sequence(F.lit(0), F.size(sims) - 1)
+    ranked = F.reverse(
+        F.array_sort(F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))))
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda st: st["i"])
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    lloyd_iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic spherical-k-means centroids (unit-normalized).
+
+    Seeds = the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id)`` — a deterministic pseudo-random sample that needs no
+    driver-side randomness and no full sort (TakeOrdered top-k). Each Lloyd
+    round is: broadcast-literal argmax assignment (narrow) + posexplode →
+    ``groupBy(cluster, pos).avg`` (one shuffle whose map-side combine
+    reduces O(n·dim) values to O(centroids·dim) per task). Only the
+    centroid matrix itself — n_centroids × dim doubles — ever reaches the
+    driver, so the procedure holds at 100 TB corpus scale.
+    """
+    unit = corpus.select(
+        (lambda v: F.transform(v, lambda x: x / norm(v)))(
+            _as_double(F.col(vec_col))
+        ).alias("v"),
+        F.xxhash64(F.col(id_col)).alias("h"),
+    )
+    seeds = unit.orderBy("h").limit(n_centroids).select("v").collect()
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = unit.select(
+            "v",
+            _top_clusters(_centroid_sims(F.col("v"), centroids), 1)[0].alias("cluster"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        new = []
+        for ci, old in enumerate(centroids):
+            comp = by_cluster.get(ci)
+            if not comp:  # empty cluster keeps its previous centroid
+                new.append(old)
+                continue
+            vec = [comp[p] for p in range(len(old))]
+            n = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new.append([x / n for x in vec])
+        centroids = new
+    return centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k via an IVF coarse quantizer: spherical k-means partitions
+    the corpus into ``n_centroids`` inverted lists; each query probes its
+    ``nprobe`` nearest centroids and exact-cosine re-ranks only those
+    lists' members. Returns ``(query_id, neighbor_id, cosine_sim, rank)``.
+
+    Scale shape vs LSH: one equi-join on ``cluster`` (candidates ≈
+    n·nprobe/n_centroids per query, tunable directly), and the trained
+    centroid matrix is reusable across query batches — pass ``centroids``
+    to skip re-training. Cluster sizes follow the data distribution, so a
+    skewed corpus concentrates lists: raise ``n_centroids`` (finer lists)
+    rather than salting, which would defeat the pruning.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, vec_col, id_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters
+        )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("cluster", _top_clusters(_centroid_sims(F.col("c_vec"), centroids), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn(
+        "cluster",
+        F.explode(_top_clusters(_centroid_sims(F.col("q_vec"), centroids), nprobe)),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

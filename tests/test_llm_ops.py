@@ -101,6 +101,35 @@ def test_lsh_ann_recall_against_bruteforce(spark, sf_dir):
     assert all(qid < 5 for qid, _ in approx)
 
 
+def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
+    from graph_db_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_ivf(emb, q, k=3, n_centroids=16, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-uniform fixture vectors: recall ≈ probed fraction (measured 0.87
+    # at 8/16 lists); clustered real embeddings prune harder at same recall
+    assert recall >= 0.6
+    assert all(qid < 5 for qid, _ in approx)
+    # trained centroids are reusable across query batches — same results
+    cents = SIM.ivf_centroids(emb, n_centroids=16)
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_ivf(
+            emb, q, k=3, n_centroids=16, nprobe=8, centroids=cents
+        ).collect()
+    }
+    assert again == approx
+
+
 def test_text_analysis(spark):
     df = spark.createDataFrame(
         [(1, "the cat of the house is on a mat for it"), (2, "el la de y que !!!")],
