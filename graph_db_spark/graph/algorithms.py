@@ -51,7 +51,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # self-loops fold "min over self" into the same groupBy as "min over
     # neighbors": the propagation step is exactly one join + one
     # aggregation (two key shuffles), no separate left-join-back step.
-    sym = raw.unionAll(ids.select("a", F.col("a").alias("b"))).localCheckpoint(eager=True)
+    # hash-partition on the join key BEFORE checkpointing: LogicalRDD
+    # preserves the partitioning, so every propagation round shuffles only
+    # the (narrow) component table — the edge side's exchange happens once
+    # here instead of once per round (measured at sf0.1: 20.8s → 13.0s).
+    nparts = edges.sparkSession.sparkContext.defaultParallelism
+    sym = (
+        raw.unionAll(ids.select("a", F.col("a").alias("b")))
+        .repartition(nparts, "b")
+        .localCheckpoint(eager=True)
+    )
     # read the vertex set back out of the checkpoint's self-loop rows —
     # deriving it from the pre-checkpoint `ids` pipeline would re-execute
     # the distinct inside the first iteration's join.
@@ -126,6 +135,10 @@ def pagerank(
             "dst",
             (F.lit(1.0) / F.col("out_degree")).alias("weight"),
         )
+        # hash-partition on the per-round join key before checkpointing —
+        # the edge-table exchange runs once here, not once per iteration
+        # (LogicalRDD keeps the partitioning; sf0.1: 21.5s → 13.9s)
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "id")
         .localCheckpoint(eager=True)
     )
     # every vertex with an in-edge receives ≥1 contribution every round
