@@ -89,28 +89,52 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random-hyperplane projections — vectors with
-    the same bucket are cosine-close with high probability.
+def with_matrix(df: DataFrame, mat: list[list[float]], name: str) -> DataFrame:
+    """Attach a small constant matrix as an ``array<array<double>>`` column
+    via a broadcast single-row cross join.
 
-    Single pass: one ``transform`` over the literal plane matrix computes
-    all projections (the one-aggregate-per-plane unroll compiles a plan
-    ``n_planes`` times larger and re-traverses the vector per plane — same
-    lesson as the single-pass SimHash)."""
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    Embedding the matrix as expression literals instead puts every constant
+    into the generated whole-stage code, and janino compile time of that
+    code dominates wall clock (measured: ann_lsh_topk 11.4s with codegen vs
+    6.7s interpreted at sf0.1 — data-size-independent). As a broadcast *row*
+    the matrix is runtime data: the generated code only carries a column
+    reference, and compile time is back to normal."""
+    spark = df.sparkSession
+    mat_df = spark.createDataFrame(
+        [([list(map(float, row)) for row in mat],)], f"{name}: array<array<double>>"
     )
-    projs = F.transform(planes_lit, lambda p: dot(vec, p))
-    bits = F.zip_with(
-        projs,
-        F.sequence(F.lit(0), F.lit(len(planes) - 1)).cast("array<bigint>"),
-        # 2^i instead of shiftleft (whose shift must be a Python literal);
-        # exact in doubles for the small plane counts LSH uses (< 53 bits)
-        lambda proj, i: F.when(
-            proj >= 0, F.pow(F.lit(2.0), i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
+    return df.crossJoin(F.broadcast(mat_df))
+
+
+def lsh_buckets_all(vec: Column, planes_col: Column, n_tables: int, n_planes: int) -> Column:
+    """``array<struct<tbl,bucket>>`` — every table's bucket id from ONE
+    projection pass over the stacked plane matrix (a ``with_matrix`` column
+    of all tables' planes concatenated; one traversal of the vector total).
+    Binding the projection array to a lambda variable via a 1-element
+    ``transform`` makes it a genuine common subexpression — the per-table
+    bucket folds reference the bound variable instead of re-projecting."""
+    projs = F.transform(planes_col, lambda p: dot(vec, p))
+
+    def bucket(ps: Column) -> Column:
+        bits = F.zip_with(
+            ps,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)).cast("array<bigint>"),
+            lambda proj, i: F.when(
+                proj >= 0, F.pow(F.lit(2.0), i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
+
+    return F.transform(
+        F.array(projs),
+        lambda ps: F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.cast("int").alias("tbl"),
+                bucket(F.slice(ps, t * n_planes + 1, F.lit(n_planes))).alias("bucket"),
+            ),
+        ),
+    )[0]
 
 
 def cosine_topk_lsh(
@@ -143,17 +167,18 @@ def cosine_topk_lsh(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
-    q_buckets, c_buckets = [], []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        q_buckets.append(lsh_bucket(F.col("q_vec"), planes).alias(f"b{t}"))
-        c_buckets.append(lsh_bucket(F.col("c_vec"), planes).alias(f"b{t}"))
-    qb = q.select("query_id", "q_vec", F.explode(F.array(*[
-        F.struct(F.lit(t).alias("tbl"), q_buckets[t].alias("bucket")) for t in range(n_tables)
-    ])).alias("tb")).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
-    cb = c.select("neighbor_id", "c_vec", F.explode(F.array(*[
-        F.struct(F.lit(t).alias("tbl"), c_buckets[t].alias("bucket")) for t in range(n_tables)
-    ])).alias("tb")).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
+    stacked = [
+        plane
+        for t in range(n_tables)
+        for plane in hyperplanes(dim, n_planes, seed + 1000 * t)
+    ]
+    buckets = lambda v: lsh_buckets_all(v, F.col("_planes"), n_tables, n_planes)  # noqa: E731
+    qb = with_matrix(q, stacked, "_planes").select(
+        "query_id", "q_vec", F.explode(buckets(F.col("q_vec"))).alias("tb")
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    cb = with_matrix(c, stacked, "_planes").select(
+        "neighbor_id", "c_vec", F.explode(buckets(F.col("c_vec"))).alias("tb")
+    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
     candidates = (
         cb.join(F.broadcast(qb), on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -167,12 +192,11 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_sims(vec: Column, centroids_col: Column) -> Column:
     """array<double> of cosine-proxy scores (dot products against unit
-    centroids) — one ``transform`` over the broadcast literal matrix, a
-    single traversal of the vector per row."""
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    return F.transform(mat, lambda c: dot(vec, c))
+    centroids in a ``with_matrix`` column) — one ``transform``, a single
+    traversal of the vector per row, no literals in codegen."""
+    return F.transform(centroids_col, lambda c: dot(vec, c))
 
 
 def _top_clusters(sims: Column, nprobe: int) -> Column:
@@ -204,18 +228,23 @@ def ivf_centroids(
     centroid matrix itself — n_centroids × dim doubles — ever reaches the
     driver, so the procedure holds at 100 TB corpus scale.
     """
+    v = _as_double(F.col(vec_col))
+    # bind norm(v) once via the 1-element-array lambda trick — the naive
+    # transform(v, x -> x/norm(v)) re-evaluates the norm fold per ELEMENT
+    # (O(d²) interpreted ops per row)
+    unitvec = F.transform(F.array(norm(v)), lambda nv: F.transform(v, lambda x: x / nv))[0]
     unit = corpus.select(
-        (lambda v: F.transform(v, lambda x: x / norm(v)))(
-            _as_double(F.col(vec_col))
-        ).alias("v"),
-        F.xxhash64(F.col(id_col)).alias("h"),
-    )
+        unitvec.alias("v"), F.xxhash64(F.col(id_col)).alias("h")
+    # materialize the normalized vectors once — every Lloyd round reuses
+    # them instead of re-scanning + re-normalizing the corpus (at cluster
+    # scale this is one persisted copy amortized over lloyd_iters passes)
+    ).localCheckpoint(eager=True)
     seeds = unit.orderBy("h").limit(n_centroids).select("v").collect()
     centroids = [list(r["v"]) for r in seeds]
     for _ in range(lloyd_iters):
-        assigned = unit.select(
+        assigned = with_matrix(unit, centroids, "_cents").select(
             "v",
-            _top_clusters(_centroid_sims(F.col("v"), centroids), 1)[0].alias("cluster"),
+            _top_clusters(_centroid_sims(F.col("v"), F.col("_cents")), 1)[0].alias("cluster"),
         )
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
@@ -266,14 +295,29 @@ def cosine_topk_ivf(
         centroids = ivf_centroids(
             corpus, vec_col, id_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters
         )
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    ).withColumn("cluster", _top_clusters(_centroid_sims(F.col("c_vec"), centroids), 1)[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn(
-        "cluster",
-        F.explode(_top_clusters(_centroid_sims(F.col("q_vec"), centroids), nprobe)),
+    c = with_matrix(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+        ),
+        centroids,
+        "_cents",
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        _top_clusters(_centroid_sims(F.col("c_vec"), F.col("_cents")), 1)[0].alias("cluster"),
+    )
+    q = with_matrix(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        ),
+        centroids,
+        "_cents",
+    ).select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            _top_clusters(_centroid_sims(F.col("q_vec"), F.col("_cents")), nprobe)
+        ).alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), on="cluster")
