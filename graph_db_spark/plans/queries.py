@@ -2062,3 +2062,130 @@ def dynamic_measurement_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", keys)
         .agg(r4(F.sum("value")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping analytics — ROLLUP / CUBE / GROUPING SETS (absent in the
+# reference, free in Spark per SURVEY.md §2.4; exposed as first-class
+# engine surface. One shuffle each: Expand multiplies rows by the number
+# of grouping sets BEFORE the exchange, and map-side partial aggregation
+# collapses the expansion, so the shuffle stays O(distinct groups).)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals over the pricing summary: (flag, status) →
+    (flag) → (). grouping_id disambiguates real NULL group values from
+    subtotal rows; the non-null TPC-H columns also get a '<all>' sentinel
+    so both sides hash identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "sum_disc_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "cube_order_counts",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k marginal totals over (status, priority) in one pass — the
+    Expand operator emits each input row once per grouping set and the
+    partial aggregation collapses them pre-shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.sum("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(n_name, '<all>') AS nation,
+           coalesce(strftime(o_orderdate, '%Y') , '<all>') AS year,
+           CAST(grouping(n_name) * 2 + grouping(strftime(o_orderdate, '%Y')) AS BIGINT) AS gid,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (strftime(o_orderdate, '%Y')), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set selection — per-nation and per-year marginals
+    plus the grand total, WITHOUT the (nation, year) cross detail a cube
+    would also emit. nation is broadcast (true dimension at any scale);
+    orders⋈customer is left to AQE — broadcast locally, sort-merge on
+    co-bucketed keys at fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name", F.date_format("o_orderdate", "yyyy").alias("year"), "o_totalprice"
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["year"], []], "n_name", "year"
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            r4(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce("year", F.lit("<all>")).alias("year"),
+            "gid",
+            "revenue",
+        )
+    )
