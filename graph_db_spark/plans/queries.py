@@ -2189,3 +2189,40 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches + exact quantiles (A9 telemetry generalized to the
+# re-aggregatable 100 TB form — see operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+from graph_db_spark.operators import sketches as SK  # noqa: E402
+
+
+@register("hll_user_reach")  # HLL estimate (impl-specific) → rows-only; error bound unit-tested
+def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type from MERGED per-day HLL sketches —
+    the range-rollup answers from O(days×types) sketch rows, never
+    re-scanning raw events. Estimate error bound is unit-tested against
+    the exact count (test_operators)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = SK.hll_day_sketches(ev, "ts", ["event_type"], "user_id")
+    return SK.hll_merge_estimate(daily, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "percentile_value_stats",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p_0_5,
+           round(quantile_cont(value, 0.95), 4) AS p_0_95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def percentile_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per event_type (ANSI percentile_cont
+    semantics, hash-matches DuckDB quantile_cont). At 100 TB swap to
+    approx_percentile — same query shape, bounded-error single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return SK.exact_percentiles(ev, ["event_type"], "value", [0.5, 0.95])

@@ -112,3 +112,35 @@ def test_metrics_map_unbounded_keys(spark):
     df = spark.createDataFrame([(1, "a", 1.0), (1, "b", 2.0)], "k int, m string, v double")
     out = A.metrics_map(df, ["k"], "m", "v").collect()[0]
     assert out["metrics"] == {"a": 1.0, "b": 2.0}
+
+
+def test_hll_sketch_merge_error_bound(spark, sf_dir):
+    from graph_db_spark.operators import sketches as SK
+    from graph_db_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = SK.hll_day_sketches(ev, "ts", ["event_type"], "user_id")
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in SK.hll_merge_estimate(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        # lg_k=12 HLL: relative standard error ~1.6%; 5% is a safe bound
+        assert abs(est[k] - exact[k]) <= max(1, 0.05 * exact[k])
+
+
+def test_exact_percentiles_interpolation(spark):
+    from graph_db_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)], "k string, v double"
+    )
+    out = SK.exact_percentiles(df, ["k"], "v", [0.5]).collect()[0]
+    assert out["p_0_5"] == 2.5  # continuous interpolation between 2 and 3
