@@ -2226,3 +2226,89 @@ def percentile_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile — same query shape, bounded-error single pass."""
     ev = load_table(spark, sf_dir, "events")
     return SK.exact_percentiles(ev, ["event_type"], "value", [0.5, 0.95])
+
+
+@register(
+    "time_rollup_multigrain",
+    oracle="""
+    SELECT event_type,
+           coalesce(strftime(date_trunc('month', ts), '%Y-%m-%d'), '<all>') AS month,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+           CAST(grouping(strftime(date_trunc('month', ts), '%Y-%m-%d')) * 2
+                + grouping(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS BIGINT) AS gid,
+           round(sum(value), 4) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, ROLLUP (strftime(date_trunc('month', ts), '%Y-%m-%d'),
+                                 strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    """,
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: day, month, and
+    all-time totals per event_type in ONE scan — ROLLUP over
+    (month, day) truncations instead of three separate aggregations.
+    The Expand triples rows pre-shuffle but partial agg collapses them to
+    O(groups); at 100 TB this replaces three full passes with one."""
+    ev = load_table(spark, sf_dir, "events")
+    month = F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM-dd")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.select("event_type", month.alias("m"), day.alias("d"), "value")
+        .rollup("event_type", "m", "d")
+        .agg(
+            F.grouping_id().cast("bigint").alias("g3"),
+            r4(F.sum("value")).alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        # event_type is a real group key on both sides: keep only the
+        # rollup levels where it is grouped (g3 < 4 ⇔ grouping(event_type)=0)
+        .filter(F.col("g3") < 4)
+        .select(
+            "event_type",
+            F.coalesce("m", F.lit("<all>")).alias("month"),
+            F.coalesce("d", F.lit("<all>")).alias("day"),
+            (F.col("g3") % 4).alias("gid"),
+            "total",
+            "n",
+        )
+    )
+
+
+@register(
+    "rolling_7day_window",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sum_7d,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def rolling_7day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day window aggregate (sum + count) — a true rangeBetween frame over
+    epoch seconds (SURVEY.md §2.5: frame-spec windows exposed beyond the
+    reference's ranking-only usage). One shuffle on user_id; frames are
+    evaluated with a sliding two-pointer pass per partition, no
+    per-row rescan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    # a windowed float MEAN lands on round(x,4) ties often enough (3 rows
+    # in 60k outputs) that engine summation order flips the last digit;
+    # the rolling SUM over exact DECIMAL is deterministic on both sides
+    dec_sum = F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        _fmt_ts(F.col("ts")).alias("ts"),
+        dec_sum.cast("double").alias("sum_7d"),
+        n.cast("bigint").alias("n_7d"),
+    )
