@@ -2312,3 +2312,32 @@ def rolling_7day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum.cast("double").alias("sum_7d"),
         n.cast("bigint").alias("n_7d"),
     )
+
+
+@register(
+    "streaming_enriched_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           c_mktsegment,
+           round(sum(value), 4) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming — stream-static enrichment join (events stream ⋈
+    broadcast customer dim) + daily windowed totals per market segment;
+    equals the batch join+group on static input, so the plain SQL oracle
+    applies."""
+    dim = load_table(spark, sf_dir, "customer")
+    out = _run_stream_to_table(
+        spark, sf_dir, "enriched_daily",
+        lambda s: STRM.stream_enriched_daily(
+            s, dim, "c_custkey", "c_mktsegment", watermark="3650 days"
+        ),
+    )
+    return out.select(
+        "day", "c_mktsegment", r4(F.col("total")).alias("total"),
+        F.col("n").cast("bigint").alias("n"),
+    )

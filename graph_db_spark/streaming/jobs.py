@@ -178,3 +178,38 @@ def stateful_sessions(
         ((F.col("end_us") - F.col("start_us")) / F.lit(60_000_000.0)).alias("duration_min"),
         "n_events",
     )
+
+
+def stream_enriched_daily(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str,
+    seg_col: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """§2.8 stream-static enrichment: the per-event enrichment the reference
+    performs after an event closes (vwc before/after,
+    graph_irrigation_event.py:260-291) as a streaming join — each
+    micro-batch inner-joins the static dimension (broadcast; re-resolved
+    per batch, so a refreshed dim table is picked up without restarting),
+    then windows into daily per-segment totals. Stream-static inner joins
+    need no watermark on the static side; the window agg carries the
+    stream's own watermark for state eviction."""
+    enriched = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(user_col), F.col(seg_col))),
+        on=user_col,
+    )
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("win"), seg_col)
+        .agg(F.sum(value_col).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            F.col(seg_col),
+            "total",
+            "n",
+        )
+    )

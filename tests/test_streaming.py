@@ -131,3 +131,34 @@ def test_stateful_sessions_matches_batch(spark, tmp_path):
         for r in session_intervals(batch, ["user_id"], "ts", 1800).collect()
     }
     assert got == expected
+
+
+def test_stream_enriched_daily_matches_batch(spark, events_stream_dir):
+    from graph_db_spark.streaming.jobs import stream_enriched_daily
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    out = run_to_memory(
+        stream_enriched_daily(
+            stream, dim, "c_custkey", "c_mktsegment", watermark="10 days"
+        ),
+        "enriched_stream",
+    )
+    got = {
+        (r["day"], r["c_mktsegment"]): (round(r["total"], 4), r["n"])
+        for r in out.collect()
+    }
+    expected = {
+        (r["day"], r["c_mktsegment"]): (round(r["total"], 4), r["n"])
+        for r in batch.join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            on="user_id",
+        )
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "c_mktsegment"
+        )
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
