@@ -238,3 +238,32 @@ def asof_join_bucketed(
         *[left2[c].alias(c) for c in left.columns],
         *[right2[c].alias(c) for c in right_payload],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join: identical results to ``left.join(right, on,
+    how)``, but a hot key's rows spread over ``n_salts`` reduce tasks.
+
+    Left rows get a deterministic salt from a hash of their whole row
+    (uniform, reproducible — no rand()); the right side is replicated
+    ``n_salts``× so every (key, salt) bucket finds its match. Use when ONE
+    side is skewed and the other is too big to broadcast yet small enough
+    to replicate; AQE's skew-split handles the milder cases without any of
+    this. Supports inner and left joins (right/full would need the salt on
+    the other side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lsalted = left.withColumn("_salt", salt)
+    rsalted = right.crossJoin(
+        right.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    )
+    out = lsalted.join(rsalted, on=[*on, "_salt"], how=how)
+    return out.drop("_salt")

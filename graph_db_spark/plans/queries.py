@@ -2341,3 +2341,30 @@ def streaming_enriched_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "c_mktsegment", r4(F.col("total")).alias("total"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber,
+           round(o_totalprice, 4) AS totalprice,
+           o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path equi-join: result-identical to the plain join (that IS the
+    oracle), but hot keys spread across 8 salt buckets — the explicit
+    fallback when one key dominates a fact⋈fact join beyond what AQE's
+    skew split absorbs (SCALE.md §2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice", "o_orderpriority"
+    )
+    return J.salted_join(li, o, on=["l_orderkey"], n_salts=8).select(
+        F.col("l_orderkey").cast("bigint").alias("orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("linenumber"),
+        r4(F.col("o_totalprice")).alias("totalprice"),
+        "o_orderpriority",
+    )

@@ -144,3 +144,29 @@ def test_exact_percentiles_interpolation(spark):
     )
     out = SK.exact_percentiles(df, ["k"], "v", [0.5]).collect()[0]
     assert out["p_0_5"] == 2.5  # continuous interpolation between 2 and 3
+
+
+def test_salted_join_equals_plain(spark):
+    from graph_db_spark.operators import joins as J2
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")] * 5, "k long, v string"
+    )
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, w double")
+    plain = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, on="k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in J2.salted_join(left, right, on=["k"], n_salts=4).collect()
+    )
+    assert salted == plain
+    # left join keeps unmatched rows exactly once
+    lplain = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, on="k", how="left").collect()
+    )
+    lsalted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in J2.salted_join(left, right, on=["k"], n_salts=4, how="left").collect()
+    )
+    assert lsalted == lplain
