@@ -2368,3 +2368,41 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("o_totalprice")).alias("totalprice"),
         "o_orderpriority",
     )
+
+
+@register(
+    "cooccurrence_triangles",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.p2 = e2.p1
+    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    """,
+)
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics with an EXACT oracle: triangle count over the
+    part-co-occurrence graph (parts sharing an order ⇒ undirected edge,
+    oriented p1<p2 so each triangle counts once). The classic two-join
+    triangle enumeration; the p1<p2 orientation bounds each vertex's
+    out-list by its co-order degree, which is what keeps the join fan-out
+    polynomial at scale (wedge counting on the oriented lists)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, on=[F.col("a.o") == F.col("b.o"), F.col("a.p") < F.col("b.p")])
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).join(
+        e3,
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
