@@ -176,3 +176,55 @@ def pagerank(
         mass = partial.agg(F.sum("rank")).collect()[0][0]
         ranks = partial.withColumn("rank", F.col("rank") + F.lit((1.0 - mass) / n))
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame, landmarks: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Unweighted directed shortest-path distances from each landmark:
+    ``(id, landmark, dist)`` — only reachable pairs appear (GraphFrames'
+    ``shortestPaths`` surface on plain DataFrames).
+
+    Frontier BFS: per round, join the (shrinking) frontier against the
+    static edge table — pre-partitioned on ``src`` and checkpointed once,
+    so rounds shuffle only the frontier (same lesson as CC/PageRank) —
+    then anti-join against settled distances so each (vertex, landmark)
+    settles exactly once, at its first (= minimal) depth. Rounds =
+    graph depth; total work is O(Σ frontier sizes) = O(reached pairs).
+
+    ``landmarks``: DataFrame with an ``id`` column.
+    """
+    nparts = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .repartition(nparts, "src")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        landmarks.select(F.col("id").cast("string").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("landmark"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        grown = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(
+                F.col("dst").alias("id"), "landmark", (F.col("dist") + 1).alias("dist")
+            )
+            .groupBy("id", "landmark")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist.select("id", "landmark"), on=["id", "landmark"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if grown.limit(1).count() == 0:
+            break
+        # no re-checkpoint: the union's legs are each already materialized
+        # checkpoints, so the growing dist stays a flat O(depth)-leg union
+        dist = dist.unionByName(grown)
+        frontier = grown
+    return dist

@@ -2406,3 +2406,65 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
     )
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+@register(
+    "shortest_paths_from_regions",
+    oracle="""
+    WITH reach AS (
+      SELECT 'R:' || CAST(r_regionkey AS VARCHAR) AS landmark,
+             'R:' || CAST(r_regionkey AS VARCHAR) AS id, 0 AS dist
+      FROM region WHERE r_regionkey = 0
+      UNION ALL
+      SELECT 'R:' || CAST(n_regionkey AS VARCHAR), 'N:' || CAST(n_nationkey AS VARCHAR), 1
+      FROM nation WHERE n_regionkey = 0
+      UNION ALL
+      SELECT 'R:' || CAST(n_regionkey AS VARCHAR), 'C:' || CAST(c_custkey AS VARCHAR), 2
+      FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+      UNION ALL
+      SELECT 'R:' || CAST(n_regionkey AS VARCHAR), 'S:' || CAST(s_suppkey AS VARCHAR), 2
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 0
+      UNION ALL
+      SELECT 'R:' || CAST(n_regionkey AS VARCHAR), 'O:' || CAST(o_orderkey AS VARCHAR), 3
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+      UNION ALL
+      SELECT 'R:' || CAST(n_regionkey AS VARCHAR),
+             'L:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR), 4
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+      UNION ALL
+      SELECT DISTINCT 'R:' || CAST(n_regionkey AS VARCHAR), 'P:' || CAST(l_partkey AS VARCHAR), 5
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+      UNION ALL
+      SELECT DISTINCT 'R:' || CAST(n_regionkey AS VARCHAR), 'S:' || CAST(l_suppkey AS VARCHAR), 5
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+    ), best AS (
+      SELECT landmark, id, min(dist) AS dist FROM reach GROUP BY 1, 2
+    )
+    SELECT landmark, CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+    """,
+)
+def shortest_paths_from_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BFS shortest paths from a Region landmark over the
+    directed fixture graph, checked against an EXACT oracle — the fixed
+    topology lets SQL enumerate every path level (suppliers are reachable
+    both directly at dist 2 and through lineitems at dist 5; min wins).
+    Aggregated to (landmark, dist, count) so the check is compact."""
+    from graph_db_spark.graph.algorithms import shortest_paths
+
+    g = build_graph(spark, sf_dir)
+    lms = g.vertices.filter(
+        (F.col("label") == "Region") & F.col("id").isin("R:0")
+    ).select("id")
+    sp = shortest_paths(g.edges, lms)
+    return (
+        sp.groupBy("landmark", F.col("dist").cast("bigint").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -49,3 +49,21 @@ def test_degrees_and_motif(spark):
     assert deg == {"a": 1, "b": 2, "c": 1}
     path = [tuple(r) for r in g.motif_path(["R1", "R2"]).collect()]
     assert path == [("a", "b", "c")]
+
+
+def test_shortest_paths_chain_and_branch(spark):
+    from graph_db_spark.graph.algorithms import shortest_paths
+
+    # a -> b -> c -> d, plus shortcut a -> c; landmark a and d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+    )
+    lm = spark.createDataFrame([("a",), ("d",)], "id string")
+    got = {
+        (r["id"], r["landmark"]): r["dist"]
+        for r in shortest_paths(edges, lm).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 1, ("d", "a"): 2,
+        ("d", "d"): 0,  # d has no out-edges: reaches only itself
+    }
