@@ -2373,7 +2373,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cooccurrence_triangles",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey % 10 = 0),
     e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
     SELECT CAST(count(*) AS BIGINT) AS n_triangles
@@ -2391,6 +2391,9 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial at scale (wedge counting on the oriented lists)."""
     op = (
         load_table(spark, sf_dir, "lineitem")
+        # stable 10% order sample: wedge volume grows ~quadratically in
+        # co-order degree, so the full-corpus count belongs on a cluster
+        .filter(F.col("l_orderkey") % 10 == 0)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
