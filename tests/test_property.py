@@ -101,3 +101,54 @@ def test_session_intervals_match_python(spark, rows, gap):
         for r in session_intervals(df, ["k"], "ts", gap).collect()
     }
     assert got == _python_sessions(rows, gap)
+
+
+def _py_parse_range(s: str):
+    """Pure-Python reference for parse_range (mirrors the reference's
+    _parse_range semantics, graph_optimum_element_range.py:16-61)."""
+    import re
+
+    s = s.strip().replace(",", ".")
+    num = r"[-+]?\d+(?:\.\d+)?"
+    if m := re.fullmatch(rf"({num})\s*-\s*({num})", s):
+        return (float(m.group(1)), float(m.group(2)))
+    if m := re.fullmatch(rf">=?\s*({num})", s):
+        return (float(m.group(1)), None)
+    if m := re.fullmatch(rf"<=?\s*({num})", s):
+        return (None, float(m.group(1)))
+    if m := re.fullmatch(rf"({num})", s):
+        return (float(m.group(1)), float(m.group(1)))
+    return (None, None)
+
+
+range_strings = st.one_of(
+    # well-formed inputs from the grammar
+    st.builds(
+        lambda a, b, sep: f"{a}{sep}{b}",
+        st.decimals(0, 99, places=1),
+        st.decimals(0, 99, places=1),
+        st.sampled_from(["-", " - ", "- "]),
+    ),
+    st.builds(lambda op, a: f"{op}{a}", st.sampled_from([">", ">=", "<", "<=", ""]),
+              st.decimals(0, 99, places=1)),
+    # junk
+    st.text(st.sampled_from("0123456789.-<>= abc,"), max_size=12),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(strings=st.lists(range_strings, min_size=1, max_size=20))
+def test_parse_range_matches_python_reference(spark, strings):
+    from graph_db_spark.functions.scalars import parse_range
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [
+        (r["r"]["range_min"], r["r"]["range_max"])
+        for r in df.select(parse_range("s").alias("r")).collect()
+    ]
+    expected = [_py_parse_range(s) for s in strings]
+    assert got == expected
