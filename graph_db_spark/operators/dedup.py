@@ -207,3 +207,57 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the training-data dedup
+    pipeline composed from the engine's own operators:
+
+    1. MinHash-LSH proposes candidate pairs (O(n·bands) shuffle, no
+       cross join);
+    2. exact n-gram Jaccard verifies each candidate against ``threshold``
+       (computed ONLY for candidates — the verifier never sees raw n²);
+    3. connected components over the verified pairs transitively closes
+       duplicate groups (A~B, B~C ⇒ one cluster even if A,C never shared
+       a bucket);
+    4. the minimum id in each cluster is the kept canonical.
+
+    Returns ``(id, canonical_id, is_canonical)`` covering only docs that
+    belong to some near-dup cluster; everything else is implicitly unique.
+    ``keep = df.join(out.filter(~is_canonical), on=id, how='left_anti')``
+    is the filtered corpus.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    verified = (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    from graph_db_spark.graph.algorithms import connected_components
+
+    comp = connected_components(verified)
+    return comp.select(
+        "id",
+        F.col("component").alias("canonical_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -2471,3 +2471,17 @@ def shortest_paths_from_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp.groupBy("landmark", F.col("dist").cast("bigint").alias("dist"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register("near_dup_clusters")  # hash-seeded LSH + iterative CC → rows-only; transitivity unit-tested
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — the composed end-to-end pipeline: MinHash-LSH candidates →
+    exact Jaccard verification (candidates only) → connected components
+    transitively close clusters → min-id canonical. The shape a 100 TB
+    training-data dedup actually runs; every stage is the already-verified
+    operator (minhash_lsh_dedup, ngram_jaccard_pairs,
+    connected_components)."""
+    from graph_db_spark.operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, "text", "doc_id", threshold=0.6)

@@ -168,3 +168,26 @@ def test_multimodal_real_decode_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"x"]), fake=False)
+
+
+def test_near_dup_clusters_transitive(spark):
+    import graph_db_spark.operators.dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn every single day"
+    rows = [
+        (1, base),
+        (2, base.replace("dawn", "dusk")),
+        (3, base.replace("dawn", "dusk").replace("quick", "swift")),
+        (4, "completely unrelated text about spark shuffles and partitions and codegen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: (r["canonical_id"], r["is_canonical"])
+        for r in D.near_dup_clusters(
+            df, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, k=2
+        ).collect()
+    }
+    # 1,2,3 form one transitive cluster with canonical min id; 4 is absent
+    assert set(out) == {"1", "2", "3"}
+    assert all(canon == "1" for canon, _ in out.values())
+    assert out["1"][1] is True and out["2"][1] is False and out["3"][1] is False
