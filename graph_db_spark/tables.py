@@ -38,6 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos (``nanosAsLong``) and we truncate to microsecond TimestampType —
     the same truncation DuckDB applies, so oracles agree.
     """
+    # Runtime-settable: driver-owned vanilla sessions (no builder factory)
+    # would otherwise fail with PARQUET_TYPE_ILLEGAL on events.parquet's
+    # INT64 (TIMESTAMP(NANOS,false)) column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
