@@ -42,10 +42,12 @@ def depth_from_label(label: Column | str, fallback: Column | None = None, unknow
     c = F.col(label) if isinstance(label, str) else label
     token = F.regexp_extract(c, r"(?<!\d)(\d{1,3}(?:[.,]\d+)?)", 1)
     num = F.regexp_replace(token, ",", ".").try_cast("double")
-    depth = F.round(num).cast("int")
+    # bround = half-even, matching the reference's Python int(round(x))
+    # (banker's rounding: 22.5→22, 23.5→24); F.round would be HALF_UP.
+    depth = F.bround(num).cast("int")
     branches = [depth]
     if fallback is not None:
-        branches.append(F.round(fallback.try_cast("double")).cast("int"))
+        branches.append(F.bround(fallback.try_cast("double")).cast("int"))
     branches.append(F.lit(unknown))
     return F.coalesce(*branches)
 

@@ -569,7 +569,7 @@ def sanitize_prop_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(coalesce(
-             CAST(round(CAST(replace(regexp_extract(label, '(\\d{1,3}(?:[.,]\\d+)?)', 1), ',', '.') AS DOUBLE)) AS INT),
+             CAST(round_even(CAST(replace(regexp_extract(label, '(\\d{1,3}(?:[.,]\\d+)?)', 1), ',', '.') AS DOUBLE), 0) AS INT),
              -1) AS INT) AS depth_cm
     FROM (SELECT concat('soil_', CAST(p_size AS VARCHAR), ',5_cm') AS label FROM part)
     """,
@@ -577,8 +577,9 @@ def sanitize_prop_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def depth_from_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — depth-from-label with decimal-comma tolerance (parity:
     _depth_from_label, /root/reference/app/graph_soil_layer.py:28-42).
-    Labels synthesized as 'soil_<size>,5_cm' → round(size.5) = size+1 when
-    size is even... no: round-half-up of size.5."""
+    Labels synthesized as 'soil_<size>,5_cm' — every value is a .5 tie, so
+    this query pins the half-even rounding the reference's Python round()
+    uses (bround here, round_even in the oracle)."""
     p = load_table(spark, sf_dir, "part")
     labeled = p.select(
         F.concat(F.lit("soil_"), F.col("p_size").cast("string"), F.lit(",5_cm")).alias("label")
@@ -1076,9 +1077,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.sz") + F.col("b.sz")).alias("szsum"),
     )
     jac = F.col("inter") / (F.col("szsum") - F.col("inter"))
+    # filter on the RAW jaccard (as the oracle does), round only in the
+    # projection — rounding first would admit raw values in [0.79995, 0.8).
     return (
-        pairs.select("id_a", "id_b", r4(jac).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        pairs.withColumn("_raw", jac)
+        .filter(F.col("_raw") >= 0.8)
+        .select("id_a", "id_b", r4(F.col("_raw")).alias("jaccard"))
     )
 
 

@@ -91,19 +91,55 @@ def dedupe_within_watermark(
 def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str):
     """foreachBatch sink running the keyed upsert per micro-batch — MERGE
     semantics onto a parquet table (on Delta/Iceberg this becomes MERGE
-    INTO directly). Returns the started StreamingQuery."""
+    INTO directly). Returns the started StreamingQuery.
+
+    Crash-safety: the merged table is staged at ``path__next`` and swapped
+    in via filesystem renames (atomic on HDFS/local; Delta/Iceberg replace
+    this with a transactional commit). The current table is never deleted
+    before its replacement exists — a crash at any point leaves either the
+    old table at ``path`` or a recoverable ``path__old``, so replayed
+    micro-batches never mistake a partial write for a first write. Only a
+    genuinely missing path is treated as first-write; other read errors
+    (corruption, permissions) fail the batch loudly.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from graph_db_spark.writers.upsert import upsert
+
+    def _fs(spark, p):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        jvm = spark._jvm
+        fs, cur = _fs(spark, path)
+        nxt = jvm.org.apache.hadoop.fs.Path(path + "__next")
+        old = jvm.org.apache.hadoop.fs.Path(path + "__old")
+        # recover from a crash between the two renames of a prior batch:
+        # current missing but __old present → the old table is still intact.
+        if not fs.exists(cur) and fs.exists(old):
+            fs.rename(old, cur)
+        # drop stale leftovers from interrupted batches
+        for stale in (nxt, old):
+            if fs.exists(stale):
+                fs.delete(stale, True)
         try:
             existing = spark.read.parquet(path)
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise  # corrupt/unreadable table must not masquerade as first write
             existing = None
         merged = upsert(existing, batch_df, keys)
-        merged.write.mode("overwrite").parquet(path + "_next")
-        next_df = spark.read.parquet(path + "_next")
-        next_df.write.mode("overwrite").parquet(path)
+        merged.write.mode("overwrite").parquet(path + "__next")
+        # swap: cur→old, next→cur, drop old. Each rename is atomic; every
+        # intermediate state is recoverable (see recovery block above).
+        if fs.exists(cur):
+            fs.rename(cur, old)
+        fs.rename(nxt, cur)
+        if fs.exists(old):
+            fs.delete(old, True)
 
     return (
         query_df.writeStream.outputMode("update")

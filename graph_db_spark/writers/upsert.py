@@ -45,8 +45,8 @@ def upsert(
 
     ``updates`` may itself contain duplicate keys (the reference relies on
     MERGE idempotence for that); they are collapsed first — last wins by
-    ``dedupe_order`` (default: the key ordering, making the collapse
-    deterministic but arbitrary among true duplicates).
+    ``dedupe_order`` (default: all non-key columns, so the collapse is a
+    deterministic function of the data regardless of partition layout).
     """
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}; expected one of {STRATEGIES}")
@@ -86,8 +86,27 @@ def collapse_duplicates(
     df: DataFrame, keys: list[str], order: list[str] | None = None
 ) -> DataFrame:
     """Collapse duplicate keys inside one batch — last row wins by ``order``
-    (A8 dedup with explicit determinism)."""
-    order_cols = [F.col(c).desc() for c in (order or keys)]
+    (A8 dedup with explicit determinism).
+
+    Without an explicit ``order``, ties among duplicate-key rows are broken
+    by ALL non-key columns (desc): the key columns are constant within a
+    window partition, so ordering by them would leave the winner up to
+    partition layout / task retries — breaking the idempotent-MERGE
+    contract. Ordering by the full value tuple makes the collapse a pure
+    function of the data.
+    """
+    if order:
+        order_cols = [F.col(c).desc() for c in order]
+    else:
+        from pyspark.sql.types import MapType
+
+        value_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in keys and not isinstance(f.dataType, MapType)  # maps aren't orderable
+        ]
+        # no value columns → rows are full duplicates; any winner is identical
+        order_cols = [F.col(c).desc_nulls_last() for c in (value_cols or keys)]
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
