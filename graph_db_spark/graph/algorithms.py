@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    jump_after: int = 8,
+    strict: bool = True,
+) -> DataFrame:
     """Connected components via iterative min-label propagation
     (large-star/small-star style: each round every vertex adopts the minimum
     component id among itself and its neighbors).
@@ -31,13 +36,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     ``(id, component)`` where ``component`` is the minimum vertex id in the
     component (stable, deterministic).
 
-    O(diameter) rounds. Measured at sf0.1 (642k vertices, 4.6M directed
-    edge rows): the fixture graph converges in 7 rounds, and a
-    Shiloach-Vishkin pointer-jump step per round only cut that to 6 while
-    adding a 642k-row self-join + checkpoint per round (32s vs 19s) — so
-    plain propagation ships. On a deep-diameter 100 TB graph the jump step
-    (comp[v] ← comp[comp[v]] as a left self-join on the propagated table)
-    is the documented variant to re-enable: O(log d) rounds.
+    O(diameter) rounds for the first ``jump_after`` rounds. Measured at
+    sf0.1 (642k vertices, 4.6M directed edge rows): the fixture graph
+    converges in 7 rounds, and a Shiloach-Vishkin pointer-jump step per
+    round only cut that to 6 while adding a 642k-row self-join + checkpoint
+    per round (32s vs 19s) — so plain propagation runs first. From round
+    ``jump_after`` on, a pointer-jump step (comp[v] ← comp[comp[v]], a
+    self-join on the propagated table) doubles the label-propagation
+    horizon per round, so a deep-diameter graph (duplicate chains longer
+    than ``jump_after`` hops) converges in O(jump_after + log d) rounds
+    instead of O(d) — the cheap path never pays for it, the deep path
+    always converges.
+
+    Convergence is verified, never assumed: exhausting ``max_iter`` without
+    a fixed point raises (``strict=True``, default) or warns — silently
+    returning half-propagated labels would split clusters downstream (e.g.
+    near-dup canonical ids) with no signal.
     """
     raw = edges.select(
         F.col("src").cast("string").alias("a"), F.col("dst").cast("string").alias("b")
@@ -67,7 +81,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     comp = sym.filter(F.col("a") == F.col("b")).select(
         F.col("a").alias("id"), F.col("a").alias("component")
     )
-    for _ in range(max_iter):
+    converged = False
+    for rnd in range(max_iter):
         # checkpoint FIRST (single execution of the join+agg), then run the
         # convergence probe against the materialized result — otherwise the
         # probe action and the checkpoint each execute the full iteration.
@@ -91,7 +106,29 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         comp = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
+            converged = True
             break
+        if rnd + 1 >= jump_after:
+            # pointer jump: comp[v] ← comp[comp[v]]. Labels are always live
+            # vertex ids (min over neighbor labels), so the lookup join hits.
+            lookup = comp.select(
+                F.col("id").alias("component"), F.col("component").alias("jumped")
+            )
+            comp = (
+                comp.join(lookup, on="component", how="left")
+                .select("id", F.coalesce("jumped", "component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — labels are partially propagated and clusters may be split"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return comp
 
 

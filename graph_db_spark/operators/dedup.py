@@ -100,12 +100,38 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def guard_block_pairs(
+    blocked: DataFrame, block_col: str, max_block_pairs: int
+) -> None:
+    """Refuse to run a blocked all-pairs self-join whose largest block
+    exceeds ``max_block_pairs`` candidate pairs. The exact Jaccard join is
+    O(pairs-within-block): fine for verifying LSH candidates or small
+    blocks, quadratic blow-up on a 100 TB corpus with few blocks. The
+    probe is one narrow count-by-block aggregation (O(#blocks) rows on the
+    driver — bounded by construction)."""
+    worst = (
+        blocked.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max((F.col("n") * (F.col("n") - 1) / 2).cast("double")).alias("p"))
+        .collect()[0]["p"]
+    )
+    if worst is not None and worst > max_block_pairs:
+        raise ValueError(
+            f"largest block implies {int(worst):,} candidate pairs "
+            f"(> max_block_pairs={max_block_pairs:,}); the exact Jaccard "
+            "self-join is quadratic per block — propose candidates with "
+            "minhash_lsh_candidates / near_dup_clusters and keep this join "
+            "for verification only, or raise max_block_pairs explicitly"
+        )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     block_col: str | None = None,
     threshold: float = 0.0,
+    max_block_pairs: int = 25_000_000,
 ) -> DataFrame:
     """n-gram (word-set) Jaccard similarity for document pairs, optionally
     blocked by ``block_col`` (language, source, length band...) so the pair
@@ -114,13 +140,15 @@ def jaccard_pairs(
     Implementation is a blocked self-join on distinct token sets —
     ``array_intersect``/``array_union`` sizes, all JVM-side. At scale,
     prefer :func:`minhash_lsh_candidates` to propose pairs and use this
-    only to verify them.
+    only to verify them — enforced by :func:`guard_block_pairs`, which
+    raises when any block's pair count exceeds ``max_block_pairs``.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     ).withColumn("sz", F.size("toks"))
+    guard_block_pairs(toks, "blk", max_block_pairs)
     a, b = toks.alias("a"), toks.alias("b")
     # exact length prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
     # threshold t admits only pairs with |A| >= t*|B| and |B| >= t*|A| —

@@ -1039,13 +1039,17 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup — n-gram (word-set) Jaccard near-dup pairs, blocked by lang,
     threshold 0.8. At scale the pair proposal moves to MinHash-LSH
-    (minhash_lsh_dedup below); this is the exact verifier."""
+    (minhash_lsh_dedup below); this is the exact verifier — and it refuses
+    to run when any block implies a quadratic pair blow-up
+    (guard_block_pairs), delegating huge corpora to the LSH-propose path
+    (near_dup_clusters)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").alias("id"),
         F.col("lang").alias("blk"),
         F.array_distinct(TX.tokens(F.col("text"))).alias("toks"),
     ).withColumn("sz", F.size("toks"))
+    D.guard_block_pairs(toks, "blk", max_block_pairs=25_000_000)
     # language blocks are few, so a join keyed on blk alone runs ~serially;
     # bucket side a by id-hash and replicate side b across the buckets so the
     # join key (blk, bucket) has enough distinct values to parallelize.
@@ -1668,13 +1672,41 @@ def dangling_edge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — opaque binary media column through the
     ``mapInPandas`` feature extractor (Arrow batches, binary dropped on
-    output). Decode is the deterministic fake (no media libs in container);
-    the byte-level features are oracle-checkable. mean_byte is unit-tested
-    (not SQL-friendly)."""
+    output). This entry checks the byte-level plumbing path (fake decoder);
+    the REAL PNG decoder is oracle-checked by multimodal_png_decode."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.synthesize_media_from_documents(docs)
     feats = MM.extract_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes", "content_hash", "feature_ok")
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           round(avg(CAST((d.doc_id * 7 + t.i * 13) % 256 AS DOUBLE)), 4) AS mean_px,
+           CAST(1 AS BIGINT) AS feature_ok
+    FROM documents d CROSS JOIN generate_series(0, 15) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — REAL image decode, end to end: per document a genuine
+    8-bit grayscale PNG is encoded (stdlib zlib) with pixel i = (doc_id*7 +
+    i*13) % 256, shipped as an opaque binary column, and decoded back by
+    the pure-Python PNG decoder (operators/multimodal.py) inside
+    Arrow-batched ``mapInPandas``. Because the pixel function is closed
+    form, DuckDB recomputes the decoded mean analytically — the oracle
+    verifies the DECODER, not just the plumbing. Binary column never
+    shuffles (features extracted in the same stage that synthesized it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_png_media(docs, width=4, height=4)
+    feats = MM.extract_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height", r4(F.col("mean_px")).alias("mean_px"), "feature_ok"
+    )
 
 
 @register(

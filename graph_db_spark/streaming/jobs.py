@@ -102,14 +102,21 @@ def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str
     genuinely missing path is treated as first-write; other read errors
     (corruption, permissions) fail the batch loudly.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     from graph_db_spark.writers.upsert import upsert
 
     def _fs(spark, p):
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(p)
         return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+    def _rename(fs, src, dst) -> None:
+        # Hadoop FileSystem.rename signals failure by RETURNING false (and
+        # renaming onto an existing directory moves the source INTO it);
+        # swallowing that would let the micro-batch commit while the merged
+        # table is later deleted as stale — silent data loss. Raise so the
+        # batch fails and Spark replays it.
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -120,24 +127,25 @@ def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str
         # recover from a crash between the two renames of a prior batch:
         # current missing but __old present → the old table is still intact.
         if not fs.exists(cur) and fs.exists(old):
-            fs.rename(old, cur)
-        # drop stale leftovers from interrupted batches
-        for stale in (nxt, old):
+            _rename(fs, old, cur)
+        # drop stale leftovers from interrupted batches ('_next' is the
+        # pre-round-2 staging suffix — one-time migration cleanup)
+        legacy = jvm.org.apache.hadoop.fs.Path(path + "_next")
+        for stale in (nxt, old, legacy):
             if fs.exists(stale):
                 fs.delete(stale, True)
-        try:
-            existing = spark.read.parquet(path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise  # corrupt/unreadable table must not masquerade as first write
-            existing = None
+        # explicit existence probe instead of parsing exception messages —
+        # only a genuinely missing path is a first write; any other read
+        # error (corruption, permissions) raises out of spark.read below.
+        existing = spark.read.parquet(path) if fs.exists(cur) else None
         merged = upsert(existing, batch_df, keys)
         merged.write.mode("overwrite").parquet(path + "__next")
-        # swap: cur→old, next→cur, drop old. Each rename is atomic; every
-        # intermediate state is recoverable (see recovery block above).
+        # swap: cur→old, next→cur, drop old. Each rename is atomic and
+        # failure-checked; every intermediate state is recoverable (see
+        # recovery block above).
         if fs.exists(cur):
-            fs.rename(cur, old)
-        fs.rename(nxt, cur)
+            _rename(fs, cur, old)
+        _rename(fs, nxt, cur)
         if fs.exists(old):
             fs.delete(old, True)
 

@@ -98,15 +98,35 @@ def collapse_duplicates(
     if order:
         order_cols = [F.col(c).desc() for c in order]
     else:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def orderable(dt) -> bool:
+            # maps aren't orderable at ANY nesting depth (array<map<...>>,
+            # struct containing a map fail analysis just like a bare map)
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(orderable(f.dataType) for f in dt.fields)
+            return True
 
         value_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name not in keys and not isinstance(f.dataType, MapType)  # maps aren't orderable
+            f.name for f in df.schema.fields if f.name not in keys and orderable(f.dataType)
         ]
-        # no value columns → rows are full duplicates; any winner is identical
-        order_cols = [F.col(c).desc_nulls_last() for c in (value_cols or keys)]
+        unorderable = [
+            f.name for f in df.schema.fields if f.name not in keys and not orderable(f.dataType)
+        ]
+        if value_cols:
+            order_cols = [F.col(c).desc_nulls_last() for c in value_cols]
+        elif unorderable:
+            # every value column is map-bearing: order by a canonical JSON
+            # serialization hash so the winner is a pure function of the
+            # data, not of partition layout / task retries.
+            order_cols = [F.xxhash64(F.to_json(F.struct(*unorderable))).desc()]
+        else:
+            # no value columns → rows are full duplicates; any winner is identical
+            order_cols = [F.col(c).desc_nulls_last() for c in keys]
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

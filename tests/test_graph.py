@@ -24,6 +24,31 @@ def test_connected_components_chain_converges(spark):
     assert out == {"n0"}
 
 
+def test_connected_components_unconverged_raises(spark):
+    # a 3-hop chain cannot converge in one round → strict mode raises,
+    # non-strict warns but returns (VERDICT r2 #5: never silent)
+    import warnings
+
+    import pytest
+
+    e = edges_of(spark, [("n0", "n1"), ("n1", "n2"), ("n2", "n3")])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=1, jump_after=99)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(e, max_iter=1, jump_after=99, strict=False).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_connected_components_pointer_jump_deep_chain(spark):
+    # 40-hop chain with jump_after=2: pointer jumping doubles the horizon
+    # per round, so it converges well before 40 plain-propagation rounds
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    e = edges_of(spark, pairs)
+    out = {r["component"] for r in connected_components(e, max_iter=12, jump_after=2).collect()}
+    assert out == {"n00"}
+
+
 def test_pagerank_sums_to_one_and_ranks_hub(spark):
     # star: everyone points at hub → hub has max rank
     e = edges_of(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")])

@@ -50,6 +50,17 @@ def test_jaccard_pairs_exact_values(spark):
     assert exact == {(1, 2)}
 
 
+def test_jaccard_pairs_guard_trips_on_quadratic_block(spark):
+    # single-block corpus whose pair count exceeds the bound → refuse with
+    # a pointer at the LSH-propose path (VERDICT r2 #6)
+    rows = [(i, f"doc number {i} words") for i in range(10)]  # 45 pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_lsh_candidates"):
+        D.jaccard_pairs(df, "text", "doc_id", threshold=0.5, max_block_pairs=10)
+    # same corpus under the bound still runs
+    assert D.jaccard_pairs(df, "text", "doc_id", threshold=0.99, max_block_pairs=100).count() == 0
+
+
 def test_simhash_identical_and_near(spark):
     sig = docs_df(spark).select("doc_id", D.simhash(F.col("text")).alias("s"))
     sigs = {r["doc_id"]: r["s"] for r in sig.collect()}
@@ -161,13 +172,59 @@ def test_multimodal_plumbing_fake_decode(spark, sf_dir):
     assert "content" not in feats.columns  # binary column dropped post-extract
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_png_decode_roundtrip():
+    # encoder → decoder round-trip, no Spark: all 5 PNG filter paths are
+    # exercised indirectly by zlib-compressed filter-0 scanlines here and
+    # by the synthetic pixel ramp in the query oracle
     import pandas as pd
 
-    from graph_db_spark.operators.multimodal import decode_image_batch
+    from graph_db_spark.operators.multimodal import (
+        decode_image_batch,
+        decode_png,
+        encode_png,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"x"]), fake=False)
+    px = bytes((i * 7) % 256 for i in range(6 * 4))
+    blob = encode_png(6, 4, px)
+    w, h, mean = decode_png(blob)
+    assert (w, h) == (6, 4)
+    assert abs(mean - sum(px) / len(px)) < 1e-9
+    out = decode_image_batch(pd.Series([blob, b"not an image"]), fake=False)
+    assert list(out["feature_ok"]) == [1, 0]
+    assert list(out["width"]) == [6, -1]
+
+
+def test_multimodal_real_bmp_decode():
+    import struct
+
+    from graph_db_spark.operators.multimodal import decode_bmp
+
+    # hand-built 2x2 24bpp BI_RGB BMP (rows padded to 4 bytes: 2*3=6 → 8)
+    w, hgt = 2, 2
+    rows = [bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00",
+            bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00"]
+    pixel_data = b"".join(rows)
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, hgt, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    ww, hh, mean = decode_bmp(header + pixel_data)
+    assert (ww, hh) == (2, 2)
+    assert abs(mean - (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120) / 12) < 1e-9
+
+
+def test_multimodal_real_decode_in_spark(spark, sf_dir):
+    from graph_db_spark.operators.multimodal import extract_features, synthesize_png_media
+    from graph_db_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    feats = extract_features(synthesize_png_media(docs, 4, 4), fake=False).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert r["feature_ok"] == 1 and r["width"] == 4 and r["height"] == 4
+        d = r["media_id"]
+        expect = sum((d * 7 + i * 13) % 256 for i in range(16)) / 16
+        assert abs(r["mean_px"] - expect) < 1e-9
 
 
 def test_near_dup_clusters_transitive(spark):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 import traceback
 
 import duckdb
@@ -54,6 +55,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(get_spark("correctness-check"), sf_dir)
             scols = sdf.columns
@@ -63,7 +65,7 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"okro {name}: rows-only, {len(srows)} rows")
+            print(f"okro {name}: rows-only, {len(srows)} rows [{time.monotonic() - t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
@@ -87,7 +89,7 @@ def main() -> int:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"ok   {name}: {len(srows)} rows")
+            print(f"ok   {name}: {len(srows)} rows [{time.monotonic() - t0:.1f}s]")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
