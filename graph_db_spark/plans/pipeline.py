@@ -1,4 +1,5 @@
-"""The reference's 25-task ETL DAG, re-expressed declaratively.
+"""The reference's full ETL DAG — 27 node labels + 27 relationship types —
+re-expressed declaratively.
 
 The reference builds a static ordered TASKS list and awaits each
 sequentially over Postgres→Neo4j round-trips
@@ -467,19 +468,523 @@ def app_nutrient_contents(ctx: Context, product_applications: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# SAP-analysis family (graph_sap_analysis.py, graph_sap_element_result.py,
+# graph_optimum_sap_range.py, graph_optimum_element_range.py)
+# ---------------------------------------------------------------------------
+
+
+@task("sap_analyses", "node", deps=["fields"],
+      keys=["field_id", "date", "crop_name", "leaf_type", "sample_id"])
+def sap_analyses(ctx: Context, fields: DataFrame) -> DataFrame:
+    """SAPAnalysis nodes (graph_sap_analysis.py:97-194): one node per
+    (analysis, leaf_type) — the young/old fan-out (:144-176) becomes an
+    explode over a 2-element struct array; rows with a missing sample_id
+    are dropped (the `if not sample_id: continue` guard, :146). ph/ec/
+    sugars are loose-number parses (F3) of messy strings
+    (_extract_scalar_metrics, :57-73): '~6,5' / '>= 1.2' / '12 %' forms.
+    crop_name resolves through the Field dimension (broadcast, J2)."""
+    o = ctx.table("orders")
+    dim = fields.select("field_id", "crop_name")
+    base = o.join(F.broadcast(dim), on=o["o_custkey"] == dim["field_id"]).select(
+        "field_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+        "crop_name",
+        F.col("o_orderkey").alias("order_ref"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # young sample always present; old sample missing for every 3rd order —
+    # exercising the sample-id precondition
+    leaf = F.explode(
+        F.array(
+            F.struct(
+                F.lit("young").alias("leaf_type"),
+                F.concat(F.lit("Y"), F.col("order_ref").cast("string")).alias("sample_id"),
+            ),
+            F.struct(
+                F.lit("old").alias("leaf_type"),
+                F.when(
+                    F.col("order_ref") % 3 != 0,
+                    F.concat(F.lit("O"), F.col("order_ref").cast("string")),
+                ).alias("sample_id"),
+            ),
+        )
+    )
+    ph_raw = F.concat(F.lit("~"), F.regexp_replace(F.round(F.col("price") % 14, 2).cast("string"), "\\.", ","))
+    ec_raw = F.concat(F.lit(">= "), F.round(F.col("price") % 3, 2).cast("string"))
+    sug_raw = F.concat(F.round(F.col("price") % 24, 1).cast("string"), F.lit(" %"))
+    return (
+        base.select("field_id", "date", "crop_name", "order_ref", "price", leaf.alias("lf"))
+        .select(
+            "field_id", "date", "crop_name",
+            F.col("lf.leaf_type").alias("leaf_type"),
+            F.col("lf.sample_id").alias("sample_id"),
+            "order_ref",
+            S.loose_number(ph_raw).alias("ph"),
+            S.loose_number(ec_raw).alias("ec"),
+            S.loose_number(sug_raw).alias("sugars"),
+        )
+        .filter(F.col("sample_id").isNotNull())
+    )
+
+
+_NUTRIENTS = ["n", "p", "k", "ca", "mg", "fe", "zn", "mn"]
+
+
+@task("sap_element_results", "node", deps=["sap_analyses"],
+      keys=["sap_analysis_id", "nutrient"])
+def sap_element_results(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
+    """SAPElementResult nodes (graph_sap_element_result.py:103-156): per
+    (analysis-leaf, nutrient) ppm values; the composite sap_analysis_id
+    replicates _make_sa_id (:65-67, F15); values parse with the loose
+    number regex (_parse_number :18-29, F3) and unparsable rows are
+    skipped (:113-115); leaf_type picks which raw value applies
+    (_pick_for_leaf :53-57). A8 first-wins dedup keeps one row per
+    (analysis, nutrient) with a deterministic order."""
+    li = ctx.table("lineitem")
+    parents = sap_analyses.select(
+        S.composite_id("field_id", "date", "crop_name", "leaf_type", "sample_id").alias(
+            "sap_analysis_id"
+        ),
+        "order_ref",
+        "leaf_type",
+    )
+    nutrient = F.element_at(
+        F.array(*[F.lit(n) for n in _NUTRIENTS]), (F.col("l_partkey") % 8 + 1).cast("int")
+    )
+    # young reads l_quantity; old reads a comma-decimal price residue; every
+    # 7th line is 'n/a' → loose parse null → skipped
+    raw_val = F.when(F.col("l_linenumber") % 7 == 0, F.lit("n/a")).otherwise(
+        F.when(
+            F.col("leaf_type") == "young",
+            F.concat(F.col("l_quantity").cast("string"), F.lit(" ppm")),
+        ).otherwise(
+            F.regexp_replace(
+                F.round(F.col("l_extendedprice") % 500, 2).cast("string"), "\\.", ","
+            )
+        )
+    )
+    rows = li.join(parents, on=li["l_orderkey"] == parents["order_ref"]).select(
+        "sap_analysis_id",
+        nutrient.alias("nutrient"),
+        F.col("l_linenumber").alias("line_no"),
+        S.loose_number(raw_val).alias("value_ppm"),
+    ).filter(F.col("value_ppm").isNotNull())
+    return A.dedup_first(
+        rows, ["sap_analysis_id", "nutrient"], ["line_no", "value_ppm"]
+    ).drop("line_no")
+
+
+@task("optimum_sap_ranges", "node", deps=["sap_analyses"], keys=["crop_name", "date"])
+def optimum_sap_ranges(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
+    """OptimumSAPRange headers (graph_optimum_sap_range.py:23-88): the
+    in-memory `seen` set (:29-30,59-62) becomes dropDuplicates on the
+    natural key (A8)."""
+    return (
+        sap_analyses.filter(F.col("crop_name").isNotNull())
+        .select("crop_name", "date")
+        .dropDuplicates(["crop_name", "date"])
+    )
+
+
+@task("optimum_element_ranges", "node", deps=["sap_analyses"],
+      keys=["opt_range_id", "nutrient"])
+def optimum_element_ranges(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
+    """OptimumElementRange nodes (graph_optimum_element_range.py:86-171):
+    optimum range strings ('1-4', '>= 2.5', '<=7', '3') parse to
+    (min,max) via F5 (_parse_optimum :38-61 ≙ S.parse_range); rows where
+    neither bound parses are skipped (:146-148); opt_range_id =
+    'crop|date' (:117). The elements⊎others stream concat (U1, :132-136)
+    is one lineitem scan here; A8 dedup keeps the first entry per
+    (header, nutrient)."""
+    li = ctx.table("lineitem")
+    parents = sap_analyses.filter(F.col("leaf_type") == "young").select(
+        F.concat_ws("|", "crop_name", "date").alias("opt_range_id"),
+        "order_ref",
+    )
+    q = F.col("l_quantity").cast("int").cast("string")
+    q3 = (F.col("l_quantity").cast("int") + 3).cast("string")
+    optimum = (
+        F.when(F.col("l_partkey") % 5 == 0, F.concat(q, F.lit("-"), q3))
+        .when(F.col("l_partkey") % 5 == 1, F.concat(F.lit(">= "), q))
+        .when(F.col("l_partkey") % 5 == 2, F.concat(F.lit("<="), q))
+        .when(F.col("l_partkey") % 5 == 3, q)
+        .otherwise(F.lit("not a range"))  # unparsable → dropped
+    )
+    nutrient = F.element_at(
+        F.array(*[F.lit(n) for n in _NUTRIENTS]), (F.col("l_partkey") % 8 + 1).cast("int")
+    )
+    parsed = S.parse_range(optimum)
+    rows = li.join(parents, on=li["l_orderkey"] == parents["order_ref"]).select(
+        "opt_range_id",
+        nutrient.alias("nutrient"),
+        F.col("l_linenumber").alias("line_no"),
+        parsed["range_min"].alias("range_min"),
+        parsed["range_max"].alias("range_max"),
+    ).filter(F.col("range_min").isNotNull() | F.col("range_max").isNotNull())
+    return A.dedup_first(
+        rows, ["opt_range_id", "nutrient"], ["line_no", "range_min", "range_max"]
+    ).drop("line_no")
+
+
+# ---------------------------------------------------------------------------
+# Water family (graph_water_analysis.py, graph_water_param_result.py)
+# ---------------------------------------------------------------------------
+
+
+@task("water_analyses", "node", deps=["fields"],
+      keys=["field_id", "date", "sample_source"])
+def water_analyses(ctx: Context, fields: DataFrame) -> DataFrame:
+    """WaterAnalysis nodes (graph_water_analysis.py:73-105): keyed
+    (field_id, date, sample_source) with ONE canonical missing-source fill
+    ('unknown') — fixing quirk §2.10.4 where the node writer used '' (:77)
+    but the edge MATCH used 'unknown' (graph_water_param_result.py:31-32),
+    leaving every null-source param result dangling. The reference's
+    day×field fetch loop (:51-68) is one range scan (S10)."""
+    o = ctx.table("orders").filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    dim = fields.select("field_id", "crop_name")
+    src = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("well"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("canal"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = o.join(F.broadcast(dim), on=o["o_custkey"] == dim["field_id"]).select(
+        "field_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+        F.coalesce(S.norm_str(src), F.lit("unknown")).alias("sample_source"),
+        "crop_name",
+        F.col("o_orderkey").alias("lab_id"),
+    )
+    # MERGE idempotence: several orders can share (field, date, source) —
+    # deterministic first-wins on lab_id
+    return A.dedup_first(
+        rows, ["field_id", "date", "sample_source"], ["lab_id", "crop_name"]
+    )
+
+
+@task("water_param_results", "node", deps=["fields"],
+      keys=["water_analysis_id", "parameter"])
+def water_param_results(ctx: Context, fields: DataFrame) -> DataFrame:
+    """WaterParamResult nodes (graph_water_param_result.py:78-118):
+    parameter keys normalized lowercase/trim (_norm_param :23-27), values
+    with the inequality-trimmed float (F4), water_analysis_id = _make_wa_id
+    (:29-32) — same 'unknown' fill as the parent so no edge dangles.
+    Children key by wa_id, NOT by source order: multiple orders collapsing
+    to one WaterAnalysis contribute to the same result set, exactly as the
+    reference's MERGE-by-wa_id does."""
+    o = ctx.table("orders").filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    li = ctx.table("lineitem")
+    src = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("well"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("canal"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    parents = o.select(
+        F.col("o_orderkey").alias("order_ref"),
+        F.col("o_custkey").alias("field_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+        F.coalesce(S.norm_str(src), F.lit("unknown")).alias("sample_source"),
+    )
+    raw_param = F.concat(F.lit("  Param_"), (F.col("l_partkey") % 10).cast("string"), F.lit(" "))
+    raw_val = F.concat(F.lit("< "), F.col("l_quantity").cast("string"))
+    rows = li.join(parents, on=li["l_orderkey"] == parents["order_ref"]).select(
+        S.composite_id("field_id", "date", "sample_source").alias("water_analysis_id"),
+        S.mineral_norm(raw_param).alias("parameter"),
+        F.col("l_linenumber").alias("line_no"),
+        S.ineq_trimmed_float(raw_val).alias("value"),
+        F.lit("mg/L").alias("unit"),
+    )
+    return A.dedup_first(
+        rows, ["water_analysis_id", "parameter"], ["line_no", "value"]
+    ).drop("line_no")
+
+
+# ---------------------------------------------------------------------------
+# DepthPoint (graph_stations.py:40-66)
+# ---------------------------------------------------------------------------
+
+
+@task("depth_points", "node", deps=["stations"],
+      keys=["serial_number", "depth", "sensor_index"])
+def depth_points(ctx: Context, stations: DataFrame) -> DataFrame:
+    """DepthPoint nodes (graph_stations.py:47-66): one point per station ×
+    root depth; sensor_index is a conditional key dimension — present for
+    shallow sensors, null for deep ones (the reference branches into two
+    MERGE shapes :45-57/:58-66; one nullable column subsumes both)."""
+    depth = F.explode(F.array(*[F.lit(d) for d in (10, 30, 60, 90)])).alias("depth")
+    d = stations.select("serial_number", F.col("device_id"), depth)
+    return d.select(
+        "serial_number",
+        "depth",
+        F.when(F.col("depth") <= 30, (F.col("depth") / 10).cast("int")).alias("sensor_index"),
+        F.round((F.col("device_id") % 50 + F.col("depth")) / 10.0, 4).alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Remaining edges (J1 family)
 # ---------------------------------------------------------------------------
+
+
+@task("at_depth", "edge", deps=["stations", "depth_points"])
+def at_depth(ctx: Context, stations: DataFrame, depth_points: DataFrame) -> DataFrame:
+    """Station-AT_DEPTH→DepthPoint (graph_stations.py:51-55,62-66)."""
+    # depth_points is a narrow projection of stations, so the join lineage
+    # is a self-join — rename the key to disambiguate attributes
+    dp = depth_points.select(
+        F.col("serial_number").alias("dp_serial"),
+        S.composite_id("serial_number", "depth", "sensor_index").alias("dp_id"),
+    )
+    return J.edge_join(
+        stations, dp, on=stations["serial_number"] == dp["dp_serial"],
+        rel_type="AT_DEPTH", src_key="serial_number", dst_key="dp_id",
+        broadcast_src=True,
+    )
+
+
+def _station_day_edge(stations: DataFrame, days: DataFrame, rel_type: str) -> DataFrame:
+    """Shared Station→<day-node> edge shape (HAS_WEATHER_DAY et al.): the
+    day node key is (serial, date) → composite dst id. Day nodes embed the
+    station scan in their lineage (self-join) → renamed join key."""
+    d = days.select(
+        F.col("serial_number").alias("day_serial"),
+        S.composite_id("serial_number", "date").alias("day_id"),
+    )
+    return J.edge_join(
+        stations, d, on=stations["serial_number"] == d["day_serial"],
+        rel_type=rel_type, src_key="serial_number", dst_key="day_id",
+        broadcast_src=True,
+    )
+
+
+@task("has_forecast", "edge", deps=["stations", "weather_forecasts"])
+def has_forecast(ctx: Context, stations: DataFrame, weather_forecasts: DataFrame) -> DataFrame:
+    """Station-HAS_FORECAST→WeatherForecast (graph_weather_forecast.py:64-71)."""
+    return _station_day_edge(stations, weather_forecasts, "HAS_FORECAST")
+
+
+@task("has_soil_day", "edge", deps=["stations", "soil_days"])
+def has_soil_day(ctx: Context, stations: DataFrame, soil_days: DataFrame) -> DataFrame:
+    """Station-HAS_SOIL_DAY→SoilDay (graph_soil_day.py:132-140)."""
+    return _station_day_edge(stations, soil_days, "HAS_SOIL_DAY")
+
+
+@task("has_layer_reading", "edge", deps=["soil_days", "soil_layer_readings"])
+def has_layer_reading(ctx: Context, soil_days: DataFrame,
+                      soil_layer_readings: DataFrame) -> DataFrame:
+    """SoilDay-HAS_LAYER_READING→SoilLayerReading (graph_soil_layer.py:254-261)
+    — parent is the (serial, date) day container, child adds depth_cm."""
+    # both sides derive from the same events⋈stations lineage — rename the
+    # child's join keys to keep attributes unambiguous
+    sd = soil_days.select(
+        "serial_number", "date", S.composite_id("serial_number", "date").alias("day_id")
+    )
+    slr = soil_layer_readings.select(
+        F.col("serial_number").alias("r_serial"),
+        F.col("date").alias("r_date"),
+        S.composite_id("serial_number", "date", "depth_cm").alias("reading_id"),
+    )
+    return J.edge_join(
+        sd, slr,
+        on=[(sd["serial_number"] == slr["r_serial"]) & (sd["date"] == slr["r_date"])],
+        rel_type="HAS_LAYER_READING", src_key="day_id", dst_key="reading_id",
+    )
+
+
+@task("has_irrigation_day", "edge", deps=["stations", "irrigation_days"])
+def has_irrigation_day(ctx: Context, stations: DataFrame, irrigation_days: DataFrame) -> DataFrame:
+    """Station-HAS_IRRIGATION_DAY→IrrigationDay (graph_irrigation_day.py:233-240)."""
+    return _station_day_edge(stations, irrigation_days, "HAS_IRRIGATION_DAY")
+
+
+@task("has_canopy_day", "edge", deps=["stations", "canopy_days"])
+def has_canopy_day(ctx: Context, stations: DataFrame, canopy_days: DataFrame) -> DataFrame:
+    """Station-HAS_CANOPY_DAY→CanopyDay (graph_canopy_day.py:231-238)."""
+    return _station_day_edge(stations, canopy_days, "HAS_CANOPY_DAY")
+
+
+@task("has_sap_day", "edge", deps=["stations", "sap_days"])
+def has_sap_day(ctx: Context, stations: DataFrame, sap_days: DataFrame) -> DataFrame:
+    """Station-HAS_SAP_DAY→SAPDay (graph_sap_day.py:223-230)."""
+    return _station_day_edge(stations, sap_days, "HAS_SAP_DAY")
+
+
+@task("has_et0", "edge", deps=["stations", "et0_days"])
+def has_et0(ctx: Context, stations: DataFrame, et0_days: DataFrame) -> DataFrame:
+    """Station-HAS_ET0→ET0Day (graph_et0.py:86-93) — canonical date key on
+    both sides (quirk §2.10.3 fixed: no bare-string datetime mismatch)."""
+    return _station_day_edge(stations, et0_days, "HAS_ET0")
+
+
+def _field_analysis_edge(fields: DataFrame, analyses: DataFrame, rel_type: str,
+                         id_cols: list[str]) -> DataFrame:
+    """Shared Field→<analysis> edge shape (HAS_SAP_ANALYSIS / HAS_HANEY /
+    HAS_TND / HAS_SOIL / HAS_WATER): composite analysis id as dst.
+    Analyses embed the field dimension in their lineage → renamed key."""
+    a = analyses.select(
+        F.col("field_id").alias("a_field_id"),
+        S.composite_id(*id_cols).alias("analysis_node_id"),
+    )
+    return J.edge_join(
+        fields, a, on=fields["field_id"] == a["a_field_id"],
+        rel_type=rel_type, src_key="field_id", dst_key="analysis_node_id",
+        broadcast_src=True,
+    )
+
+
+@task("has_sap_analysis", "edge", deps=["fields", "sap_analyses"])
+def has_sap_analysis(ctx: Context, fields: DataFrame, sap_analyses: DataFrame) -> DataFrame:
+    """Field-HAS_SAP_ANALYSIS→SAPAnalysis (graph_sap_analysis.py:180-194)."""
+    return _field_analysis_edge(
+        fields, sap_analyses, "HAS_SAP_ANALYSIS",
+        ["field_id", "date", "crop_name", "leaf_type", "sample_id"],
+    )
+
+
+@task("measured_element", "edge", deps=["sap_analyses", "sap_element_results"])
+def measured_element(ctx: Context, sap_analyses: DataFrame,
+                     sap_element_results: DataFrame) -> DataFrame:
+    """SAPAnalysis-MEASURED_ELEMENT→SAPElementResult
+    (graph_sap_element_result.py:135-151)."""
+    sa = sap_analyses.select(
+        S.composite_id("field_id", "date", "crop_name", "leaf_type", "sample_id").alias(
+            "sap_analysis_id"
+        )
+    )
+    ser = sap_element_results.withColumn(
+        "ser_id", S.composite_id("sap_analysis_id", "nutrient")
+    )
+    return J.edge_join(
+        sa, ser, on=sa["sap_analysis_id"] == ser["sap_analysis_id"],
+        rel_type="MEASURED_ELEMENT", src_key="sap_analysis_id", dst_key="ser_id",
+    )
+
+
+@task("has_optimum_range", "edge", deps=["crops", "optimum_sap_ranges"])
+def has_optimum_range(ctx: Context, crops: DataFrame, optimum_sap_ranges: DataFrame) -> DataFrame:
+    """Crop-HAS_OPTIMUM_RANGE→OptimumSAPRange (graph_optimum_sap_range.py:74-82)."""
+    osr = optimum_sap_ranges.withColumn("osr_id", S.composite_id("crop_name", "date"))
+    return J.edge_join(
+        crops, osr, on=crops["name"] == osr["crop_name"],
+        rel_type="HAS_OPTIMUM_RANGE", src_key="name", dst_key="osr_id",
+        broadcast_src=True,
+    )
+
+
+@task("has_optimum_element", "edge", deps=["optimum_sap_ranges", "optimum_element_ranges"])
+def has_optimum_element(ctx: Context, optimum_sap_ranges: DataFrame,
+                        optimum_element_ranges: DataFrame) -> DataFrame:
+    """OptimumSAPRange-HAS_OPTIMUM_ELEMENT→OptimumElementRange
+    (graph_optimum_element_range.py:159-167) — join keyed by the
+    'crop|date' opt_range_id (:117)."""
+    osr = optimum_sap_ranges.select(
+        F.concat_ws("|", "crop_name", "date").alias("opt_range_id")
+    )
+    oer = optimum_element_ranges.withColumn(
+        "oer_id", S.composite_id("opt_range_id", "nutrient")
+    )
+    return J.edge_join(
+        osr, oer, on=osr["opt_range_id"] == oer["opt_range_id"],
+        rel_type="HAS_OPTIMUM_ELEMENT", src_key="opt_range_id", dst_key="oer_id",
+    )
+
+
+@task("has_haney_analysis", "edge", deps=["fields", "haney_analyses"])
+def has_haney_analysis(ctx: Context, fields: DataFrame, haney_analyses: DataFrame) -> DataFrame:
+    """Field-HAS_HANEY_ANALYSIS→HaneyAnalysis (graph_haney_analysis.py:135-144)."""
+    return _field_analysis_edge(
+        fields, haney_analyses, "HAS_HANEY_ANALYSIS", ["field_id", "date", "lab_no"]
+    )
+
+
+@task("has_tnd_analysis", "edge", deps=["fields", "tnd_analyses"])
+def has_tnd_analysis(ctx: Context, fields: DataFrame, tnd_analyses: DataFrame) -> DataFrame:
+    """Field-HAS_TND_ANALYSIS→TNDAnalysis (graph_tnd_analysis.py:215-224)."""
+    return _field_analysis_edge(
+        fields, tnd_analyses, "HAS_TND_ANALYSIS", ["field_id", "date", "lab_no"]
+    )
+
+
+@task("has_soil_analysis", "edge", deps=["fields", "soil_analyses"])
+def has_soil_analysis(ctx: Context, fields: DataFrame, soil_analyses: DataFrame) -> DataFrame:
+    """Field-HAS_SOIL_ANALYSIS→SoilAnalysis (graph_soil_analysis.py:129-138)."""
+    return _field_analysis_edge(
+        fields, soil_analyses, "HAS_SOIL_ANALYSIS", ["field_id", "date", "lab_no"]
+    )
+
+
+@task("has_water_analysis", "edge", deps=["fields", "water_analyses"])
+def has_water_analysis(ctx: Context, fields: DataFrame, water_analyses: DataFrame) -> DataFrame:
+    """Field-HAS_WATER_ANALYSIS→WaterAnalysis (graph_water_analysis.py:110-123)."""
+    return _field_analysis_edge(
+        fields, water_analyses, "HAS_WATER_ANALYSIS",
+        ["field_id", "date", "sample_source"],
+    )
+
+
+@task("has_water_param", "edge", deps=["water_analyses", "water_param_results"])
+def has_water_param(ctx: Context, water_analyses: DataFrame,
+                    water_param_results: DataFrame) -> DataFrame:
+    """WaterAnalysis-HAS_WATER_PARAM→WaterParamResult
+    (graph_water_param_result.py:120-135) — the canonical 'unknown' fill on
+    BOTH sides means zero dangling edges (quirk §2.10.4 fixed; asserted in
+    tests)."""
+    wa = water_analyses.select(
+        S.composite_id("field_id", "date", "sample_source").alias("water_analysis_id")
+    )
+    wpr = water_param_results.withColumn(
+        "wpr_id", S.composite_id("water_analysis_id", "parameter")
+    )
+    return J.edge_join(
+        wa, wpr, on=wa["water_analysis_id"] == wpr["water_analysis_id"],
+        rel_type="HAS_WATER_PARAM", src_key="water_analysis_id", dst_key="wpr_id",
+    )
+
+
+@task("has_nutrient_content", "edge", deps=["product_applications", "app_nutrient_contents"])
+def has_nutrient_content(ctx: Context, product_applications: DataFrame,
+                         app_nutrient_contents: DataFrame) -> DataFrame:
+    """ProductApplication-HAS_NUTRIENT_CONTENT→AppNutrientContent
+    (graph_app_nutrient_content.py:153)."""
+    anc = app_nutrient_contents.select(
+        F.col("product_application_id").alias("anc_pa_id"),
+        S.composite_id("product_application_id", "nutrient").alias("anc_id"),
+    )
+    return J.edge_join(
+        product_applications, anc,
+        on=product_applications["product_application_id"] == anc["anc_pa_id"],
+        rel_type="HAS_NUTRIENT_CONTENT", src_key="product_application_id", dst_key="anc_id",
+    )
+
+
+@task("contains_nutrient", "edge",
+      deps=["product_applications", "fertilizer_products", "app_nutrient_contents"])
+def contains_nutrient(ctx: Context, product_applications: DataFrame,
+                      fertilizer_products: DataFrame,
+                      app_nutrient_contents: DataFrame) -> DataFrame:
+    """FertilizerProduct-CONTAINS_NUTRIENT→AppNutrientContent
+    (graph_app_nutrient_content.py:155-162) — the conditional edge (J7):
+    only products with name+brand present (the Cypher `CALL { WHERE }`
+    subquery) link to the nutrient rows of their applications."""
+    pa = product_applications.select("product_application_id", "partkey")
+    fp = fertilizer_products.select("partkey", "name", "brand").filter(
+        F.col("name").isNotNull() & F.col("brand").isNotNull()
+    )
+    anc = app_nutrient_contents.select(
+        "product_application_id",
+        S.composite_id("product_application_id", "nutrient").alias("anc_id"),
+    )
+    linked = pa.join(F.broadcast(fp), on="partkey").join(anc, on="product_application_id")
+    return linked.select(
+        F.col("name").alias("src"),
+        F.col("anc_id").alias("dst"),
+        F.lit("CONTAINS_NUTRIENT").alias("rel_type"),
+    )
 
 
 @task("has_weather_day", "edge", deps=["stations", "weather_days"])
 def has_weather_day(ctx: Context, stations: DataFrame, weather_days: DataFrame) -> DataFrame:
     """Station-HAS_WEATHER_DAY→WeatherDay (graph_weather_day.py:250-257)."""
-    return J.edge_join(
-        stations, weather_days,
-        on=stations["serial_number"] == weather_days["serial_number"],
-        rel_type="HAS_WEATHER_DAY", src_key="serial_number", dst_key="date",
-        broadcast_src=True,
-    )
+    return _station_day_edge(stations, weather_days, "HAS_WEATHER_DAY")
 
 
 @task("has_irrigation_event", "edge", deps=["stations", "irrigation_events"])
@@ -487,10 +992,13 @@ def has_irrigation_event(ctx: Context, stations: DataFrame,
                          irrigation_events: DataFrame) -> DataFrame:
     """Station-HAS_IRRIGATION_EVENT→IrrigationEvent
     (graph_irrigation_event.py:335-343)."""
+    ev = irrigation_events.select(
+        F.col("serial_number").alias("ev_serial"),
+        S.composite_id("serial_number", "start_at").alias("event_id"),
+    )
     return J.edge_join(
-        stations, irrigation_events,
-        on=stations["serial_number"] == irrigation_events["serial_number"],
-        rel_type="HAS_IRRIGATION_EVENT", src_key="serial_number", dst_key="start_at",
+        stations, ev, on=stations["serial_number"] == ev["ev_serial"],
+        rel_type="HAS_IRRIGATION_EVENT", src_key="serial_number", dst_key="event_id",
         broadcast_src=True,
     )
 

@@ -1307,6 +1307,181 @@ def pipeline_weather_day_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_sap_analyses",
+    oracle="""
+    SELECT o.o_custkey AS field_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS date,
+           c.c_mktsegment AS crop_name,
+           lf.leaf_type,
+           concat(CASE lf.leaf_type WHEN 'young' THEN 'Y' ELSE 'O' END,
+                  CAST(o.o_orderkey AS VARCHAR)) AS sample_id,
+           round(o.o_totalprice % 14, 2) AS ph,
+           round(o.o_totalprice % 3, 2) AS ec,
+           round(o.o_totalprice % 24, 1) AS sugars
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    CROSS JOIN (SELECT 'young' AS leaf_type UNION ALL SELECT 'old') lf
+    WHERE lf.leaf_type = 'young' OR o.o_orderkey % 3 <> 0
+    """,
+)
+def pipeline_sap_analyses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — SAPAnalysis nodes: the young/old leaf fan-out with the
+    missing-sample guard (graph_sap_analysis.py:144-176) and loose-number
+    parses (F3) of '~6,5' / '>= 1.2' / '12 %' scalar strings
+    (_extract_scalar_metrics :57-73). The oracle recomputes the parsed
+    values analytically, closing the loop on the messy-string round-trip."""
+    sa = P.build(spark, sf_dir, only=["sap_analyses"])["sap_analyses"]
+    return sa.select(
+        "field_id", "date", "crop_name", "leaf_type", "sample_id",
+        r4(F.col("ph")).alias("ph"), r4(F.col("ec")).alias("ec"),
+        r4(F.col("sugars")).alias("sugars"),
+    )
+
+
+@register(
+    "pipeline_sap_element_results",
+    oracle="""
+    WITH sa AS (
+      SELECT o.o_orderkey AS order_ref,
+             concat_ws(':', o.o_custkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+                       c.c_mktsegment, lf.leaf_type,
+                       concat(CASE lf.leaf_type WHEN 'young' THEN 'Y' ELSE 'O' END,
+                              CAST(o.o_orderkey AS VARCHAR))) AS sap_analysis_id,
+             lf.leaf_type
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      CROSS JOIN (SELECT 'young' AS leaf_type UNION ALL SELECT 'old') lf
+      WHERE lf.leaf_type = 'young' OR o.o_orderkey % 3 <> 0
+    ), rows_ AS (
+      SELECT sa.sap_analysis_id,
+             ['n','p','k','ca','mg','fe','zn','mn'][CAST(l.l_partkey % 8 AS INT) + 1] AS nutrient,
+             l.l_linenumber AS line_no,
+             CASE WHEN l.l_linenumber % 7 = 0 THEN NULL
+                  WHEN sa.leaf_type = 'young' THEN l.l_quantity
+                  ELSE round(l.l_extendedprice % 500, 2) END AS value_ppm
+      FROM lineitem l JOIN sa ON l.l_orderkey = sa.order_ref
+    )
+    SELECT sap_analysis_id, nutrient, round(value_ppm, 4) AS value_ppm FROM (
+      SELECT *, row_number() OVER (PARTITION BY sap_analysis_id, nutrient
+                                   ORDER BY line_no, value_ppm) AS rn
+      FROM rows_ WHERE value_ppm IS NOT NULL
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_sap_element_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — SAPElementResult child fan-out: composite sap_analysis_id
+    (F15, _make_sa_id graph_sap_element_result.py:65-67), leaf-dependent
+    value pick (:53-57), loose numeric parse with skip-on-unparsable
+    (:108-115), A8 first-wins dedup per (analysis, nutrient)."""
+    ser = P.build(spark, sf_dir, only=["sap_element_results"])["sap_element_results"]
+    return ser.select(
+        "sap_analysis_id", "nutrient", r4(F.col("value_ppm")).alias("value_ppm")
+    )
+
+
+@register(
+    "pipeline_optimum_element_ranges",
+    oracle="""
+    WITH sa AS (
+      SELECT o.o_orderkey AS order_ref,
+             concat_ws('|', c.c_mktsegment, strftime(o.o_orderdate, '%Y-%m-%d')) AS opt_range_id
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), rows_ AS (
+      SELECT sa.opt_range_id,
+             ['n','p','k','ca','mg','fe','zn','mn'][CAST(l.l_partkey % 8 AS INT) + 1] AS nutrient,
+             l.l_linenumber AS line_no,
+             CASE WHEN l.l_partkey % 5 IN (0, 1, 3)
+                  THEN CAST(trunc(l.l_quantity) AS DOUBLE) END AS range_min,
+             CASE WHEN l.l_partkey % 5 = 0 THEN CAST(trunc(l.l_quantity) AS DOUBLE) + 3
+                  WHEN l.l_partkey % 5 IN (2, 3)
+                  THEN CAST(trunc(l.l_quantity) AS DOUBLE) END AS range_max
+      FROM lineitem l JOIN sa ON l.l_orderkey = sa.order_ref
+      WHERE l.l_partkey % 5 <> 4
+    )
+    SELECT opt_range_id, nutrient, range_min, range_max FROM (
+      SELECT *, row_number() OVER (PARTITION BY opt_range_id, nutrient
+                                   ORDER BY line_no,
+                                            range_min ASC NULLS FIRST,
+                                            range_max ASC NULLS FIRST) AS rn
+      FROM rows_
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_optimum_element_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — OptimumElementRange: the F5 range-string parse over all
+    four forms ('1-4', '>= 2.5', '<=7', '3') plus the skip-unparsable
+    branch (graph_optimum_element_range.py:38-61,146-148); 'crop|date'
+    opt_range_id (:117); A8 dedup. The oracle recomputes the parsed bounds
+    analytically from the same synthesis rule."""
+    oer = P.build(spark, sf_dir, only=["optimum_element_ranges"])["optimum_element_ranges"]
+    return oer.select("opt_range_id", "nutrient", "range_min", "range_max")
+
+
+@register(
+    "pipeline_water_param_results",
+    oracle="""
+    WITH wo AS (
+      SELECT o_orderkey, o_custkey AS field_id,
+             strftime(o_orderdate, '%Y-%m-%d') AS date,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'well'
+                  WHEN o_orderkey % 3 = 1 THEN 'canal'
+                  ELSE 'unknown' END AS sample_source
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), rows_ AS (
+      SELECT concat_ws(':', wo.field_id, wo.date, wo.sample_source) AS water_analysis_id,
+             concat('param_', CAST(l.l_partkey % 10 AS VARCHAR)) AS parameter,
+             l.l_linenumber AS line_no,
+             l.l_quantity AS value,
+             'mg/L' AS unit
+      FROM lineitem l JOIN wo ON l.l_orderkey = wo.o_orderkey
+    )
+    SELECT water_analysis_id, parameter, round(value, 4) AS value, unit FROM (
+      SELECT *, row_number() OVER (PARTITION BY water_analysis_id, parameter
+                                   ORDER BY line_no, value) AS rn
+      FROM rows_
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_water_param_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — WaterParamResult: normalized parameter keys (_norm_param
+    graph_water_param_result.py:23-27), inequality-trimmed values (F4),
+    and the canonical 'unknown' sample_source fill on BOTH parent and
+    child (fixing quirk §2.10.4 — the reference's ''-vs-'unknown' split
+    left every null-source param dangling). Children collapsing onto one
+    WaterAnalysis via shared (field, date, source) merge exactly as the
+    reference's MERGE-by-wa_id does."""
+    wpr = P.build(spark, sf_dir, only=["water_param_results"])["water_param_results"]
+    return wpr.select(
+        "water_analysis_id", "parameter", r4(F.col("value")).alias("value"), "unit"
+    )
+
+
+@register(
+    "pipeline_depth_points",
+    oracle="""
+    SELECT concat('ST', CAST(u.user_id AS VARCHAR)) AS serial_number,
+           CAST(d.depth AS BIGINT) AS depth,
+           CAST(CASE WHEN d.depth <= 30 THEN d.depth // 10 END AS BIGINT) AS sensor_index,
+           round((u.user_id % 50 + d.depth) / 10.0, 4) AS y
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (VALUES (10), (30), (60), (90)) d(depth)
+    """,
+)
+def pipeline_depth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — DepthPoint nodes with the conditional sensor_index key
+    dimension (the reference's two MERGE shapes,
+    graph_stations.py:45-66, as one nullable column) and the AT_DEPTH
+    fan-out per station."""
+    dp = P.build(spark, sf_dir, only=["depth_points"])["depth_points"]
+    return dp.select(
+        "serial_number",
+        F.col("depth").cast("bigint").alias("depth"),
+        F.col("sensor_index").cast("bigint").alias("sensor_index"),
+        r4(F.col("y")).alias("y"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Remaining §2 coverage: scalar family + agg family + set ops + melt
 # ---------------------------------------------------------------------------

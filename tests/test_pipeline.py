@@ -11,23 +11,37 @@ from graph_db_spark.plans.pipeline import REGISTRY, build, validate_keys
 
 
 def test_registry_covers_reference_families():
+    """Full parity with the reference graph model: 27 node labels
+    (SURVEY §1.2) and 27 relationship types (§1.3)."""
     kinds = {n: t.kind for n, t in REGISTRY.items()}
-    # dimensions, sensor days, sessions, labs, activity chain, edges
-    for expected in [
+    nodes = [
         "fields", "crops", "stations", "weather_days", "soil_days",
         "irrigation_days", "canopy_days", "sap_days", "soil_layer_readings",
         "irrigation_events", "et0_days", "weather_forecasts",
         "haney_analyses", "tnd_analyses", "soil_analyses",
         "soil_param_results", "application_events", "product_applications",
         "fertilizer_products", "app_nutrient_contents",
-    ]:
-        assert kinds.get(expected) == "node", expected
-    for expected in [
+        "sap_analyses", "sap_element_results", "optimum_sap_ranges",
+        "optimum_element_ranges", "water_analyses", "water_param_results",
+        "depth_points",
+    ]
+    edges = [
         "planted_with", "has_station", "has_weather_day", "has_soil_param",
         "has_irrigation_event", "has_application", "has_product_app",
         "uses_product",
-    ]:
+        "at_depth", "has_forecast", "has_soil_day", "has_layer_reading",
+        "has_irrigation_day", "has_canopy_day", "has_sap_day", "has_et0",
+        "has_sap_analysis", "measured_element", "has_optimum_range",
+        "has_optimum_element", "has_haney_analysis", "has_tnd_analysis",
+        "has_soil_analysis", "has_water_analysis", "has_water_param",
+        "has_nutrient_content", "contains_nutrient",
+    ]
+    for expected in nodes:
+        assert kinds.get(expected) == "node", expected
+    for expected in edges:
         assert kinds.get(expected) == "edge", expected
+    assert len(nodes) == 27 and len(edges) == 27
+    assert sorted(kinds) == sorted(nodes + edges)  # nothing extra, nothing missing
 
 
 def test_only_pulls_transitive_deps(spark, sf_dir):
@@ -65,6 +79,35 @@ def test_no_dangling_edges(spark, sf_dir):
         nodes, on=out["has_soil_param"]["src"] == nodes["id"], how="left_anti"
     )
     assert dangling.count() == 0
+
+
+def test_no_dangling_water_params(spark, sf_dir):
+    """Quirk §2.10.4 fixed: the canonical 'unknown' sample_source fill on
+    both WaterAnalysis and WaterParamResult means every HAS_WATER_PARAM
+    edge resolves (the reference dangles every null-source result)."""
+    out = build(spark, sf_dir, only=["water_analyses", "has_water_param"])
+    from graph_db_spark.functions import scalars as S
+
+    nodes = out["water_analyses"].select(
+        S.composite_id("field_id", "date", "sample_source").alias("id")
+    )
+    dangling = out["has_water_param"].join(
+        nodes, on=out["has_water_param"]["src"] == nodes["id"], how="left_anti"
+    )
+    assert dangling.count() == 0
+    # and the fill actually occurs (some orders have a null-ish source)
+    assert out["water_analyses"].filter(F.col("sample_source") == "unknown").count() > 0
+
+
+def test_optimum_range_parse_branches(spark, sf_dir):
+    """F5 branches all materialize: two-sided, >=-only, <=-only, single."""
+    oer = build(spark, sf_dir, only=["optimum_element_ranges"])["optimum_element_ranges"]
+    both = oer.filter(F.col("range_min").isNotNull() & F.col("range_max").isNotNull())
+    lo = oer.filter(F.col("range_min").isNotNull() & F.col("range_max").isNull())
+    hi = oer.filter(F.col("range_min").isNull() & F.col("range_max").isNotNull())
+    assert both.count() > 0 and lo.count() > 0 and hi.count() > 0
+    none = oer.filter(F.col("range_min").isNull() & F.col("range_max").isNull())
+    assert none.count() == 0  # unparsable rows skipped
 
 
 def test_zero_sum_quirk_flavors(spark, sf_dir):
