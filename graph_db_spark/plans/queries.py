@@ -911,21 +911,85 @@ def motif_region_order_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path.groupBy(F.col("v0").alias("region")).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
-@register("connected_components")  # iterative — not SQL-expressible; rows-only check
+@register(
+    "connected_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({edges_sql()}),
+    sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+    minv AS (SELECT min(a) AS m FROM sym),
+    reach(id) AS (
+      SELECT m FROM minv
+      UNION
+      SELECT s.b FROM reach r JOIN sym s ON s.a = r.id
+    )
+    SELECT id, (SELECT m FROM minv) AS component FROM reach
+    """,
+)
 def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics — connected components by min-label propagation
     (BASELINE.json north star; deterministic output: component = min vertex
-    id). Rows-only driver check; determinism unit-tested in tests/."""
+    id), now with an EXACT per-vertex oracle: a DuckDB recursive-CTE BFS
+    closure from the global min vertex. The fixture graph is one component
+    (verified independently by union-find), so the closure IS the full
+    ground truth; were the graph ever multi-component, the row-count
+    mismatch fails the gate loudly instead of silently passing."""
     g = build_graph(spark, sf_dir)
     return connected_components(g.edges)
 
 
-@register("pagerank")  # iterative — not SQL-expressible; rows-only check
+def _pagerank_oracle_sql(iters: int = 10, reset: float = 0.15) -> str:
+    """Generate the DuckDB power-iteration oracle — the same algorithm as
+    graph/algorithms.pagerank (uniform init, per-edge 1/out_degree weights
+    with duplicate-edge multiplicity, dangling mass recovered by
+    conservation), unrolled as one CTE chain per iteration. Per-label rank
+    masses round(…, 6) are far above the ~1e-12 summation-order noise, so
+    the hash comparison is deterministic."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, so a 10-iteration chain would expand exponentially (each
+    # pr{i} re-expands the whole prefix — measured: 'too many open files')
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql()})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "w AS MATERIALIZED (SELECT edges.src AS id, edges.dst, 1.0 / deg.d AS wt FROM edges JOIN deg ON edges.src = deg.src)",
+        "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(iters):
+        p, q = f"pr{i}", f"pr{i + 1}"
+        parts += [
+            f"c{i} AS (SELECT w.dst AS id, sum({p}.rank * w.wt) AS contrib FROM {p} JOIN w ON {p}.id = w.id GROUP BY w.dst)",
+            f"t{i} AS MATERIALIZED (SELECT v.id, {reset} / (SELECT n FROM nn) + {1 - reset} * coalesce(c{i}.contrib, 0) AS rank"
+            f" FROM verts v LEFT JOIN c{i} ON v.id = c{i}.id)",
+            f"{q} AS MATERIALIZED (SELECT id, rank + (1.0 - (SELECT sum(rank) FROM t{i})) / (SELECT n FROM nn) AS rank FROM t{i})",
+        ]
+        final = q
+    return ",\n".join(parts) + f"""
+    SELECT label, round(mass, 6) AS mass, CAST(n AS BIGINT) AS n FROM (
+      SELECT substr(id, 1, 1) AS label, sum(rank) AS mass, count(*) AS n
+      FROM {final} GROUP BY 1
+    )
+    """
+
+
+@register("pagerank", oracle=_pagerank_oracle_sql())
 def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics — PageRank (10 iterations, reset 0.15, dangling mass
-    redistributed). Rows-only driver check; convergence unit-tested."""
+    redistributed by conservation), checked against a full power-iteration
+    oracle: DuckDB runs the SAME algorithm as an unrolled CTE chain and the
+    per-label rank masses + vertex counts must hash-match. This pins the
+    whole rank distribution (Σmass = 1 across 7 labels), not just shape —
+    a wrong damping factor, dangling handling, or degree normalization
+    shifts label masses at the 3rd-4th decimal and fails the gate."""
     g = build_graph(spark, sf_dir)
-    return pagerank(g.edges, max_iter=10).select("id", F.round("rank", 8).alias("rank"))
+    pr = pagerank(g.edges, max_iter=10)
+    return (
+        pr.groupBy(F.substring("id", 1, 1).alias("label"))
+        .agg(
+            F.round(F.sum("rank"), 6).alias("mass"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2584,27 +2648,36 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cooccurrence_triangles",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey % 10 = 0),
-    e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
-          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT a.p AS p1, b.p AS p2
+                       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    deg AS MATERIALIZED (SELECT p, count(*) AS d FROM
+                         (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY p),
+    ore AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+             CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p2 ELSE e.p1 END AS v
+      FROM e JOIN deg da ON e.p1 = da.p JOIN deg db ON e.p2 = db.p
+    ),
+    rk AS MATERIALIZED (SELECT ore.u, ore.v, dv.d AS dv_ FROM ore JOIN deg dv ON ore.v = dv.p)
     SELECT CAST(count(*) AS BIGINT) AS n_triangles
-    FROM e e1
-    JOIN e e2 ON e1.p2 = e2.p1
-    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    FROM rk e1
+    JOIN rk e2 ON e1.u = e2.u AND (e1.dv_, e1.v) < (e2.dv_, e2.v)
+    JOIN ore e3 ON e3.u = e1.v AND e3.v = e2.v
     """,
 )
 def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph analytics with an EXACT oracle: triangle count over the
-    part-co-occurrence graph (parts sharing an order ⇒ undirected edge,
-    oriented p1<p2 so each triangle counts once). The classic two-join
-    triangle enumeration; the p1<p2 orientation bounds each vertex's
-    out-list by its co-order degree, which is what keeps the join fan-out
-    polynomial at scale (wedge counting on the oriented lists)."""
+    """Graph analytics with an EXACT oracle: FULL (unsampled) triangle
+    count over the part-co-occurrence graph via degree-ordered orientation
+    — every edge points toward its higher-(degree, id) endpoint, so each
+    vertex's out-list is bounded by arboricity (~O(√E)) and the wedge join
+    Σ out_deg² stays polynomial even with hub parts; each triangle is
+    counted exactly once at its lowest-rank vertex. This replaces the
+    round-2 10%-sample scope cut: same two-shuffle join shape, but the
+    orientation is what makes the full count tractable at 100 TB (the
+    count is orientation-invariant — cross-validated against the naive
+    p1<p2 enumeration at sf0.001)."""
     op = (
         load_table(spark, sf_dir, "lineitem")
-        # stable 10% order sample: wedge volume grows ~quadratically in
-        # co-order degree, so the full-corpus count belongs on a cluster
-        .filter(F.col("l_orderkey") % 10 == 0)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
@@ -2614,11 +2687,37 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .distinct()
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).join(
-        e3,
-        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    # degree table is |parts|-sized (dimension-small) → broadcast to attach
+    # ranks without shuffling the edge list
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    da = F.broadcast(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")))
+    db = F.broadcast(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")))
+    lower = F.struct("d1", "p1") < F.struct("d2", "p2")
+    ore = (
+        e.join(da, on="p1")
+        .join(db, on="p2")
+        .select(
+            F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        )
+    )
+    dv = F.broadcast(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")))
+    rk = ore.join(dv, on="v").select("u", "v", "dv")
+    e1, e2 = rk.alias("e1"), rk.alias("e2")
+    wedges = e1.join(
+        e2,
+        on=[
+            F.col("e1.u") == F.col("e2.u"),
+            F.struct(F.col("e1.dv"), F.col("e1.v")) < F.struct(F.col("e2.dv"), F.col("e2.v")),
+        ],
+    ).select(F.col("e1.v").alias("wu"), F.col("e2.v").alias("wv"))
+    e3 = ore.select(F.col("u").alias("wu"), F.col("v").alias("wv"))
+    tri = wedges.join(e3, on=["wu", "wv"])
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
