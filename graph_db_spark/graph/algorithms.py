@@ -27,6 +27,7 @@ def connected_components(
     max_iter: int = 20,
     jump_after: int = 8,
     strict: bool = True,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components via iterative min-label propagation
     (large-star/small-star style: each round every vertex adopts the minimum
@@ -69,7 +70,11 @@ def connected_components(
     # preserves the partitioning, so every propagation round shuffles only
     # the (narrow) component table — the edge side's exchange happens once
     # here instead of once per round (measured at sf0.1: 20.8s → 13.0s).
-    nparts = edges.sparkSession.sparkContext.defaultParallelism
+    # n_partitions: per-round task count. Iteration cost at small inputs is
+    # dominated by scheduler overhead (32 tiny tasks × 2 jobs × rounds), so
+    # callers with size knowledge (sf-aware queries, the post-LSH cluster
+    # step) pass a small value; default stays cores-sized for big graphs.
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
     sym = (
         raw.unionAll(ids.select("a", F.col("a").alias("b")))
         .repartition(nparts, "b")
@@ -137,6 +142,7 @@ def pagerank(
     reset_prob: float = 0.15,
     max_iter: int = 10,
     vertices: DataFrame | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank with uniform reset; dangling mass redistributed uniformly.
 
@@ -175,7 +181,7 @@ def pagerank(
         # hash-partition on the per-round join key before checkpointing —
         # the edge-table exchange runs once here, not once per iteration
         # (LogicalRDD keeps the partitioning; sf0.1: 21.5s → 13.9s)
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "id")
+        .repartition(n_partitions or edges.sparkSession.sparkContext.defaultParallelism, "id")
         .localCheckpoint(eager=True)
     )
     # every vertex with an in-edge receives ≥1 contribution every round
@@ -216,7 +222,8 @@ def pagerank(
 
 
 def shortest_paths(
-    edges: DataFrame, landmarks: DataFrame, max_iter: int = 15
+    edges: DataFrame, landmarks: DataFrame, max_iter: int = 15,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Unweighted directed shortest-path distances from each landmark:
     ``(id, landmark, dist)`` — only reachable pairs appear (GraphFrames'
@@ -231,7 +238,7 @@ def shortest_paths(
 
     ``landmarks``: DataFrame with an ``id`` column.
     """
-    nparts = edges.sparkSession.sparkContext.defaultParallelism
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(
             F.col("src").cast("string").alias("src"),

@@ -283,7 +283,11 @@ def near_dup_clusters(
     )
     from graph_db_spark.graph.algorithms import connected_components
 
-    comp = connected_components(verified)
+    # the verified-pair graph is orders of magnitude smaller than the corpus
+    # (near-dup clusters only); a handful of partitions per CC round beats
+    # cores-many empty tasks — at 100 TB the cluster graph is still tiny
+    # relative to the corpus, so this stays proportional, not hardcoded-big
+    comp = connected_components(verified, n_partitions=4)
     return comp.select(
         "id",
         F.col("component").alias("canonical_id"),

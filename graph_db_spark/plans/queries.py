@@ -911,6 +911,20 @@ def motif_region_order_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path.groupBy(F.col("v0").alias("region")).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+def _graph_nparts(sf_dir: str) -> int | None:
+    """Partition count for iterative graph rounds, from a file-size probe
+    (no Spark job): the sf0.01 correctness fixture runs ~8 rounds × 2 jobs
+    each, and 32-way stages of near-empty tasks are pure scheduler
+    overhead there. Bigger inputs keep the cores-sized default."""
+    import os.path
+
+    try:
+        sz = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        return None
+    return 8 if sz < 4_000_000 else None
+
+
 @register(
     "connected_components",
     oracle=f"""
@@ -934,7 +948,7 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth; were the graph ever multi-component, the row-count
     mismatch fails the gate loudly instead of silently passing."""
     g = build_graph(spark, sf_dir)
-    return connected_components(g.edges)
+    return connected_components(g.edges, n_partitions=_graph_nparts(sf_dir))
 
 
 def _pagerank_oracle_sql(iters: int = 10, reset: float = 0.15) -> str:
@@ -982,7 +996,7 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wrong damping factor, dangling handling, or degree normalization
     shifts label masses at the 3rd-4th decimal and fails the gate."""
     g = build_graph(spark, sf_dir)
-    pr = pagerank(g.edges, max_iter=10)
+    pr = pagerank(g.edges, max_iter=10, n_partitions=_graph_nparts(sf_dir))
     return (
         pr.groupBy(F.substring("id", 1, 1).alias("label"))
         .agg(
@@ -2776,11 +2790,266 @@ def shortest_paths_from_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lms = g.vertices.filter(
         (F.col("label") == "Region") & F.col("id").isin("R:0")
     ).select("id")
-    sp = shortest_paths(g.edges, lms)
+    sp = shortest_paths(g.edges, lms, n_partitions=_graph_nparts(sf_dir))
     return (
         sp.groupBy("landmark", F.col("dist").cast("bigint").alias("dist"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality bounds for approximate operators — driver-visible companion rows
+# (VERDICT r2 #8). Each emits (metric, value) rows combining SQL-derivable
+# ground-truth facts (DuckDB recomputes them independently) with contract
+# rows (the engine measures its own approximation against its own exact
+# baseline and emits 1.0 iff the bound holds; the oracle pins the bound).
+# A quality regression — worse recall, bigger sketch error — flips a
+# contract row to 0.0 and fails the hash match.
+# ---------------------------------------------------------------------------
+
+
+def _metric_rows(*dfs: DataFrame) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+_SHINGLE_TRUTH_SQL = """
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)
+"""
+
+
+@register(
+    "minhash_recall_bound",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_TRUTH_SQL}),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    )
+    SELECT 'n_true_pairs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM tp
+    UNION ALL SELECT 'recall_ge_080', 1.0
+    """,
+)
+def minhash_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality bound — MinHash-LSH candidate recall against the EXACT
+    3-shingle Jaccard≥0.8 truth (the similarity MinHash approximates).
+    'n_true_pairs' is recomputed independently by DuckDB (same shingling,
+    exact all-pairs); 'recall_ge_080' is 1.0 iff LSH candidates cover ≥80%
+    of true pairs (measured 0.96 at sf0.01 with 32 hashes × 8 bands — the
+    theoretical band-collision floor at j=0.8 is 1-(1-0.8^4)^8 ≈ 0.985)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("s"))
+    # same parallelization as ngram_jaccard_pairs: bucket one side by
+    # id-hash, replicate the other across buckets, so the unblocked
+    # all-pairs truth join runs on 32 tasks instead of one nested loop
+    nb = 32
+    a = (
+        sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), F.size("s").alias("za"))
+        .withColumn("bkt", F.pmod(F.xxhash64("id_a"), F.lit(nb)))
+        .repartition(nb, "bkt")
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("s").alias("sb"), F.size("s").alias("zb")
+    ).withColumn("bkt", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)).cast("array<bigint>")))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.col("za") + F.col("zb")).cast("double") - inter
+    truth = (
+        a.join(
+            b,
+            on=[
+                F.col("id_a") < F.col("id_b"),
+                a["bkt"] == b["bkt"],
+                # exact containment prefilter (jaccard ≤ min/max sizes)
+                F.col("za").cast("double") >= 0.8 * F.col("zb"),
+                F.col("zb").cast("double") >= 0.8 * F.col("za"),
+            ],
+        )
+        .filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    cands = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n"))
+    hits = truth.join(cands, on=["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("h"))
+    contract = n_truth.crossJoin(hits).select(
+        F.lit("recall_ge_080").alias("metric"),
+        F.when(F.col("h") >= 0.8 * F.col("n"), 1.0).otherwise(0.0).alias("value"),
+    )
+    facts = n_truth.select(
+        F.lit("n_true_pairs").alias("metric"), F.col("n").cast("double").alias("value")
+    )
+    return _metric_rows(facts, contract)
+
+
+@register(
+    "simhash_completeness_bound",
+    oracle=f"""
+    WITH g AS (
+      SELECT list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tset,
+             count(*) AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT 'n_identical_tokenset_pairs' AS metric,
+           CAST(coalesce(sum(n * (n - 1) / 2), 0) AS DOUBLE) AS value FROM g WHERE n > 1
+    UNION ALL SELECT 'all_identical_pairs_found', 1.0
+    """,
+)
+def simhash_completeness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality bound — SimHash completeness: documents with IDENTICAL
+    distinct-token sets have identical 64-bit signatures, agree on every
+    rotation block, and MUST therefore all be reported at Hamming distance
+    0. DuckDB counts those pairs independently; the contract row is 1.0
+    iff the block-rotation join surfaced every one of them."""
+    docs = load_table(spark, sf_dir, "documents")
+    tset = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(F.array_distinct(TX.tokens(F.col("text")))).alias("tset"),
+    )
+    groups = tset.groupBy("tset").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    n_pairs = groups.select(
+        F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)).alias("n")
+    )
+    found = (
+        D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+        .filter(F.col("hamming") == 0)
+        .join(tset.select(F.col("id").alias("id_a"), F.col("tset").alias("ta")), on="id_a")
+        .join(tset.select(F.col("id").alias("id_b"), F.col("tset").alias("tb")), on="id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    facts = n_pairs.select(
+        F.lit("n_identical_tokenset_pairs").alias("metric"),
+        F.col("n").cast("double").alias("value"),
+    )
+    contract = n_pairs.crossJoin(found).select(
+        F.lit("all_identical_pairs_found").alias("metric"),
+        F.when(F.col("h") >= F.col("n"), 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
+
+
+_ANN_TRUTH_SQL = """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      s AS (SELECT q.qid, e.vec_id AS nid,
+                   list_cosine_similarity(q.qv, e.embedding) AS sim
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+"""
+
+
+@register(
+    "ann_lsh_recall_bound",
+    oracle=f"""
+    {_ANN_TRUTH_SQL}
+    SELECT 'n_exact_topk_pairs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM r WHERE rn <= 5
+    UNION ALL SELECT 'recall_ge_075', 1.0
+    """,
+)
+def ann_lsh_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity quality bound — multi-table hyperplane-LSH recall@5
+    against the engine's own brute-force top-5 (which itself hash-matches
+    DuckDB, embedding_cosine_topk). DuckDB recomputes the exact top-k pair
+    count independently (list_cosine_similarity window); the contract row
+    is 1.0 iff LSH recall ≥ 0.75 (measured 0.89 at sf0.01, 16 tables × 4
+    planes, fixed LCG seed — fully deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = SIM.cosine_topk_lsh(emb, q, dim=64, k=5, n_planes=4, n_tables=16).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n"))
+    hits = exact.join(approx, on=["query_id", "neighbor_id"]).agg(F.count(F.lit(1)).alias("h"))
+    facts = n_exact.select(
+        F.lit("n_exact_topk_pairs").alias("metric"), F.col("n").cast("double").alias("value")
+    )
+    contract = n_exact.crossJoin(hits).select(
+        F.lit("recall_ge_075").alias("metric"),
+        F.when(F.col("h") >= 0.75 * F.col("n"), 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
+
+
+@register(
+    "ann_ivf_recall_bound",
+    oracle=f"""
+    {_ANN_TRUTH_SQL}
+    SELECT 'n_exact_topk_pairs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM r WHERE rn <= 5
+    UNION ALL SELECT 'recall_ge_070', 1.0
+    """,
+)
+def ann_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity quality bound — IVF (spherical k-means, nprobe=8/16)
+    recall@5 vs brute force. Contract floor 0.70 (measured 0.83 at sf0.01;
+    near-uniform fixture vectors make recall ≈ probed-list fraction, the
+    documented worst case — clustered real embeddings prune harder at the
+    same recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = SIM.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n"))
+    hits = exact.join(approx, on=["query_id", "neighbor_id"]).agg(F.count(F.lit(1)).alias("h"))
+    facts = n_exact.select(
+        F.lit("n_exact_topk_pairs").alias("metric"), F.col("n").cast("double").alias("value")
+    )
+    contract = n_exact.crossJoin(hits).select(
+        F.lit("recall_ge_070").alias("metric"),
+        F.when(F.col("h") >= 0.70 * F.col("n"), 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
+
+
+@register(
+    "hll_error_bound",
+    oracle="""
+    SELECT 'n_groups' AS metric, CAST(count(DISTINCT event_type) AS DOUBLE) AS value FROM events
+    UNION ALL
+    SELECT 'total_exact_distinct',
+           CAST(sum(n) AS DOUBLE) FROM (
+             SELECT count(DISTINCT user_id) AS n FROM events GROUP BY event_type)
+    UNION ALL SELECT 'max_rel_err_le_005', 1.0
+    """,
+)
+def hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quality bound — merged per-day HLL estimates vs exact
+    distinct counts per event_type. DuckDB recomputes the exact totals;
+    the contract row is 1.0 iff every group's relative error ≤ 5% (the
+    lgK=12 Datasketches RSE is ~0.8%, so this bound has wide margin;
+    measured exact agreement at sf0.01/sf0.1 cardinalities)."""
+    from graph_db_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = SK.hll_day_sketches(ev, "ts", ["event_type"], "user_id")
+    est = SK.hll_merge_estimate(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    joined = est.join(exact, on="event_type")
+    facts = _metric_rows(
+        exact.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit("n_groups").alias("metric"), F.col("v").cast("double").alias("value")
+        ),
+        exact.agg(F.sum("n").alias("v")).select(
+            F.lit("total_exact_distinct").alias("metric"), F.col("v").cast("double").alias("value")
+        ),
+    )
+    contract = joined.agg(
+        F.max(F.abs(F.col("distinct_est") - F.col("n")) / F.col("n")).alias("err")
+    ).select(
+        F.lit("max_rel_err_le_005").alias("metric"),
+        F.when(F.col("err") <= 0.05, 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
 
 
 @register("near_dup_clusters")  # hash-seeded LSH + iterative CC → rows-only; transitivity unit-tested
@@ -2795,3 +3064,44 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_clusters(docs, "text", "doc_id", threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate ordering. The correctness driver walks ``queries()`` in
+# registration order under a wall-clock budget (round 2 stopped at 50 of 86,
+# leaving 36 queries without a driver-visible verdict). Sub-second queries
+# run first; the multi-second ones run last, ordered cheapest-first so a
+# budget cut drops as few verdicts as possible (measured sf0.01 timings in
+# tools/check_correctness.py output).
+# ---------------------------------------------------------------------------
+
+_EXPENSIVE_LAST = [
+    "simhash_completeness_bound",   # ~3s
+    "running_idx",                  # ~3.5s
+    "ann_ivf_recall_bound",         # ~3.5s
+    "salted_skew_join",             # ~3.7s
+    "pipeline_optimum_element_ranges",  # ~4.3s
+    "simhash_near_dups",            # ~4.4s
+    "ann_lsh_recall_bound",         # ~5s
+    "enrich_missing_brand",         # ~5.6s
+    "pipeline_sap_analyses",        # ~6s
+    "shortest_paths_from_regions",  # ~6s
+    "minhash_recall_bound",         # ~7s
+    "pipeline_sap_element_results", # ~8s
+    "cooccurrence_triangles",       # ~9s
+    "near_dup_clusters",            # ~9s
+    "connected_components",         # ~12s
+    "pagerank",                     # ~14s
+]
+
+
+def _reorder_for_gate() -> None:
+    tail = [n for n in _EXPENSIVE_LAST if n in QUERIES]
+    head = [n for n in QUERIES if n not in set(tail)]
+    for d in (QUERIES, ORACLE_SQL):
+        ordered = {n: d[n] for n in head + tail if n in d}
+        d.clear()
+        d.update(ordered)
+
+
+_reorder_for_gate()
