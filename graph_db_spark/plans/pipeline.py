@@ -432,17 +432,17 @@ def fertilizer_products(ctx: Context) -> DataFrame:
     existence precondition name+brand (P6); the keep-existing-unless-new
     COALESCE upsert semantics live in writers.upsert(strategy='coalesce')."""
     p = ctx.table("part")
-    return (
-        p.filter(F.col("p_name").isNotNull() & F.col("p_brand").isNotNull())
-        .select(
-            F.col("p_partkey").alias("partkey"),
-            F.col("p_name").alias("name"),
-            F.col("p_brand").alias("brand"),
-            F.col("p_type").alias("nutrients_raw"),
-            F.round("p_retailprice", 4).alias("price"),
-        )
-        .dropDuplicates(["name", "brand"])
+    rows = p.filter(F.col("p_name").isNotNull() & F.col("p_brand").isNotNull()).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("nutrients_raw"),
+        F.round("p_retailprice", 4).alias("price"),
     )
+    # deterministic A8 dedup (min partkey wins) — a bare dropDuplicates
+    # picks an arbitrary survivor, making which partkeys resolve in the
+    # catalog lookup depend on partition layout
+    return A.dedup_first(rows, ["name", "brand"], ["partkey"])
 
 
 @task("app_nutrient_contents", "node",

@@ -1536,6 +1536,55 @@ def pipeline_water_param_results(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_app_nutrient_contents",
+    oracle="""
+    WITH ae AS (
+      SELECT o_orderkey AS order_ref,
+             concat_ws(':', o_custkey, strftime(o_orderdate, '%Y-%m-%d'),
+                       coalesce(nullif(trim(o_orderpriority), ''), nullif(trim(o_orderstatus), ''), 'unknown'),
+                       row_number() OVER (
+                         PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m-%d'),
+                                      coalesce(nullif(trim(o_orderpriority), ''), nullif(trim(o_orderstatus), ''), 'unknown')
+                         ORDER BY o_orderkey)) AS ae_id
+      FROM orders
+    ), pa AS (
+      SELECT concat_ws(':', ae.ae_id,
+                       row_number() OVER (PARTITION BY ae.ae_id
+                                          ORDER BY l.l_linenumber, l.l_partkey,
+                                                   round(l.l_quantity, 4))) AS product_application_id,
+             l.l_partkey AS partkey,
+             round(l.l_quantity, 4) AS amount
+      FROM lineitem l JOIN ae ON l.l_orderkey = ae.order_ref
+    ), fp AS (
+      SELECT partkey, nutrients_raw FROM (
+        SELECT p_partkey AS partkey, p_type AS nutrients_raw,
+               row_number() OVER (PARTITION BY p_name, p_brand ORDER BY p_partkey) AS rn
+        FROM part WHERE p_name IS NOT NULL AND p_brand IS NOT NULL
+      ) WHERE rn = 1
+    ), expl AS (
+      SELECT pa.product_application_id,
+             unnest(string_split(coalesce(fp.nutrients_raw, 'unknown'), ' ')) AS nutrient,
+             pa.amount
+      FROM pa LEFT JOIN fp ON pa.partkey = fp.partkey
+    )
+    SELECT product_application_id, nutrient, round(sum(amount), 4) AS amount
+    FROM expl GROUP BY 1, 2
+    """,
+)
+def pipeline_app_nutrient_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — the deepest dependency chain end-to-end (SURVEY §3.3):
+    ApplicationEvent idx (A7) → ProductApplication positional idx over the
+    in-engine join (replacing the reference's Neo4j read-back,
+    graph_product_application.py:156-214) → FertilizerProduct catalog with
+    deterministic min-partkey A8 dedup → nutrient explode (F18) with
+    catalog enrichment for missing nutrients (J4,
+    graph_app_nutrient_content.py:306-354). The oracle recomputes all four
+    stages in SQL, so a regression anywhere in the chain breaks the hash."""
+    anc = P.build(spark, sf_dir, only=["app_nutrient_contents"])["app_nutrient_contents"]
+    return anc.select("product_application_id", "nutrient", r4(F.col("amount")).alias("amount"))
+
+
+@register(
     "pipeline_depth_points",
     oracle="""
     SELECT concat('ST', CAST(u.user_id AS VARCHAR)) AS serial_number,
@@ -2829,14 +2878,16 @@ _SHINGLE_TRUTH_SQL = """
     "minhash_recall_bound",
     oracle=f"""
     WITH sh AS ({_SHINGLE_TRUTH_SQL}),
-    tp AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
-      WHERE len(list_intersect(a.s, b.s)) * 1.0
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ex AS MATERIALIZED (SELECT doc_id, len(s) AS z, unnest(s) AS g FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.z AS za, b.z AS zb,
+             count(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           AND a.z >= 0.8 * b.z AND b.z >= 0.8 * a.z
+      GROUP BY 1, 2, 3, 4
     )
-    SELECT 'n_true_pairs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM tp
+    SELECT 'n_true_pairs' AS metric, CAST(count(*) AS DOUBLE) AS value
+    FROM common WHERE c * 1.0 / (za + zb - c) >= 0.8
     UNION ALL SELECT 'recall_ge_080', 1.0
     """,
 )
@@ -2849,34 +2900,34 @@ def minhash_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     theoretical band-collision floor at j=0.8 is 1-(1-0.8^4)^8 ≈ 0.985)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("s"))
-    # same parallelization as ngram_jaccard_pairs: bucket one side by
-    # id-hash, replicate the other across buckets, so the unblocked
-    # all-pairs truth join runs on 32 tasks instead of one nested loop
-    nb = 32
-    a = (
-        sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), F.size("s").alias("za"))
-        .withColumn("bkt", F.pmod(F.xxhash64("id_a"), F.lit(nb)))
-        .repartition(nb, "bkt")
+    # EXACT truth via inverted index (posting-list self-join), not all-pairs:
+    # a jaccard≥0.8 pair shares ≥1 shingle, so joining exploded shingles and
+    # counting common ones per pair finds every true pair while touching
+    # only pairs that overlap at all — measured 284s → ~8s at sf0.1 vs the
+    # bucketed array_intersect all-pairs join, and the posting-list shape is
+    # the one that survives a 100 TB corpus (work ∝ Σ posting², never n²)
+    ex = sh.select(
+        F.col("id"), F.size("s").alias("z"), F.explode("s").alias("g")
     )
-    b = sh.select(
-        F.col("id").alias("id_b"), F.col("s").alias("sb"), F.size("s").alias("zb")
-    ).withColumn("bkt", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)).cast("array<bigint>")))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = (F.col("za") + F.col("zb")).cast("double") - inter
-    truth = (
+    a = ex.select(F.col("id").alias("id_a"), F.col("z").alias("za"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("z").alias("zb"), "g")
+    common = (
         a.join(
             b,
             on=[
+                a["g"] == b["g"],
                 F.col("id_a") < F.col("id_b"),
-                a["bkt"] == b["bkt"],
                 # exact containment prefilter (jaccard ≤ min/max sizes)
                 F.col("za").cast("double") >= 0.8 * F.col("zb"),
                 F.col("zb").cast("double") >= 0.8 * F.col("za"),
             ],
         )
-        .filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= 0.8)
-        .select("id_a", "id_b")
+        .groupBy("id_a", "id_b", "za", "zb")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
+    truth = common.filter(
+        F.col("c") / (F.col("za") + F.col("zb") - F.col("c")) >= 0.8
+    ).select("id_a", "id_b")
     cands = D.minhash_lsh_candidates(docs, "text", "doc_id")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n"))
     hits = truth.join(cands, on=["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("h"))
@@ -3087,6 +3138,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_analyses",        # ~6s
     "shortest_paths_from_regions",  # ~6s
     "minhash_recall_bound",         # ~7s
+    "pipeline_app_nutrient_contents",  # ~7s
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
