@@ -540,7 +540,13 @@ def sap_element_results(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
     skipped (:113-115); leaf_type picks which raw value applies
     (_pick_for_leaf :53-57). A8 first-wins dedup keeps one row per
     (analysis, nutrient) with a deterministic order."""
-    li = ctx.table("lineitem")
+    from graph_db_spark.util import spread
+
+    # regex parses run BEFORE the join, on a spread scan: the single-file
+    # fixture arrives as one split and AQE coalesces the post-join shuffle
+    # to a few partitions, so parsing after the join serializes the CPU-
+    # heavy part; pre-join both leaf variants parse on all cores
+    li = spread(ctx.table("lineitem"))
     parents = sap_analyses.select(
         S.composite_id("field_id", "date", "crop_name", "leaf_type", "sample_id").alias(
             "sap_analysis_id"
@@ -553,21 +559,27 @@ def sap_element_results(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
     )
     # young reads l_quantity; old reads a comma-decimal price residue; every
     # 7th line is 'n/a' → loose parse null → skipped
-    raw_val = F.when(F.col("l_linenumber") % 7 == 0, F.lit("n/a")).otherwise(
-        F.when(
-            F.col("leaf_type") == "young",
-            F.concat(F.col("l_quantity").cast("string"), F.lit(" ppm")),
-        ).otherwise(
-            F.regexp_replace(
-                F.round(F.col("l_extendedprice") % 500, 2).cast("string"), "\\.", ","
-            )
-        )
+    na = F.col("l_linenumber") % 7 == 0
+    young_raw = F.when(na, F.lit("n/a")).otherwise(
+        F.concat(F.col("l_quantity").cast("string"), F.lit(" ppm"))
     )
-    rows = li.join(parents, on=li["l_orderkey"] == parents["order_ref"]).select(
-        "sap_analysis_id",
-        nutrient.alias("nutrient"),
+    old_raw = F.when(na, F.lit("n/a")).otherwise(
+        F.regexp_replace(F.round(F.col("l_extendedprice") % 500, 2).cast("string"), "\\.", ",")
+    )
+    parsed = li.select(
+        F.col("l_orderkey").alias("order_ref"),
         F.col("l_linenumber").alias("line_no"),
-        S.loose_number(raw_val).alias("value_ppm"),
+        nutrient.alias("nutrient"),
+        S.loose_number(young_raw).alias("young_ppm"),
+        S.loose_number(old_raw).alias("old_ppm"),
+    )
+    rows = parsed.join(parents, on="order_ref").select(
+        "sap_analysis_id",
+        "nutrient",
+        "line_no",
+        F.when(F.col("leaf_type") == "young", F.col("young_ppm"))
+        .otherwise(F.col("old_ppm"))
+        .alias("value_ppm"),
     ).filter(F.col("value_ppm").isNotNull())
     return A.dedup_first(
         rows, ["sap_analysis_id", "nutrient"], ["line_no", "value_ppm"]
@@ -596,7 +608,11 @@ def optimum_element_ranges(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
     'crop|date' (:117). The elements⊎others stream concat (U1, :132-136)
     is one lineitem scan here; A8 dedup keeps the first entry per
     (header, nutrient)."""
-    li = ctx.table("lineitem")
+    from graph_db_spark.util import spread
+
+    # parse on the spread scan BEFORE joining parents (see
+    # sap_element_results for why — post-join partitions are AQE-coalesced)
+    li = spread(ctx.table("lineitem"))
     parents = sap_analyses.filter(F.col("leaf_type") == "young").select(
         F.concat_ws("|", "crop_name", "date").alias("opt_range_id"),
         "order_ref",
@@ -614,13 +630,16 @@ def optimum_element_ranges(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
         F.array(*[F.lit(n) for n in _NUTRIENTS]), (F.col("l_partkey") % 8 + 1).cast("int")
     )
     parsed = S.parse_range(optimum)
-    rows = li.join(parents, on=li["l_orderkey"] == parents["order_ref"]).select(
-        "opt_range_id",
-        nutrient.alias("nutrient"),
+    pre = li.select(
+        F.col("l_orderkey").alias("order_ref"),
         F.col("l_linenumber").alias("line_no"),
+        nutrient.alias("nutrient"),
         parsed["range_min"].alias("range_min"),
         parsed["range_max"].alias("range_max"),
     ).filter(F.col("range_min").isNotNull() | F.col("range_max").isNotNull())
+    rows = pre.join(parents, on="order_ref").select(
+        "opt_range_id", "nutrient", "line_no", "range_min", "range_max"
+    )
     return A.dedup_first(
         rows, ["opt_range_id", "nutrient"], ["line_no", "range_min", "range_max"]
     ).drop("line_no")

@@ -2749,6 +2749,10 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, on=[F.col("a.o") == F.col("b.o"), F.col("a.p") < F.col("b.p")])
         .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .distinct()
+        # e feeds deg (×3), the orientation, and the closure side — without
+        # materialization every self-join reference recomputes the whole
+        # co-occurrence join+distinct (plan audit: 194 Exchange nodes)
+        .localCheckpoint(eager=True)
     )
     # degree table is |parts|-sized (dimension-small) → broadcast to attach
     # ranks without shuffling the edge list
@@ -2768,6 +2772,7 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
             F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
         )
+        .localCheckpoint(eager=True)  # referenced by both wedge sides + closure
     )
     dv = F.broadcast(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")))
     rk = ore.join(dv, on="v").select("u", "v", "dv")
@@ -2898,8 +2903,14 @@ def minhash_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact all-pairs); 'recall_ge_080' is 1.0 iff LSH candidates cover ≥80%
     of true pairs (measured 0.96 at sf0.01 with 32 hashes × 8 bands — the
     theoretical band-collision floor at j=0.8 is 1-(1-0.8^4)^8 ≈ 0.985)."""
+    from graph_db_spark.util import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("s"))
+    # single-file fixture → one split: spread so shingling + posting-list
+    # explode parallelize (SCALE.md §1 fixture artifact)
+    sh = spread(docs).select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("s")
+    )
     # EXACT truth via inverted index (posting-list self-join), not all-pairs:
     # a jaccard≥0.8 pair shares ≥1 shingle, so joining exploded shingles and
     # counting common ones per pair finds every true pair while touching

@@ -1,0 +1,56 @@
+"""Oracle hygiene — fast checks that need no SparkSession.
+
+The correctness gate runs every oracle against DuckDB; these tests catch
+oracle bitrot (SQL syntax errors, renamed tables, bad registry entries) in
+seconds instead of a multi-minute Spark sweep.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from __spark_entry__ import oracle_sql, queries
+from graph_db_spark.plans.queries import _EXPENSIVE_LAST
+from graph_db_spark.tables import TABLE_NAMES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_every_oracle_parses_and_binds(con):
+    """EXPLAIN every oracle: parse + bind against the real fixture schemas
+    (catches column renames and SQL typos without executing)."""
+    bad = []
+    for name, sql in oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            bad.append(f"{name}: {e}")
+    assert not bad, "\n".join(bad)
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = queries(), oracle_sql()
+    assert set(o) <= set(q), set(o) - set(q)
+    # rows-only set stays intentional: only hash-seeded candidate
+    # generators may lack an oracle
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
+        "ann_ivf_topk", "hll_user_reach", "near_dup_clusters",
+    }, rows_only
+
+
+def test_expensive_last_names_exist_and_are_last():
+    q = list(queries())
+    assert set(_EXPENSIVE_LAST) <= set(q), set(_EXPENSIVE_LAST) - set(q)
+    # the tail of the registration order is exactly the expensive list
+    assert q[-len(_EXPENSIVE_LAST):] == _EXPENSIVE_LAST
