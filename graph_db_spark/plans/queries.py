@@ -1246,15 +1246,77 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # approximate (recall<1) → rows-only; recall unit-tested
+def _lsh_planes_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,
+                    seed: int = 42) -> str:
+    """The LSH hyperplanes as a DuckDB VALUES literal — the planes come
+    from a pure-Python LCG (similarity.hyperplanes), so the ENTIRE
+    approximate pipeline is reproducible in SQL: same planes, same sign
+    buckets, same candidates, same re-rank. ``repr(float)`` round-trips
+    exactly, so both engines see bit-identical plane coefficients."""
+    rows = []
+    for t in range(n_tables):
+        for i, plane in enumerate(SIM.hyperplanes(dim, n_planes, seed + 1000 * t)):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {i}, {vec})")
+    return ",\n      ".join(rows)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH planes(tbl, pidx, pvec) AS (VALUES
+      {_lsh_planes_sql()}),
+    q AS MATERIALIZED (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+    c AS MATERIALIZED (SELECT vec_id AS neighbor_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                       FROM embeddings),
+    qb AS (SELECT query_id, tbl,
+                  CAST(sum(CASE WHEN list_dot_product(qv, pvec) >= 0
+                                THEN (1 << pidx) ELSE 0 END) AS BIGINT) AS bucket
+           FROM q CROSS JOIN planes GROUP BY 1, 2),
+    cb AS (SELECT neighbor_id, tbl,
+                  CAST(sum(CASE WHEN list_dot_product(cv, pvec) >= 0
+                                THEN (1 << pidx) ELSE 0 END) AS BIGINT) AS bucket
+           FROM c CROSS JOIN planes GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT qb.query_id, cb.neighbor_id
+             FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+             WHERE qb.query_id <> cb.neighbor_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                           THEN list_dot_product(q.qv, c.cv)
+                                / (sqrt(list_dot_product(q.qv, q.qv))
+                                   * sqrt(list_dot_product(c.cv, c.cv)))
+                           ELSE 0.0 END AS sim
+               FROM cand JOIN q ON cand.query_id = q.query_id
+                         JOIN c ON cand.neighbor_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity — ANN top-k via multi-table random-hyperplane LSH
     (16 tables × 4 planes, ~0.93 recall@3 on the fixture embeddings) with
     exact re-rank on the deduped candidate union. Candidate generation
-    shuffles on (table, bucket): O(n·tables), the 100 TB path."""
+    shuffles on (table, bucket): O(n·tables), the 100 TB path.
+
+    EXACT oracle (was rows-only through round 2): the LCG plane matrix is
+    embedded in the SQL as literals, so DuckDB reproduces buckets,
+    candidate set, and re-rank bit-for-bit — the driver hash-checks the
+    approximate result itself, not just its quality bound."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return SIM.cosine_topk_lsh(emb, q, dim=64, k=5, n_planes=4, n_tables=16)
+    out = SIM.cosine_topk_lsh(emb, q, dim=64, k=5, n_planes=4, n_tables=16)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @register("ann_ivf_topk")  # approximate (recall<1) → rows-only; recall unit-tested
