@@ -213,6 +213,68 @@ def test_multimodal_real_bmp_decode():
     assert abs(mean - (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120) / 12) < 1e-9
 
 
+def test_multimodal_png_all_filter_types():
+    # the encoder only emits filter-0 scanlines; build filtered streams by
+    # hand so Sub/Up/Average/Paeth reconstruction paths are all exercised
+    import struct
+    import zlib
+
+    from graph_db_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def png_from_raw(width, height, raw):
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    w, h = 4, 5
+    pixels = [[(x * 31 + y * 57) % 256 for x in range(w)] for y in range(h)]
+
+    def sub_filter(row, prev):
+        return bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(w))
+
+    def up_filter(row, prev):
+        return bytes((row[i] - prev[i]) & 0xFF for i in range(w))
+
+    def avg_filter(row, prev):
+        out = []
+        for i in range(w):
+            a = row[i - 1] if i else 0
+            out.append((row[i] - ((a + prev[i]) >> 1)) & 0xFF)
+        return bytes(out)
+
+    def paeth_filter(row, prev):
+        out = []
+        for i in range(w):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    # one row per filter type (0..4), each filtered against the REAL prior row
+    filters = [None, sub_filter, up_filter, avg_filter, paeth_filter]
+    raw = bytearray()
+    for y in range(h):
+        prev = pixels[y - 1] if y else [0] * w
+        f = filters[y % 5]
+        if f is None:
+            raw += b"\x00" + bytes(pixels[y])
+        else:
+            raw += bytes([y % 5]) + f(pixels[y], prev)
+    ww, hh, mean = decode_png(png_from_raw(w, h, bytes(raw)))
+    flat = [p for row in pixels for p in row]
+    assert (ww, hh) == (w, h)
+    assert abs(mean - sum(flat) / len(flat)) < 1e-9
+
+
 def test_multimodal_real_decode_in_spark(spark, sf_dir):
     from graph_db_spark.operators.multimodal import extract_features, synthesize_png_media
     from graph_db_spark.tables import load_table
