@@ -219,9 +219,12 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Deterministic spherical-k-means centroids (unit-normalized).
 
-    Seeds = the ``n_centroids`` corpus vectors with the smallest
-    ``xxhash64(id)`` — a deterministic pseudo-random sample that needs no
-    driver-side randomness and no full sort (TakeOrdered top-k). Each Lloyd
+    Seeds = the ``n_centroids`` corpus vectors with the smallest LCG mix
+    ``(id·1103515245 + 12345) mod 2³¹`` — a deterministic pseudo-random
+    sample that needs no driver-side randomness and no full sort
+    (TakeOrdered top-k). The mix is plain bounded integer arithmetic (no
+    64-bit overflow) so an external SQL oracle can reproduce the seed
+    choice exactly — unlike xxhash64, which exists only in Spark. Each Lloyd
     round is: broadcast-literal argmax assignment (narrow) + posexplode →
     ``groupBy(cluster, pos).avg`` (one shuffle whose map-side combine
     reduces O(n·dim) values to O(centroids·dim) per task). Only the
@@ -233,13 +236,15 @@ def ivf_centroids(
     # transform(v, x -> x/norm(v)) re-evaluates the norm fold per ELEMENT
     # (O(d²) interpreted ops per row)
     unitvec = F.transform(F.array(norm(v)), lambda nv: F.transform(v, lambda x: x / nv))[0]
+    lcg = (F.col(id_col).cast("bigint") * 1103515245 + 12345) % 2147483648
     unit = corpus.select(
-        unitvec.alias("v"), F.xxhash64(F.col(id_col)).alias("h")
+        unitvec.alias("v"), lcg.alias("h"), F.col(id_col).alias("_sid")
     # materialize the normalized vectors once — every Lloyd round reuses
     # them instead of re-scanning + re-normalizing the corpus (at cluster
     # scale this is one persisted copy amortized over lloyd_iters passes)
     ).localCheckpoint(eager=True)
-    seeds = unit.orderBy("h").limit(n_centroids).select("v").collect()
+    # deterministic tiebreak on id so an LCG collision can't reorder seeds
+    seeds = unit.orderBy("h", "_sid").limit(n_centroids).select("v").collect()
     centroids = [list(r["v"]) for r in seeds]
     for _ in range(lloyd_iters):
         assigned = with_matrix(unit, centroids, "_cents").select(

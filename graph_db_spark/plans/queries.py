@@ -1319,7 +1319,78 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # approximate (recall<1) → rows-only; recall unit-tested
+def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 8, lloyd_iters: int = 3,
+                    k: int = 5, dim: int = 64) -> str:
+    """DuckDB oracle replicating the WHOLE IVF pipeline — the engine-
+    portable LCG seed pick, ``lloyd_iters`` unrolled spherical-k-means
+    rounds (argmax assignment with the same larger-index tiebreak, per-
+    dimension means rebuilt into normalized centroid lists, empty clusters
+    keeping their previous centroid), the nprobe probe, and the exact
+    cosine re-rank. MATERIALIZED throughout (DuckDB inlines plain CTEs per
+    reference — same lesson as the PageRank oracle)."""
+    parts = [
+        "WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rawv FROM embeddings)",
+        # unit-normalized vectors + LCG seed hash
+        "uv AS MATERIALIZED (SELECT id, rawv,"
+        " list_transform(rawv, x -> x / sqrt(list_dot_product(rawv, rawv))) AS v,"
+        " (id * 1103515245 + 12345) % 2147483648 AS h FROM base)",
+        f"cent0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cluster, v AS cvec"
+        f" FROM uv ORDER BY h, id LIMIT {n_centroids})",
+    ]
+    cur = "cent0"
+    for r in range(lloyd_iters):
+        nxt = f"cent{r + 1}"
+        parts += [
+            # argmax assignment over UNIT vectors; ties → larger cluster idx
+            # (mirrors _top_clusters' reverse(array_sort(struct(sim, idx))))
+            f"asg{r} AS MATERIALIZED (SELECT id, cluster FROM ("
+            f"  SELECT uv.id, c.cluster,"
+            f"         row_number() OVER (PARTITION BY uv.id"
+            f"           ORDER BY list_dot_product(uv.v, c.cvec) DESC, c.cluster DESC) AS rn"
+            f"  FROM uv CROSS JOIN {cur} c) WHERE rn = 1)",
+            f"mean{r} AS MATERIALIZED (SELECT a.cluster, t.pos, avg(uv.v[t.pos]) AS m"
+            f" FROM asg{r} a JOIN uv ON a.id = uv.id CROSS JOIN range(1, {dim + 1}) t(pos)"
+            f" GROUP BY 1, 2)",
+            f"{nxt} AS MATERIALIZED (SELECT p.cluster,"
+            f" CASE WHEN n.lst IS NULL THEN p.cvec"
+            f"      ELSE list_transform(n.lst, x -> x / (CASE WHEN sqrt(list_dot_product(n.lst, n.lst)) = 0"
+            f"                                                THEN 1.0 ELSE sqrt(list_dot_product(n.lst, n.lst)) END))"
+            f" END AS cvec"
+            f" FROM {cur} p LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS lst"
+            f"                         FROM mean{r} GROUP BY cluster) n ON p.cluster = n.cluster)",
+        ]
+        cur = nxt
+    parts += [
+        # final inverted lists: corpus assignment over RAW vectors (argmax
+        # is scale-invariant; tiebreak identical)
+        f"casg AS MATERIALIZED (SELECT id AS neighbor_id, cluster, rawv AS cv FROM ("
+        f"  SELECT uv.id, uv.rawv, c.cluster,"
+        f"         row_number() OVER (PARTITION BY uv.id"
+        f"           ORDER BY list_dot_product(uv.rawv, c.cvec) DESC, c.cluster DESC) AS rn"
+        f"  FROM uv CROSS JOIN {cur} c) WHERE rn = 1)",
+        f"qpro AS MATERIALIZED (SELECT id AS query_id, cluster, rawv AS qv FROM ("
+        f"  SELECT uv.id, uv.rawv, c.cluster,"
+        f"         row_number() OVER (PARTITION BY uv.id"
+        f"           ORDER BY list_dot_product(uv.rawv, c.cvec) DESC, c.cluster DESC) AS rn"
+        f"  FROM uv CROSS JOIN {cur} c WHERE uv.id < 10) WHERE rn <= {nprobe})",
+        "scored AS (SELECT q.query_id, c.neighbor_id,"
+        " CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)) > 0"
+        "      THEN list_dot_product(q.qv, c.cv)"
+        "           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))"
+        "      ELSE 0.0 END AS sim"
+        " FROM qpro q JOIN casg c ON q.cluster = c.cluster AND q.query_id <> c.neighbor_id)",
+    ]
+    return ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity — ANN top-k via an IVF coarse quantizer (spherical
     k-means inverted lists, nprobe nearest lists per query, exact re-rank).
@@ -1327,10 +1398,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (8/16 lists ≈ 0.87 recall@3); on clustered real embeddings
     the same plan prunes much harder at the same recall. Scale shape: one
     equi-join on cluster id — candidates per query are corpus/n_centroids
-    × nprobe, tuned without touching the plan."""
+    × nprobe, tuned without touching the plan.
+
+    EXACT oracle (was rows-only through round 2): the LCG seed pick is
+    plain integer arithmetic, so DuckDB re-trains the SAME centroids with
+    unrolled Lloyd rounds and reproduces the probe + re-rank end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return SIM.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=8)
+    out = SIM.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "minhash_lsh_dedup", "simhash_near_dups",
-        "ann_ivf_topk", "hll_user_reach", "near_dup_clusters",
+        "hll_user_reach", "near_dup_clusters",
     }, rows_only
 
 
