@@ -1,0 +1,62 @@
+"""Physical-plan regression tests — pin the SCALE.md §1 audit.
+
+These assert plan *properties* (pushdown, broadcast choice, no accidental
+cartesian products), not plan shapes, so Catalyst/AQE remain free to
+re-plan within the contract.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from graph_db_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "LessThan" in plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    assert "l_comment" not in plan
+
+
+def test_broadcast_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_agg_has_partial_aggregation(spark):
+    plan = plan_of(spark, "event_day_stats")
+    # two-phase aggregate: partial (map-side combine) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "edge_customer_order", "asof_nearest_line", "interval_scoped_avg",
+        "enrich_missing_brand", "pipeline_sap_element_results",
+        "pipeline_optimum_element_ranges", "pipeline_water_param_results",
+        "pipeline_app_nutrient_contents", "cooccurrence_triangles",
+        "ngram_jaccard_pairs", "salted_skew_join",
+    ],
+)
+def test_no_accidental_cartesian(spark, name):
+    """No CartesianProduct anywhere in the core inventory (the deliberate
+    broadcast nested loops — brute-force cosine and constant-matrix
+    attachment — are separate queries, excluded here by construction)."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
