@@ -49,9 +49,22 @@ class TableDef:
 class Context:
     spark: SparkSession
     sf_dir: str
+    # processing window (ISO dates), mirroring the reference's --start/--end
+    # incremental runs (main_graph_topraq.py:78-80): sensor-stream scans are
+    # range-filtered; the predicate pushes down / prunes partitions, and the
+    # idempotent upsert writer makes overlapping re-runs safe (the MERGE
+    # contract the reference relies on, window widening included).
+    start: str | None = None
+    end: str | None = None
 
     def table(self, name: str) -> DataFrame:
-        return load_table(self.spark, self.sf_dir, name)
+        df = load_table(self.spark, self.sf_dir, name)
+        if name == "events" and (self.start or self.end):
+            if self.start:
+                df = df.filter(F.col("ts") >= F.lit(self.start).cast("timestamp"))
+            if self.end:
+                df = df.filter(F.col("ts") < F.lit(self.end).cast("timestamp"))
+        return df
 
 
 REGISTRY: dict[str, TableDef] = {}
@@ -1074,11 +1087,14 @@ def build(
     sf_dir: str,
     only: list[str] | None = None,
     skip: list[str] | None = None,
+    start: str | None = None,
+    end: str | None = None,
 ) -> dict[str, DataFrame]:
     """Resolve the task DAG: returns {task → DataFrame} for the selected
     targets (plus their transitive dependencies — unlike the reference,
     where running product_applications without application_events silently
-    reads stale Neo4j state)."""
+    reads stale Neo4j state). ``start``/``end`` bound the sensor-stream
+    window for incremental runs."""
     targets = list(only) if only else list(REGISTRY)
     if skip:
         targets = [t for t in targets if t not in set(skip)]
@@ -1086,7 +1102,7 @@ def build(
         if t not in REGISTRY:
             raise KeyError(f"unknown task {t!r}; known: {sorted(REGISTRY)}")
 
-    ctx = Context(spark, sf_dir)
+    ctx = Context(spark, sf_dir, start=start, end=end)
     built: dict[str, DataFrame] = {}
 
     def resolve(name: str, stack: tuple[str, ...] = ()) -> DataFrame:
