@@ -213,6 +213,36 @@ def test_multimodal_real_bmp_decode():
     assert abs(mean - (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120) / 12) < 1e-9
 
 
+def test_multimodal_png_roundtrip_property():
+    # hypothesis: encode→decode is the identity on (width, height, mean)
+    # for arbitrary small grayscale images
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graph_db_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w * h, max_size=w * h,
+                )
+            )
+        )
+        ww, hh, mean = decode_png(encode_png(w, h, px))
+        assert (ww, hh) == (w, h)
+        assert abs(mean - sum(px) / len(px)) < 1e-9
+
+    check()
+
+
 def test_multimodal_png_all_filter_types():
     # the encoder only emits filter-0 scanlines; build filtered streams by
     # hand so Sub/Up/Average/Paeth reconstruction paths are all exercised

@@ -60,6 +60,30 @@ def test_idempotent_rerun(spark):
     assert as_set(once) == as_set(twice)
 
 
+def test_collapse_nested_unorderable_types(spark):
+    """ADVICE r2: nested unorderable types (array<map>, struct with map)
+    must not enter orderBy — and when ALL value columns are map-bearing,
+    the canonical-JSON-hash tiebreak makes the winner a pure function of
+    the data, not of partition layout."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [{"a": 1}], {"m": {"x": 1}}),
+        (1, [{"a": 2}], {"m": {"x": 2}}),
+        (2, [{"b": 9}], {"m": {"y": 9}}),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, arr array<map<string,int>>, s struct<m: map<string,int>>"
+    )
+    out1 = collapse_duplicates(df, ["k"])
+    assert out1.count() == 2  # analysis succeeds; one winner per key
+    # determinism: same result under a different physical layout
+    out2 = collapse_duplicates(df.repartition(7, "k").sortWithinPartitions(F.rand(42)), ["k"])
+    a = {(r["k"], str(r["arr"])) for r in out1.collect()}
+    b = {(r["k"], str(r["arr"])) for r in out2.collect()}
+    assert a == b
+
+
 def test_assert_unique_key(spark):
     ok = df_of(spark, [(1, "a", "b"), (2, "a", "b")])
     assert_unique_key(ok, ["k"])
