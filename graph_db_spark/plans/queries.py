@@ -2307,15 +2307,15 @@ def asof_bucketed_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 from graph_db_spark.streaming import jobs as STRM  # noqa: E402
 
 
-def _run_stream_to_table(spark, sf_dir, name, transform):
-    """Run a streaming job over the (static) events fixture with
+def _run_stream_to_table(spark, sf_dir, name, transform, table="events", mode="complete"):
+    """Run a streaming job over a (static) fixture table with
     trigger(availableNow) into a memory sink; return the result table.
     The fixture is re-written to a temp dir because the file streaming
     source wants a directory of (already ns→µs-converted) files."""
     import os
     import tempfile
 
-    batch = load_table(spark, sf_dir, "events")
+    batch = load_table(spark, sf_dir, table)
     d = os.path.join(
         tempfile.gettempdir(),
         f"graft_stream_{name}_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
@@ -2327,7 +2327,7 @@ def _run_stream_to_table(spark, sf_dir, name, transform):
         transform(stream)
         .writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -2370,6 +2370,100 @@ def streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("avg")).alias("avg"),
         r4(F.col("sum")).alias("sum"),
         F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "streaming_exact_dedup",
+    oracle="""
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+    FROM documents
+    """,
+)
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming × LLM ops — in-flight exact dedup: documents stream
+    through ``dropDuplicates`` on the normalized-content hash, so only the
+    first copy of each text ever lands (the ingest-time half of the dedup
+    story; the batch near_dup_clusters sweep is the at-rest half). The
+    surviving hash SET is deterministic even though which doc_id survives
+    per hash is arrival-order-dependent — the oracle checks exactly the
+    deterministic part."""
+    out = _run_stream_to_table(
+        spark, sf_dir, "exact_dedup",
+        lambda s: STRM.stream_exact_dedup(s, "text"),
+        table="documents", mode="append",
+    )
+    return out.select("content_hash")
+
+
+@register(
+    "curated_corpus_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, n_tok,
+             round((least(n_tok / 50.0, 1.0)
+                    + (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                                    / nullif(length(text), 0)) * 5.0, 1.0))
+                    + least((len(list_distinct(list_intersect(t, {_SW_SQL['en']})))
+                             + len(list_distinct(list_intersect(t, {_SW_SQL['es']})))
+                             + len(list_distinct(list_intersect(t, {_SW_SQL['de']})))) / 5.0, 1.0)) / 3.0, 4) AS quality,
+             CASE WHEN greatest(len(list_distinct(list_intersect(t, {_SW_SQL['en']}))),
+                               len(list_distinct(list_intersect(t, {_SW_SQL['es']}))),
+                               len(list_distinct(list_intersect(t, {_SW_SQL['de']})))) = 0 THEN 'und'
+                  WHEN len(list_distinct(list_intersect(t, {_SW_SQL['en']})))
+                       = greatest(len(list_distinct(list_intersect(t, {_SW_SQL['es']}))),
+                                  len(list_distinct(list_intersect(t, {_SW_SQL['de']}))),
+                                  len(list_distinct(list_intersect(t, {_SW_SQL['en']})))) THEN 'en'
+                  WHEN len(list_distinct(list_intersect(t, {_SW_SQL['es']})))
+                       = greatest(len(list_distinct(list_intersect(t, {_SW_SQL['es']}))),
+                                  len(list_distinct(list_intersect(t, {_SW_SQL['de']})))) THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM toks
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.4 AND pred_lang <> 'und'
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM dedup GROUP BY 1
+    """,
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM ops — the corpus-curation pipeline END TO END as one verified
+    query: quality scoring + language ID filter (drop 'und' and
+    quality < 0.4) → exact dedup keeping the min doc_id per normalized
+    content hash → per-language corpus stats. This is the shape of a real
+    pretraining-data prep job (filter → dedup → budget accounting), every
+    stage of which is individually oracle-verified elsewhere; this entry
+    verifies the COMPOSITION."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("pred_lang"),
+        TX.token_count("text").alias("n_tok"),
+        F.md5(TX.normalize_text(F.col("text"))).alias("content_hash"),
+    )
+    kept = enriched.filter((F.round(F.col("quality"), 4) >= 0.4) & (F.col("pred_lang") != "und"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dedup.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg(F.round(F.col("quality"), 4))).alias("avg_quality"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
 
 
@@ -3286,6 +3380,7 @@ _EXPENSIVE_LAST = [
     "pipeline_optimum_element_ranges",  # ~4.3s
     "simhash_near_dups",            # ~4.4s
     "ann_lsh_recall_bound",         # ~5s
+    "streaming_exact_dedup",        # ~6s (stream machinery)
     "enrich_missing_brand",         # ~5.6s
     "pipeline_sap_analyses",        # ~6s
     "shortest_paths_from_regions",  # ~6s

@@ -88,6 +88,27 @@ def dedupe_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup — the in-flight form of
+    ``operators.dedup.exact_dedup``: documents arriving on a stream are
+    keyed by the md5 of their normalized text and only the first copy of
+    each content hash passes through. This is the shape a training-data
+    ingest pipeline runs BEFORE landing documents, so duplicates never
+    reach storage.
+
+    State = one entry per distinct hash. Unbounded here (the fixture is
+    finite); a production stream bounds it with an event-time column +
+    ``dropDuplicatesWithinWatermark`` on (content_hash) — exactly
+    :func:`dedupe_within_watermark` — accepting re-admitted duplicates
+    older than the horizon, which the downstream batch
+    ``near_dup_clusters`` sweep then catches."""
+    from graph_db_spark.operators.text import normalize_text
+
+    return docs.withColumn(
+        "content_hash", F.md5(normalize_text(F.col(text_col)))
+    ).dropDuplicates(["content_hash"])
+
+
 def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str):
     """foreachBatch sink running the keyed upsert per micro-batch — MERGE
     semantics onto a parquet table (on Delta/Iceberg this becomes MERGE
