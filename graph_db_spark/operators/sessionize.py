@@ -15,8 +15,19 @@ the key; scales with executors. The streaming analogue is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _seconds(df: DataFrame, ts_col: str) -> Column:
+    """Epoch-seconds expression tolerant of TIMESTAMP, TIMESTAMP_NTZ and
+    numeric timestamp columns (TIMESTAMP_NTZ has no direct numeric cast)."""
+    dt = df.schema[ts_col].dataType
+    c = F.col(ts_col)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def sessionize(
@@ -30,7 +41,7 @@ def sessionize(
     Adds ``session_id`` (1-based, per key, chronological).
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    ts_sec = F.col(ts_col).cast("double")
+    ts_sec = _seconds(df, ts_col)
     prev = F.lag(ts_sec).over(w)
     is_new = F.when(prev.isNull() | ((ts_sec - prev) > F.lit(float(gap_seconds))), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -46,15 +57,13 @@ def session_intervals(
     end_at, duration_min, n_events)`` — the shape GET_IRRIGATIONS returns
     (graph_irrigation_event.py:55-75, duration in minutes :67)."""
     with_ids = sessionize(df, key_cols, ts_col, gap_seconds)
+    sec = _seconds(with_ids, ts_col)
     return (
         with_ids.groupBy(*key_cols, "session_id")
         .agg(
             F.min(ts_col).alias("start_at"),
             F.max(ts_col).alias("end_at"),
-            (
-                (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
-                / F.lit(60.0)
-            ).alias("duration_min"),
+            ((F.max(sec) - F.min(sec)) / F.lit(60.0)).alias("duration_min"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -70,7 +70,10 @@ def stream_sessions(
             F.min(ts_col).alias("start_at"),
             F.max(ts_col).alias("end_at"),
             (
-                (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+                (
+                    F.max(F.col(ts_col).cast("timestamp").cast("double"))
+                    - F.min(F.col(ts_col).cast("timestamp").cast("double"))
+                )
                 / F.lit(60.0)
             ).alias("duration_min"),
             F.count(F.lit(1)).alias("n_events"),

@@ -34,20 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushed into the parquet scan by Catalyst (check ``PushedFilters`` in
     ``.explain``).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    nanos (``nanosAsLong``) and we truncate to microsecond TimestampType —
-    the same truncation DuckDB applies, so oracles agree.
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet. Depending on the Spark
+    build it arrives as long nanos (``nanosAsLong``) or as TIMESTAMP_NTZ
+    (native nanos read, micro-truncated); either way we normalize to
+    session-tz TimestampType truncated to microseconds — the same
+    truncation DuckDB applies, so oracles agree. The session runs in UTC
+    (session.py), so the NTZ→LTZ cast is value-preserving.
     """
     # Runtime-settable: driver-owned vanilla sessions (no builder factory)
     # would otherwise fail with PARQUET_TYPE_ILLEGAL on events.parquet's
-    # INT64 (TIMESTAMP(NANOS,false)) column.
+    # INT64 (TIMESTAMP(NANOS,false)) column on Sparks without native nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
