@@ -87,13 +87,38 @@ def running_index(
     return df.withColumn(idx_name, F.row_number().over(w))
 
 
-def dedup_first(df: DataFrame, key_cols: list[str], order_cols: list[Column | str]) -> DataFrame:
+def dedup_first(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column | str],
+    keep: Column | None = None,
+) -> DataFrame:
     """A8 — keep one row per key, "first" defined by ``order_cols``.
 
     Parity: the ``seen: Set`` skip-if-seen pattern
     /root/reference/app/graph_optimum_sap_range.py:29-62 — again with an
     explicit deterministic order instead of arrival order.
+
+    ``keep``: optional row predicate; the winner is the first row
+    *satisfying it* and keys whose rows all fail it vanish. Equivalent to
+    ``df.filter(keep)`` before the dedup, but expressed as (keep DESC,
+    order...) inside the window + a post-window filter, so Catalyst cannot
+    push a predicate over expensive derived columns (regex parses) below
+    an upstream repartition and serialize them into a single-split scan
+    stage (SCALE.md: the fixture parquets are one row group). Post-window
+    filters stay above the Window; the derived columns evaluate once,
+    post-exchange, on all cores — the same plan shape a 1000-split cluster
+    scan would get anyway.
     """
+    if keep is not None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.when(keep, 0).otherwise(1), *order_cols
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & keep)
+            .drop("__rn")
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -586,16 +586,22 @@ def sap_element_results(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
         S.loose_number(young_raw).alias("young_ppm"),
         S.loose_number(old_raw).alias("old_ppm"),
     )
-    rows = parsed.join(parents, on="order_ref").select(
+    # broadcast the dim side explicitly — without the hint the planner
+    # broadcasts the PARSED lineitem side (no stats post-repartition)
+    rows = parsed.join(F.broadcast(parents), on="order_ref").select(
         "sap_analysis_id",
         "nutrient",
         "line_no",
         F.when(F.col("leaf_type") == "young", F.col("young_ppm"))
         .otherwise(F.col("old_ppm"))
         .alias("value_ppm"),
-    ).filter(F.col("value_ppm").isNotNull())
+    )
+    # skip-unparsable inside the dedup window (see dedup_first(keep=...))
     return A.dedup_first(
-        rows, ["sap_analysis_id", "nutrient"], ["line_no", "value_ppm"]
+        rows,
+        ["sap_analysis_id", "nutrient"],
+        ["line_no", "value_ppm"],
+        keep=F.col("value_ppm").isNotNull(),
     ).drop("line_no")
 
 
@@ -649,12 +655,21 @@ def optimum_element_ranges(ctx: Context, sap_analyses: DataFrame) -> DataFrame:
         nutrient.alias("nutrient"),
         parsed["range_min"].alias("range_min"),
         parsed["range_max"].alias("range_max"),
-    ).filter(F.col("range_min").isNotNull() | F.col("range_max").isNotNull())
-    rows = pre.join(parents, on="order_ref").select(
+    )
+    # broadcast the dim side explicitly: left to itself the planner has no
+    # stats for the parsed fact side and may broadcast THAT (600k rows of
+    # regex output collected to the driver, single-threaded build)
+    rows = pre.join(F.broadcast(parents), on="order_ref").select(
         "opt_range_id", "nutrient", "line_no", "range_min", "range_max"
     )
+    # skip-unparsable via dedup_first(keep=...): a plain pre-dedup filter on
+    # the parsed bounds would be pushed below the spread() repartition and
+    # drag the whole regex parse into the single-split scan stage
     return A.dedup_first(
-        rows, ["opt_range_id", "nutrient"], ["line_no", "range_min", "range_max"]
+        rows,
+        ["opt_range_id", "nutrient"],
+        ["line_no", "range_min", "range_max"],
+        keep=F.col("range_min").isNotNull() | F.col("range_max").isNotNull(),
     ).drop("line_no")
 
 

@@ -915,7 +915,10 @@ def _graph_nparts(sf_dir: str) -> int | None:
     """Partition count for iterative graph rounds, from a file-size probe
     (no Spark job): the sf0.01 correctness fixture runs ~8 rounds × 2 jobs
     each, and 32-way stages of near-empty tasks are pure scheduler
-    overhead there. Bigger inputs keep the cores-sized default."""
+    overhead there. Bigger inputs keep the cores-sized default — a 12-way
+    tier for sf0.1 measured faster on an idle host (19.0s → 15.7s) but
+    adds straggler variance under external CPU contention, so the
+    cores-sized width (finer work-stealing granularity) stays."""
     import os.path
 
     try:
