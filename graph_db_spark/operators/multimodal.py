@@ -243,6 +243,302 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+_WAV_FMT_PCM16 = 1
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE PCM16LE mono encoder — deterministic synthetic
+    audio for the decoder tests/queries."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_PCM16, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, float, int]:
+    """Decode PCM16 mono RIFF/WAVE → (sample_rate, n_samples, rms,
+    zero_crossings). stdlib only; a real audio decoder, not a stub —
+    compressed formats (MP3/AAC/OGG) need codec libs absent here and are
+    flagged ``feature_ok=0`` by the batch wrapper instead.
+
+    zero_crossings counts sign flips between consecutive samples, where
+    "nonnegative" is one sign class (SQL-recomputable definition).
+    """
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate, data = 0, b""
+    while pos + 8 <= len(blob):
+        typ = blob[pos : pos + 4]
+        (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # RIFF chunks are 2-byte aligned
+        if typ == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", payload[:8])
+            (bits,) = struct.unpack("<H", payload[14:16])
+            if audio_fmt != _WAV_FMT_PCM16 or channels != 1 or bits != 16:
+                raise ValueError("unsupported WAV (need PCM16 mono)")
+        elif typ == b"data":
+            data = payload
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+    zc = sum(
+        1 for i in range(1, n) if (samples[i] >= 0) != (samples[i - 1] >= 0)
+    )
+    return rate, n, rms, zc
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+        StructField("feature_ok", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction (duration, RMS energy, zero-crossing rate)
+    via ``mapInPandas`` — same binary-hygiene rules as the image path:
+    bytes never shuffle, undecodable rows are flagged, not fatal."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in AUDIO_FEATURE_SCHEMA.fieldNames()}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                rows["media_id"].append(int(mid))
+                rows["n_bytes"].append(len(b))
+                try:
+                    rate, n, rms, zc = decode_wav(b)
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(int(n * 1000 // rate) if rate else -1)
+                    rows["rms"].append(rms)
+                    rows["zero_crossings"].append(zc)
+                    rows["feature_ok"].append(1)
+                except Exception:
+                    rows["sample_rate"].append(-1)
+                    rows["n_samples"].append(-1)
+                    rows["duration_ms"].append(-1)
+                    rows["rms"].append(0.0)
+                    rows["zero_crossings"].append(-1)
+                    rows["feature_ok"].append(0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_wav_media(docs: DataFrame, n_samples: int = 64, rate: int = 8000) -> DataFrame:
+    """Synthesize a real PCM16 WAV per document — sample i of doc d is
+    ``((d*31 + i*17) % 201) - 100`` (sign-alternating, closed form), so
+    RMS and zero-crossings are independently computable in plain SQL and
+    the oracle closes the loop on the REAL decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                encode_wav(
+                    rate,
+                    [((int(d) * 31 + i * 17) % 201) - 100 for i in range(n_samples)],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "content": blobs,
+                    "mime": "audio/wav",
+                    "width": -1,
+                    "height": -1,
+                    "duration_ms": -1,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Synthetic raw-frame video container: magic + (w, h, n_frames) +
+    concatenated 8-bit gray frames. Real containers (MP4/WebM) need codec
+    libraries absent in this environment; the container is synthetic but
+    the frame-sampling plumbing below (row-expanding Arrow batches,
+    bytes-never-shuffle) is exactly the production shape."""
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("each frame must be width*height bytes")
+    return _RAWV_MAGIC + struct.pack(">III", width, height, len(frames)) + b"".join(frames)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("feature_ok", LongType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: one output row per kept frame (every ``every``-th,
+    starting at 0) with per-frame mean pixel value — ``mapInPandas`` with
+    row-EXPANDING batches (n_out ≠ n_in is the point: frame extraction is
+    a generator, not a map). Undecodable payloads yield a single
+    ``feature_ok=0`` row so no media id silently disappears."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+
+            def emit(mid, idx, w, h, mean, ok):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_px"].append(mean)
+                rows["feature_ok"].append(ok)
+
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:4] != _RAWV_MAGIC or len(b) < 16:
+                    emit(int(mid), -1, -1, -1, 0.0, 0)
+                    continue
+                w, h, nf = struct.unpack(">III", b[4:16])
+                fsz = w * h
+                if len(b) < 16 + nf * fsz:
+                    emit(int(mid), -1, -1, -1, 0.0, 0)
+                    continue
+                for f in range(0, nf, every):
+                    frame = b[16 + f * fsz : 16 + (f + 1) * fsz]
+                    emit(int(mid), f, w, h, sum(frame) / fsz if fsz else 0.0, 1)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthesize_rawv_media(
+    docs: DataFrame, width: int = 4, height: int = 4, n_frames: int = 6
+) -> DataFrame:
+    """Synthesize a raw-frame video per document — pixel i of frame f of
+    doc d is ``(d*11 + f*5 + i*13) % 256`` (closed form ⇒ per-frame means
+    are SQL-recomputable)."""
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                encode_rawv(
+                    width,
+                    height,
+                    [
+                        bytes((int(d) * 11 + f * 5 + i * 13) % 256 for i in range(n_px))
+                        for f in range(n_frames)
+                    ],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "video",
+                    "content": blobs,
+                    "mime": "video/x-raw",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": -1,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_gray_nn(pixels: bytes, width: int, height: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of an 8-bit gray raster: target (x, y) reads
+    source (floor(x*width/out_w), floor(y*height/out_h)) — the simplest
+    deterministic mapping, chosen so an oracle can recompute it in SQL."""
+    return bytes(
+        pixels[(y * height // out_h) * width + (x * width // out_w)]
+        for y in range(out_h)
+        for x in range(out_w)
+    )
+
+
+def resize_png_batch(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image resize stage: decode PNG → nearest-neighbor resample →
+    re-encode PNG, inside one Arrow-batched ``mapInPandas`` pass (media in,
+    media out — a composable pipeline stage, same MEDIA_SCHEMA). Gray 8-bit
+    only (the stdlib codec's encode side); other inputs flag out via a
+    zero-byte payload with width=-1."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {k: [] for k in MEDIA_SCHEMA.fieldNames()}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    if b[:8] != _PNG_SIG:
+                        raise ValueError("not a PNG")
+                    w, h, _ = decode_png(b)
+                    # decode_png returns the mean; re-derive raw samples for
+                    # the resample (gray-only path keeps bpp == 1)
+                    raw = _png_raw_gray(b)
+                    small = resize_gray_nn(raw, w, h, out_w, out_h)
+                    out = encode_png(out_w, out_h, small)
+                    out_rows["content"].append(out)
+                    out_rows["width"].append(out_w)
+                    out_rows["height"].append(out_h)
+                except Exception:
+                    out_rows["content"].append(b"")
+                    out_rows["width"].append(-1)
+                    out_rows["height"].append(-1)
+                out_rows["media_id"].append(int(mid))
+                out_rows["kind"].append("image")
+                out_rows["mime"].append("image/png")
+                out_rows["duration_ms"].append(-1)
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _png_raw_gray(blob: bytes) -> bytes:
+    """Raw 8-bit gray samples of a grayscale PNG (decode_png validates)."""
+    pos = 8
+    width = height = 0
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            width, height, depth, color, _c, _f, _i = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 0:
+                raise ValueError("gray 8-bit only")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    return bytes(_png_unfilter(zlib.decompress(bytes(idat)), width, height, 1))
+
+
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media-shaped table from the documents fixture (text bytes as
     the opaque payload) — deterministic inputs for plumbing tests."""

@@ -2156,6 +2156,125 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 31 + t.i * 17) % 201) - 100 AS v
+      FROM documents d CROSS JOIN generate_series(0, 63) t(i)
+    ), z AS (
+      SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(8 AS BIGINT) AS duration_ms,
+           round(sqrt(avg(CAST(v * v AS DOUBLE))), 4) AS rms,
+           CAST(sum(CASE WHEN (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(1 AS BIGINT) AS feature_ok
+    FROM z GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — REAL audio decode end to end: per document a genuine
+    PCM16 mono RIFF/WAVE file (sample i = ((doc_id*31 + i*17) % 201) - 100,
+    8 kHz) is encoded, shipped as an opaque binary column, and decoded back
+    by the pure-stdlib WAV parser inside Arrow-batched ``mapInPandas``
+    (operators/multimodal.py). RMS energy and zero-crossing count are
+    closed-form, so DuckDB recomputes them analytically — the oracle
+    verifies the DECODER and the feature math, not just the plumbing.
+    Parity: the reference stores no media, but its opaque-payload pattern
+    (JSON props columns, graph_fields.py) is the same bytes-stay-opaque
+    contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_wav_media(docs, n_samples=64, rate=8000)
+    feats = MM.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        r4(F.col("rms")).alias("rms"),
+        "zero_crossings",
+        "feature_ok",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(f.f AS BIGINT) AS frame_idx,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           round(avg(CAST((d.doc_id * 11 + f.f * 5 + t.i * 13) % 256 AS DOUBLE)), 4)
+             AS mean_px,
+           CAST(1 AS BIGINT) AS feature_ok
+    FROM documents d
+    CROSS JOIN (VALUES (0), (2), (4)) f(f)
+    CROSS JOIN generate_series(0, 15) t(i)
+    GROUP BY d.doc_id, f.f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — video frame sampling: every 2nd frame of a 6-frame
+    raw-gray container (pixel i of frame f = (doc_id*11 + f*5 + i*13) %
+    256), one OUTPUT row per sampled frame — ``mapInPandas`` with
+    row-expanding batches (frame extraction is a generator, not a map; the
+    binary column never leaves the stage). Per-frame means are closed-form
+    ⇒ exact oracle. Real containers (MP4) need codec libs absent here; the
+    container is synthetic, the distributed sampling plumbing is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_rawv_media(docs, width=4, height=4, n_frames=6)
+    frames = MM.sample_video_frames(media, every=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        r4(F.col("mean_px")).alias("mean_px"),
+        "feature_ok",
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(2 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           round(avg(CAST((d.doc_id * 7 + t.i * 13) % 256 AS DOUBLE)), 4) AS mean_px,
+           CAST(1 AS BIGINT) AS feature_ok
+    FROM documents d CROSS JOIN (VALUES (0), (2), (8), (10)) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — image resize as a composable media→media pipeline
+    stage: encode a real 4×4 gray PNG per document (pixel i = (doc_id*7 +
+    i*13) % 256), nearest-neighbor downsample to 2×2 (target (x,y) reads
+    source (x*4//2, y*4//2) ⇒ sources i ∈ {0,2,8,10}), re-encode PNG, then
+    decode AGAIN with the feature extractor — a full
+    encode→decode→resample→encode→decode round trip through two
+    Arrow-batched ``mapInPandas`` stages, with the resized mean recomputed
+    analytically by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_png_media(docs, width=4, height=4)
+    small = MM.resize_png_batch(media, out_w=2, out_h=2)
+    feats = MM.extract_features(small, fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        r4(F.col("mean_px")).alias("mean_px"),
+        "feature_ok",
+    )
+
+
+@register(
     "fallback_selection",
     oracle="""
     SELECT user_id, event_type, n FROM (

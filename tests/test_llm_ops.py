@@ -340,3 +340,94 @@ def test_near_dup_clusters_transitive(spark):
     assert set(out) == {"1", "2", "3"}
     assert all(canon == "1" for canon, _ in out.values())
     assert out["1"][1] is True and out["2"][1] is False and out["3"][1] is False
+
+
+def test_multimodal_wav_roundtrip_and_features():
+    import pandas as pd
+
+    from graph_db_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [0, 100, -50, -1, 3, 0, -2, 7]
+    blob = encode_wav(8000, samples)
+    rate, n, rms, zc = decode_wav(blob)
+    assert (rate, n) == (8000, 8)
+    exact_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    assert abs(rms - exact_rms) < 1e-9
+    # sign classes (>=0): + + - - + + - +  → flips at 1→2, 3→4, 5→6, 6→7
+    assert zc == 4
+
+
+def test_multimodal_wav_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graph_db_spark.operators.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**15), max_value=2**15 - 1),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def check(samples):
+        rate, n, rms, zc = decode_wav(encode_wav(44100, samples))
+        assert (rate, n) == (44100, len(samples))
+        assert abs(rms - (sum(s * s for s in samples) / n) ** 0.5) < 1e-6
+        assert zc == sum(
+            1
+            for i in range(1, n)
+            if (samples[i] >= 0) != (samples[i - 1] >= 0)
+        )
+
+    check()
+
+
+def test_multimodal_rawv_frame_sampling(spark):
+    import pandas as pd
+
+    from graph_db_spark.operators.multimodal import (
+        encode_rawv,
+        sample_video_frames,
+        synthesize_rawv_media,
+    )
+
+    docs = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    media = synthesize_rawv_media(docs, width=4, height=4, n_frames=6)
+    out = sample_video_frames(media, every=2).collect()
+    # 2 docs × frames {0, 2, 4}
+    assert sorted((r["media_id"], r["frame_idx"]) for r in out) == [
+        (7, 0), (7, 2), (7, 4), (9, 0), (9, 2), (9, 4),
+    ]
+    for r in out:
+        exact = sum((r["media_id"] * 11 + r["frame_idx"] * 5 + i * 13) % 256 for i in range(16)) / 16
+        assert abs(r["mean_px"] - exact) < 1e-9
+        assert r["feature_ok"] == 1 and (r["width"], r["height"]) == (4, 4)
+    # corrupt payload flags, doesn't die
+    bad = spark.createDataFrame(
+        [(1, "video", bytearray(b"nope"), "video/x-raw", -1, -1, -1)],
+        "media_id long, kind string, content binary, mime string, width long, height long, duration_ms long",
+    )
+    flagged = sample_video_frames(bad).collect()
+    assert len(flagged) == 1 and flagged[0]["feature_ok"] == 0
+
+
+def test_multimodal_resize_nn_exact():
+    from graph_db_spark.operators.multimodal import (
+        _png_raw_gray,
+        decode_png,
+        encode_png,
+        resize_gray_nn,
+    )
+
+    px = bytes(range(16))  # 4×4 ramp
+    small = resize_gray_nn(px, 4, 4, 2, 2)
+    assert list(small) == [0, 2, 8, 10]  # (x*2, y*2) sources
+    # full round trip through PNG bytes
+    blob = encode_png(4, 4, px)
+    raw = _png_raw_gray(blob)
+    assert raw == px
+    blob2 = encode_png(2, 2, resize_gray_nn(raw, 4, 4, 2, 2))
+    w, h, mean = decode_png(blob2)
+    assert (w, h) == (2, 2) and abs(mean - (0 + 2 + 8 + 10) / 4) < 1e-9
