@@ -37,6 +37,24 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
 
 
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Distinct word n-grams (space-joined, lowercased) — the collision
+    unit for benchmark decontamination (the 13-gram overlap test of the
+    GPT-3/PaLM data papers, with n sized to the corpus). Pure Column
+    expression: ``transform`` over a ``sequence`` of start offsets +
+    ``slice``; stays in whole-stage codegen."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    # guard: sequence(1, k) with k < 1 counts DOWN (so would emit start=0);
+    # docs shorter than n tokens have no grams
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
     c = F.col(text) if isinstance(text, str) else text

@@ -2275,6 +2275,53 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), gl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+                                          i -> array_to_string(w[i+1:i+3], ' '))) AS grams
+      FROM words
+    ), grams AS (
+      SELECT doc_id, unnest(grams) AS gram FROM gl
+    ), eval_g AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM grams g JOIN eval_g e USING (gram)
+    WHERE g.doc_id % 17 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination — the n-gram-collision test of the
+    GPT-3/PaLM data papers: a corpus document is contaminated if any of its
+    word n-grams appears in the held-out benchmark set (here: docs with
+    doc_id % 17 == 0 stand in for the benchmark; n=3 sized to the ~50-word
+    fixture docs, production web text uses 8-13). Plan: distinct grams per
+    doc via pure Column exprs (transform+slice, codegen), benchmark grams
+    — dimension-small by construction, eval suites are tiny vs a 100 TB
+    corpus — broadcast to the corpus gram stream; one aggregation per doc.
+    The corpus side never self-joins and never shuffles text."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    eval_g = grams.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") % 17 != 0)
+    return (
+        corpus.join(F.broadcast(eval_g), on="gram")
+        .groupBy("doc_id")
+        # grams are already distinct per doc ⇒ count(*) = distinct shared
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
+@register(
     "fallback_selection",
     oracle="""
     SELECT user_id, event_type, n FROM (

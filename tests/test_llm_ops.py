@@ -431,3 +431,21 @@ def test_multimodal_resize_nn_exact():
     blob2 = encode_png(2, 2, resize_gray_nn(raw, 4, 4, 2, 2))
     w, h, mean = decode_png(blob2)
     assert (w, h) == (2, 2) and abs(mean - (0 + 2 + 8 + 10) / 4) < 1e-9
+
+
+def test_word_ngrams_short_and_exact(spark):
+    import graph_db_spark.operators.text as TX
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", TX.word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n: no descending-sequence artifact
+    assert out[3] == []
+    assert sorted(out[4]) == ["x y x", "y x y"]  # distinct
