@@ -2059,6 +2059,7 @@ def wide_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from graph_db_spark import checks as CK  # noqa: E402
 from graph_db_spark.operators import multimodal as MM  # noqa: E402
+from graph_db_spark.operators import packing as PK  # noqa: E402
 
 
 @register(
@@ -2319,6 +2320,49 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grams are already distinct per doc ⇒ count(*) = distinct shared
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
     )
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+      FROM documents
+    ), ord AS (
+      SELECT doc_id, lang, nt,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks
+    ), rec AS (
+      SELECT lang, rn, doc_id, nt, 0 AS bin_id, nt AS acc
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.nt,
+             CASE WHEN r.acc + o.nt > 256 THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.acc + o.nt > 256 THEN o.nt ELSE r.acc + o.nt END
+      FROM rec r JOIN ord o ON o.lang = r.lang AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id
+    FROM rec
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sequence packing — greedy token-budget (256) bin
+    packing per language stream. The reset-at-overflow cumulative fold has
+    no window-function form, so it runs as ``applyInPandas`` per stream
+    (parallel across streams, linear within — at 100 TB streams are input
+    shards, never a global order). The oracle replays the same fold as a
+    DuckDB recursive CTE over row_number — an exact check of genuinely
+    sequential semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = PK.pack_sequences(
+        toks, stream_col="lang", order_col="doc_id", tokens_col="n_tokens", budget=256
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "bin_id")
 
 
 @register(

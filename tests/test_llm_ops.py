@@ -449,3 +449,24 @@ def test_word_ngrams_short_and_exact(spark):
     assert out[2] == []  # shorter than n: no descending-sequence artifact
     assert out[3] == []
     assert sorted(out[4]) == ["x y x", "y x y"]  # distinct
+
+
+def test_sequence_packing_greedy_semantics(spark):
+    from graph_db_spark.operators.packing import pack_sequences
+
+    rows = [
+        # stream a, budget 10: [4,5] -> bin0; [8] -> bin1; [12] oversized alone -> bin2; [1] -> bin3
+        ("a", 1, 4), ("a", 2, 5), ("a", 3, 8), ("a", 4, 12), ("a", 5, 1),
+        # stream b independent
+        ("b", 1, 10), ("b", 2, 10),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = {
+        (r["lang"], r["doc_id"]): r["bin_id"]
+        for r in pack_sequences(df, "lang", "doc_id", "n_tokens", budget=10).collect()
+    }
+    assert out[("a", 1)] == 0 and out[("a", 2)] == 0
+    assert out[("a", 3)] == 1
+    assert out[("a", 4)] == 2  # over-budget row occupies its own bin
+    assert out[("a", 5)] == 3  # next row cannot join the oversized bin
+    assert out[("b", 1)] == 0 and out[("b", 2)] == 1  # exact-budget fits
