@@ -60,3 +60,35 @@ def test_no_accidental_cartesian(spark, name):
     attachment — are separate queries, excluded here by construction)."""
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["pipeline_optimum_element_ranges", "pipeline_sap_element_results"]
+)
+def test_parsed_fact_side_never_broadcast(spark, name):
+    """SCALE.md §6.2: after spread()+wide parse the planner has no stats
+    and may broadcast the parsed FACT side (driver collect + 1-thread hash
+    build). The dim side carries the explicit hint; the fact side's
+    round-robin exchange must therefore never sit under a BroadcastExchange."""
+    plan = plan_of(spark, name)
+    fact_exchange = plan.find("RoundRobinPartitioning")
+    assert fact_exchange != -1  # the spread() is present
+    # walk the formatted tree: the BroadcastExchange node ids present must
+    # not reference the round-robin subtree — cheap proxy: the regex parse
+    # markers (regexp_extract) must not appear inside a BroadcastExchange
+    # input column list
+    import re
+
+    for m in re.finditer(r"\((\d+)\) BroadcastExchange\n(Input \[[^\n]*\])", plan):
+        assert "regexp_extract" not in m.group(2)
+
+
+def test_dedup_keep_filter_not_pushed_below_repartition(spark):
+    """SCALE.md §6.1: the skip-unparsable predicate must evaluate above the
+    window (as rn==1 AND keep), not as a scan-side filter dragging the
+    parse into the single-split stage. The pre-exchange Filter nodes may
+    only carry cheap source predicates (IsNotNull on join keys)."""
+    plan = plan_of(spark, "pipeline_optimum_element_ranges")
+    head, _, _ = plan.partition("RoundRobinPartitioning")
+    # nothing before the round-robin exchange evaluates the range parse
+    assert "regexp_extract" not in head.split("== Physical Plan ==")[1]
