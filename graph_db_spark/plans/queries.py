@@ -3431,9 +3431,10 @@ def simhash_completeness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(TX.tokens(F.col("text")))).alias("tset"),
     )
     groups = tset.groupBy("tset").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    # one-row truth, referenced by the fact row and the contract row
     n_pairs = groups.select(
         F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)).alias("n")
-    )
+    ).localCheckpoint(eager=True)
     found = (
         D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
         .filter(F.col("hamming") == 0)
@@ -3560,7 +3561,12 @@ def hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = SK.hll_day_sketches(ev, "ts", ["event_type"], "user_id")
     est = SK.hll_merge_estimate(daily, ["event_type"])
-    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    # referenced by two fact rows + the error join: one exact pass, not three
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     joined = est.join(exact, on="event_type")
     facts = _metric_rows(
         exact.agg(F.count(F.lit(1)).alias("v")).select(
