@@ -2366,6 +2366,79 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    oracle="""
+    WITH rates(lang, rate) AS (VALUES ('en', 10), ('de', 30), ('es', 30),
+                                      ('fr', 30), ('zh', 30))
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE (d.doc_id * 2654435761) % 100 < r.rate
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data stratified sampling — per-language keep rates (the
+    standard down-sample-the-head / keep-the-tail mixture move) decided by
+    a DETERMINISTIC multiplicative hash of the id, not rand(): the sample
+    is reproducible across runs, engines and retries (a shuffle replay
+    never changes membership — rand() sampling breaks exactly-once
+    semantics under task retry). The rate map is a literal (broadcast by
+    construction); the corpus is filtered in one narrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 10, "de": 30, "es": 30, "fr": 30, "zh": 30}
+    rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 100).alias("__h"),
+    ).filter(F.col("__h") < rate_map[F.col("lang")]).drop("__h")
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM toks), 4) AS current_share,
+           round(0.2 * (SELECT sum(n_tokens) FROM toks) / n_tokens, 4) AS sample_rate,
+           CAST(CASE WHEN 0.2 * (SELECT sum(n_tokens) FROM toks) / n_tokens > 1.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS needs_upsampling
+    FROM toks
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planning — given a target mixture (uniform
+    share per language here), compute each stratum's current token share
+    and the sampling rate that hits the target: rate = target·Σtokens /
+    stratum_tokens; rate > 1 flags strata that need upsampling
+    (repetition). One aggregation + a total via window — the whole plan is
+    |strata|-sized after the first combine, nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    rate = F.lit(0.2) * total / F.col("n_tokens")
+    return toks.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        r4(F.col("n_tokens") / total).alias("current_share"),
+        r4(rate).alias("sample_rate"),
+        F.when(rate > 1.0, 1).otherwise(0).cast("bigint").alias("needs_upsampling"),
+    )
+
+
+@register(
     "fallback_selection",
     oracle="""
     SELECT user_id, event_type, n FROM (
