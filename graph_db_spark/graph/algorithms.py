@@ -86,31 +86,44 @@ def connected_components(
     comp = sym.filter(F.col("a") == F.col("b")).select(
         F.col("a").alias("id"), F.col("a").alias("component")
     )
+    # Delta-frontier propagation: a label can only drop when a NEIGHBOR's
+    # label dropped last round, so only frontier vertices (changed last
+    # round; initially all) send their labels. Early rounds touch the whole
+    # edge table either way, but convergence tails are tiny frontiers — the
+    # per-round edge join shrinks from O(E) to O(edges incident to the
+    # frontier), the same delta trick as the BFS in shortest_paths
+    # (measured sf0.1: 15-19 s → see git log). Fixpoint is schedule-
+    # independent (min-label lattice), so the result is byte-identical.
+    frontier = comp
     converged = False
     for rnd in range(max_iter):
+        incoming = (
+            sym.join(
+                frontier.select(F.col("id").alias("b"), F.col("component").alias("flabel")),
+                on="b",
+            )
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("flabel").alias("cand"))
+        )
         # checkpoint FIRST (single execution of the join+agg), then run the
         # convergence probe against the materialized result — otherwise the
         # probe action and the checkpoint each execute the full iteration.
-        updated = (
-            sym.join(
-                comp.select(F.col("id").alias("b"), "component"), on="b"
-            )
-            .groupBy(F.col("a").alias("id"))
-            .agg(
-                F.min("component").alias("new_component"),
-                # the self-loop row carries this vertex's own (old) component
-                # through the same join — no join-back needed for convergence
-                F.min(F.when(F.col("b") == F.col("a"), F.col("component"))).alias(
-                    "old_component"
-                ),
+        merged = (
+            comp.join(incoming, on="id", how="left")
+            .select(
+                "id",
+                F.col("component").alias("old_component"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
+                ).alias("new_component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.filter(F.col("new_component") != F.col("old_component")).limit(1).count()
-        )
-        comp = updated.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
+        frontier = merged.filter(
+            F.col("new_component") != F.col("old_component")
+        ).select("id", F.col("new_component").alias("component"))
+        comp = merged.select("id", F.col("new_component").alias("component"))
+        if frontier.limit(1).count() == 0:
             converged = True
             break
         if rnd + 1 >= jump_after:
@@ -123,6 +136,14 @@ def connected_components(
                 comp.join(lookup, on="component", how="left")
                 .select("id", F.coalesce("jumped", "component").alias("component"))
                 .localCheckpoint(eager=True)
+            )
+            # vertices whose label moved THIS round (propagation or jump)
+            # must broadcast next round — recompute the frontier against
+            # the round-start labels (vertex-sized join, jump rounds only)
+            frontier = (
+                comp.join(merged.select("id", "old_component"), on="id")
+                .filter(F.col("component") != F.col("old_component"))
+                .select("id", "component")
             )
     if not converged:
         msg = (
