@@ -52,6 +52,9 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "pipeline_optimum_element_ranges", "pipeline_water_param_results",
         "pipeline_app_nutrient_contents", "cooccurrence_triangles",
         "ngram_jaccard_pairs", "salted_skew_join",
+        "benchmark_decontamination", "stratified_sample", "mixture_weights",
+        "sequence_packing", "multimodal_audio_features",
+        "multimodal_frame_sample", "multimodal_resize",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
