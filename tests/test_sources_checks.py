@@ -136,3 +136,21 @@ def test_check_report_shape(spark):
     assert got[("unique_key", "ok_table")] == 0
     assert got[("unique_key", "dup_table")] == 1
     assert got[("no_dangling", "edge_a")] == 1
+
+
+def test_events_ts_normalized_to_session_timestamp(spark, sf_dir):
+    """events.parquet carries TIMESTAMP(NANOS); depending on the Spark
+    build it scans as long nanos (nanosAsLong) or TIMESTAMP_NTZ (native
+    nanos read). load_table must normalize BOTH to session-tz TimestampType
+    truncated to micros — downstream numeric casts (sessionization gap
+    math) and DuckDB oracle parity rely on it."""
+    from pyspark.sql.types import TimestampType
+
+    from graph_db_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    # numeric cast works (would raise AnalysisException on NTZ)
+    from pyspark.sql import functions as F
+
+    assert ev.select(F.col("ts").cast("double")).limit(1).count() == 1
