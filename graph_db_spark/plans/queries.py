@@ -1171,19 +1171,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_lsh_dedup")  # xxhash64 not reproducible in DuckDB → rows-only
+@register("minhash_lsh_dedup")  # EXACT oracle assigned post-def (portable hash)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup — MinHash+LSH candidate pairs (32 hashes, 8 bands, 3-shingles).
     Shuffle volume O(n·bands); the O(n²) pair space never materializes.
-    Recall/precision vs exact Jaccard is unit-tested (tests/test_llm_ops.py)."""
+    The portable polynomial shingle hash + LCG affine maps make the whole
+    pipeline engine-reproducible: DuckDB recomputes signatures, bands and
+    the bucket join EXACTLY (oracle at module bottom). Recall/precision vs
+    exact Jaccard also unit-tested (tests/test_llm_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_candidates(docs, "text", "doc_id")
 
 
-@register("simhash_near_dups")  # xxhash64-based → rows-only
+@register("simhash_near_dups")  # EXACT oracle assigned post-def (portable hash)
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup — SimHash near-dup pairs (64-bit signatures, Hamming ≤ 3,
-    block-rotation bucketing so no all-pairs join)."""
+    block-rotation bucketing so no all-pairs join). The two-polynomial
+    portable bit decisions make the whole pipeline engine-reproducible:
+    DuckDB recomputes signatures, blocks, and Hamming verify EXACTLY
+    (oracle at module bottom)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
 
@@ -3710,6 +3716,147 @@ def _reorder_for_gate() -> None:
         ordered = {n: d[n] for n in head + tail if n in d}
         d.clear()
         d.update(ordered)
+
+
+def _minhash_band_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """Shared CTE body reproducing minhash_lsh_candidates in DuckDB: the
+    portable polynomial shingle hash (operators/dedup.py:portable_hash),
+    the LCG-derived affine minhashes (minhash_params — emitted here as
+    integer literals), and the banded bucket join. Exact, not modeled."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    rpb = num_hashes // bands
+    mins = ",\n               ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    band_vals = ", ".join(f"({i})" for i in range(bands))
+    return f"""
+    sh AS ({_SHINGLE_TRUTH_SQL}),
+    ph AS (
+      SELECT doc_id,
+             list_transform(s, s1 -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(s1, ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {P})) AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, [{mins}] AS sig FROM ph),
+    banded AS (
+      SELECT doc_id, b.band,
+             array_to_string(sig[b.band * {rpb} + 1 : b.band * {rpb} + {rpb}], ',')
+               AS band_sig
+      FROM sig CROSS JOIN (VALUES {band_vals}) b(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )"""
+
+
+# portable-hash MinHash made the LSH pipeline engine-reproducible: the two
+# formerly rows-only dedup queries get EXACT oracles (assigned post-def
+# because the shared shingle CTE is defined late in this module).
+ORACLE_SQL["minhash_lsh_dedup"] = f"""
+    WITH {_minhash_band_sql()}
+    SELECT id_a, id_b FROM cands
+    """
+
+def _simhash_oracle_sql(bits: int = 64, max_hamming: int = 3) -> str:
+    """Reproduce simhash_near_dups in DuckDB: two portable polynomial token
+    hashes, 64 affine bit decisions (literals from simhash_params), sign
+    pack, block-rotation bucket join, Hamming verify. Bit semantics on
+    negative BIGINTs (>>, &, xor, bit_count) verified identical."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import simhash_params
+
+    p1, p2 = simhash_params(bits)
+    terms = []
+    for i in range(bits):
+        a1, b1 = p1[i]
+        a2, b2 = p2[i]
+        bs = (b1 + b2) % P
+        cnt = (
+            f"list_sum(list_transform(range(len(h1)), j -> CASE WHEN "
+            f"((({a1} * h1[j+1]) % {P} + ({a2} * h2[j+1]) % {P} + {bs}) % {P}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        mask = str(1 << i) if i < bits - 1 else "-9223372036854775808"
+        terms.append(f"CASE WHEN {cnt} > 0 THEN CAST({mask} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    sig_expr = "\n             + ".join(terms)  # sign-bit term last: partial sums stay in int64
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+    blk_vals = ", ".join(f"({i})" for i in range(nblocks))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(t, s1 -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(s1, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {P})) AS h1,
+             list_transform(t, s1 -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(s1, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % {P})) AS h2
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, ({sig_expr}) AS sig FROM hh),
+    blocked AS (
+      SELECT doc_id, sig, b.blk, (sig >> (b.blk * {block_bits})) & {(1 << block_bits) - 1} AS blk_val
+      FROM sig CROSS JOIN (VALUES {blk_vals}) b(blk)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+ORACLE_SQL["simhash_near_dups"] = _simhash_oracle_sql()
+
+
+# near_dup_clusters: candidates → token-Jaccard ≥ 0.6 verify → transitive
+# closure (recursive CTE) → canonical = LEXICOGRAPHIC min id (the engine's
+# connected_components works on string vertex ids).
+ORACLE_SQL["near_dup_clusters"] = f"""
+    WITH RECURSIVE {_minhash_band_sql()},
+    toks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN toks a ON a.doc_id = c.id_a
+      JOIN toks b ON b.doc_id = c.id_b
+      WHERE len(list_intersect(a.t, b.t)) * 1.0
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, rid) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.rid
+    )
+    SELECT CAST(id AS VARCHAR) AS id,
+           min(CAST(rid AS VARCHAR)) AS canonical_id,
+           CAST(id AS VARCHAR) = min(CAST(rid AS VARCHAR)) AS is_canonical
+    FROM reach GROUP BY id
+    """
 
 
 _reorder_for_gate()

@@ -40,13 +40,11 @@ def test_every_oracle_parses_and_binds(con):
 def test_oracle_keys_subset_of_queries():
     q, o = queries(), oracle_sql()
     assert set(o) <= set(q), set(o) - set(q)
-    # rows-only set stays intentional: only hash-seeded candidate
-    # generators may lack an oracle
+    # rows-only set stays intentional: after the portable-hash MinHash/
+    # SimHash conversion, only the Datasketches-impl-specific HLL estimate
+    # lacks an exact oracle (it carries hll_error_bound instead)
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "minhash_lsh_dedup", "simhash_near_dups",
-        "hll_user_reach", "near_dup_clusters",
-    }, rows_only
+    assert rows_only == {"hll_user_reach"}, rows_only
 
 
 def test_expensive_last_names_exist_and_are_last():
