@@ -71,3 +71,59 @@ def exact_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def portable_hll_registers(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Engine-portable HLL: per (keys..., day) the sketch is ``2^p``
+    register ROWS ``(idx, r)`` — idx = low p bits of a 62-bit portable
+    hash, r = leading-zero rank of the remaining bits. Mergeable by
+    ``max(r)`` per (key, idx), exactly like binary sketches but with
+    every step (two polynomial char hashes, shift, bin-length rank)
+    reproducible in plain SQL — which upgrades the HLL estimate from
+    rows-only to an exact hash-matched oracle. The Datasketches builtins
+    above stay as the compact-binary production variant."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    m = 1 << p
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    v = F.col(value_col).cast("string")
+    h64 = portable_hash(v, 31) * F.lit(2**31).cast("long") + portable_hash(v, 131)
+    w = F.shiftright(h64, p)  # integer shift — h64/m float division would
+    # lose low bits past the 53-bit mantissa and corrupt ranks
+    rho = F.when(w == 0, F.lit(63 - p)).otherwise(F.lit(63 - p) - F.length(F.bin(w)))
+    return (
+        df.select(*keys, day, h64.bitwiseAND(F.lit(m - 1)).alias("idx"), rho.alias("rho"))
+        .groupBy(*keys, "day", "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def portable_hll_estimate(
+    regs: DataFrame,
+    keys: list[str],
+    p: int = 12,
+    estimate_col: str = "distinct_est",
+) -> DataFrame:
+    """Merge portable register rows up to ``keys`` and apply the standard
+    HLL estimator (harmonic mean + linear-counting small-range
+    correction). Closed-form floating math — identical in DuckDB."""
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1 + 1.079 / m)) * m * m
+    merged = regs.groupBy(*keys, "idx").agg(F.max("r").alias("r"))
+    agg = merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("s"),
+    )
+    zeros = (F.lit(m) - F.col("c")).cast("double")
+    raw = F.lit(alpha_m2) / (zeros + F.col("s"))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("c") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*keys, F.round(est, 4).alias(estimate_col))

@@ -3075,6 +3075,20 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_merge_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+@register("hll_user_reach_portable")  # oracle assigned post-def (shared literals)
+def hll_user_reach_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type from MERGED per-day PORTABLE-HLL
+    register rows — the same mergeable range-rollup shape as
+    hll_user_reach, but every step (two-polynomial 62-bit hash, register
+    rank, max merge, harmonic estimator + linear-counting correction) is
+    plain arithmetic DuckDB reproduces EXACTLY. The Datasketches variant
+    stays as the compact-binary production path; this one closes the last
+    rows-only gap with a hash-matched oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = SK.portable_hll_registers(ev, "ts", ["event_type"], "user_id")
+    return SK.portable_hll_estimate(regs, ["event_type"])
+
+
 @register(
     "percentile_value_stats",
     oracle="""
@@ -3822,6 +3836,50 @@ def _simhash_oracle_sql(bits: int = 64, max_hamming: int = 3) -> str:
 
 
 ORACLE_SQL["simhash_near_dups"] = _simhash_oracle_sql()
+
+
+def _portable_hll_oracle_sql(p: int = 12) -> str:
+    """Reproduce the portable-HLL pipeline in DuckDB: the same two-poly
+    62-bit hash, register extraction, per-(type, day) sketch rows, max
+    merge, and harmonic estimator with linear-counting correction. The
+    alpha constant is computed with the SAME Python expression the Spark
+    operator uses, so both engines parse the identical double literal."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1 + 1.079 / m)) * m * m
+    rho_max = 63 - p
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(CAST(user_id AS VARCHAR), ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), (acc, x) -> (acc * {mult} + x) % " + str(P) + ")"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             ({poly.format(mult=31)} * 2147483648 + {poly.format(mult=131)}) AS h64
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, day, h64 & {m - 1} AS idx,
+             max(CASE WHEN (h64 >> {p}) = 0 THEN {rho_max}
+                      ELSE {rho_max} - length(bin(h64 >> {p})) END) AS r
+      FROM h GROUP BY 1, 2, 3
+    ),
+    merged AS (SELECT event_type, idx, max(r) AS r FROM reg GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS c, sum(power(0.5, r)) AS s
+      FROM merged GROUP BY 1
+    )
+    SELECT event_type,
+           round(CASE WHEN {alpha_m2!r} / (({m} - c) + s) <= {2.5 * m!r} AND c < {m}
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - c))
+                      ELSE {alpha_m2!r} / (({m} - c) + s) END, 4) AS distinct_est
+    FROM agg
+    """
+
+
+ORACLE_SQL["hll_user_reach_portable"] = _portable_hll_oracle_sql()
 
 
 # near_dup_clusters: candidates → token-Jaccard ≥ 0.6 verify → transitive

@@ -170,3 +170,22 @@ def test_salted_join_equals_plain(spark):
         for r in J2.salted_join(left, right, on=["k"], n_salts=4, how="left").collect()
     )
     assert lsalted == lplain
+
+
+def test_portable_hll_accuracy(spark, sf_dir):
+    """The portable HLL must not just be reproducible — its estimates must
+    stay within the lgK=12 error envelope of the exact distinct counts."""
+    from graph_db_spark.operators import sketches as SK
+    from graph_db_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = SK.portable_hll_registers(ev, "ts", ["event_type"], "user_id")
+    est = {r["event_type"]: r["distinct_est"]
+           for r in SK.portable_hll_estimate(regs, ["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+                        .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n <= 0.05, (k, est[k], n)
