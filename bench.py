@@ -6,6 +6,14 @@ line {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 Each query is executed once warm-up-free but after a shared-session JVM
 start; timing covers logical-plan build + execution + a count() action
 (materializes every row without driver-side collect costs).
+
+Noise protocol: the bench host is shared and single-run timings at sf0.1
+swing up to 2× under external load (BASELINE.md §noise). Set
+SPARK_GRAFT_BENCH_REPS=N to run every query N times and record the
+per-query MINIMUM — the min over reps estimates the uncontended cost and
+is the number comparable across rounds. Default stays 1 (the driver's
+budget); the JSON carries "reps" so readers know which protocol produced
+it.
 """
 
 from __future__ import annotations
@@ -43,18 +51,22 @@ def main() -> None:
 
     import gc
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     extra = [n for n in QUERIES if n not in HEADLINE]
     for name in HEADLINE + extra:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # release cached blocks (iterative queries localCheckpoint; the
-        # blocks only free when the Python-side handles are collected) so
-        # later queries aren't squeezed by dead checkpoint storage.
-        gc.collect()
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            # release cached blocks (iterative queries localCheckpoint; the
+            # blocks only free when the Python-side handles are collected)
+            # so later queries aren't squeezed by dead checkpoint storage.
+            gc.collect()
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +76,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

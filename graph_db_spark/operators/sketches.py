@@ -73,6 +73,137 @@ def exact_percentiles(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _portable_buckets(col: Column, depth: int, width: int, seed: int) -> Column:
+    """``array<long>`` of ``depth`` bucket indices for one item: one
+    portable char hash, then ``depth`` LCG-derived affine maps mod
+    ``width``. The char hash is bound once via the 1-element-array
+    ``transform`` trick (SCALE.md §2.1): higher-order functions run
+    interpreted with no common-subexpression elimination, so referencing
+    the hash ``depth`` times would re-traverse the string per copy."""
+    from graph_db_spark.operators.dedup import _MINHASH_P, minhash_params, portable_hash
+
+    params = minhash_params(depth, seed=seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    idx = F.sequence(F.lit(0), F.lit(depth - 1))
+    return F.element_at(
+        F.transform(
+            F.array(portable_hash(col)),
+            lambda h: F.transform(
+                idx,
+                lambda j: (
+                    (F.element_at(a_arr, j + 1) * h + F.element_at(b_arr, j + 1))
+                    % _MINHASH_P
+                )
+                % width,
+            ),
+        ),
+        1,
+    )
+
+
+def count_min_table(
+    counts: DataFrame,
+    item_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 41,
+) -> DataFrame:
+    """Count-Min sketch as ``depth × width`` rows ``(j, bucket, cnt)``.
+
+    Built from PRE-AGGREGATED ``(item, count)`` rows — identical to
+    incrementing per occurrence (bucket cnt = Σ counts of items mapping
+    there) but the expensive portable hash runs once per DISTINCT item,
+    and the heavy per-occurrence collapse happens in the upstream exact
+    groupBy's map-side combine. Sketch tables merge by summing ``cnt``
+    per (j, bucket) — the same re-aggregation story as the HLL day
+    sketches above. Size is depth·width rows regardless of data scale.
+    """
+    buckets = _portable_buckets(F.col(item_col), depth, width, seed)
+    return (
+        counts.select(F.col(count_col).alias("_c"), F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("_c").cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 41,
+    estimate_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: adds
+    ``estimate_col`` = min over the ``depth`` counters. The sketch side is
+    depth·width rows → broadcast; one narrow groupBy on the item restores
+    the row shape. CMS guarantee: estimate ≥ true count always (merge of
+    non-negative counters), ≤ true + ε·N with prob 1−δ for ε=e/width,
+    δ=e^−depth — deterministic here, so the oracle reproduces it exactly.
+    """
+    buckets = _portable_buckets(F.col(item_col), depth, width, seed)
+    exploded = items.select(
+        F.col(item_col).alias("_item"), F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        exploded.join(F.broadcast(cms), on=["j", "bucket"], how="left")
+        .groupBy("_item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(estimate_col))
+        .withColumnRenamed("_item", item_col)
+    )
+
+
+def bloom_bits(df: DataFrame, col: str, m: int = 4096, k: int = 3, seed: int = 101) -> DataFrame:
+    """Bloom filter of a key set as its DISTINCT set bit positions:
+    one row per set bit (≤ m rows; ≤ k·|keys| before dedup). The build
+    side of a pruning semi-join is dimension-sized by assumption, so the
+    bit table broadcasts."""
+    buckets = _portable_buckets(F.col(col), k, m, seed)
+    return df.select(F.explode(buckets).alias("bit")).distinct()
+
+
+def bloom_contains(
+    df: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    seed: int = 101,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Adds ``flag_col``: true iff all ``k`` bit positions of ``col`` are
+    set — the classic pre-shuffle semi-join pruning (Spark's own runtime
+    bloom-filter join is the JVM-native version of this). No false
+    negatives ever; false-positive rate ≈ (1−e^{−k·n/m})^k.
+
+    The probe is a NARROW map: the bit set is densified to an m-length
+    0/1 array in a one-row DataFrame (executor-side aggregation — the
+    driver never holds it) and attached via broadcast cross join (the
+    ``with_matrix`` pattern, similarity.py:92); each row then does k
+    O(1) ``element_at`` probes. The 100 TB fact side neither shuffles
+    nor joins to discover it doesn't match."""
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.array_contains(F.col("_set"), i).cast("int"),
+    )
+    one = bits.agg(F.collect_set(F.col("bit")).alias("_set")).select(
+        dense.alias("_bloom_dense")
+    )
+    buckets = _portable_buckets(F.col(col), k, m, seed)
+    probe = F.forall(
+        buckets,
+        lambda b: F.element_at(F.col("_bloom_dense"), (b + 1).cast("int")) == 1,
+    )
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(flag_col, probe)
+        .drop("_bloom_dense")
+    )
+
+
 def portable_hll_registers(
     df: DataFrame,
     ts_col: str,

@@ -3917,4 +3917,282 @@ ORACLE_SQL["near_dup_clusters"] = f"""
     """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-quality signals, PII scrubbing, Count-Min heavy hitters, Bloom
+# pruning (round-3 additions; operators/quality.py, operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+from graph_db_spark.operators import quality as QL  # noqa: E402
+from graph_db_spark.operators import sketches as SK  # noqa: E402
+from graph_db_spark.util import spread  # noqa: E402
+
+
+def _poly_sql(expr: str, mult: int = 31) -> str:
+    """DuckDB replica of operators/dedup.py:portable_hash over ``expr``."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({expr}, ''), "
+        f"c -> CAST(unicode(c) AS BIGINT))), (acc, x) -> (acc * {mult} + x) % {P})"
+    )
+
+
+@register(
+    "repetition_quality",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), tw AS (
+      SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS twf FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM words) GROUP BY 1, 2
+      ) GROUP BY 1
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN
+               (len(w) - 1 - len(list_distinct(list_transform(
+                  generate_series(1, len(w) - 1),
+                  i -> array_to_string(w[i:i+1], ' ')))))
+               * 1.0 / (len(w) - 1) ELSE 0.0 END AS d2,
+             CASE WHEN len(w) >= 3 THEN
+               (len(w) - 2 - len(list_distinct(list_transform(
+                  generate_series(1, len(w) - 2),
+                  i -> array_to_string(w[i:i+2], ' ')))))
+               * 1.0 / (len(w) - 2) ELSE 0.0 END AS d3
+      FROM words
+    )
+    SELECT doc_id, round(twf, 4) AS top_word_frac,
+           round(d2, 4) AS dup_bigram_frac,
+           round(d3, 4) AS dup_trigram_frac,
+           (twf > 0.12 OR d2 > 0.06) AS flagged
+    FROM tw JOIN g USING (doc_id)
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    of tokens taken by the most frequent token, and fraction of word
+    {2,3}-grams that repeat. The Spark side computes every signal per row
+    in ONE higher-order-function pass with zero shuffle (the sorted-run
+    trick, operators/quality.py) — the explode/groupBy formulation that
+    shuffles O(total tokens) exists only in the DuckDB oracle. ``spread``
+    first: the signals are CPU-heavy narrow work and the fixture is one
+    parquet split."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sig = docs.select(
+        "doc_id",
+        QL.top_word_fraction("text").alias("twf"),
+        QL.dup_gram_fraction("text", 2).alias("d2"),
+        QL.dup_gram_fraction("text", 3).alias("d3"),
+    )
+    return sig.select(
+        "doc_id",
+        r4(F.col("twf")).alias("top_word_frac"),
+        r4(F.col("d2")).alias("dup_bigram_frac"),
+        r4(F.col("d3")).alias("dup_trigram_frac"),
+        ((F.col("twf") > 0.12) | (F.col("d2") > 0.06)).alias("flagged"),
+    )
+
+
+@register(
+    "pii_scrub_audit",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey,
+             concat_ws(' ', c_name, 'email:',
+               concat(regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g'),
+                      '@example.com'),
+               'phone:',
+               concat('+', CAST(c_custkey % 90 + 10 AS VARCHAR), '-',
+                      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), '-',
+                      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')),
+               'card:', lpad(CAST(c_custkey AS VARCHAR), 16, '0'),
+               c_mktsegment) AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(contact,
+             '[+][0-9]{2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(contact, '[0-9]{16}')) AS BIGINT)
+             AS n_cards,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{16}', '[CARD]', 'g'),
+             '[+][0-9]{2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+    FROM raw
+    """,
+)
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit — synthesize a deterministic contact blob per
+    customer (name-derived email, +NN-NNN-NNNN phone, 16-digit card), then
+    mask with the shared Java/RE2 regex subset and report per-row match
+    counts (the shard audit log a scrubbing pipeline emits). Pure
+    regexp_replace chains: narrow, codegen, zero shuffle at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    contact = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("email:"),
+        F.concat(
+            F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", "."),
+            F.lit("@example.com"),
+        ),
+        F.lit("phone:"),
+        F.concat(
+            F.lit("+"), (ck % 90 + 10).cast("string"), F.lit("-"),
+            F.lpad((ck % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((ck % 10000).cast("string"), 4, "0"),
+        ),
+        F.lit("card:"),
+        F.lpad(ck.cast("string"), 16, "0"),
+        F.col("c_mktsegment"),
+    )
+    raw = cust.select("c_custkey", contact.alias("contact"))
+    n_em, n_ph, n_cd = QL.pii_counts("contact")
+    return raw.select(
+        "c_custkey",
+        n_em.cast("bigint").alias("n_emails"),
+        n_ph.cast("bigint").alias("n_phones"),
+        n_cd.cast("bigint").alias("n_cards"),
+        QL.pii_scrub("contact").alias("scrubbed"),
+    )
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256, seed: int = 41) -> str:
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    vals = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(depth, seed=seed))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY 1
+    ),
+    h AS (SELECT token, exact_cnt, {_poly_sql('token')} AS hh FROM exact),
+    rows_ AS (
+      SELECT token, exact_cnt, j, ((a * hh + b) % {P}) % {width} AS bucket
+      FROM h CROSS JOIN (VALUES {vals}) t(j, a, b)
+    ),
+    cms AS (SELECT j, bucket, sum(exact_cnt) AS cnt FROM rows_ GROUP BY 1, 2),
+    est AS (
+      SELECT r.token, min(c.cnt) AS est_cnt
+      FROM rows_ r JOIN cms c USING (j, bucket) GROUP BY 1
+    )
+    SELECT e.token, e.exact_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+           CAST(est.est_cnt - e.exact_cnt AS BIGINT) AS overcount
+    FROM exact e JOIN est USING (token)
+    ORDER BY e.exact_cnt DESC, e.token LIMIT 20
+    """
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle_sql())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the document token stream: top-20
+    tokens by exact count with their CMS estimates and overcount. The
+    sketch (4×256 counters) is built from the pre-aggregated exact counts
+    — identical to per-occurrence increments, but the portable hash runs
+    once per DISTINCT token and the occurrence collapse happens in the
+    exact groupBy's map-side combine. At 100 TB the sketch table is the
+    only thing that merges across shards (sum per (j,bucket)); the
+    estimate ≥ exact always, ≤ exact + e/width·N w.p. 1−e^−depth —
+    deterministic given the portable hash, so DuckDB reproduces every
+    counter exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    # Reused twice (sketch build + probe): materialize so the token
+    # groupBy and the portable-hash stage execute once.
+    exact = spread(exact).localCheckpoint()
+    cms = SK.count_min_table(exact, "token", "exact_cnt")
+    est = SK.count_min_lookup(cms, exact.select("token"), "token")
+    return (
+        exact.join(est, on="token")
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+
+
+def _bloom_oracle_sql(m: int = 4096, k: int = 3, seed: int = 101) -> str:
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    vals = ", ".join(f"({a}, {b})" for a, b in minhash_params(k, seed=seed))
+    return f"""
+    WITH bkeys AS (
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS key
+      FROM part WHERE p_size <= 2
+    ),
+    bh AS (SELECT key, {_poly_sql('key')} AS hh FROM bkeys),
+    bbits AS (
+      SELECT DISTINCT ((a * hh + b) % {P}) % {m} AS bit
+      FROM bh CROSS JOIN (VALUES {vals}) t(a, b)
+    ),
+    pk AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+    ph AS (SELECT key, {_poly_sql('key')} AS hh FROM pk),
+    probe AS (
+      SELECT key,
+             bool_and(((a * hh + b) % {P}) % {m} IN (SELECT bit FROM bbits))
+               AS bloom_pass
+      FROM ph CROSS JOIN (VALUES {vals}) t(a, b)
+      GROUP BY key
+    )
+    SELECT CAST(p.key AS BIGINT) AS partkey, p.bloom_pass,
+           (p.key IN (SELECT key FROM bkeys)) AS true_match
+    FROM probe p
+    """
+
+
+@register("bloom_semi_prune", oracle=_bloom_oracle_sql())
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: the distinct fact keys (lineitem
+    partkeys) probed against a 4096-bit/3-hash Bloom filter of the small
+    build side (parts with p_size ≤ 2), with ground truth attached. The
+    filter densifies to an m-length 0/1 array in a one-row DataFrame and
+    rides a broadcast cross join; each probe is k O(1) element_at calls —
+    a narrow map, no shuffle, no join for non-matching keys (the shape of
+    Spark's own runtime bloom-filter join, expressed portably so the
+    oracle reproduces every bit). No false negatives by construction;
+    false positives show as bloom_pass ∧ ¬true_match."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 2)
+        .select(F.col("p_partkey").cast("string").alias("key"))
+        .distinct()
+    )
+    bits = SK.bloom_bits(part, "key")
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").cast("string").alias("key"))
+        .distinct()
+    )
+    probed = SK.bloom_contains(spread(keys), "key", bits)
+    truth = part.withColumn("_t", F.lit(1))
+    return (
+        probed.join(F.broadcast(truth), on="key", how="left")
+        .select(
+            F.col("key").cast("bigint").alias("partkey"),
+            "bloom_pass",
+            F.col("_t").isNotNull().alias("true_match"),
+        )
+    )
+
+
 _reorder_for_gate()

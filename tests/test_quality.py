@@ -1,0 +1,94 @@
+"""Corpus-quality signals, PII scrubbing, Count-Min sketch, Bloom filter."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from graph_db_spark.operators import quality as QL
+from graph_db_spark.operators import sketches as SK
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_top_word_fraction_handcrafted(spark):
+    assert _one(spark, "a a a b", QL.top_word_fraction("text")) == 0.75
+    assert _one(spark, "A a b b", QL.top_word_fraction("text")) == 0.5  # lowercased
+    assert _one(spark, "x", QL.top_word_fraction("text")) == 1.0
+
+
+def test_dup_gram_fraction_handcrafted(spark):
+    # bigrams of "a b a b a": [a b, b a, a b, b a] → 2 of 4 are repeats
+    assert _one(spark, "a b a b a", QL.dup_gram_fraction("text", 2)) == 0.5
+    # shorter than n → 0.0
+    assert _one(spark, "a b", QL.dup_gram_fraction("text", 3)) == 0.0
+    # all distinct
+    assert _one(spark, "a b c d", QL.dup_gram_fraction("text", 2)) == 0.0
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    raw = "bob <bob.1@ex.co> +12-345-6789 card 1234567812345678 x@y.io end"
+    scrubbed = _one(spark, raw, QL.pii_scrub("text"))
+    assert scrubbed == "bob <[EMAIL]> [PHONE] card [CARD] [EMAIL] end"
+    df = spark.createDataFrame([(raw,)], "text string")
+    e, p, c = QL.pii_counts("text")
+    row = df.select(e.alias("e"), p.alias("p"), c.alias("c")).collect()[0]
+    assert (row.e, row.p, row.c) == (2, 1, 1)
+
+
+def _items_df(spark):
+    # zipf-ish multiset: 'w0' dominates
+    rows = [(f"w{i % 7}",) for i in range(200)] + [("w0",)] * 100
+    return spark.createDataFrame(rows, "item string"), Counter(
+        r[0] for r in rows
+    )
+
+
+def test_count_min_never_undercounts_and_is_tight(spark):
+    df, truth = _items_df(spark)
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cms = SK.count_min_table(exact, "item", "n", depth=4, width=64)
+    est = SK.count_min_lookup(
+        cms, exact.select("item"), "item", depth=4, width=64
+    )
+    got = {r.item: r.est_cnt for r in est.collect()}
+    n_total = sum(truth.values())
+    for item, cnt in truth.items():
+        assert got[item] >= cnt  # CMS never undercounts
+        # e/width bound with margin (deterministic fixture: exact anyway)
+        assert got[item] - cnt <= (2.72 / 64) * n_total + 1
+
+
+def test_count_min_table_shape_and_merge(spark):
+    df, _ = _items_df(spark)
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cms = SK.count_min_table(exact, "item", "n", depth=4, width=64)
+    rows = cms.collect()
+    assert len(rows) <= 4 * 64
+    # every depth row sums to the total item count (sketch invariant —
+    # what makes per-shard sketches mergeable by plain addition)
+    per_j = Counter()
+    for r in rows:
+        per_j[r.j] += r.cnt
+    assert set(per_j.values()) == {exact.agg(F.sum("n")).collect()[0][0]}
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 50)], "key string"
+    )
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 100)], "key string"
+    )
+    bits = SK.bloom_bits(members, "key", m=1024, k=3)
+    out = SK.bloom_contains(probes, "key", bits, m=1024, k=3)
+    got = {r.key: r.bloom_pass for r in out.collect()}
+    for i in range(50):
+        assert got[f"k{i}"], "bloom dropped a true member"
+    # with m=1024 and 50 keys the fp rate is ~3e-4 — expect mostly rejects
+    rejected = sum(1 for i in range(50, 100) if not got[f"k{i}"])
+    assert rejected >= 45
