@@ -55,6 +55,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "benchmark_decontamination", "stratified_sample", "mixture_weights",
         "sequence_packing", "multimodal_audio_features",
         "multimodal_frame_sample", "multimodal_resize",
+        "repetition_quality", "pii_scrub_audit", "cms_heavy_hitters",
+        "bloom_semi_prune",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
@@ -84,6 +86,24 @@ def test_parsed_fact_side_never_broadcast(spark, name):
 
     for m in re.finditer(r"\((\d+)\) BroadcastExchange\n(Input \[[^\n]*\])", plan):
         assert "regexp_extract" not in m.group(2)
+
+
+def test_cms_lookup_broadcasts_the_sketch(spark):
+    """The Count-Min sketch (depth×width rows) must be the broadcast side
+    of the probe join — a shuffled join would move the fact keys to the
+    sketch instead of the sketch to the keys."""
+    plan = plan_of(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_narrow(spark):
+    """The Bloom probe must ride a 1-row BroadcastNestedLoopJoin (the
+    dense-bitmap data column) — never a CartesianProduct, and never a
+    sort-merge join against the bit table."""
+    plan = plan_of(spark, "bloom_semi_prune")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_dedup_keep_filter_not_pushed_below_repartition(spark):
