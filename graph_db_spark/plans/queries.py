@@ -2689,6 +2689,50 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_decontamination",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), gl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+                                          i -> array_to_string(w[i+1:i+3], ' '))) AS grams
+      FROM words
+    ), eval_g AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM gl WHERE doc_id % 17 = 0
+    ), ev AS (
+      SELECT list(gram) AS eg FROM eval_g
+    )
+    SELECT g.doc_id,
+           len(list_intersect(g.grams, ev.eg)) > 0 AS contaminated
+    FROM gl g CROSS JOIN ev WHERE g.doc_id % 17 <> 0
+    """,
+)
+def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming × LLM ops — ingest-time decontamination: corpus
+    documents stream past a broadcast eval-set gram array and get a
+    per-row contaminated flag via ``arrays_overlap`` (stateless, append
+    mode — the in-flight complement of the batch
+    ``benchmark_decontamination`` aggregation). Same eval split as the
+    batch query (doc_id % 17 == 0 is the held-out benchmark)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_arr = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(TX.word_ngrams(F.col("text"), 3)).alias("g"))
+        .agg(F.collect_set("g").alias("eval_grams"))
+    )
+    out = _run_stream_to_table(
+        spark, sf_dir, "decontam",
+        lambda s: STRM.stream_decontaminate(
+            s.filter(F.col("doc_id") % 17 != 0), eval_arr
+        ),
+        table="documents", mode="append",
+    )
+    return out.select("doc_id", "contaminated")
+
+
+@register(
     "curated_corpus_stats",
     oracle=f"""
     WITH toks AS (

@@ -112,6 +112,37 @@ def stream_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).dropDuplicates(["content_hash"])
 
 
+def stream_decontaminate(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time benchmark decontamination — the streaming half of the
+    batch ``benchmark_decontamination`` query: each arriving document is
+    flagged if any of its word n-grams appears in the held-out eval set.
+
+    The eval grams ride as ONE static row carrying the whole gram array
+    (eval suites are tiny against a 100 TB corpus), joined to the stream
+    on a literal key and broadcast into every micro-batch; the overlap
+    test is a per-row ``arrays_overlap`` Column expression. Stateless,
+    append-mode — no watermark, no state store, a contaminated document
+    is flagged the moment it arrives, and a refreshed eval set is picked
+    up at the next micro-batch without a restart (same re-resolution
+    property as :func:`stream_enriched_daily`)."""
+    from graph_db_spark.operators.text import word_ngrams
+
+    one = eval_grams.withColumn("_k", F.lit(1))
+    joined = docs.withColumn("_k", F.lit(1)).join(F.broadcast(one), on="_k")
+    return joined.select(
+        F.col(id_col),
+        F.arrays_overlap(
+            word_ngrams(F.col(text_col), n), F.col("eval_grams")
+        ).alias("contaminated"),
+    )
+
+
 def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str):
     """foreachBatch sink running the keyed upsert per micro-batch — MERGE
     semantics onto a parquet table (on Delta/Iceberg this becomes MERGE

@@ -162,3 +162,40 @@ def test_stream_enriched_daily_matches_batch(spark, events_stream_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
+    from graph_db_spark.operators.text import word_ngrams
+    from graph_db_spark.streaming.jobs import stream_decontaminate
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.write.mode("overwrite").parquet(d)
+    eval_arr = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+        .agg(F.collect_set("g").alias("eval_grams"))
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        stream_decontaminate(stream.filter(F.col("doc_id") % 17 != 0), eval_arr)
+        .writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.contaminated for r in spark.sql("select * from decontam_stream").collect()}
+    expected = {
+        r.doc_id: r.hit
+        for r in docs.filter(F.col("doc_id") % 17 != 0)
+        .crossJoin(F.broadcast(eval_arr))
+        .select(
+            "doc_id",
+            F.arrays_overlap(word_ngrams(F.col("text"), 3), F.col("eval_grams")).alias("hit"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert any(got.values()) and not all(got.values())  # both outcomes occur
