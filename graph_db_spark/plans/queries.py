@@ -4151,7 +4151,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate ≥ exact always, ≤ exact + e/width·N w.p. 1−e^−depth —
     deterministic given the portable hash, so DuckDB reproduces every
     counter exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # 1-split fixture:
+    # the explode + map-side combine is the heavy narrow stage
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     exact = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
