@@ -4240,4 +4240,125 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, count(DISTINCT source) AS df FROM tf GROUP BY 1
+    ),
+    ns AS (SELECT count(DISTINCT source) AS n_sources FROM tf),
+    scored AS (
+      SELECT t.source, t.token, t.tf,
+             t.tf * ln((ns.n_sources + 1.0) / (d.df + 1.0)) AS score
+      FROM tf t JOIN df d USING (token) CROSS JOIN ns
+    ),
+    ranked AS (
+      SELECT source, token, tf, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT source, CAST(rn AS BIGINT) AS rn, token, tf,
+           round(score, 4) AS tfidf
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per source — the standard corpus-characterization
+    pass (what distinguishes each feed in a mixed crawl). Two shuffles:
+    (source, token) term frequencies with map-side combine, then the
+    smoothed document-frequency table — VOCABULARY-sized, ≪ corpus — joins
+    back broadcast. The per-source top-k window partitions by source, so
+    no global sort ever happens. Smoothing ln((S+1)/(df+1)) keeps the
+    math closed-form for the oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    tf = tf.localCheckpoint()  # feeds df-counts, the scalar source count,
+    # and the score join — three consumers, one execution
+    df = tf.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    n_sources = tf.select("source").distinct().count()
+    scored = tf.join(F.broadcast(df), on="token").select(
+        "source",
+        "token",
+        "tf",
+        (F.col("tf") * F.log((n_sources + 1.0) / (F.col("df") + 1.0))).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "source",
+            F.col("rn").cast("bigint").alias("rn"),
+            "token",
+            "tf",
+            r4(F.col("score")).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+             sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rn AS BIGINT) AS rn, token, cnt,
+           round(cum * 1.0 / total, 4) AS coverage
+    FROM ranked WHERE rn IN (1, 5, 10, 25, 50, 100)
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf vocabulary-coverage curve: what fraction of all token
+    occurrences the top-N vocabulary covers (the tokenizer-budget planning
+    number). The global rank/cumsum window runs over the DISTINCT-token
+    table — vocabulary-sized after the map-side-combined count shuffle,
+    orders of magnitude smaller than the corpus — so the single-partition
+    window is a deliberate, bounded choice, not a scale bug."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .filter(F.col("rn").isin(1, 5, 10, 25, 50, 100))
+        .select(
+            F.col("rn").cast("bigint").alias("rn"),
+            "token",
+            "cnt",
+            r4(F.col("cum") / F.col("total")).alias("coverage"),
+        )
+    )
+
+
 _reorder_for_gate()

@@ -56,7 +56,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "sequence_packing", "multimodal_audio_features",
         "multimodal_frame_sample", "multimodal_resize",
         "repetition_quality", "pii_scrub_audit", "cms_heavy_hitters",
-        "bloom_semi_prune",
+        "bloom_semi_prune", "tfidf_top_terms", "vocab_coverage",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
