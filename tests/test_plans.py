@@ -57,6 +57,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "multimodal_frame_sample", "multimodal_resize",
         "repetition_quality", "pii_scrub_audit", "cms_heavy_hitters",
         "bloom_semi_prune", "tfidf_top_terms", "vocab_coverage",
+        "shipping_priority", "large_volume_customers",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
@@ -86,6 +87,15 @@ def test_parsed_fact_side_never_broadcast(spark, name):
 
     for m in re.finditer(r"\((\d+)\) BroadcastExchange\n(Input \[[^\n]*\])", plan):
         assert "regexp_extract" not in m.group(2)
+
+
+def test_q18_aggregates_before_joining(spark):
+    """Q18 shape: the qualifying-order set (aggregate-then-join inversion)
+    must be the broadcast build side — lineitem and orders never shuffle
+    against each other."""
+    plan = plan_of(spark, "large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_cms_lookup_broadcasts_the_sketch(spark):
