@@ -3746,6 +3746,7 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXPENSIVE_LAST = [
+    "streaming_decontamination",    # ~3s at sf0.01 (stream machinery)
     "simhash_completeness_bound",   # ~3s
     "running_idx",                  # ~3.5s
     "ann_ivf_recall_bound",         # ~3.5s
