@@ -109,6 +109,7 @@ def count_min_table(
     depth: int = 4,
     width: int = 256,
     seed: int = 41,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Count-Min sketch as ``depth × width`` rows ``(j, bucket, cnt)``.
 
@@ -119,13 +120,27 @@ def count_min_table(
     groupBy's map-side combine. Sketch tables merge by summing ``cnt``
     per (j, bucket) — the same re-aggregation story as the HLL day
     sketches above. Size is depth·width rows regardless of data scale.
+
+    ``keys`` (e.g. ``["day"]``) yields one sketch per key group — the
+    ingest-time pre-aggregation; :func:`count_min_merge` rolls key groups
+    up afterwards without touching raw data again.
     """
+    keys = keys or []
     buckets = _portable_buckets(F.col(item_col), depth, width, seed)
     return (
-        counts.select(F.col(count_col).alias("_c"), F.posexplode(buckets).alias("j", "bucket"))
-        .groupBy("j", "bucket")
+        counts.select(
+            *keys, F.col(count_col).alias("_c"), F.posexplode(buckets).alias("j", "bucket")
+        )
+        .groupBy(*keys, "j", "bucket")
         .agg(F.sum("_c").cast("bigint").alias("cnt"))
     )
+
+
+def count_min_merge(cms: DataFrame) -> DataFrame:
+    """Merge per-key sketches into one: sum cells per (j, bucket). The
+    input is sketch rows (depth·width per key group) — date-range rollups
+    never rescan the corpus, mirroring ``hll_merge_estimate``."""
+    return cms.groupBy("j", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
 
 
 def count_min_lookup(

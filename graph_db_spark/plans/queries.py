@@ -4176,6 +4176,102 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_day_merge_oracle_sql(depth: int = 4, width: int = 64, seed: int = 53) -> str:
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    vals = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(depth, seed=seed))
+    )
+    return f"""
+    WITH items AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(user_id AS VARCHAR) AS item
+      FROM events
+    ),
+    daily AS (
+      SELECT day, item, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT item, {_poly_sql('item')} AS hh
+      FROM (SELECT DISTINCT item FROM daily)
+    ),
+    cells AS (
+      SELECT d.day, t.j, ((t.a * h.hh + t.b) % {P}) % {width} AS bucket,
+             sum(d.n) AS cnt
+      FROM daily d JOIN h USING (item) CROSS JOIN (VALUES {vals}) t(j, a, b)
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT j, bucket, sum(cnt) AS cnt
+      FROM cells WHERE day <= '2024-01-15' GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT item, sum(n) AS exact_cnt
+      FROM daily WHERE day <= '2024-01-15' GROUP BY 1
+    ),
+    est AS (
+      SELECT e.item, min(m.cnt) AS est_cnt
+      FROM exact e JOIN h USING (item)
+      CROSS JOIN (VALUES {vals}) t(j, a, b)
+      JOIN merged m
+        ON m.j = t.j AND m.bucket = ((t.a * h.hh + t.b) % {P}) % {width}
+      GROUP BY 1
+    )
+    SELECT CAST(e.item AS BIGINT) AS user_id,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(s.est_cnt AS BIGINT) AS est_cnt,
+           CAST(s.est_cnt - e.exact_cnt AS BIGINT) AS overcount
+    FROM exact e JOIN est s USING (item)
+    ORDER BY exact_cnt DESC, user_id LIMIT 10
+    """
+
+
+@register("cms_day_merge", oracle=_cms_day_merge_oracle_sql())
+def cms_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation as a driver-visible row set: one Count-Min
+    sketch per DAY over user activity, merged across a date range by
+    summing cells, then the top-10 users by exact range count with the
+    merged-sketch estimate. This is the ingest-once/re-rollup-forever
+    shape (the CMS counterpart of ``hll_user_reach_portable``): a date
+    range rollup touches O(days × depth × width) sketch rows, never the
+    raw events. Width 64 against ~150 users forces real collisions, so
+    overcount > 0 rows demonstrate the estimate-≥-exact contract rather
+    than degenerate equality."""
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    daily = (
+        items.groupBy("day", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # feeds the sketch build AND the exact rollup
+    )
+    cms_daily = SK.count_min_table(
+        daily, "item", "n", depth=4, width=64, seed=53, keys=["day"]
+    )
+    merged = SK.count_min_merge(cms_daily.filter(F.col("day") <= "2024-01-15"))
+    exact = (
+        daily.filter(F.col("day") <= "2024-01-15")
+        .groupBy("item")
+        .agg(F.sum("n").cast("bigint").alias("exact_cnt"))
+    )
+    est = SK.count_min_lookup(
+        merged, exact.select("item"), "item", depth=4, width=64, seed=53
+    )
+    return (
+        exact.join(est, on="item")
+        .select(
+            F.col("item").cast("bigint").alias("user_id"),
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+
+
 def _bloom_oracle_sql(m: int = 4096, k: int = 3, seed: int = 101) -> str:
     from graph_db_spark.operators.dedup import _MINHASH_P as P
     from graph_db_spark.operators.dedup import minhash_params

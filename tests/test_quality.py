@@ -77,6 +77,25 @@ def test_count_min_table_shape_and_merge(spark):
     assert set(per_j.values()) == {exact.agg(F.sum("n")).collect()[0][0]}
 
 
+def test_count_min_keyed_build_then_merge_equals_direct(spark):
+    """Per-key sketches merged with count_min_merge must equal the sketch
+    built directly over the whole input — the re-aggregation contract."""
+    rows = [("d1", f"w{i % 5}", i + 1) for i in range(10)] + [
+        ("d2", f"w{i % 3}", i + 2) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "day string, item string, n long")
+    keyed = SK.count_min_table(df, "item", "n", depth=3, width=32, keys=["day"])
+    merged = {
+        (r.j, r.bucket): r.cnt for r in SK.count_min_merge(keyed).collect()
+    }
+    total = df.groupBy("item").agg(F.sum("n").cast("bigint").alias("n"))
+    direct = {
+        (r.j, r.bucket): r.cnt
+        for r in SK.count_min_table(total, "item", "n", depth=3, width=32).collect()
+    }
+    assert merged == direct
+
+
 def test_bloom_no_false_negatives(spark):
     members = spark.createDataFrame(
         [(f"k{i}",) for i in range(0, 50)], "key string"
