@@ -16,7 +16,7 @@ too heavy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -216,6 +216,93 @@ def bloom_contains(
         df.crossJoin(F.broadcast(one))
         .withColumn(flag_col, probe)
         .drop("_bloom_dense")
+    )
+
+
+def kmv_sketches(
+    df: DataFrame,
+    set_col: str,
+    item_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch per set: the ``k`` smallest portable
+    hashes of the set's distinct items, as a sorted ``array<long>``
+    (``sample``) plus the true distinct count of hashes (``n_hashes``).
+
+    KMV is the sketch for distinct-count SET ALGEBRA: unlike HLL it
+    supports intersection estimates (merge samples, take the k smallest,
+    measure sample overlap), which is what audience-overlap / corpus-
+    overlap questions need. Build cost: one distinct shuffle on
+    (set, item), one k-bounded window per set. Sketches are mergeable —
+    union two samples, keep the k smallest. With fewer than k distinct
+    items the sample IS the set (exact regime; estimators must branch —
+    see :func:`kmv_union_intersection`)."""
+    h = df.select(
+        F.col(set_col).alias("s"),
+        portable_hash64(F.col(item_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("s").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("rn") <= k, F.col("h")))).alias(
+                "sample"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        )
+        .withColumnRenamed("s", set_col)
+    )
+
+
+def portable_hash64(col: Column, seed: int = 83) -> Column:
+    """62-bit engine-portable UNIFORM hash: two independent polynomial
+    char hashes, each passed through an LCG-derived affine map mod
+    2^31−1, combined as hi·2^31 + lo. The affine maps are what make it
+    uniform: a raw polynomial of a short string ("42") is a small
+    integer, so k-minimum ordering and range-scaled estimators would see
+    a grossly non-uniform distribution without them (measured: KMV union
+    estimate off by 5 orders of magnitude on 1-3 char ids). Value range
+    [0, (2^31−1)·2^31 + 2^31−1) — KMV_HASH_RANGE."""
+    from graph_db_spark.operators.dedup import _MINHASH_P, minhash_params, portable_hash
+
+    (a1, b1), (a2, b2) = minhash_params(2, seed=seed)
+    hi = (F.lit(a1) * portable_hash(col, 31) + F.lit(b1)) % _MINHASH_P
+    lo = (F.lit(a2) * portable_hash(col, 131) + F.lit(b2)) % _MINHASH_P
+    return hi * F.lit(2**31).cast("long") + lo
+
+
+def kmv_union_intersection(
+    pairs: DataFrame,
+    a_sample: str,
+    b_sample: str,
+    k: int = 32,
+) -> DataFrame:
+    """Adds KMV union/intersection distinct estimates for two sketches.
+
+    Merged sketch = k smallest of the union of samples. Estimators
+    (Beyer et al. 2007): union_est = (k−1)·H / kth-min for the hash range
+    H when the merged sample is full, else the exact merged-sample size;
+    jaccard_est = |merged ∩ A ∩ B| / |merged|; intersection_est =
+    jaccard_est · union_est. Pure array Column exprs — the sketch rows
+    are tiny, the work is O(k log k) per pair."""
+    hash_range = float(2147483647 * 2**31)  # portable_hash64 value bound
+    merged_all = F.array_sort(
+        F.array_distinct(F.array_union(F.col(a_sample), F.col(b_sample)))
+    )
+    merged = F.slice(merged_all, 1, k)
+    m_size = F.size(merged)
+    full = (F.size(merged_all) >= k) & (m_size == k)
+    kth = F.element_at(merged, k).cast("double")
+    union_est = F.when(full, (k - 1) * F.lit(hash_range) / kth).otherwise(
+        F.size(merged_all).cast("double")
+    )
+    overlap = F.size(
+        F.array_intersect(F.array_intersect(merged, F.col(a_sample)), F.col(b_sample))
+    )
+    jac = overlap.cast("double") / m_size
+    return pairs.withColumn("union_est", union_est).withColumn(
+        "intersection_est", jac * F.col("union_est")
     )
 
 

@@ -4272,6 +4272,129 @@ def cms_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_oracle_sql(k: int = 32, seed: int = 83) -> str:
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    hash_range = float(P * 2**31)
+    (a1, b1), (a2, b2) = minhash_params(2, seed=seed)
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(item, ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), (acc, x) -> (acc * {mult} + x) % " + str(P) + ")"
+    )
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item FROM events
+    ),
+    hs AS (
+      SELECT DISTINCT event_type,
+             ((({a1} * {poly.format(mult=31)} + {b1}) % {P}) * 2147483648
+              + ({a2} * {poly.format(mult=131)} + {b2}) % {P}) AS h
+      FROM du
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hs
+    ),
+    sk AS (
+      SELECT event_type,
+             list_sort(list(h) FILTER (rn <= {k})) AS sample
+      FROM r GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.sample AS sa, b.sample AS sb,
+             list_sort(list_distinct(list_concat(a.sample, b.sample))) AS mall
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    est AS (
+      SELECT type_a, type_b,
+             CASE WHEN len(mall) >= {k}
+                  THEN {k - 1} * {hash_range!r} / mall[{k}]
+                  ELSE CAST(len(mall) AS DOUBLE) END AS union_est,
+             len(list_intersect(list_intersect(mall[1:{k}], sa), sb)) * 1.0
+               / least(len(mall), {k}) AS jac
+      FROM pairs
+    ),
+    ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS exact_intersection
+      FROM du a JOIN du b ON a.item = b.item AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, count(*) AS nd FROM du GROUP BY 1)
+    SELECT e.type_a, e.type_b,
+           CAST(na.nd + nb.nd - x.exact_intersection AS BIGINT) AS exact_union,
+           CAST(x.exact_intersection AS BIGINT) AS exact_intersection,
+           round(e.union_est, 4) AS union_est,
+           round(e.jac * e.union_est, 4) AS intersection_est
+    FROM est e
+    JOIN ex x ON x.type_a = e.type_a AND x.type_b = e.type_b
+    JOIN n na ON na.event_type = e.type_a
+    JOIN n nb ON nb.event_type = e.type_b
+    """
+
+
+@register("kmv_audience_overlap", oracle=_kmv_oracle_sql())
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch set algebra: per-event-type audience
+    sketches (k smallest 62-bit portable hashes of the distinct user set),
+    then UNION and INTERSECTION distinct estimates for every type pair —
+    the overlap question HLL sketches cannot answer (no intersection
+    merge). Ground-truth exact union/intersection ride along for the
+    contract. Build: one distinct shuffle on (type, user) + a k-bounded
+    window per type; pair estimation is O(k log k) array math on
+    sketch-sized rows. Estimators are Beyer et al. 2007; with fewer than
+    k distinct hashes the merged sample is the exact set (the sf0.001
+    fixture exercises that regime, sf0.01+ the estimating one)."""
+    k = 32
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_sketches(ev, "event_type", "user_id", k=k).localCheckpoint()
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.sample").alias("sa"),
+            F.col("b.sample").alias("sb"),
+        )
+    )
+    est = SK.kmv_union_intersection(pairs, "sa", "sb", k=k)
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    xa, xb = du.alias("xa"), du.alias("xb")
+    ex = (
+        xa.join(
+            xb,
+            (F.col("xa.user_id") == F.col("xb.user_id"))
+            & (F.col("xa.event_type") < F.col("xb.event_type")),
+        )
+        .groupBy(
+            F.col("xa.event_type").alias("type_a"),
+            F.col("xb.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    n = du.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    return (
+        est.join(ex, on=["type_a", "type_b"])
+        .join(n.withColumnRenamed("event_type", "type_a").withColumnRenamed("nd", "na"), on="type_a")
+        .join(n.withColumnRenamed("event_type", "type_b").withColumnRenamed("nd", "nb"), on="type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.col("exact_intersection"))
+            .cast("bigint")
+            .alias("exact_union"),
+            "exact_intersection",
+            r4(F.col("union_est")).alias("union_est"),
+            r4(F.col("intersection_est")).alias("intersection_est"),
+        )
+    )
+
+
 def _bloom_oracle_sql(m: int = 4096, k: int = 3, seed: int = 101) -> str:
     from graph_db_spark.operators.dedup import _MINHASH_P as P
     from graph_db_spark.operators.dedup import minhash_params

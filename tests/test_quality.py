@@ -111,3 +111,34 @@ def test_bloom_no_false_negatives(spark):
     # with m=1024 and 50 keys the fp rate is ~3e-4 — expect mostly rejects
     rejected = sum(1 for i in range(50, 100) if not got[f"k{i}"])
     assert rejected >= 45
+
+
+def test_kmv_union_intersection_estimates(spark):
+    rows = [("A", f"u{i}") for i in range(100)] + [
+        ("B", f"u{i}") for i in range(50, 150)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = SK.kmv_sketches(df, "grp", "item", k=32)
+    a = sk.filter(F.col("grp") == "A").select(
+        F.col("sample").alias("sa")
+    )
+    b = sk.filter(F.col("grp") == "B").select(F.col("sample").alias("sb"))
+    pair = a.crossJoin(b)
+    out = SK.kmv_union_intersection(pair, "sa", "sb", k=32).collect()[0]
+    # truth: union 150, intersection 50; k=32 → RSE ~18%, allow 2.5σ
+    assert abs(out.union_est - 150) / 150 < 0.45
+    assert abs(out.intersection_est - 50) / 50 < 0.75
+
+
+def test_kmv_exact_regime_below_k(spark):
+    rows = [("A", f"u{i}") for i in range(10)] + [
+        ("B", f"u{i}") for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = SK.kmv_sketches(df, "grp", "item", k=32)
+    a = sk.filter(F.col("grp") == "A").select(F.col("sample").alias("sa"))
+    b = sk.filter(F.col("grp") == "B").select(F.col("sample").alias("sb"))
+    out = SK.kmv_union_intersection(a.crossJoin(b), "sa", "sb", k=32).collect()[0]
+    # fewer than k distinct hashes: the sketch IS the set — exact answers
+    assert out.union_est == 15.0
+    assert out.intersection_est == 5.0
