@@ -142,3 +142,21 @@ def test_kmv_exact_regime_below_k(spark):
     # fewer than k distinct hashes: the sketch IS the set — exact answers
     assert out.union_est == 15.0
     assert out.intersection_est == 5.0
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """Union-merging two KMV samples (keep the k smallest of the
+    concatenation) must equal the sketch built directly over the union of
+    the two item sets — the mergeability contract that lets shards
+    sketch independently."""
+    k = 16
+    rows_a = [("A", f"u{i}") for i in range(40)]
+    rows_b = [("B", f"u{i}") for i in range(20, 60)]
+    df = spark.createDataFrame(rows_a + rows_b, "grp string, item string")
+    sk = {r.grp: r.sample for r in SK.kmv_sketches(df, "grp", "item", k=k).collect()}
+    merged = sorted(set(sk["A"]) | set(sk["B"]))[:k]
+    union_df = spark.createDataFrame(
+        [("U", f"u{i}") for i in range(60)], "grp string, item string"
+    )
+    direct = SK.kmv_sketches(union_df, "grp", "item", k=k).collect()[0].sample
+    assert merged == sorted(direct)
