@@ -58,7 +58,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "repetition_quality", "pii_scrub_audit", "cms_heavy_hitters",
         "bloom_semi_prune", "tfidf_top_terms", "vocab_coverage",
         "shipping_priority", "large_volume_customers", "cms_day_merge",
-        "kmv_audience_overlap",
+        "kmv_audience_overlap", "kmv_source_ngram_overlap",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
