@@ -152,3 +152,46 @@ def test_parse_range_matches_python_reference(spark, strings):
     ]
     expected = [_py_parse_range(s) for s in strings]
     assert got == expected
+
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e", "ffff"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_top_word_fraction(tokens: list[str]) -> float:
+    from collections import Counter
+
+    return Counter(tokens).most_common(1)[0][1] / len(tokens)
+
+
+def _py_dup_gram_fraction(tokens: list[str], n: int) -> float:
+    total = len(tokens) - (n - 1)
+    if total <= 0:
+        return 0.0
+    grams = [" ".join(tokens[i : i + n]) for i in range(total)]
+    return (total - len(set(grams))) / total
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(tokens=words_strategy, n=st.sampled_from([2, 3]))
+def test_repetition_signals_match_python_reference(spark, tokens, n):
+    """The single-pass HOF forms (sorted-run top-word count, inline gram
+    dedup) equal a direct Python multiset computation on arbitrary token
+    streams."""
+    from graph_db_spark.operators.quality import dup_gram_fraction, top_word_fraction
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        top_word_fraction("text").alias("twf"),
+        dup_gram_fraction("text", n).alias("dgf"),
+    ).collect()[0]
+    assert abs(row.twf - _py_top_word_fraction(tokens)) < 1e-9
+    assert abs(row.dgf - _py_dup_gram_fraction(tokens, n)) < 1e-9
