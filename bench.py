@@ -42,9 +42,21 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages — recorded at start and end so
+    cross-round comparisons can reject load-contaminated runs
+    mechanically (the shared host swings same-code timings up to 2×)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _loadavg()
     spark = get_spark("graph-db-spark-bench")
     # warm the JVM + parquet footers with a trivial action
     spark.range(1).count()
@@ -77,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

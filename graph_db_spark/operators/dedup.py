@@ -52,12 +52,6 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 _MINHASH_P = 2147483647  # 2^31 - 1: keeps a*h + b within int64 in any engine
 
 
-def simhash_params(bits: int) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
-    """The two affine-parameter sets the SimHash bit decisions use —
-    shared with the oracle-SQL generator so literals stay in lockstep."""
-    return minhash_params(bits, seed=17), minhash_params(bits, seed=23)
-
-
 def minhash_params(num_hashes: int, seed: int = 9) -> list[tuple[int, int]]:
     """Deterministic (a, b) affine-hash parameters from a portable LCG —
     reproducible as integer literals in oracle SQL (same trick as the ANN
@@ -73,51 +67,136 @@ def minhash_params(num_hashes: int, seed: int = 9) -> list[tuple[int, int]]:
     return out
 
 
+_MD5_WINDOW = {31: 1, 131: 9}  # legacy variant selector → 1-based hex offset
+
+
+def _md5_window(hex_col: Column, off: int) -> Column:
+    """Parse an 8-hex-digit window of an md5 hex string to [0, 2^31-1)."""
+    return F.conv(F.substring(hex_col, off, 8), 16, 10).cast("long") % _MINHASH_P
+
+
 def portable_hash(col: Column, mult: int = 31) -> Column:
-    """Engine-portable string hash: polynomial over code points mod
-    2^31-1 (``acc·mult + unicode(char)``). Spark evaluates it as
-    aggregate-over-chars (JVM, codegen); DuckDB reproduces it with
-    list_reduce — verified identical including multibyte code points. The
-    portability is what upgrades MinHash-LSH and SimHash from rows-only to
-    EXACT hash-matched oracles; xxhash64 has no DuckDB counterpart."""
-    return F.aggregate(
-        F.split(col, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * mult + F.ascii(c)) % _MINHASH_P,
+    """Engine-portable string hash: an 8-hex-digit window of
+    ``md5(utf8(s))`` parsed as an integer, mod 2^31-1. ``mult`` selects
+    the window (31 → hex chars 1-8, 131 → chars 9-16) — kept as the
+    historical parameter name so the two independent variants keep their
+    call sites. One JVM-codegen'd md5 per string; the round-3 char-fold
+    polynomial ran as an interpreted per-character ``aggregate`` and
+    taxed the dedup signature path ~4× at bench scale. DuckDB reproduces
+    this hash exactly by parsing the same md5 hex window (``_poly_sql``,
+    plans/queries.py) — verified identical including multibyte code
+    points, which is what keeps MinHash-LSH / SimHash / CMS / KMV / HLL
+    on EXACT hash-matched oracles; xxhash64 has no DuckDB counterpart."""
+    return _md5_window(F.md5(col), _MD5_WINDOW[mult])
+
+
+HASH_FAMILIES = ("portable", "xxhash64")
+
+
+def _hash31(col: Column, hash_family: str) -> Column:
+    """Token/shingle hash in [0, 2^31-1) for the affine MinHash maps.
+
+    ``portable`` (default everywhere) is the md5-window hash DuckDB
+    replays exactly — it keeps every dedup query on an exact oracle.
+    ``xxhash64`` is the cheapest JVM-native alternative for production
+    clusters that don't need engine-portable replay; a recall-equivalence
+    test (tests/test_llm_ops.py) pins the two families to the same
+    near-dup recall on a planted corpus."""
+    if hash_family == "portable":
+        return portable_hash(col)
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MINHASH_P)).cast("long")
+    raise ValueError(f"unknown hash_family {hash_family!r}; one of {HASH_FAMILIES}")
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """MinHash signatures as ``(id, sig array<bigint>)``: min over
+    shingles of ``(aᵢ·h(s) + bᵢ) mod p``.
+
+    Spark-first shape: explode shingles → one hash column → ``num_hashes``
+    ``min`` aggregates, all inside whole-stage codegen with map-side
+    partial aggregation (the shuffle carries one num_hashes-wide row per
+    doc per partition). The round-3 version computed the same signature
+    as an interpreted higher-order ``aggregate`` with an array
+    accumulator — no codegen, ~32 interpreted ops per shingle — and was
+    the dominant cost of the dedup path at bench scale.
+    """
+    sh = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    # hash projected ONCE into a column; the 32 min-aggs below reference
+    # the materialized value, not the md5 subtree
+    h = sh.select("id", _hash31(F.col("s"), hash_family).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    wide = h.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature: min over shingles of ``(aᵢ·h(s) + bᵢ) mod p``
-    for the portable shingle hash ``h`` — an array<bigint> of length
-    ``num_hashes``. One string pass per shingle, then ``num_hashes``
-    affine maps (cheaper than ``num_hashes`` string hashes, and exactly
-    reproducible in oracle SQL)."""
-    sh = shingles(text, k)
-    ph = F.transform(sh, portable_hash)
-    params = minhash_params(num_hashes)
-    a_arr = F.array(*[F.lit(a) for a, _ in params])
-    b_arr = F.array(*[F.lit(b) for _, b in params])
-    positions = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    # SINGLE traversal computing every affine min: higher-order functions
-    # run interpreted (no whole-stage codegen), so the naive
-    # per-hash array_min(transform(ph, ...)) duplicates the char-level
-    # shingle-hash subtree num_hashes times — measured 19.3 s vs 4.5 s at
-    # sf0.1. One aggregate with a num_hashes-wide running-min accumulator
-    # evaluates ph once per shingle.
-    return F.aggregate(
-        ph,
-        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            positions,
-            lambda m, i: F.least(
-                m,
-                (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
-                % _MINHASH_P,
-            ),
-        ),
+def _guarded_bucket_self_join(
+    blocked: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """Self-join ``blocked`` on ``key_cols`` emitting each unordered pair
+    (``id_a < id_b``) exactly once, with oversized buckets split so no
+    single task ever does a whole bucket's quadratic work.
+
+    The LSH skew-bomb: on a real corpus, boilerplate/empty/templated docs
+    collapse into one signature bucket and that bucket's pair count is
+    quadratic — one straggler task at 100 TB. Exactness forbids dropping
+    pairs, so oversized buckets are decomposed instead of capped: every
+    member gets a deterministic salt in [0, ceil(n/max)) on the anchor
+    side and is replicated across all salts on the probe side; the join
+    adds the salt to the key, so each pair still matches exactly once
+    (at the anchor's salt) but per-task work drops from n²/2 to
+    ~n·max_bucket_size. Total work is unchanged — it is spread, which is
+    the only sound option for an exact operator.
+
+    The bucket-size probe is one narrow count aggregation; the oversized
+    list is bucket keys only (≤ n/max rows) and broadcasts. ``blocked``
+    is localCheckpointed so signatures compute once across the probe and
+    both join branches.
+    """
+    blocked = blocked.localCheckpoint()
+    sizes = blocked.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    big = sizes.filter(F.col("_n") > max_bucket_size)
+
+    def pairs_of(aa: DataFrame, bb: DataFrame, join_keys: list[str]) -> DataFrame:
+        a, b = aa.alias("a"), bb.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_keys] + [
+            F.col("a.id") < F.col("b.id")
+        ]
+        return a.join(b, on=cond).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{p}").alias(f"{p}_a") for p in payload_cols],
+            *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload_cols],
+        )
+
+    normal = blocked.join(
+        F.broadcast(big.select(*key_cols)), on=key_cols, how="left_anti"
     )
+    out = pairs_of(normal, normal, key_cols)
+    oversized = blocked.join(F.broadcast(big), on=key_cols)
+    nsplit = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
+    anchors = oversized.withColumn("_salt", F.pmod(F.xxhash64("id"), nsplit)).drop("_n")
+    probes = oversized.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), nsplit - 1))
+    ).drop("_n")
+    return out.unionByName(pairs_of(anchors, probes, key_cols + ["_salt"]))
 
 
 def minhash_lsh_candidates(
@@ -127,18 +206,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    hash_family: str = "portable",
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
     signature. Returns ``(id_a, id_b)`` with id_a < id_b, distinct.
 
     rows/doc after explode = ``bands`` (a constant), so shuffle volume is
-    O(n·bands), and pairs emerge per-bucket — never a cross join.
+    O(n·bands), and pairs emerge per-bucket — never a cross join. Buckets
+    larger than ``max_bucket_size`` are salt-and-split so degenerate
+    signature collisions (the templated-doc skew-bomb) can't produce a
+    straggler task — see :func:`_guarded_bucket_self_join`.
     """
     rows_per_band = num_hashes // bands
-    sig = spread(df).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    )
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k, hash_family)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select("id", band_idx, "sig").select(
         "id",
@@ -147,15 +228,11 @@ def minhash_lsh_candidates(
             "band_sig"
         ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.band_sig") == F.col("b.band_sig"),
-                      F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return (
+        _guarded_bucket_self_join(banded, ["band", "band_sig"], [], max_bucket_size)
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs
 
 
 def guard_block_pairs(
@@ -230,78 +307,129 @@ def jaccard_pairs(
     )
 
 
-def simhash(text: Column | str, bits: int = 64) -> Column:
-    """SimHash signature (bigint): per token, xxhash64 gives ``bits``
-    pseudo-random bits; each bit position accumulates +1/-1 over tokens;
-    the sign vector packs back into a 64-bit integer. Near-dup docs differ
-    in few bits (Hamming distance).
+def _token_words(t: Column, hash_family: str) -> tuple[Column, Column]:
+    """Two 32-bit pseudo-random words per token — the 64 SimHash bit
+    decisions. ``portable``: hex windows 1-8 / 9-16 of one md5 (DuckDB
+    parses the identical windows, keeping the oracle exact). ``xxhash64``:
+    low/high halves of one xxhash64."""
+    if hash_family == "portable":
+        hexc = F.md5(t)
+        w1 = F.conv(F.substring(hexc, 1, 8), 16, 10).cast("long")
+        w2 = F.conv(F.substring(hexc, 9, 8), 16, 10).cast("long")
+    elif hash_family == "xxhash64":
+        h = F.xxhash64(t)
+        w1 = h.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+        w2 = F.shiftright(h, 32).bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}; one of {HASH_FAMILIES}")
+    return w1, w2
 
-    Pure Column program, single pass: one ``aggregate`` over the token-hash
-    array with an array<int> accumulator of all ``bits`` counters
-    (``zip_with`` + ``bit_get`` per step); the sign bits pack back into a
-    bigint with literal shifts. ~3.6× faster than the naive
-    one-aggregate-per-bit unroll (64 traversals → 1).
+
+def _pack_sign_bits(count_at, bits: int) -> Column:
+    """Pack ``bits`` sign decisions (count > 0 → bit set) into a bigint.
+    The top bit's mask is min-long via shiftleft wraparound — adding it
+    LAST keeps every partial sum inside int64 (same order the DuckDB
+    replica uses)."""
+    packed = F.lit(0).cast("bigint")
+    for i in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("bigint"), i)
+        packed = packed + F.when(count_at(i) > 0, mask).otherwise(F.lit(0).cast("bigint"))
+    return packed
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """SimHash signatures as ``(id, sig bigint)``: bit i of the signature
+    is the sign of Σ_tokens (±1), +1 iff bit i of the token's 64
+    pseudo-random bits is set. Near-dup docs differ in few bits.
+
+    Spark-first shape: explode distinct tokens → project the two 32-bit
+    hash words once → 64 ``sum`` aggregates of ±1 (bit i reads word
+    i//32 with a literal shift — plain codegen'd expressions), then pack
+    signs. Map-side partial aggregation keeps the shuffle at one
+    64-counter row per doc per partition. Replaces the round-3
+    interpreted higher-order ``aggregate`` (64-wide array accumulator,
+    no codegen) that dominated the dedup path's cost.
     """
+    tok = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    w1, w2 = _token_words(F.col("t"), hash_family)
+    words = tok.select("id", w1.alias("w1"), w2.alias("w2"))
+    aggs = []
+    for i in range(bits):
+        w, sh = ("w1", i) if i < 32 else ("w2", i - 32)
+        bit = F.shiftright(F.col(w), sh).bitwiseAND(F.lit(1).cast("long"))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"c{i}"))
+    counts = words.groupBy("id").agg(*aggs)
+    return counts.select(
+        "id", _pack_sign_bits(lambda i: F.col(f"c{i}"), bits).alias("sig")
+    )
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """Column-expression SimHash — identical values to
+    :func:`simhash_table` (equivalence is unit-tested), for contexts that
+    need the signature inline without a groupBy. Interpreted HOF per
+    token — prefer ``simhash_table`` on the hot path."""
     toks = F.array_distinct(tokens(text))
-    # TWO independent portable token hashes + per-bit affine combinations
-    # instead of xxhash64 bit_get: bit i of token t decides by the lsb of
-    # (aᵢ·h₁(t) + a'ᵢ·h₂(t) + bᵢ) mod p. One 31-bit hash is NOT enough —
-    # its 64 affine lsbs are pairwise correlated and measured 1028 false
-    # signature collisions on the sf0.01 corpus vs 444 for xxhash64; the
-    # two-hash combination restores xxhash-level quality (449) while
-    # staying plain integer arithmetic DuckDB reproduces exactly, which
-    # upgrades simhash_near_dups from rows-only to a hash-matched oracle.
-    # Each product is reduced mod p BEFORE the sum: a·h ≈ 2^62, so adding
-    # two unreduced products would overflow int64 in any engine.
-    h1s = F.transform(toks, lambda t: portable_hash(t, 31))
-    h2s = F.transform(toks, lambda t: portable_hash(t, 131))
-    pairs = F.zip_with(h1s, h2s, lambda x, y: F.struct(x.alias("h1"), y.alias("h2")))
-    p1, p2 = simhash_params(bits)
-    a1_arr = F.array(*[F.lit(a) for a, _ in p1])
-    a2_arr = F.array(*[F.lit(a) for a, _ in p2])
-    b_arr = F.array(*[F.lit((b1 + b2) % _MINHASH_P) for (_, b1), (_, b2) in zip(p1, p2)])
+    words = F.transform(
+        toks,
+        lambda t: F.struct(
+            *(w.alias(n) for w, n in zip(_token_words(t, "portable"), ("w1", "w2")))
+        ),
+    )
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    # bit i from word i//32: division by 2^sh is exact in doubles (both
+    # operands < 2^53, power-of-two divisor), so floor() is the integer
+    # shift — the Python shiftright wrapper only takes int literals.
     counts = F.aggregate(
-        pairs,
+        words,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
             positions,
             lambda c, i: c
             + F.when(
-                (
-                    (
-                        (F.element_at(a1_arr, i + 1) * h["h1"]) % _MINHASH_P
-                        + (F.element_at(a2_arr, i + 1) * h["h2"]) % _MINHASH_P
-                        + F.element_at(b_arr, i + 1)
+                F.floor(
+                    F.when(i < 32, h["w1"] / F.pow(F.lit(2.0), i.cast("double"))).otherwise(
+                        h["w2"] / F.pow(F.lit(2.0), (i - 32).cast("double"))
                     )
-                    % _MINHASH_P
-                ).bitwiseAND(F.lit(1).cast("long"))
+                )
+                .cast("long")
+                .bitwiseAND(F.lit(1).cast("long"))
                 == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1)),
         ),
     )
-    packed = F.lit(0).cast("bigint")
-    for i in range(bits):
-        mask = F.shiftleft(F.lit(1).cast("bigint"), i)
-        packed = packed + F.when(F.element_at(counts, i + 1) > 0, mask).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return packed
+    return _pack_sign_bits(lambda i: F.element_at(counts, i + 1), bits)
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_family: str = "portable",
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` using
     the block-rotation trick: split the signature into ``max_hamming+1``
     blocks; any pair within distance d must agree exactly on ≥1 block →
     bucket-join on (block_idx, block_value), verify with bit_count.
-    Returns ``(id_a, id_b, hamming)``."""
+    Returns ``(id_a, id_b, hamming)``. Oversized (blk, blk_val) buckets
+    are salt-and-split — see :func:`_guarded_bucket_self_join`."""
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
-    sig = spread(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
+    sig = simhash_table(df, text_col, id_col, bits, hash_family)
     blk_idx = F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("blk")
     mask = F.shiftleft(F.lit(1).cast("bigint"), block_bits) - 1
     blocked = sig.select("id", "sig", blk_idx).select(
@@ -312,12 +440,10 @@ def simhash_near_dups(
         # wrapper only accepts int literals)
         F.expr(f"shiftright(sig, blk * {block_bits})").bitwiseAND(mask).alias("blk_val"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    pairs = _guarded_bucket_self_join(blocked, ["blk", "blk_val"], ["sig"], max_bucket_size)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.blk_val") == F.col("b.blk_val"),
-                      F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -331,6 +457,8 @@ def near_dup_clusters(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    hash_family: str = "portable",
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering — the training-data dedup
     pipeline composed from the engine's own operators:
@@ -349,7 +477,9 @@ def near_dup_clusters(
     ``keep = df.join(out.filter(~is_canonical), on=id, how='left_anti')``
     is the filtered corpus.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, k, hash_family, max_bucket_size
+    )
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("toks")
     )

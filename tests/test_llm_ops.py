@@ -470,3 +470,122 @@ def test_sequence_packing_greedy_semantics(spark):
     assert out[("a", 4)] == 2  # over-budget row occupies its own bin
     assert out[("a", 5)] == 3  # next row cannot join the oversized bin
     assert out[("b", 1)] == 0 and out[("b", 2)] == 1  # exact-budget fits
+
+
+def skewed_docs_df(spark, n=300, n_near=6):
+    """Degenerate corpus: n identical boilerplate docs (the LSH skew-bomb
+    — every one lands in the same signature bucket in every band) plus a
+    few distinct docs with planted near-dups."""
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    rows = [(i, base) for i in range(n)]
+    filler = " ".join(f"w{j}token{j * 7 % 13}" for j in range(48))
+    for j in range(n_near):
+        # long shared body (sign margins wide) + one differing token so the
+        # near-dup stays within Hamming 3 of its partner for any hash family
+        t = f"unique document number {j} {filler} body"
+        rows.append((1000 + 2 * j, t))
+        rows.append((1001 + 2 * j, t.replace("body", "tail")))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_guarded_bucket_join_split_path_is_exact(spark):
+    """With max_bucket_size far below the degenerate bucket, the
+    salt-and-split branch must activate and return EXACTLY the plain
+    self-join's pairs (the guard spreads work, never drops pairs)."""
+    df = skewed_docs_df(spark, n=120)
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=10**9).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=16).collect()
+    }
+    assert split == plain
+    assert len(plain) >= 120 * 119 // 2  # the bomb bucket's pairs all present
+    # confirm the probe really sees an oversized bucket (split path active)
+    from graph_db_spark.operators.dedup import minhash_signature_table
+
+    sig = minhash_signature_table(df, "text", "doc_id")
+    top = (
+        sig.select(F.concat_ws(",", F.slice("sig", 1, 4).cast("array<string>")).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top > 16
+
+
+def test_guarded_simhash_split_path_is_exact(spark):
+    df = skewed_docs_df(spark, n=80)
+    plain = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_dups(df, "text", "doc_id", max_bucket_size=10**9).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_dups(df, "text", "doc_id", max_bucket_size=8).collect()
+    }
+    assert split == plain and len(plain) >= 80 * 79 // 2
+
+
+def test_simhash_column_equals_table(spark):
+    """The inline Column simhash and the codegen explode-aggregate
+    simhash_table must produce identical signatures."""
+    df = docs_df(spark)
+    col_sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.simhash(F.col("text")).alias("s")).collect()}
+    tbl_sigs = {r["id"]: r["sig"] for r in D.simhash_table(df, "text", "doc_id").collect()}
+    assert col_sigs == tbl_sigs
+
+
+def test_hash_families_equivalent_recall(spark):
+    """The portable (md5-window, oracle-exact) and xxhash64 (production)
+    families must recover the same planted near-dup pairs end-to-end —
+    the contract that lets production swap the hash without changing
+    dedup behavior."""
+    df = skewed_docs_df(spark, n=3, n_near=8)  # 8 planted near-dup pairs + 1 dup-triple
+    planted = {(1000 + 2 * j, 1001 + 2 * j) for j in range(8)}
+    for family in D.HASH_FAMILIES:
+        clusters = D.near_dup_clusters(df, "text", "doc_id", threshold=0.6, hash_family=family)
+        canon = {int(r["id"]): r["canonical_id"] for r in clusters.collect()}
+        for x, y in planted:  # planted near-dups may transitively merge
+            assert x in canon and y in canon and canon[x] == canon[y], (
+                f"{family} did not cluster planted pair {(x, y)}"
+            )
+        # max_hamming=7 → 8 blocks × 8 bits: full 64-bit coverage, and wide
+        # enough that a 1-token edit of a ~55-token doc stays inside for
+        # either hash family (deterministic — no flake)
+        sim_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_near_dups(
+                df, "text", "doc_id", max_hamming=7, hash_family=family
+            ).collect()
+        }
+        for pair in planted:
+            assert pair in sim_pairs, f"simhash[{family}] missed planted pair {pair}"
+
+
+def test_image_decoder_seam_external_decoder(spark):
+    """A decoder registered at driver runtime (the PIL/ffmpeg production
+    seam) must flow through extract_features unchanged — same Arrow
+    plumbing, schema, and flag-don't-fail contract — and removal must
+    restore the stdlib-only behavior."""
+    from graph_db_spark.operators import multimodal as MM
+
+    blob = b"FAKEIMG!" + bytes(range(16))
+    rows = [
+        (1, "image", bytearray(blob), "image/x-fake", -1, -1, -1),
+        (2, "image", bytearray(b"\x00not-an-image"), "application/octet-stream", -1, -1, -1),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    MM.register_image_decoder(
+        "fakefmt", lambda b: b[:8] == b"FAKEIMG!", lambda b: (7, 9, 42.5)
+    )
+    try:
+        feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+        assert (feats[1]["width"], feats[1]["height"], feats[1]["mean_px"]) == (7, 9, 42.5)
+        assert feats[1]["feature_ok"] == 1
+        assert feats[2]["feature_ok"] == 0  # unclaimed bytes still flagged
+    finally:
+        MM.unregister_image_decoder("fakefmt")
+    # stdlib-only again: the FAKE blob is now undecodable, flagged not fatal
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert feats[1]["feature_ok"] == 0

@@ -126,3 +126,23 @@ def test_dedup_keep_filter_not_pushed_below_repartition(spark):
     head, _, _ = plan.partition("RoundRobinPartitioning")
     # nothing before the round-robin exchange evaluates the range parse
     assert "regexp_extract" not in head.split("== Physical Plan ==")[1]
+
+
+def test_vocab_coverage_no_global_window(spark):
+    """SCALE.md: the Zipf coverage curve must use the two-level prefix
+    sum — every Window in the plan is partitioned (by pid), never a
+    global single-partition rank/cumsum over the vocabulary, and the
+    offset lift must not reintroduce a SinglePartition exchange feeding
+    a Window."""
+    import re
+
+    plan = plan_of(spark, "vocab_coverage")
+    # formatted-mode Window detail lines: "Arguments: [fns], [partition], [order]"
+    windows = list(re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: (.*)", plan))
+    assert windows, "expected the pid-partitioned rank/cumsum Window in the plan"
+    for m in windows:
+        args = m.group(1)
+        # partition spec is the 2nd bracket group; empty ("[]") = global window
+        groups = re.findall(r"\[[^\]]*\]", args)
+        assert len(groups) >= 3 and groups[1] != "[]", f"global Window: {args}"
+    assert "CartesianProduct" not in plan
