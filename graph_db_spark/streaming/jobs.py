@@ -143,38 +143,165 @@ def stream_decontaminate(
     )
 
 
-def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str):
-    """foreachBatch sink running the keyed upsert per micro-batch — MERGE
-    semantics onto a parquet table (on Delta/Iceberg this becomes MERGE
-    INTO directly). Returns the started StreamingQuery.
+def _fs(spark, p):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
-    Crash-safety: the merged table is staged at ``path__next`` and swapped
-    in via filesystem renames (atomic on HDFS/local; Delta/Iceberg replace
-    this with a transactional commit). The current table is never deleted
-    before its replacement exists — a crash at any point leaves either the
-    old table at ``path`` or a recoverable ``path__old``, so replayed
-    micro-batches never mistake a partial write for a first write. Only a
-    genuinely missing path is treated as first-write; other read errors
-    (corruption, permissions) fail the batch loudly.
+
+def _rename(fs, src, dst) -> None:
+    # Hadoop FileSystem.rename signals failure by RETURNING false (and
+    # renaming onto an existing directory moves the source INTO it);
+    # swallowing that would let the micro-batch commit while the merged
+    # table is later deleted as stale — silent data loss. Raise so the
+    # batch fails and Spark replays it.
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _is_local_path(p: str) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(p).scheme in ("", "file")
+
+
+def _local_part(p: str) -> str:
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    return u.path if u.scheme else p
+
+
+# one in-process mutex per table path: serializes concurrent sinks inside
+# the same driver without busy-waiting on the filesystem lock
+_PROCESS_LOCKS: dict[str, "threading.Lock"] = {}
+_PROCESS_LOCKS_GUARD = None
+
+
+def _process_lock(path: str):
+    import threading
+
+    global _PROCESS_LOCKS_GUARD
+    if _PROCESS_LOCKS_GUARD is None:
+        _PROCESS_LOCKS_GUARD = threading.Lock()
+    with _PROCESS_LOCKS_GUARD:
+        return _PROCESS_LOCKS.setdefault(path, threading.Lock())
+
+
+class TableLock:
+    """Single-writer lock for a staged-rename parquet table.
+
+    The staged-rename merge is read-modify-write: two concurrent writers
+    that both read the current table each merge only their OWN batch, and
+    the last swap wins — silently dropping the other writer's keys. Plain
+    parquet has no transaction log, so concurrent MERGE needs mutual
+    exclusion. Two layers:
+
+    - **in-process**: a per-path ``threading.Lock`` — two streaming sinks
+      (or a sink + a batch writer) in the same driver serialize without
+      touching the filesystem;
+    - **cross-process**: an exclusive lockfile. For local paths the
+      create uses POSIX ``O_CREAT|O_EXCL`` (truly atomic — Hadoop's
+      RawLocalFileSystem ``createNewFile`` is a non-atomic exists+create
+      and measurably races under thread interleaving); for cluster
+      filesystems it uses Hadoop ``createNewFile``, which HDFS makes
+      atomic at the namenode. On eventual-consistency object stores
+      neither is a real lock — there, and in production generally, the
+      answer is a transactional table format whose optimistic commit IS
+      the concurrency story (SCALE.md §6.5); this is the sound
+      plain-parquet fallback.
+
+    Crash-robustness: a writer that dies holding the lock would block all
+    successors, so locks older than ``ttl_ms`` are broken (the staged
+    swap they guarded is itself crash-recoverable). Breaking re-checks
+    freshness immediately before deleting to shrink the two-breaker
+    window — the residual race is inherent to lockfiles without
+    compare-and-swap.
     """
+
+    def __init__(self, spark, path: str, ttl_ms: int = 600_000, timeout_ms: int = 120_000, poll_ms: int = 50):
+        self.spark, self.table_path, self.path = spark, path, path + "__lock"
+        self.ttl_ms, self.timeout_ms, self.poll_ms = ttl_ms, timeout_ms, poll_ms
+        self._plock = _process_lock(path)
+
+    # -- lockfile primitives, local-atomic or hadoop ---------------------
+    def _try_create(self) -> bool:
+        if _is_local_path(self.path):
+            import os
+
+            try:
+                os.close(os.open(_local_part(self.path), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                return True
+            except FileExistsError:
+                return False
+        fs, lock = _fs(self.spark, self.path)
+        return bool(fs.createNewFile(lock))
+
+    def _age_ms(self) -> float | None:
+        import time
+
+        try:
+            if _is_local_path(self.path):
+                import os
+
+                return time.time() * 1000 - os.stat(_local_part(self.path)).st_mtime * 1000
+            fs, lock = _fs(self.spark, self.path)
+            return time.time() * 1000 - fs.getFileStatus(lock).getModificationTime()
+        except Exception:
+            return None  # vanished between probe and stat
+
+    def _delete(self) -> None:
+        if _is_local_path(self.path):
+            import contextlib
+            import os
+
+            with contextlib.suppress(OSError):
+                os.unlink(_local_part(self.path))
+            return
+        fs, lock = _fs(self.spark, self.path)
+        fs.delete(lock, False)
+
+    def __enter__(self):
+        import time
+
+        if not self._plock.acquire(timeout=self.timeout_ms / 1000.0):
+            raise TimeoutError(f"could not acquire in-process table lock {self.path}")
+        try:
+            deadline = time.time() + self.timeout_ms / 1000.0
+            while True:
+                if self._try_create():
+                    return self
+                age = self._age_ms()
+                if age is not None and age > self.ttl_ms:
+                    # re-probe right before breaking: only delete if STILL stale
+                    age2 = self._age_ms()
+                    if age2 is not None and age2 > self.ttl_ms:
+                        self._delete()
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"could not acquire table lock {self.path}")
+                time.sleep(self.poll_ms / 1000.0)
+        except BaseException:
+            self._plock.release()
+            raise
+
+    def __exit__(self, *exc):
+        try:
+            self._delete()
+        finally:
+            self._plock.release()
+        return False
+
+
+def merge_into_parquet_table(batch_df: DataFrame, path: str, keys: list[str]) -> None:
+    """One serialized MERGE of ``batch_df`` into the parquet table at
+    ``path``: acquire the single-writer lock, read-merge-stage-swap,
+    release. Module-level so both the streaming sink and batch callers
+    (and the concurrency test) share the exact code path."""
     from graph_db_spark.writers.upsert import upsert
 
-    def _fs(spark, p):
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(p)
-        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
-
-    def _rename(fs, src, dst) -> None:
-        # Hadoop FileSystem.rename signals failure by RETURNING false (and
-        # renaming onto an existing directory moves the source INTO it);
-        # swallowing that would let the micro-batch commit while the merged
-        # table is later deleted as stale — silent data loss. Raise so the
-        # batch fails and Spark replays it.
-        if not fs.rename(src, dst):
-            raise IOError(f"rename failed: {src} -> {dst}")
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
+    spark = batch_df.sparkSession
+    with TableLock(spark, path):
         jvm = spark._jvm
         fs, cur = _fs(spark, path)
         nxt = jvm.org.apache.hadoop.fs.Path(path + "__next")
@@ -203,6 +330,28 @@ def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str
         _rename(fs, nxt, cur)
         if fs.exists(old):
             fs.delete(old, True)
+
+
+def upsert_sink(query_df: DataFrame, path: str, keys: list[str], checkpoint: str):
+    """foreachBatch sink running the keyed upsert per micro-batch — MERGE
+    semantics onto a parquet table (on Delta/Iceberg this becomes MERGE
+    INTO directly). Returns the started StreamingQuery.
+
+    Crash-safety: the merged table is staged at ``path__next`` and swapped
+    in via filesystem renames (atomic on HDFS/local; Delta/Iceberg replace
+    this with a transactional commit). The current table is never deleted
+    before its replacement exists — a crash at any point leaves either the
+    old table at ``path`` or a recoverable ``path__old``, so replayed
+    micro-batches never mistake a partial write for a first write.
+
+    Concurrency: batches serialize through :class:`TableLock`, so two
+    sinks (or a sink plus a batch writer) interleaving on the same table
+    cannot lose each other's keys — unit-tested by interleaving writers
+    in ``tests/test_upsert.py``.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_parquet_table(batch_df, path, keys)
 
     return (
         query_df.writeStream.outputMode("update")

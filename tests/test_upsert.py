@@ -90,3 +90,51 @@ def test_assert_unique_key(spark):
     bad = df_of(spark, [(1, "a", "b"), (1, "c", "d")])
     with pytest.raises(AssertionError):
         assert_unique_key(bad, ["k"])
+
+
+def test_concurrent_writers_lose_no_keys(spark, tmp_path):
+    """Two writers interleaving MERGE batches on the same table must
+    serialize through TableLock — the union of both writers' keys
+    survives (without the lock, read-modify-write races drop whichever
+    writer swaps first)."""
+    import threading
+
+    from graph_db_spark.streaming.jobs import merge_into_parquet_table
+
+    path = str(tmp_path / "tbl")
+    errors = []
+
+    def writer(base: int):
+        try:
+            for i in range(4):
+                batch = df_of(spark, [(base + i, f"w{base}", str(i))])
+                merge_into_parquet_table(batch, path, ["k"])
+        except Exception as e:  # pragma: no cover - surfaced by assert below
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    final = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert final == {100, 101, 102, 103, 200, 201, 202, 203}
+
+
+def test_table_lock_blocks_and_breaks_stale(spark, tmp_path):
+    from graph_db_spark.streaming.jobs import TableLock, _fs
+
+    path = str(tmp_path / "locked_tbl")
+    # held lock blocks a second acquirer until released
+    with TableLock(spark, path):
+        with pytest.raises(TimeoutError):
+            TableLock(spark, path, timeout_ms=300).__enter__()
+    # a stale lock (dead writer) is broken after ttl and acquisition succeeds
+    fs, lock = _fs(spark, path + "__lock")
+    assert fs.createNewFile(lock)
+    lk = TableLock(spark, path, ttl_ms=200, timeout_ms=5000)
+    import time
+
+    time.sleep(0.4)
+    lk.__enter__()
+    lk.__exit__(None, None, None)
+    assert not fs.exists(lock)
