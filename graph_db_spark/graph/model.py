@@ -16,10 +16,64 @@ DataFrames so no external GraphFrames dependency is needed (SURVEY §7.4.6).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_NODE_RE = re.compile(r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)")
+_EDGE_RE = re.compile(r"(<-|-)\s*(?:\[\s*:?\s*(\w*)\s*\])?\s*(->|-)")
+
+
+def _parse_motif(pattern: str) -> tuple[list[tuple[str, str | None, str]], dict[str, str]]:
+    """Parse a GraphFrames/Cypher-style motif pattern into directed
+    triples ``(src_name, rel_type|None, dst_name)`` plus per-name label
+    constraints. Supported syntax, chained and ``;``-separated::
+
+        (a)-[:REL]->(b)      typed edge
+        (a)-->(b)            any-type edge
+        (a)<-[:REL]-(b)      reversed direction
+        (a:Label)            label constraint on the vertex
+
+    Re-using a name joins on it — ``(a)-[:R]->(b); (b)-[:S]->(c)`` chains,
+    ``(a)-[:R]->(b); (a)-[:S]->(c)`` branches, and repeating both ends
+    closes a cycle."""
+    triples: list[tuple[str, str | None, str]] = []
+    labels: dict[str, str] = {}
+
+    def take_node(s: str, where: str) -> tuple[str, str]:
+        m = _NODE_RE.match(s)
+        if not m:
+            raise ValueError(f"expected (name[:Label]) at {where}: {s[:30]!r}")
+        name, lbl = m.group(1), m.group(2)
+        if lbl:
+            if labels.get(name, lbl) != lbl:
+                raise ValueError(f"conflicting labels for ({name})")
+            labels[name] = lbl
+        return name, s[m.end():].lstrip()
+
+    for chain in pattern.split(";"):
+        chain = chain.strip()
+        if not chain:
+            continue
+        left, rest = take_node(chain, "chain start")
+        while rest:
+            em = _EDGE_RE.match(rest)
+            if not em:
+                raise ValueError(f"expected -[:TYPE]-> or --> at: {rest[:30]!r}")
+            head, rel, tail = em.group(1), em.group(2) or None, em.group(3)
+            if (head, tail) not in {("-", "->"), ("<-", "-")}:
+                raise ValueError(f"undirected edges unsupported: {em.group(0)!r}")
+            right, rest = take_node(rest[em.end():].lstrip(), f"after {em.group(0)!r}")
+            if head == "<-":
+                triples.append((right, rel, left))
+            else:
+                triples.append((left, rel, right))
+            left = right
+    if not triples:
+        raise ValueError(f"no edges in motif pattern: {pattern!r}")
+    return triples, labels
 
 
 @dataclass
@@ -56,21 +110,73 @@ class PropertyGraph:
             .select(F.col("dst").alias("id"))
         )
 
+    def find(self, pattern: str) -> DataFrame:
+        """Composable motif finder — the Cypher ``MATCH`` / GraphFrames
+        ``find`` contract (SURVEY §1.6): one column per named vertex,
+        one row per binding of the pattern. See :func:`_parse_motif`
+        for the syntax (typed/untyped edges, both directions, label
+        constraints, ``;``-separated chains that branch or close cycles
+        by re-using names).
+
+        Execution is pure join composition: each edge triple is an
+        equi-join on whichever of its endpoints is already bound (both,
+        for a cycle-closing edge), and each label constraint is one join
+        against the label-filtered vertex table. Catalyst reorders the
+        joins and AQE handles skew — same plan shape the hand-written
+        motif queries used, now generated. At 100 TB restrict the anchor
+        set first (filter the first-named vertex) so hops stay selective.
+        """
+        triples, labels = _parse_motif(pattern)
+        out: DataFrame | None = None
+        bound: set[str] = set()
+        pending = list(triples)
+        while pending:
+            # pick the next triple that connects to what's bound (keeps
+            # the build join-connected regardless of pattern order)
+            idx = next(
+                (i for i, t in enumerate(pending) if out is None or t[0] in bound or t[2] in bound),
+                None,
+            )
+            if idx is None:
+                raise ValueError(
+                    "disconnected motif pattern (a cartesian product across "
+                    "components is never implicit — split the pattern and "
+                    "cross-join explicitly if that is really intended)"
+                )
+            a, rel, b = pending.pop(idx)
+            e = self.edges
+            if rel is not None:
+                e = e.filter(F.col("rel_type") == rel)
+            if a == b:  # self-loop edge: both endpoints the same name
+                hop = e.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(a))
+            else:
+                hop = e.select(F.col("src").alias(a), F.col("dst").alias(b))
+            if out is None:
+                out = hop
+            else:
+                on = [n for n in dict.fromkeys((a, b)) if n in bound]
+                out = out.join(hop, on=on, how="inner")
+            bound |= {a, b}
+        for name, lbl in labels.items():
+            if name not in bound:
+                raise ValueError(f"label constraint on unused name ({name}:{lbl})")
+            lv = self.vertices.filter(F.col("label") == lbl).select(F.col("id").alias(name))
+            out = out.join(lv, on=name, how="inner")
+        return out.select(*sorted(bound))
+
     def motif_path(self, rel_types: list[str]) -> DataFrame:
         """n-hop path motif: returns ``(v0, v1, ..., vn)`` rows for the
         relationship-type chain — the join-composition equivalent of the
         reference's Field→Station→WeatherDay style paths (SURVEY §1.3).
+        Thin wrapper over :meth:`find`; byte-identical to the round-3
+        hand-rolled join chain (pinned by test_graph).
 
         Each hop is an equi-join on the previous hop's endpoint; Catalyst
         reorders and AQE handles skew. At 100 TB restrict the anchor set
         first (filter v0) so hops stay selective.
         """
-        out = None
-        for i, rt in enumerate(rel_types):
-            hop = (
-                self.edges.filter(F.col("rel_type") == rt)
-                .select(F.col("src").alias(f"v{i}"), F.col("dst").alias(f"v{i+1}"))
-            )
-            out = hop if out is None else out.join(hop, on=f"v{i}", how="inner")
-        cols = [f"v{i}" for i in range(len(rel_types) + 1)]
-        return out.select(*cols)
+        pattern = "".join(
+            f"(v{i})-[:{rt}]->" for i, rt in enumerate(rel_types)
+        ) + f"(v{len(rel_types)})"
+        # v10 sorts before v2 lexicographically; reorder to path order
+        return self.find(pattern).select(*[f"v{i}" for i in range(len(rel_types) + 1)])

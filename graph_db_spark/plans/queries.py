@@ -911,6 +911,34 @@ def motif_region_order_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path.groupBy(F.col("v0").alias("region")).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+@register(
+    "motif_branch_conation",
+    oracle=f"""
+    WITH edges AS ({edges_sql()})
+    SELECT e1.src AS region, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst AND e2.rel_type = 'HAS_CUSTOMER'
+    JOIN edges e3 ON e3.src = e1.dst AND e3.rel_type = 'HAS_SUPPLIER'
+    WHERE e1.rel_type = 'HAS_NATION'
+    GROUP BY 1
+    """,
+)
+def motif_branch_conation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer — BRANCHING 3-edge motif via the composable
+    ``find()`` pattern builder (SURVEY §1.6): co-nation customer/supplier
+    pairs per region. The pattern branches at the nation —
+    ``(n)-[:HAS_CUSTOMER]->(c)`` and ``(n)-[:HAS_SUPPLIER]->(s)`` share
+    ``n`` — which the linear ``motif_path`` chain cannot express; the
+    label constraint on ``(r:Region)`` exercises the vertex-label join."""
+    g = build_graph(spark, sf_dir)
+    m = g.find(
+        "(r:Region)-[:HAS_NATION]->(n); (n)-[:HAS_CUSTOMER]->(c); (n)-[:HAS_SUPPLIER]->(s)"
+    )
+    return m.groupBy(F.col("r").alias("region")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
 def _graph_nparts(sf_dir: str) -> int | None:
     """Partition count for iterative graph rounds, from a file-size probe
     (no Spark job): the sf0.01 correctness fixture runs ~8 rounds × 2 jobs

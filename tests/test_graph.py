@@ -92,3 +92,44 @@ def test_shortest_paths_chain_and_branch(spark):
         ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 1, ("d", "a"): 2,
         ("d", "d"): 0,  # d has no out-edges: reaches only itself
     }
+
+
+def test_find_motif_builder(spark):
+    """The composable find() pattern builder: chains, branches, reversed
+    edges, untyped edges, cycle closure, label joins, and parse errors."""
+    import pytest
+
+    e = edges_of(spark, [("a", "b")], rel="R").unionByName(
+        edges_of(spark, [("b", "c"), ("b", "d")], rel="S")
+    ).unionByName(edges_of(spark, [("c", "a")], rel="T"))
+    v = spark.createDataFrame(
+        [("a", "Anchor"), ("b", "Mid"), ("c", "Leaf"), ("d", "Leaf")],
+        "id string, label string",
+    )
+    g = PropertyGraph(v, e)
+
+    # chain == motif_path equivalence (same bindings, same column order)
+    chain = {tuple(r) for r in g.find("(x)-[:R]->(y)-[:S]->(z)").select("x", "y", "z").collect()}
+    assert chain == {tuple(r) for r in g.motif_path(["R", "S"]).collect()}
+    # branch: two S-edges out of the same node
+    br = {tuple(r) for r in g.find("(x)-[:S]->(y); (x)-[:S]->(z)").select("y", "z").collect()}
+    assert ("c", "d") in br and ("d", "c") in br
+    # reversed direction: (y)<-[:R]-(x) == (x)-[:R]->(y)
+    assert {tuple(r) for r in g.find("(y)<-[:R]-(x)").select("x", "y").collect()} == {("a", "b")}
+    # untyped edge matches any rel_type
+    assert g.find("(x)-->(y)").count() == 4
+    # cycle closure: a->b->c->a via R,S,T
+    cyc = g.find("(x)-[:R]->(y); (y)-[:S]->(z); (z)-[:T]->(x)")
+    assert {tuple(r) for r in cyc.select("x", "y", "z").collect()} == {("a", "b", "c")}
+    # label constraint prunes bindings
+    leaf_only = g.find("(x)-[:S]->(y:Leaf)")
+    assert leaf_only.count() == 2
+    none_match = g.find("(x)-[:S]->(y:Anchor)")
+    assert none_match.count() == 0
+    # errors: disconnected pattern, bad syntax, conflicting labels
+    with pytest.raises(ValueError, match="disconnected"):
+        g.find("(x)-[:R]->(y); (p)-[:S]->(q)")
+    with pytest.raises(ValueError, match="expected"):
+        g.find("(x)-[R]>(y)")
+    with pytest.raises(ValueError, match="conflicting"):
+        g.find("(x:Anchor)-[:R]->(y); (x:Mid)-[:S]->(z)")
