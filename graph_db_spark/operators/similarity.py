@@ -333,3 +333,108 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster assignment ``(id, v, cluster)`` — argmax cosine against the
+    broadcast centroid matrix over raw vectors (scale-invariant; same
+    larger-index tiebreak as ``cosine_topk_ivf``'s corpus side). One
+    narrow pass; nothing but the centroid matrix is broadcast."""
+    return with_matrix(
+        spread(corpus).select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ),
+        centroids,
+        "_cents",
+    ).select(
+        "id",
+        "v",
+        _top_clusters(_centroid_sims(F.col("v"), F.col("_cents")), 1)[0].alias("cluster"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    lloyd_iters: int = 3,
+    centroids: list[list[float]] | None = None,
+    max_cluster_pairs: int = 25_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the IVF coarse quantizer, then inside each cluster
+    drop every vector whose cosine to a LOWER-id member is ≥ ``threshold``
+    (keep-first, deterministic). Returns ``(vec_id, cluster, is_kept)``.
+
+    Scale shape: the pairwise comparison never crosses clusters — the
+    pair space is Σ per-cluster n², bounded by the quantizer, and
+    :func:`graph_db_spark.operators.dedup.guard_block_pairs` raises if a
+    degenerate corpus concentrates one cluster past ``max_cluster_pairs``
+    (remedy: raise ``n_centroids`` — finer lists shrink every cluster,
+    which is the SemDeDup paper's own scaling knob). Centroid training
+    touches the driver only with the k×dim matrix; pass ``centroids`` to
+    reuse a trained quantizer across corpus shards."""
+    from graph_db_spark.operators.dedup import guard_block_pairs
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, vec_col, id_col, n_centroids=n_centroids, lloyd_iters=lloyd_iters
+        )
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col).localCheckpoint()
+    guard_block_pairs(assigned, "cluster", max_cluster_pairs)
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    dups = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dups, on="id", how="left").select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("_dup").isNull().alias("is_kept"),
+    )
+
+
+def embedding_diversity(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group embedding diversity: mean pairwise cosine similarity,
+    computed WITHOUT the O(n²) pair join via the sum-vector identity —
+    for unit vectors uᵢ, Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − n, so
+
+        mean_cos = (‖Σu‖² − n) / (n·(n−1)).
+
+    One explode + two key-partitioned aggregations: O(n·dim) work, one
+    shuffle of (key, pos) partial sums — the curation metric that tells a
+    mixture planner how redundant a source is, at any corpus size.
+    Returns ``(keys..., n_vectors, mean_pairwise_cosine)``; groups with a
+    single vector have no pairs and return NULL."""
+    keys = key_cols or ["label"]
+    v = _as_double(F.col(vec_col))
+    # bind norm once (1-element-array trick); zero vectors contribute zeros
+    unit = F.transform(
+        F.array(norm(v)),
+        lambda nv: F.transform(v, lambda x: F.when(nv > 0, x / nv).otherwise(F.lit(0.0))),
+    )[0]
+    rows = spread(corpus).select(*keys, F.posexplode(unit).alias("pos", "x"))
+    sums = rows.groupBy(*keys, "pos").agg(F.sum("x").alias("s"))
+    ss = sums.groupBy(*keys).agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    cnt = corpus.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    n = F.col("n_vectors").cast("double")
+    mean_cos = F.when(n > 1, (F.col("ss") - n) / (n * (n - 1)))
+    return ss.join(cnt, on=keys).select(
+        *keys, "n_vectors", F.round(mean_cos, 4).alias("mean_pairwise_cosine")
+    )

@@ -104,3 +104,40 @@ def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (md5 is identical
     in Spark and DuckDB, so oracles can reproduce it bit-for-bit)."""
     return F.md5(normalize_text(text))
+
+
+def positional_ngrams(text: Column | str, n: int) -> Column:
+    """ALL word n-grams in order, repeats included — unlike
+    :func:`word_ngrams` (distinct), this keeps every occurrence so span
+    frequencies can be counted (exact-substring dedup, Lee et al. 2022).
+    Pure Column expression: transform over start offsets + slice."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    # sequence(1, k) with k < 1 counts DOWN — docs shorter than n tokens
+    # have no spans
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_tokens(text: Column | str, size: int, stride: int) -> Column:
+    """Overlapping token-window chunks — the RAG / context-window packing
+    primitive: ``array<struct<chunk_idx, start_tok, n_tokens, chunk>>``
+    with windows of ``size`` tokens every ``stride`` (overlap =
+    size − stride); the final window crops at the document tail so every
+    token lands in ≥1 chunk. Pure Column expression (sequence + slice),
+    stays in codegen — chunking 100 TB is a narrow map over the scan."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("start_tok"),
+            F.size(F.slice(t, s, size)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(t, s, size)).alias("chunk"),
+        ),
+    )

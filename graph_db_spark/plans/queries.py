@@ -1356,15 +1356,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 8, lloyd_iters: int = 3,
-                    k: int = 5, dim: int = 64) -> str:
-    """DuckDB oracle replicating the WHOLE IVF pipeline — the engine-
+def _ivf_training_sql(n_centroids: int = 16, lloyd_iters: int = 3, dim: int = 64) -> list[str]:
+    """Shared DuckDB CTE prefix replicating IVF training + corpus
+    assignment (similarity.py:ivf_centroids / ivf_assign): the engine-
     portable LCG seed pick, ``lloyd_iters`` unrolled spherical-k-means
     rounds (argmax assignment with the same larger-index tiebreak, per-
-    dimension means rebuilt into normalized centroid lists, empty clusters
-    keeping their previous centroid), the nprobe probe, and the exact
-    cosine re-rank. MATERIALIZED throughout (DuckDB inlines plain CTEs per
-    reference — same lesson as the PageRank oracle)."""
+    dimension means rebuilt into normalized centroid lists, empty
+    clusters keeping their previous centroid), ending at ``casg`` —
+    every corpus vector's cluster. MATERIALIZED throughout (DuckDB
+    inlines plain CTEs per reference — same lesson as the PageRank
+    oracle). Shared by the ANN top-k and SemDeDup oracles so the
+    centroid replay stays in one place."""
     parts = [
         "WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rawv FROM embeddings)",
         # unit-normalized vectors + LCG seed hash
@@ -1405,6 +1407,17 @@ def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 8, lloyd_iters: int = 3
         f"         row_number() OVER (PARTITION BY uv.id"
         f"           ORDER BY list_dot_product(uv.rawv, c.cvec) DESC, c.cluster DESC) AS rn"
         f"  FROM uv CROSS JOIN {cur} c) WHERE rn = 1)",
+    ]
+    return parts
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 8, lloyd_iters: int = 3,
+                    k: int = 5, dim: int = 64) -> str:
+    """ANN top-k oracle: the shared IVF training replay + the nprobe
+    probe and exact cosine re-rank."""
+    parts = _ivf_training_sql(n_centroids, lloyd_iters, dim)
+    cur = f"cent{lloyd_iters}"
+    parts += [
         f"qpro AS MATERIALIZED (SELECT id AS query_id, cluster, rawv AS qv FROM ("
         f"  SELECT uv.id, uv.rawv, c.cluster,"
         f"         row_number() OVER (PARTITION BY uv.id"
@@ -4913,6 +4926,169 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4((F.col("lcum") + F.col("cum_off")) / F.col("total")).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: exact-substring span detection, RAG chunking,
+# embedding diversity, SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeated_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+                                   i -> array_to_string(w[i+1:i+5], ' '))) AS span
+      FROM w
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, span LIMIT 20
+    """,
+)
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication scan (the bounded-window variant of
+    Lee et al. 2022's suffix-array dedup): 5-token spans appearing in ≥2
+    distinct documents, with doc and occurrence counts — top-20 by
+    frequency. Position-sensitive n-grams (repeats kept) so within-doc
+    boilerplate repetition counts too.
+
+    Scale shape: explode + one groupBy on the span string — linear
+    shuffle with map-side combine; no pair joins. A 100 TB run groups on
+    a span HASH instead of the string (8 bytes vs ~40) and bloom-filters
+    singleton spans before the shuffle; the fixture keeps the raw string
+    so the DuckDB oracle needs no hash replay."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id", F.explode(TX.positional_ngrams(F.col("text"), 5)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), "span")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 24)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(w[start:start+31]) AS BIGINT) AS n_tokens,
+           array_to_string(w[start:start+31], ' ') AS chunk
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking: overlapping 32-token windows every
+    24 tokens (8-token overlap), one row per chunk with its index, start
+    offset, and cropped tail. Pure Column expressions (sequence + slice)
+    — chunking is a narrow map over the scan at any scale; the chunk
+    table is what the embedding and packing stages consume."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunk = F.explode(TX.chunk_tokens(F.col("text"), 32, 24)).alias("c")
+    return docs.select("doc_id", chunk).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").cast("bigint").alias("start_tok"),
+        F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+@register(
+    "embedding_diversity",
+    oracle="""
+    WITH nrm AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    u AS (
+      SELECT label,
+             unnest(list_transform(v, x -> CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                                                THEN x / sqrt(list_dot_product(v, v))
+                                                ELSE 0.0 END)) AS x,
+             generate_subscripts(v, 1) AS pos
+      FROM nrm
+    ),
+    s AS (SELECT label, pos, sum(x) AS s FROM u GROUP BY 1, 2),
+    ss AS (SELECT label, sum(s * s) AS ss FROM s GROUP BY 1),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings GROUP BY 1)
+    SELECT CAST(label AS BIGINT) AS label, n_vectors,
+           round(CASE WHEN n_vectors > 1
+                      THEN (ss - n_vectors) / (n_vectors * (n_vectors - 1.0)) END, 4)
+             AS mean_pairwise_cosine
+    FROM ss JOIN n USING (label)
+    """,
+)
+def embedding_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation diversity metric: per label, the mean pairwise
+    cosine similarity of its embeddings — computed WITHOUT the O(n²)
+    pair join via the sum-vector identity ‖Σu‖² − n (operators/
+    similarity.py:embedding_diversity). O(n·dim) work and one (key, pos)
+    partial-sum shuffle: the redundancy number a mixture planner reads
+    per source, at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.embedding_diversity(emb, "embedding", ["label"])
+    return out.select(
+        F.col("label").cast("bigint").alias("label"), "n_vectors", "mean_pairwise_cosine"
+    )
+
+
+def _semantic_dedup_oracle_sql(n_centroids: int = 16, lloyd_iters: int = 3,
+                               dim: int = 64, threshold: float = 0.3) -> str:
+    """SemDeDup oracle: the shared IVF training replay (same centroids,
+    same assignment tiebreak), then the within-cluster keep-first rule."""
+    parts = _ivf_training_sql(n_centroids, lloyd_iters, dim)
+    parts += [
+        f"""dup AS (
+      SELECT DISTINCT b.neighbor_id AS id
+      FROM casg a JOIN casg b
+        ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+      WHERE CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)) > 0
+                 THEN list_dot_product(a.cv, b.cv)
+                      / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+                 ELSE 0.0 END >= {threshold!r})"""
+    ]
+    return ",\n".join(parts) + """
+    SELECT c.neighbor_id AS vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+           d.id IS NULL AS is_kept
+    FROM casg c LEFT JOIN dup d ON c.neighbor_id = d.id
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): IVF-cluster
+    the embeddings, drop every vector whose cosine to a lower-id member
+    of the SAME cluster is ≥ 0.3 (keep-first). The pair space is bounded
+    per cluster by the quantizer (never a corpus-wide pair join), guarded
+    by the same big-block probe as the text dedup path. EXACT oracle via
+    the shared unrolled-Lloyd centroid replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, "embedding", "vec_id", threshold=0.3)
 
 
 _reorder_for_gate()

@@ -589,3 +589,86 @@ def test_image_decoder_seam_external_decoder(spark):
     # stdlib-only again: the FAKE blob is now undecodable, flagged not fatal
     feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
     assert feats[1]["feature_ok"] == 0
+
+
+def test_positional_ngrams_keep_repeats(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    out = df.select(TX.positional_ngrams(F.col("text"), 2).alias("g")).collect()[0]["g"]
+    assert out == ["a b", "b a", "a b", "b a"]  # repeats preserved, in order
+    short = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    assert short.select(TX.positional_ngrams(F.col("text"), 2).alias("g")).collect()[0]["g"] == []
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    chunks = df.select(TX.chunk_tokens(F.col("text"), 4, 3).alias("c")).collect()[0]["c"]
+    assert [c["start_tok"] for c in chunks] == [1, 4, 7, 10]
+    assert [c["n_tokens"] for c in chunks] == [4, 4, 4, 1]  # tail crops
+    assert chunks[0]["chunk"] == "t0 t1 t2 t3"
+    assert chunks[1]["chunk"] == "t3 t4 t5 t6"  # 1-token overlap at stride 3
+    assert chunks[-1]["chunk"] == "t9"
+    # every token covered
+    covered = {t for c in chunks for t in c["chunk"].split()}
+    assert covered == set(toks.split())
+
+
+def test_embedding_diversity_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.8, 0.6], 0), (2, [0.0, 1.0], 0),
+        (3, [1.0, 0.0], 1), (4, [-1.0, 0.0], 1),
+        (5, [0.5, 0.5], 2),  # singleton group → NULL
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in SIM.embedding_diversity(df, "embedding", ["label"]).collect()}
+
+    def brute(vs):
+        us = [[x / math.sqrt(sum(y * y for y in v)) for x in v] for v in vs]
+        pairs = list(itertools.combinations(us, 2))
+        return sum(sum(a * b for a, b in zip(u, w)) for u, w in pairs) / len(pairs)
+
+    g0 = brute([r[1] for r in rows if r[2] == 0])
+    g1 = brute([r[1] for r in rows if r[2] == 1])
+    assert abs(out[0]["mean_pairwise_cosine"] - round(g0, 4)) <= 1e-4
+    assert abs(out[1]["mean_pairwise_cosine"] - round(g1, 4)) <= 1e-4
+    assert out[2]["mean_pairwise_cosine"] is None and out[2]["n_vectors"] == 1
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark):
+    import math
+
+    # 8 well-separated base directions in 4-d + near-identical copies of two
+    base = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0], [-1.0, 0.0, 0.0, 0.0], [0.0, -1.0, 0.0, 0.0],
+        [0.0, 0.0, -1.0, 0.0], [0.0, 0.0, 0.0, -1.0],
+    ]
+    rows = [(i, v, 0) for i, v in enumerate(base)]
+    rows.append((100, [0.99, 0.01, 0.0, 0.0], 0))   # near-dup of vec 0
+    rows.append((101, [0.0, 0.98, 0.02, 0.0], 0))   # near-dup of vec 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in SIM.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.95, n_centroids=4, lloyd_iters=2
+    ).collect()}
+    assert len(out) == 10
+    assert not out[100]["is_kept"] and not out[101]["is_kept"]  # copies dropped
+    assert out[0]["is_kept"] and out[1]["is_kept"]  # originals kept (lower id)
+    # dropped rows share their original's cluster
+    assert out[100]["cluster"] == out[0]["cluster"]
+    assert out[101]["cluster"] == out[1]["cluster"]
+    kept = sum(1 for r in out.values() if r["is_kept"])
+    assert kept == 8
+
+
+def test_semantic_dedup_guard_trips_on_one_cluster(spark):
+    # all vectors identical → one cluster holds everything; a tiny pair cap
+    # must refuse (the SemDeDup remedy is more centroids, not a bigger join)
+    import pytest as _pytest
+
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    with _pytest.raises(ValueError, match="max_block_pairs"):
+        SIM.semantic_dedup(df, "embedding", "vec_id", n_centroids=4, max_cluster_pairs=100)
