@@ -130,6 +130,11 @@ def chunk_tokens(text: Column | str, size: int, stride: int) -> Column:
     stays in codegen — chunking 100 TB is a narrow map over the scan."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) would skip tokens between "
+            "windows — every token must land in at least one chunk"
+        )
     t = tokens(text)
     starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride))
     return F.transform(

@@ -59,6 +59,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "bloom_semi_prune", "tfidf_top_terms", "vocab_coverage",
         "shipping_priority", "large_volume_customers", "cms_day_merge",
         "kmv_audience_overlap", "kmv_source_ngram_overlap",
+        "repeated_spans", "doc_chunks", "embedding_diversity",
+        "motif_branch_conation",
     ],
 )
 def test_no_accidental_cartesian(spark, name):

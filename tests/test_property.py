@@ -195,3 +195,66 @@ def test_repetition_signals_match_python_reference(spark, tokens, n):
     ).collect()[0]
     assert abs(row.twf - _py_top_word_fraction(tokens)) < 1e-9
     assert abs(row.dgf - _py_dup_gram_fraction(tokens, n)) < 1e-9
+
+
+words = st.sampled_from(["a", "bb", "ccc", "dog", "x1"])
+doc_texts = st.lists(
+    st.lists(words, min_size=0, max_size=20).map(" ".join), min_size=1, max_size=6
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_texts, size=st.integers(2, 6), stride=st.integers(1, 6))
+def test_chunking_covers_and_reconstructs(spark, texts, size, stride):
+    """Every token appears in ≥1 chunk; stitching stride-strided chunk
+    heads reconstructs the token sequence exactly."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.text import chunk_tokens, tokens
+
+    stride = min(stride, size)  # stride > size is rejected by the operator
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = df.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        chunk_tokens("text", size, stride).alias("chunks"),
+    ).collect()
+    for r in rows:
+        toks = r["toks"]
+        chunks = sorted(r["chunks"], key=lambda c: c["chunk_idx"])
+        # starts are 1, 1+stride, ... and never skip the tail
+        assert [c["start_tok"] for c in chunks] == list(range(1, max(len(toks), 1) + 1, stride))
+        # reconstruction: first `stride` tokens of each chunk, concatenated
+        rebuilt = []
+        for c in chunks:
+            rebuilt.extend(c["chunk"].split(" ")[:stride] if c["chunk"] else [""])
+        assert rebuilt[: len(toks)] == toks
+        for c in chunks:
+            got = c["chunk"].split(" ") if c["chunk"] else [""]
+            assert got == toks[c["start_tok"] - 1 : c["start_tok"] - 1 + size]
+            assert c["n_tokens"] == len(toks[c["start_tok"] - 1 : c["start_tok"] - 1 + size])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_texts, n=st.integers(2, 4))
+def test_positional_ngrams_match_python_reference(spark, texts, n):
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.text import positional_ngrams, tokens
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = df.select(
+        "doc_id", tokens("text").alias("toks"), positional_ngrams("text", n).alias("g")
+    ).collect()
+    for r in rows:
+        toks = r["toks"]
+        expect = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        assert r["g"] == expect
