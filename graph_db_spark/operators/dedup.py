@@ -199,6 +199,97 @@ def _guarded_bucket_self_join(
     return out.unionByName(pairs_of(anchors, probes, key_cols + ["_salt"]))
 
 
+def _guarded_bucket_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """Equi-join ``left`` × ``right`` on ``key_cols`` emitting
+    ``(id_a, id_b)`` (left id, right id), with the standard skew-join
+    decomposition for oversized LEFT buckets: left rows get a
+    deterministic salt in [0, ceil(n/max)), right rows replicate across
+    the salts for those keys only, so one degenerate bucket's
+    n_left·n_right output is produced by ceil(n_left/max) tasks instead
+    of one. Exact — nothing is dropped; the probe is one narrow count."""
+    left = left.localCheckpoint()
+    sizes = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    big = sizes.filter(F.col("_n") > max_bucket_size)
+
+    def pairs_of(aa: DataFrame, bb: DataFrame, join_keys: list[str]) -> DataFrame:
+        a, b = aa.alias("a"), bb.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_keys]
+        return a.join(b, on=cond).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+
+    normal_l = left.join(F.broadcast(big.select(*key_cols)), on=key_cols, how="left_anti")
+    out = pairs_of(normal_l, right, key_cols)
+    big_l = left.join(F.broadcast(big), on=key_cols)
+    nsplit = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
+    anchors = big_l.withColumn("_salt", F.pmod(F.xxhash64("id"), nsplit)).drop("_n")
+    big_r = right.join(F.broadcast(big), on=key_cols)
+    probes = big_r.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), nsplit - 1))
+    ).drop("_n")
+    return out.unionByName(pairs_of(anchors, probes, key_cols + ["_salt"]))
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Banded MinHash index rows ``(id, band, band_sig)`` — the persisted
+    LSH index of a corpus. Building this once and storing it (partitioned
+    by band) is what makes INCREMENTAL dedup linear in the batch size:
+    each new crawl batch joins its own banded rows against the index
+    instead of re-signing the corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k, hash_family)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sig.select("id", band_idx, "sig").select(
+        "id",
+        "band",
+        F.concat_ws(",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band).cast("array<string>")).alias(
+            "band_sig"
+        ),
+    )
+
+
+def minhash_lsh_candidates_against(
+    new_df: DataFrame,
+    index_banded: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    hash_family: str = "portable",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs between a NEW batch and an
+    existing banded index (:func:`minhash_banded`). Returns
+    ``(new_id, corpus_id)`` distinct. The corpus never self-joins and is
+    never re-signed — shuffle volume is O(batch·bands) plus the index
+    rows the join touches; oversized new-side buckets split via the
+    skew-join decomposition (:func:`_guarded_bucket_cross_join`). The
+    at-rest full-corpus sweep (:func:`minhash_lsh_candidates`) and this
+    ingest-time path share signature code, so their candidates agree."""
+    new_banded = minhash_banded(new_df, text_col, id_col, num_hashes, bands, k, hash_family)
+    return (
+        _guarded_bucket_cross_join(
+            new_banded, index_banded, ["band", "band_sig"], max_bucket_size
+        )
+        .select(F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -218,16 +309,7 @@ def minhash_lsh_candidates(
     signature collisions (the templated-doc skew-bomb) can't produce a
     straggler task — see :func:`_guarded_bucket_self_join`.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k, hash_family)
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select("id", band_idx, "sig").select(
-        "id",
-        "band",
-        F.concat_ws(",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band).cast("array<string>")).alias(
-            "band_sig"
-        ),
-    )
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands, k, hash_family)
     return (
         _guarded_bucket_self_join(banded, ["band", "band_sig"], [], max_bucket_size)
         .select("id_a", "id_b")

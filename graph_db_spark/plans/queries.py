@@ -3879,11 +3879,16 @@ def _poly_sql(expr: str, mult: int = 31) -> str:
     )
 
 
-def _minhash_band_sql(num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_band_sql(
+    num_hashes: int = 32, bands: int = 8, cands_pred: str = "a.doc_id < b.doc_id"
+) -> str:
     """Shared CTE body reproducing minhash_lsh_candidates in DuckDB: the
     portable md5-window shingle hash (operators/dedup.py:portable_hash),
     the LCG-derived affine minhashes (minhash_params — emitted here as
-    integer literals), and the banded bucket join. Exact, not modeled."""
+    integer literals), and the banded bucket join. ``cands_pred`` selects
+    which banded pairs qualify — the default is the full-corpus sweep;
+    the incremental query restricts to new-batch × index pairs. Exact,
+    not modeled."""
     from graph_db_spark.operators.dedup import _MINHASH_P as P
     from graph_db_spark.operators.dedup import minhash_params
 
@@ -3910,7 +3915,7 @@ def _minhash_band_sql(num_hashes: int = 32, bands: int = 8) -> str:
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.band_sig = b.band_sig AND {cands_pred}
     )"""
 
 
@@ -4930,8 +4935,64 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Round-4 additions: exact-substring span detection, RAG chunking,
-# embedding diversity, SemDeDup semantic dedup
+# embedding diversity, SemDeDup semantic dedup, tokenizer fertility,
+# incremental (batch-vs-index) LSH dedup
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_words,
+           round(avg(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))), 4) AS avg_bpe_ish,
+           round(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) * 1.0)
+                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: per language, mean whitespace words,
+    mean BPE-ish tokens, and fertility (BPE tokens per word) — the
+    number that converts a per-language document budget into a token
+    budget for mixture planning. Pure Column expressions over the scan;
+    one small groupBy on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "lang",
+        TX.token_count("text").cast("double").alias("w"),
+        TX.bpe_ish_token_count("text").cast("double").alias("b"),
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg("w")).alias("avg_words"),
+        r4(F.avg("b")).alias("avg_bpe_ish"),
+        r4(F.sum("b") / F.sum("w")).alias("fertility"),
+    )
+
+
+@register(
+    "incremental_lsh_dedup",
+    oracle=f"""
+    WITH {_minhash_band_sql(cands_pred="a.doc_id >= 400 AND b.doc_id < 400")}
+    SELECT id_a AS new_id, id_b AS corpus_id FROM cands
+    """,
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production crawl-ingest shape: a NEW
+    batch (doc_id ≥ 400 here) is deduped against the persisted banded
+    LSH index of the existing corpus (doc_id < 400) without the corpus
+    ever self-joining or re-signing (operators/dedup.py:minhash_banded /
+    minhash_lsh_candidates_against). Shuffle volume is O(batch·bands) +
+    touched index rows; oversized new-side buckets take the skew-join
+    split. Complements `streaming_exact_dedup` (ingest-time exact half)
+    and `minhash_lsh_dedup` (at-rest full sweep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    index = D.minhash_banded(corpus, "text", "doc_id")
+    return D.minhash_lsh_candidates_against(new, index, "text", "doc_id")
 
 
 @register(

@@ -672,3 +672,46 @@ def test_semantic_dedup_guard_trips_on_one_cluster(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     with _pytest.raises(ValueError, match="max_block_pairs"):
         SIM.semantic_dedup(df, "embedding", "vec_id", n_centroids=4, max_cluster_pairs=100)
+
+
+def test_incremental_lsh_agrees_with_full_sweep(spark):
+    """Batch-vs-index candidates must equal the full-corpus sweep's pairs
+    restricted to (new, corpus) — the ingest path and the at-rest path
+    share signature code, so their verdicts cannot drift."""
+    df = skewed_docs_df(spark, n=6, n_near=6)
+    corpus = df.filter(F.col("doc_id") < 1006)
+    new = df.filter(F.col("doc_id") >= 1006)
+    index = D.minhash_banded(corpus, "text", "doc_id")
+    inc = {
+        (r["new_id"], r["corpus_id"])
+        for r in D.minhash_lsh_candidates_against(new, index, "text", "doc_id").collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(df, "text", "doc_id").collect()
+    }
+    expect = {(max(a, b), min(a, b)) for a, b in full
+              if (a >= 1006) != (b >= 1006)}
+    assert inc == expect and inc  # non-empty: planted near-dups straddle the split
+
+
+def test_incremental_lsh_split_path_is_exact(spark):
+    """Oversized new-side buckets take the cross-join skew split; results
+    must equal the plain join's."""
+    df = skewed_docs_df(spark, n=200, n_near=2)
+    corpus = df.filter(F.col("doc_id") < 100)   # 100 identical boilerplate docs
+    new = df.filter(F.col("doc_id") >= 100)     # 100 more + planted pairs
+    index = D.minhash_banded(corpus, "text", "doc_id")
+    plain = {
+        (r["new_id"], r["corpus_id"])
+        for r in D.minhash_lsh_candidates_against(
+            new, index, "text", "doc_id", max_bucket_size=10**9
+        ).collect()
+    }
+    split = {
+        (r["new_id"], r["corpus_id"])
+        for r in D.minhash_lsh_candidates_against(
+            new, index, "text", "doc_id", max_bucket_size=8
+        ).collect()
+    }
+    assert split == plain and len(plain) >= 100 * 100  # bomb bucket fully paired
