@@ -4996,6 +4996,48 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH {_minhash_band_sql(cands_pred="a.doc_id >= 400 AND b.doc_id < 400")}
+    SELECT id_a AS new_id, id_b AS corpus_id FROM cands
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming × dedup — the ingest-time form of
+    `incremental_lsh_dedup`: new documents arrive in MICRO-BATCHES
+    (maxFilesPerTrigger) and each batch is LSH-checked against the
+    static banded index of the existing corpus via ``foreachBatch``
+    (streaming/jobs.py:stream_incremental_dedup). Batching cannot change
+    the answer — candidates are per-document against a static index —
+    so the oracle is the same as the batch query's; the union of batch
+    outputs must hash-match it exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    # index built once, materialized — every micro-batch reuses the rows
+    index = D.minhash_banded(corpus, "text", "doc_id").localCheckpoint()
+    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    src = os.path.join(tempfile.gettempdir(), f"graft_incdedup_src_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"graft_incdedup_out_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"graft_incdedup_ckpt_{tag}")
+    for d in (out, ckpt):  # append-mode sink + checkpoint must start clean
+        shutil.rmtree(d, ignore_errors=True)
+    new.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 2)  # force several micro-batches
+        .parquet(src)
+    )
+    q = STRM.stream_incremental_dedup(stream, index, out, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("new_id", "corpus_id").distinct()
+
+
+@register(
     "repeated_spans",
     oracle="""
     WITH w AS (

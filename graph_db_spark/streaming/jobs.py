@@ -461,3 +461,37 @@ def stream_enriched_daily(
             "n",
         )
     )
+
+
+def stream_incremental_dedup(
+    stream_docs: DataFrame,
+    index_banded: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Ingest-time APPROXIMATE dedup: each micro-batch of new documents
+    is LSH-checked against the persisted banded index of the existing
+    corpus (operators/dedup.py:minhash_banded) and the candidate pairs
+    land in ``out_path``. The corpus is never re-signed and never
+    self-joins — per batch the work is O(batch·bands) plus the touched
+    index rows, which is what keeps continuous crawl ingest linear.
+    Complements :func:`stream_exact_dedup` (the exact-hash half); the
+    batch sweep (`minhash_lsh_candidates`) remains the at-rest half.
+    ``foreachBatch`` is the right tool here: candidate generation is a
+    multi-stage batch program (signature agg + banded join), not a
+    single streaming-expressible aggregation. Returns the started
+    StreamingQuery."""
+    from graph_db_spark.operators.dedup import minhash_lsh_candidates_against
+
+    def batch(bdf: DataFrame, batch_id: int) -> None:
+        cands = minhash_lsh_candidates_against(bdf, index_banded, text_col, id_col)
+        cands.write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
