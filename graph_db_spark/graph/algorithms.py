@@ -293,3 +293,60 @@ def shortest_paths(
         dist = dist.unionByName(grown)
         frontier = grown
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel vertices with
+    degree < ``k`` until a fixpoint; returns the surviving vertices as
+    ``(id, degree)`` (degree WITHIN the core). The k-core is unique, so
+    the result is deterministic regardless of peel order.
+
+    Each round is one symmetrized degree aggregation + one semi-join to
+    drop edges touching peeled vertices — shuffle on vertex id, the same
+    per-round shape as connected components; ``localCheckpoint`` bounds
+    lineage. Rounds needed = longest peeling chain, typically ≪ rounds
+    available; raises if ``max_rounds`` is hit without converging (a
+    silent partial peel would report a superset of the core).
+    """
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        directed.unionByName(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = sym.select("a").distinct().count()
+    for _ in range(max_rounds):
+        # one materialization (the keep set) + one count on the
+        # materialized rows per round; convergence = vertex count stable
+        keep = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+            .localCheckpoint()
+        )
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            return (
+                sym.groupBy(F.col("a").alias("id"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            )
+        if n_keep == 0:
+            return sym.limit(0).select(
+                F.col("a").alias("id"), F.lit(0).cast("bigint").alias("degree")
+            )
+        n_prev = n_keep
+        sym = (
+            sym.join(keep, on="a", how="left_semi")
+            .join(keep.select(F.col("a").alias("b")), on="b", how="left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

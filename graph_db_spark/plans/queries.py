@@ -3804,6 +3804,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "k_core_4",                     # ~13s at sf0.1 (iterative peel)
     "connected_components",         # ~12s
     "pagerank",                     # ~14s
 ]
@@ -4938,6 +4939,47 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding diversity, SemDeDup semantic dedup, tokenizer fertility,
 # incremental (batch-vs-index) LSH dedup
 # ---------------------------------------------------------------------------
+
+
+def _k_core_oracle_sql(k: int = 4, rounds: int = 14) -> str:
+    """Unrolled peel replay of graph/algorithms.py:k_core. The Spark side
+    iterates to a fixpoint; the oracle unrolls ``rounds`` peels — the
+    sf0.01 fixture converges in 9 (sf0.001 in 6, probed), and extra
+    rounds are no-ops after the fixpoint, so 14 gives margin without
+    changing the answer. MATERIALIZED so DuckDB doesn't inline the
+    peeling chain exponentially."""
+    parts = [
+        f"WITH edges AS ({edges_sql()})",
+        "sym0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        " SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges)"
+        " WHERE a <> b)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"keep{r} AS MATERIALIZED (SELECT a FROM sym{r} GROUP BY a HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"sym{r + 1} AS MATERIALIZED (SELECT s.a, s.b FROM sym{r} s"
+            f" JOIN keep{r} ka ON s.a = ka.a JOIN keep{r} kb ON s.b = kb.a)"
+        )
+    return ",\n".join(parts) + f"""
+    SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM sym{rounds} GROUP BY a
+    """
+
+
+@register("k_core_4", oracle=_k_core_oracle_sql())
+def k_core_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — the 4-core of the fixture graph (iterative
+    degree peeling to the unique fixpoint; graph/algorithms.py:k_core).
+    Line vertices have degree 3, so k=4 triggers a genuine multi-round
+    cascade (9 rounds at sf0.01). Each round is one degree aggregation +
+    two semi-joins, shuffling on vertex id — the same per-round shape as
+    connected components, with localCheckpoint bounding lineage."""
+    from graph_db_spark.graph.algorithms import k_core
+
+    g = build_graph(spark, sf_dir)
+    return k_core(g.edges, 4)
 
 
 @register(

@@ -133,3 +133,18 @@ def test_find_motif_builder(spark):
         g.find("(x)-[R]>(y)")
     with pytest.raises(ValueError, match="conflicting"):
         g.find("(x:Anchor)-[:R]->(y); (x:Mid)-[:S]->(z)")
+
+
+def test_k_core_peels_cascade(spark):
+    """Classic k-core cascade: a triangle with a pendant chain. The 2-core
+    is exactly the triangle; the chain peels over multiple rounds."""
+    from graph_db_spark.graph.algorithms import k_core
+
+    e = edges_of(spark, [("a", "b"), ("b", "c"), ("c", "a"),   # triangle
+                         ("c", "d"), ("d", "e"), ("e", "f")])  # chain
+    core = {r["id"]: r["degree"] for r in k_core(e, 2).collect()}
+    assert core == {"a": 2, "b": 2, "c": 2}
+    # k above the max degree → empty core
+    assert k_core(e, 4).count() == 0
+    # the whole graph is its own 1-core
+    assert k_core(e, 1).count() == 6
