@@ -4941,6 +4941,103 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "unigram_logperplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    t AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(cnt * 1.0 / n)), 4) AS avg_neg_logp
+    FROM toks JOIN c USING (token) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def unigram_logperplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation perplexity proxy: per document, the mean negative
+    log-probability of its tokens under the corpus's own unigram
+    distribution — cheap outlier/gibberish signal (high = rare-token
+    soup, low = stopword soup) used to bucket documents before an
+    expensive model-based quality pass. One token-count aggregation +
+    one equi-join on token (both sides shuffle on the same key; at
+    web scale the unigram table is itself distributed — no broadcast
+    assumption), then a per-doc mean."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(counts, on="token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            r4(F.avg(-F.log(F.col("cnt") / F.col("n")))).alias("avg_neg_logp"),
+        )
+    )
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, source, text,
+             len(list_distinct(list_intersect(t, {{sw_en}}))) AS h_en,
+             len(list_distinct(list_intersect(t, {{sw_es}}))) AS h_es,
+             len(list_distinct(list_intersect(t, {{sw_de}}))) AS h_de,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM toks
+    ), q AS (
+      SELECT doc_id, source,
+             round((least(n_tok / 50.0, 1.0)
+                    + (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                                    / nullif(length(text), 0)) * 5.0, 1.0))
+                    + least((h_en + h_es + h_de) / 5.0, 1.0)) / 3.0, 4) AS quality
+      FROM hits
+    ), med AS (
+      SELECT source, quantile_cont(quality, 0.5) AS median_q FROM q GROUP BY 1
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (q.quality >= med.median_q) AS BIGINT) AS n_kept,
+           round(med.median_q, 4) AS median_q
+    FROM q JOIN med ON q.source = med.source
+    GROUP BY q.source, med.median_q
+    """.replace("{sw_en}", _SW_SQL["en"]).replace("{sw_es}", _SW_SQL["es"]).replace("{sw_de}", _SW_SQL["de"]),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: per-source quantile-relative quality filtering — keep
+    documents at or above their source's MEDIAN quality score (absolute
+    thresholds are wrong across heterogeneous sources; quantile cuts are
+    the standard mixture-curation move). Exact interpolated median here
+    (oracle-checkable); at 100 TB swap `approx_percentile` per SCALE.md
+    §5 — per-source medians then come from a single sketch pass. The
+    median is computed over 4-decimal-rounded scores so both engines
+    compare identical doubles at the cut boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("source", r4(TX.quality_score("text")).alias("quality"))
+    med = q.groupBy("source").agg(F.percentile(F.col("quality"), F.lit(0.5)).alias("median_q"))
+    return (
+        q.join(F.broadcast(med), on="source")
+        .groupBy("source", "median_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("quality") >= F.col("median_q"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("source", "n_docs", "n_kept", r4(F.col("median_q")).alias("median_q"))
+    )
+
+
 def _k_core_oracle_sql(k: int = 4, rounds: int = 14) -> str:
     """Unrolled peel replay of graph/algorithms.py:k_core. The Spark side
     iterates to a fixpoint; the oracle unrolls ``rounds`` peels — the
