@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "k_core_4",                     # ~13s at sf0.1 (iterative peel)
     "connected_components",         # ~12s
     "pagerank",                     # ~14s
+    "personalized_pagerank_regions",  # ~18s at sf0.1 (iterative + per-round restart join)
 ]
 
 
@@ -4939,6 +4940,63 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding diversity, SemDeDup semantic dedup, tokenizer fertility,
 # incremental (batch-vs-index) LSH dedup
 # ---------------------------------------------------------------------------
+
+
+def _ppr_oracle_sql(iters: int = 10, reset: float = 0.15) -> str:
+    """Unrolled power-iteration oracle for personalized PageRank with the
+    5 Region vertices as the restart set — same conservation-based
+    dangling recovery as graph/algorithms.personalized_pagerank, restart
+    mass deposited only on sources. MATERIALIZED per the PageRank oracle
+    lesson (plain CTEs inline exponentially in DuckDB)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql()})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "sn AS MATERIALIZED (SELECT count(*) AS ns FROM verts WHERE id LIKE 'R:%')",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "w AS MATERIALIZED (SELECT edges.src AS id, edges.dst, 1.0 / deg.d AS wt FROM edges JOIN deg ON edges.src = deg.src)",
+        "pr0 AS (SELECT id, CASE WHEN id LIKE 'R:%' THEN 1.0 / (SELECT ns FROM sn) ELSE 0.0 END AS rank FROM verts)",
+    ]
+    final = "pr0"
+    for i in range(iters):
+        p, q = f"pr{i}", f"pr{i + 1}"
+        parts += [
+            f"c{i} AS (SELECT w.dst AS id, sum({p}.rank * w.wt) AS contrib FROM {p} JOIN w ON {p}.id = w.id GROUP BY w.dst)",
+            f"t{i} AS MATERIALIZED (SELECT v.id, {1 - reset} * coalesce(c{i}.contrib, 0) AS rank"
+            f" FROM verts v LEFT JOIN c{i} ON v.id = c{i}.id)",
+            f"{q} AS MATERIALIZED (SELECT id, rank + CASE WHEN id LIKE 'R:%'"
+            f" THEN (1.0 - (SELECT sum(rank) FROM t{i})) / (SELECT ns FROM sn) ELSE 0.0 END AS rank FROM t{i})",
+        ]
+        final = q
+    return ",\n".join(parts) + f"""
+    SELECT label, round(mass, 6) AS mass, CAST(n AS BIGINT) AS n FROM (
+      SELECT substr(id, 1, 1) AS label, sum(rank) AS mass, count(*) AS n
+      FROM {final} GROUP BY 1
+    )
+    """
+
+
+@register("personalized_pagerank_regions", oracle=_ppr_oracle_sql())
+def personalized_pagerank_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — personalized PageRank restarted at the 5 Region
+    vertices (random walk with restart: rank = proximity to the seed
+    set). Checked against a full unrolled power-iteration oracle on
+    per-label rank masses, like the uniform `pagerank` query — a wrong
+    restart vector or dangling-to-sources recovery shifts label masses
+    at the 3rd-4th decimal and fails the gate."""
+    from graph_db_spark.graph.algorithms import personalized_pagerank
+
+    g = build_graph(spark, sf_dir)
+    sources = g.vertices.filter(F.col("label") == "Region").select("id")
+    pr = personalized_pagerank(
+        g.edges, sources, max_iter=10, n_partitions=_graph_nparts(sf_dir)
+    )
+    return (
+        pr.groupBy(F.substring("id", 1, 1).alias("label"))
+        .agg(
+            F.round(F.sum("rank"), 6).alias("mass"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
 
 
 @register(

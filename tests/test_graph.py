@@ -148,3 +148,21 @@ def test_k_core_peels_cascade(spark):
     assert k_core(e, 4).count() == 0
     # the whole graph is its own 1-core
     assert k_core(e, 1).count() == 6
+
+
+def test_personalized_pagerank_localizes_to_sources(spark):
+    """Restarting at a source set keeps rank near it: mass sums to 1,
+    sources outrank a far-away sink, and unreachable vertices get 0."""
+    from graph_db_spark.graph.algorithms import personalized_pagerank
+
+    # two islands: a->b->c cycle-ish, and x->y disconnected from sources
+    e = edges_of(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")])
+    src = spark.createDataFrame([("a",)], "id string")
+    ranks = {r["id"]: r["rank"] for r in personalized_pagerank(e, src, max_iter=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks["x"] == 0.0 and ranks["y"] == 0.0  # unreachable from a
+    assert ranks["a"] > ranks["c"] > 0  # proximity ordering from the seed
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(e, src.filter("id = 'zz'"))
