@@ -172,3 +172,55 @@ def metrics_map(df: DataFrame, group_cols: list[str], key_col: str, value_col: s
     return df.groupBy(*group_cols).agg(
         F.map_from_entries(F.collect_list(F.struct(key_col, value_col))).alias("metrics")
     )
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add a global ``row_number`` by ``order_exprs`` WITHOUT a
+    single-partition window — the two-level prefix-sum shape:
+    range-partition on the order (partition ids follow the global
+    order), rank within each partition (parallel, pid-partitioned
+    window), then lift local ranks with per-partition row-count offsets
+    computed from a #partitions-sized table via a pid<pid self-join.
+    A 10⁹-row global ranking becomes #partitions parallel sorts plus a
+    tiny broadcast — the same rewrite vocab_coverage uses for its Zipf
+    curve, factored for reuse (deciles/ntile, top-N reports).
+
+    ``order_exprs`` must be a TOTAL order (add a unique tiebreak column)
+    or ranks across equal keys depend on partition placement.
+    """
+    nparts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(nparts, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_exprs)
+    local = parted.withColumn("_lrn", F.row_number().over(wloc))
+    ptots = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_nrows"))
+    a, b = ptots.alias("a"), ptots.alias("b")
+    offs = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._nrows"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), on="_pid")
+        .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_of(rank: Column, n: Column, tiles: int) -> Column:
+    """Exact ANSI ``ntile(tiles)`` tile id from a global rank and total
+    count ``n`` — the first ``n % tiles`` tiles get ``ceil(n/tiles)``
+    rows, the rest ``floor(n/tiles)`` (same assignment as the window
+    function, without the window)."""
+    q = F.floor(n / tiles)
+    rem = n % tiles
+    big = rem * (q + 1)
+    return F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((rank - 1 - big) / q) + 1
+    )

@@ -4942,6 +4942,159 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the classic 6-way
+    star-schema join — fact⋈fact on orderkey, the customer=supplier
+    same-nation condition folded into the supplier join, and the
+    region/nation dimension chain broadcast. Date range pushes into the
+    orders scan; Catalyst orders the joins from the filtered dimensions
+    inward. The canonical multi-way join-planning stress for an OLAP
+    engine."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "order_value_deciles",
+    oracle="""
+    WITH totals AS (
+      SELECT o_orderkey, o_custkey, sum(l_extendedprice * (1 - l_discount)) AS total
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    dec AS (
+      SELECT ntile(10) OVER (ORDER BY total DESC, o_orderkey) AS decile, total
+      FROM totals
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(total), 4) AS decile_revenue,
+           round(min(total), 4) AS min_total,
+           round(max(total), 4) AS max_total
+    FROM dec GROUP BY decile
+    """,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth — revenue deciles of order totals (exact
+    ANSI ``ntile(10)`` semantics): the top-decile concentration report.
+    NO global window: the global rank comes from the reusable two-level
+    prefix sum (``with_global_rank`` — range partition + pid-local
+    row_number + broadcast offsets, the vocab_coverage rewrite factored
+    for reuse) and the tile id from closed-form arithmetic over
+    (rank, n) (``ntile_of``). Billions of orders rank as #partitions
+    parallel sorts. Deterministic tiebreak on o_orderkey; the oracle
+    runs DuckDB's real ntile window — matching it pins the arithmetic
+    to exact ANSI tile assignment."""
+    from graph_db_spark.operators.aggregates import ntile_of, with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total"))
+        .localCheckpoint()  # ranked rows + the count scalar share one materialization
+    )
+    ranked = with_global_rank(totals, [F.desc("total"), F.asc("o_orderkey")])
+    n_total = totals.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("decile", ntile_of(F.col("rank"), F.col("_n"), 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            r4(F.sum("total")).alias("decile_revenue"),
+            r4(F.min("total")).alias("min_total"),
+            r4(F.max("total")).alias("max_total"),
+        )
+        .select(F.col("decile").cast("bigint").alias("decile"),
+                "n_orders", "decile_revenue", "min_total", "max_total")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS viewed,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS clicked,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click) AS BIGINT) AS purchased
+    FROM steps GROUP BY day
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per (user, day), the first timestamp of
+    each step; a user converts a step only if it happens strictly AFTER
+    the previous step's first occurrence (view → click → purchase).
+    One conditional-min aggregation per step inside a single groupBy —
+    no self-joins, no per-user sorting; the standard funnel formulation
+    that scales as one map-side-combined pass over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id", day).agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return steps.groupBy("day").agg(
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("purchased"),
+    )
+
+
 def _ppr_oracle_sql(iters: int = 10, reset: float = 0.15) -> str:
     """Unrolled power-iteration oracle for personalized PageRank with the
     5 Region vertices as the restart set — same conservation-based

@@ -189,3 +189,38 @@ def test_portable_hll_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n <= 0.05, (k, est[k], n)
+
+
+def test_with_global_rank_and_ntile_match_window_functions(spark):
+    """The two-level global rank + closed-form ntile must equal the real
+    single-partition window functions on awkward sizes (n % tiles != 0,
+    n < partitions, ties broken by a unique key)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.aggregates import ntile_of, with_global_rank
+
+    rng = random.Random(7)
+    for n, tiles in ((25, 10), (7, 3), (100, 7), (3, 10)):
+        rows = [(i, rng.randint(0, 5)) for i in range(n)]  # heavy ties
+        df = spark.createDataFrame(rows, "id long, v long")
+        order = [F.desc("v"), F.asc("id")]
+        w = Window.orderBy(*order)
+        expect = {
+            r["id"]: (r["rk"], r["nt"])
+            for r in df.select(
+                "id", F.row_number().over(w).alias("rk"), F.ntile(tiles).over(w).alias("nt")
+            ).collect()
+        }
+        ranked = with_global_rank(df, order).crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
+        )
+        got = {
+            r["id"]: (r["rank"], r["nt"])
+            for r in ranked.select(
+                "id", "rank", ntile_of(F.col("rank"), F.col("_n"), tiles).cast("int").alias("nt")
+            ).collect()
+        }
+        assert got == expect, (n, tiles)

@@ -130,15 +130,16 @@ def test_dedup_keep_filter_not_pushed_below_repartition(spark):
     assert "regexp_extract" not in head.split("== Physical Plan ==")[1]
 
 
-def test_vocab_coverage_no_global_window(spark):
-    """SCALE.md: the Zipf coverage curve must use the two-level prefix
-    sum — every Window in the plan is partitioned (by pid), never a
-    global single-partition rank/cumsum over the vocabulary, and the
-    offset lift must not reintroduce a SinglePartition exchange feeding
-    a Window."""
+@pytest.mark.parametrize("name", ["vocab_coverage", "order_value_deciles"])
+def test_two_level_rank_queries_have_no_global_window(spark, name):
+    """SCALE.md: global rankings (the Zipf curve, the revenue deciles)
+    must use the two-level prefix sum — every Window in the plan is
+    partitioned (by pid), never a global single-partition rank/cumsum,
+    and the offset lift must not reintroduce a SinglePartition exchange
+    feeding a Window."""
     import re
 
-    plan = plan_of(spark, "vocab_coverage")
+    plan = plan_of(spark, name)
     # formatted-mode Window detail lines: "Arguments: [fns], [partition], [order]"
     windows = list(re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: (.*)", plan))
     assert windows, "expected the pid-partitioned rank/cumsum Window in the plan"
