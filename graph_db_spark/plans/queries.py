@@ -5050,6 +5050,105 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, ts AS pts, user_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, ts AS tts, user_id, event_type AS touch
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    sel AS (
+      SELECT pid, pts, value, touch FROM (
+        SELECT p.pid, p.pts, p.value, t.touch, t.tid,
+               row_number() OVER (PARTITION BY p.pid
+                 ORDER BY epoch(p.pts) - epoch(t.tts) ASC, t.tid ASC) AS rn
+        FROM p LEFT JOIN t
+          ON p.user_id = t.user_id AND t.tts <= p.pts
+         AND epoch(p.pts) - epoch(t.tts) <= 86400
+      ) WHERE rn = 1
+    )
+    SELECT strftime(pts, '%Y-%m-%d') AS day,
+           coalesce(touch, 'unattributed') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_value
+    FROM sel GROUP BY 1, 2
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution — each purchase credits the LAST view/click
+    by the same user within 24h (backward as-of join with tolerance;
+    purchases with no prior touch report as 'unattributed'). Reuses the
+    J3 as-of operator in its attribution costume — the same
+    join-then-rank program, with the bucketed variant as the scale path
+    when a user's touch stream is hot."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+        "user_id", F.col("value").alias("pvalue"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"), F.col("ts").alias("tts"),
+        "user_id", F.col("event_type").alias("touch"),
+    )
+    matched = J.asof_join(
+        purchases, touches, on=["user_id"], left_ts="pts", right_ts="tts",
+        tolerance_seconds=86400, tiebreak_cols=["tid"], direction="backward",
+    )
+    return (
+        matched.groupBy(
+            F.date_format(F.to_date("pts"), "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("touch"), F.lit("unattributed")).alias("touch_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            r4(F.sum("pvalue")).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c0 FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    joined AS (
+      SELECT strftime(f.c0, '%Y-%m-%d') AS cohort,
+             CAST(a.d - f.c0 AS BIGINT) AS offset_days,
+             a.user_id
+      FROM act a JOIN firstd f USING (user_id)
+    )
+    SELECT cohort, offset_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM joined GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day; for each (cohort, day-offset) the count of still-active users —
+    the standard product-analytics triangle. Two aggregations + one join
+    on user_id (the first-day table is user-sized and co-partitioned
+    with the activity table on the join key — no broadcast assumption at
+    100 TB, where user counts are huge but the join is a plain key
+    shuffle both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(firstd, on="user_id")
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "c0").cast("bigint").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
+@register(
     "funnel_conversion",
     oracle="""
     WITH steps AS (
