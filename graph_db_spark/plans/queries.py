@@ -5050,6 +5050,54 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_sketch_bound",
+    oracle="""
+    SELECT 'n_groups' AS metric, CAST(count(DISTINCT event_type) AS DOUBLE) AS value FROM events
+    UNION ALL
+    SELECT 'total_rows', CAST(count(*) AS DOUBLE) FROM events
+    UNION ALL SELECT 'max_rank_err_le_001', 1.0
+    """,
+)
+def percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quality bound — the mergeable-quantile half of the sketch
+    family's contract story (the analogue of `hll_error_bound`):
+    per-group ``approx_percentile`` (Spark's built-in mergeable KLL-style
+    sketch, the documented 100 TB swap for `percentile_value_stats`)
+    must land within rank error 0.01 of the true median. The rank of
+    the sketch's answer is measured against the data itself (fraction of
+    values ≤ it), so the contract row is exact arithmetic over exact
+    counts — DuckDB verifies the facts and the bound without needing to
+    replicate the sketch internals."""
+    ev = load_table(spark, sf_dir, "events")
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("p50_apx")
+    )
+    ranked = (
+        ev.join(F.broadcast(apx), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("p50_apx"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("rank_frac")
+        )
+    )
+    facts = _metric_rows(
+        ev.agg(F.countDistinct("event_type").alias("v")).select(
+            F.lit("n_groups").alias("metric"), F.col("v").cast("double").alias("value")
+        ),
+        ev.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit("total_rows").alias("metric"), F.col("v").cast("double").alias("value")
+        ),
+    )
+    contract = ranked.agg(F.max(F.abs(F.col("rank_frac") - 0.5)).alias("err")).select(
+        F.lit("max_rank_err_le_001").alias("metric"),
+        F.when(F.col("err") <= 0.01, 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
+
+
+@register(
     "last_touch_attribution",
     oracle="""
     WITH p AS (
