@@ -3805,6 +3805,7 @@ _EXPENSIVE_LAST = [
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
     "k_core_4",                     # ~13s at sf0.1 (iterative peel)
+    "streaming_touch_pairs",        # ~14s at sf0.1 (two-sided state store)
     "connected_components",         # ~12s
     "pagerank",                     # ~14s
     "personalized_pagerank_regions",  # ~18s at sf0.1 (iterative + per-round restart join)
@@ -5154,6 +5155,68 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
             r4(F.sum("pvalue")).alias("attributed_value"),
         )
+    )
+
+
+@register(
+    "streaming_touch_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, ts AS pts, user_id FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT ts AS tts, user_id, event_type AS touch FROM events
+      WHERE event_type IN ('view', 'click')
+    )
+    SELECT strftime(p.pts, '%Y-%m-%d') AS day, t.touch AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p JOIN t ON p.user_id = t.user_id
+     AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+    GROUP BY 1, 2
+    """,
+)
+def streaming_touch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 STREAM-STREAM join — purchases ⋈ touches by user within a
+    24h interval, both sides arriving as streams with watermarks (the
+    state-store shape none of the other streaming jobs exercise: both
+    sides buffer, and the interval condition + watermarks bound the
+    state). availableNow processes the full fixture, so the pair set
+    equals the batch interval join exactly — the oracle is that batch
+    join, aggregated per (day, touch type)."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_stream_touch_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    ev.write.mode("overwrite").parquet(d)
+    p_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type") == "purchase")
+    )
+    t_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type").isin("view", "click"))
+    )
+    pairs = STRM.stream_touch_pairs(p_stream, t_stream)
+    qname = "mem_touch_pairs"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.date_format(F.to_date("pts"), "yyyy-MM-dd").alias("day"),
+            F.col("touch").alias("touch_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
 
 

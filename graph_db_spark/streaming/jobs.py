@@ -495,3 +495,42 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_touch_pairs(
+    purchases: DataFrame,
+    touches: DataFrame,
+    window_hours: int = 24,
+    p_watermark: str = "1 day",
+    t_watermark: str = "2 days",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase pairs with every
+    view/click by the same user in the preceding ``window_hours`` — the
+    ingest-time half of touch attribution (the batch `asof_join` picks
+    the LAST touch; per-group ranking isn't append-expressible, so the
+    stream emits the pair set and the last-touch pick stays batch/
+    foreachBatch).
+
+    This is the one stateful shape the other §2.8 jobs don't cover:
+    BOTH sides buffer in the state store, and the watermarks + the
+    time-interval join condition bound that state — a touch can only
+    match purchases up to ``window_hours`` ahead, so rows age out of
+    state once the other side's watermark passes their match horizon.
+    Without the interval condition the state would grow unboundedly;
+    with it, state ≈ each side's watermark horizon of rows.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"), F.col("value").alias("pvalue"),
+    ).withWatermark("pts", p_watermark)
+    t = touches.select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch"),
+    ).withWatermark("tts", t_watermark)
+    return p.join(
+        t,
+        F.expr(
+            f"p_user = t_user AND tts <= pts AND tts >= pts - INTERVAL {window_hours} HOURS"
+        ),
+        "inner",
+    )
