@@ -267,3 +267,72 @@ def salted_join(
     )
     out = lsalted.join(rsalted, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    how: str = "naive",
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Range join: pairs of rows (sharing ``on`` keys) whose
+    [start, end] intervals OVERLAP (closed intervals: touching endpoints
+    count). Returns left columns + right columns (right's renamed with a
+    ``r_`` prefix on collision).
+
+    ``how="naive"``: equi-join on the keys + the two range predicates —
+    fine when per-key row counts are modest (the fan-out is the true
+    overlap count plus the pruned range pairs).
+
+    ``how="bucketed"``: the scale path for hot keys and wide time spans —
+    each interval explodes to the coarse time buckets it covers, the join
+    runs on (keys, bucket) so only same-bucket candidates ever pair, and
+    a distinct + the exact overlap predicate de-duplicate and verify.
+    Fan-out is bounded by interval_length/bucket_seconds per row instead
+    of the per-key row count — the same discipline as
+    :func:`asof_join_bucketed`. Result-identical to naive
+    (hypothesis-tested)."""
+    l2 = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_start).cast("timestamp").alias("__ls"),
+        F.col(left_end).cast("timestamp").alias("__le"),
+    )
+    rcols = {
+        c: (c if c in on or c not in left.columns else f"r_{c}") for c in right.columns
+    }
+    r2 = right.select(
+        *[F.col(c).alias(rcols[c]) for c in right.columns],
+        F.col(right_start).cast("timestamp").alias("__rs"),
+        F.col(right_end).cast("timestamp").alias("__re"),
+    )
+    overlap = (F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le"))
+    out_cols = [c for c in left.columns] + [rcols[c] for c in right.columns if rcols[c] not in on]
+    if how == "naive":
+        return l2.join(r2, on=on).filter(overlap).select(*out_cols)
+    if how != "bucketed":
+        raise ValueError(f"unknown how={how!r}; 'naive' or 'bucketed'")
+    b = F.lit(bucket_seconds)
+
+    def buckets(s: str, e: str):
+        lo = F.floor(F.col(s).cast("double") / b)
+        hi = F.floor(F.col(e).cast("double") / b)
+        return F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias("__bkt")
+
+    lb = l2.select("*", buckets("__ls", "__le"))
+    rb = r2.select("*", buckets("__rs", "__re"))
+    # a pair spanning k buckets appears k times — dedup on the full pair
+    # identity (keys, every output column, both interval bounds). Rows
+    # indistinguishable on ALL of those collapse (set semantics; the
+    # naive path keeps bag semantics for fully-duplicate input rows —
+    # carry a unique id column if that distinction matters).
+    return (
+        lb.join(rb, on=[*on, "__bkt"])
+        .filter(overlap)
+        .dropDuplicates([*out_cols, "__ls", "__le", "__rs", "__re"])
+        .select(*out_cols)
+    )

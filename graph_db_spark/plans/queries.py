@@ -5050,6 +5050,64 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_iv_sql(event_type: str) -> str:
+    """CTE body: gap-1800s session intervals of one event type (the
+    sessionization oracle's lag/cumsum program, filtered)."""
+    return f"""(
+      SELECT user_id, min(ts) AS s, max(ts) AS e FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WHERE event_type = '{event_type}'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+      ) GROUP BY user_id, sid
+    )"""
+
+
+@register(
+    "session_overlap_pairs",
+    oracle=f"""
+    WITH ca AS {_session_iv_sql('click')},
+    eb AS {_session_iv_sql('error')}
+    SELECT CAST(ca.user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_overlap_pairs
+    FROM ca JOIN eb ON ca.user_id = eb.user_id
+     AND ca.s <= eb.e AND eb.s <= ca.e
+    GROUP BY ca.user_id
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — per user, pairs of CLICK sessions and ERROR sessions
+    whose time intervals overlap ("were errors happening while the user
+    was actively clicking?"). Composes the sessionizer with the
+    ``interval_overlap_join`` operator (operators/joins.py): naive keyed
+    range join here — per-key fan-out is sessions/user — with the
+    bucketed variant as the hot-key scale path (hypothesis-tested
+    result-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def sess(t: str) -> DataFrame:
+        return session_intervals(
+            ev.filter(F.col("event_type") == t), ["user_id"], "ts", gap_seconds=1800
+        ).select("user_id", "start_at", "end_at")
+
+    pairs = J.interval_overlap_join(
+        sess("click"),
+        sess("error").withColumnRenamed("start_at", "e_start").withColumnRenamed("end_at", "e_end"),
+        on=["user_id"],
+        left_start="start_at", left_end="end_at",
+        right_start="e_start", right_end="e_end",
+    )
+    return pairs.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs")
+    )
+
+
 @register(
     "percentile_sketch_bound",
     oracle="""
