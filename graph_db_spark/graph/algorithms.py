@@ -263,16 +263,20 @@ def personalized_pagerank(
     variant stays a separate tuned path — personalization only pays for
     its source join when asked for."""
     e = edges.select(F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst"))
-    v = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     s = sources.select(F.col("id").cast("string").alias("id")).distinct().localCheckpoint(eager=True)
     ns = s.count()
     if ns == 0:
         raise ValueError("personalized_pagerank needs a non-empty source set")
+    # vertex set INCLUDES sources absent from the edge list — an edgeless
+    # seed is a dangling vertex that must still hold its restart mass
+    # (dropping it silently deflates every score and breaks Σrank ≈ 1)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .unionAll(s)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     weighted = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("out_degree"))

@@ -178,39 +178,57 @@ def with_global_rank(
     df: DataFrame,
     order_exprs: list[Column],
     rank_col: str = "rank",
+    cumsum_cols: dict[str, str] | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """Add a global ``row_number`` by ``order_exprs`` WITHOUT a
-    single-partition window — the two-level prefix-sum shape:
+    """Add a global ``row_number`` by ``order_exprs`` — and optionally
+    global RUNNING SUMS (``cumsum_cols``: out_name → value column) —
+    WITHOUT a single-partition window. The two-level prefix-sum shape:
     range-partition on the order (partition ids follow the global
-    order), rank within each partition (parallel, pid-partitioned
-    window), then lift local ranks with per-partition row-count offsets
-    computed from a #partitions-sized table via a pid<pid self-join.
-    A 10⁹-row global ranking becomes #partitions parallel sorts plus a
-    tiny broadcast — the same rewrite vocab_coverage uses for its Zipf
-    curve, factored for reuse (deciles/ntile, top-N reports).
+    order), rank/cumsum within each partition (parallel, pid-partitioned
+    window), then lift local values with per-partition offsets computed
+    from a #partitions-sized totals table via a pid<pid self-join. A
+    10⁹-row global ranking becomes #partitions parallel sorts plus a
+    tiny broadcast — used by the Zipf vocabulary curve (rank + running
+    token mass) and the revenue deciles (rank + closed-form ntile).
 
     ``order_exprs`` must be a TOTAL order (add a unique tiebreak column)
     or ranks across equal keys depend on partition placement.
     """
+    cumsum_cols = cumsum_cols or {}
     nparts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(nparts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("_pid").orderBy(*order_exprs)
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, 0)
     local = parted.withColumn("_lrn", F.row_number().over(wloc))
-    ptots = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_nrows"))
+    for out, src in cumsum_cols.items():
+        local = local.withColumn(f"_lc_{out}", F.sum(src).over(wrun))
+    ptots = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_nrows"),
+        *[F.sum(src).alias(f"_ps_{out}") for out, src in cumsum_cols.items()],
+    )
     a, b = ptots.alias("a"), ptots.alias("b")
     offs = (
         a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
         .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._nrows"), F.lit(0)).alias("_off"))
+        .agg(
+            F.coalesce(F.sum("b._nrows"), F.lit(0)).alias("_off"),
+            *[
+                F.coalesce(F.sum(f"b._ps_{out}"), F.lit(0)).alias(f"_offs_{out}")
+                for out in cumsum_cols
+            ],
+        )
     )
-    return (
-        local.join(F.broadcast(offs), on="_pid")
-        .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
+    out_df = local.join(F.broadcast(offs), on="_pid").withColumn(
+        rank_col, (F.col("_lrn") + F.col("_off")).cast("bigint")
     )
+    drops = ["_pid", "_lrn", "_off"]
+    for out in cumsum_cols:
+        out_df = out_df.withColumn(out, F.col(f"_lc_{out}") + F.col(f"_offs_{out}"))
+        drops += [f"_lc_{out}", f"_offs_{out}"]
+    return out_df.drop(*drops)
 
 
 def ntile_of(rank: Column, n: Column, tiles: int) -> Column:

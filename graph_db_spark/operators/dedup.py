@@ -144,35 +144,49 @@ def minhash_signature_table(
     )
 
 
+def _blocked_cells(
+    rows: DataFrame, g: "F.Column", own_axis: str, other_axis: str
+) -> DataFrame:
+    """2-D block decomposition, one side: each row gets a deterministic
+    cell coordinate on its OWN axis (hash(id) mod g) and replicates
+    across all g coordinates of the OTHER axis, so a pair (x, y) meets
+    in exactly one cell — (i(x), j(y)). Per-cell work is
+    (n_left/g)·(n_right/g); replication factor is g."""
+    return rows.withColumn(own_axis, F.pmod(F.xxhash64("id"), F.col("_g"))).withColumn(
+        other_axis, F.explode(F.sequence(F.lit(0).cast("long"), F.col("_g") - 1))
+    )
+
+
 def _guarded_bucket_self_join(
     blocked: DataFrame,
     key_cols: list[str],
     payload_cols: list[str],
-    max_bucket_size: int,
+    max_task_pairs: int,
 ) -> DataFrame:
     """Self-join ``blocked`` on ``key_cols`` emitting each unordered pair
-    (``id_a < id_b``) exactly once, with oversized buckets split so no
-    single task ever does a whole bucket's quadratic work.
+    (``id_a < id_b``) exactly once, with oversized buckets decomposed so
+    no single task ever does a whole bucket's quadratic work.
 
     The LSH skew-bomb: on a real corpus, boilerplate/empty/templated docs
     collapse into one signature bucket and that bucket's pair count is
     quadratic — one straggler task at 100 TB. Exactness forbids dropping
-    pairs, so oversized buckets are decomposed instead of capped: every
-    member gets a deterministic salt in [0, ceil(n/max)) on the anchor
-    side and is replicated across all salts on the probe side; the join
-    adds the salt to the key, so each pair still matches exactly once
-    (at the anchor's salt) but per-task work drops from n²/2 to
-    ~n·max_bucket_size. Total work is unchanged — it is spread, which is
-    the only sound option for an exact operator.
+    pairs, so buckets whose n² exceeds ``max_task_pairs`` are split into
+    a g×g cell grid (g = ⌈n/√max_task_pairs⌉): every row takes one hashed
+    coordinate per axis and replicates across the other axis, the join
+    runs on (keys, i, j), and each unordered pair meets in exactly one
+    cell — per-task work is ≤ max_task_pairs by construction, on BOTH
+    axes (a one-sided anchor/probe salt still left one task doing
+    n·chunk work). Total work is unchanged — it is spread, which is the
+    only sound option for an exact operator.
 
     The bucket-size probe is one narrow count aggregation; the oversized
-    list is bucket keys only (≤ n/max rows) and broadcasts. ``blocked``
-    is localCheckpointed so signatures compute once across the probe and
+    list is bucket keys only and broadcasts. ``blocked`` is
+    localCheckpointed so signatures compute once across the probe and
     both join branches.
     """
     blocked = blocked.localCheckpoint()
     sizes = blocked.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
-    big = sizes.filter(F.col("_n") > max_bucket_size)
+    big = sizes.filter(F.col("_n") * F.col("_n") > max_task_pairs)
 
     def pairs_of(aa: DataFrame, bb: DataFrame, join_keys: list[str]) -> DataFrame:
         a, b = aa.alias("a"), bb.alias("b")
@@ -190,31 +204,52 @@ def _guarded_bucket_self_join(
         F.broadcast(big.select(*key_cols)), on=key_cols, how="left_anti"
     )
     out = pairs_of(normal, normal, key_cols)
-    oversized = blocked.join(F.broadcast(big), on=key_cols)
-    nsplit = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
-    anchors = oversized.withColumn("_salt", F.pmod(F.xxhash64("id"), nsplit)).drop("_n")
-    probes = oversized.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), nsplit - 1))
-    ).drop("_n")
-    return out.unionByName(pairs_of(anchors, probes, key_cols + ["_salt"]))
+    oversized = blocked.join(
+        F.broadcast(
+            big.select(
+                *key_cols,
+                F.ceil(F.col("_n") / F.sqrt(F.lit(float(max_task_pairs))))
+                .cast("long")
+                .alias("_g"),
+            )
+        ),
+        on=key_cols,
+    )
+    lb = _blocked_cells(oversized, F.col("_g"), "_ci", "_cj").drop("_g")
+    rb = _blocked_cells(oversized, F.col("_g"), "_cj", "_ci").drop("_g")
+    return out.unionByName(pairs_of(lb, rb, key_cols + ["_ci", "_cj"]))
 
 
 def _guarded_bucket_cross_join(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
-    max_bucket_size: int,
+    max_task_pairs: int,
 ) -> DataFrame:
     """Equi-join ``left`` × ``right`` on ``key_cols`` emitting
-    ``(id_a, id_b)`` (left id, right id), with the standard skew-join
-    decomposition for oversized LEFT buckets: left rows get a
-    deterministic salt in [0, ceil(n/max)), right rows replicate across
-    the salts for those keys only, so one degenerate bucket's
-    n_left·n_right output is produced by ceil(n_left/max) tasks instead
-    of one. Exact — nothing is dropped; the probe is one narrow count."""
+    ``(id_a, id_b)`` (left id, right id), with the 2-D skew-join
+    decomposition for oversized buckets ON EITHER SIDE: buckets whose
+    n_left·n_right exceeds ``max_task_pairs`` split into a g×g cell grid
+    (g = ⌈√(n_l·n_r / max_task_pairs)⌉) — each side's rows take one
+    hashed cell coordinate and replicate across the other axis, so a
+    50-row batch hitting a 10M-row index bucket is produced by g² tasks
+    of ≤ max_task_pairs pairs each, not one straggler (a left-only salt
+    would never split that shape). Exact — nothing is dropped; the
+    probes are two narrow count aggregations."""
     left = left.localCheckpoint()
-    sizes = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
-    big = sizes.filter(F.col("_n") > max_bucket_size)
+    right = right.localCheckpoint()
+    lsz = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_nl"))
+    rsz = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_nr"))
+    big = (
+        lsz.join(rsz, on=key_cols)  # a bucket pairs only if present on both sides
+        .filter(F.col("_nl") * F.col("_nr") > max_task_pairs)
+        .select(
+            *key_cols,
+            F.ceil(F.sqrt(F.col("_nl") * F.col("_nr") / F.lit(float(max_task_pairs))))
+            .cast("long")
+            .alias("_g"),
+        )
+    )
 
     def pairs_of(aa: DataFrame, bb: DataFrame, join_keys: list[str]) -> DataFrame:
         a, b = aa.alias("a"), bb.alias("b")
@@ -225,14 +260,9 @@ def _guarded_bucket_cross_join(
 
     normal_l = left.join(F.broadcast(big.select(*key_cols)), on=key_cols, how="left_anti")
     out = pairs_of(normal_l, right, key_cols)
-    big_l = left.join(F.broadcast(big), on=key_cols)
-    nsplit = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
-    anchors = big_l.withColumn("_salt", F.pmod(F.xxhash64("id"), nsplit)).drop("_n")
-    big_r = right.join(F.broadcast(big), on=key_cols)
-    probes = big_r.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), nsplit - 1))
-    ).drop("_n")
-    return out.unionByName(pairs_of(anchors, probes, key_cols + ["_salt"]))
+    lb = _blocked_cells(left.join(F.broadcast(big), on=key_cols), F.col("_g"), "_ci", "_cj").drop("_g")
+    rb = _blocked_cells(right.join(F.broadcast(big), on=key_cols), F.col("_g"), "_cj", "_ci").drop("_g")
+    return out.unionByName(pairs_of(lb, rb, key_cols + ["_ci", "_cj"]))
 
 
 def minhash_banded(
@@ -270,7 +300,7 @@ def minhash_lsh_candidates_against(
     bands: int = 8,
     k: int = 3,
     hash_family: str = "portable",
-    max_bucket_size: int = 10_000,
+    max_task_pairs: int = 25_000_000,
 ) -> DataFrame:
     """Incremental LSH dedup: candidate pairs between a NEW batch and an
     existing banded index (:func:`minhash_banded`). Returns
@@ -283,7 +313,7 @@ def minhash_lsh_candidates_against(
     new_banded = minhash_banded(new_df, text_col, id_col, num_hashes, bands, k, hash_family)
     return (
         _guarded_bucket_cross_join(
-            new_banded, index_banded, ["band", "band_sig"], max_bucket_size
+            new_banded, index_banded, ["band", "band_sig"], max_task_pairs
         )
         .select(F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"))
         .distinct()
@@ -298,20 +328,20 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k: int = 3,
     hash_family: str = "portable",
-    max_bucket_size: int = 10_000,
+    max_task_pairs: int = 25_000_000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
     signature. Returns ``(id_a, id_b)`` with id_a < id_b, distinct.
 
     rows/doc after explode = ``bands`` (a constant), so shuffle volume is
     O(n·bands), and pairs emerge per-bucket — never a cross join. Buckets
-    larger than ``max_bucket_size`` are salt-and-split so degenerate
+    larger than ``max_task_pairs`` are salt-and-split so degenerate
     signature collisions (the templated-doc skew-bomb) can't produce a
     straggler task — see :func:`_guarded_bucket_self_join`.
     """
     banded = minhash_banded(df, text_col, id_col, num_hashes, bands, k, hash_family)
     return (
-        _guarded_bucket_self_join(banded, ["band", "band_sig"], [], max_bucket_size)
+        _guarded_bucket_self_join(banded, ["band", "band_sig"], [], max_task_pairs)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -438,9 +468,15 @@ def simhash_table(
     interpreted higher-order ``aggregate`` (64-wide array accumulator,
     no codegen) that dominated the dedup path's cost.
     """
+    # NULL text coalesces to "" so its token list is [""] — explode would
+    # otherwise emit NO rows and silently drop the document from the
+    # signature table (identical empty/NULL docs are exactly the ones a
+    # dedup pass must pair up, and the inline Column form keeps them)
     tok = spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+        F.explode(
+            F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("t"),
     )
     w1, w2 = _token_words(F.col("t"), hash_family)
     words = tok.select("id", w1.alias("w1"), w2.alias("w2"))
@@ -460,7 +496,8 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     :func:`simhash_table` (equivalence is unit-tested), for contexts that
     need the signature inline without a groupBy. Interpreted HOF per
     token — prefer ``simhash_table`` on the hot path."""
-    toks = F.array_distinct(tokens(text))
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(tokens(F.coalesce(c, F.lit(""))))
     words = F.transform(
         toks,
         lambda t: F.struct(
@@ -501,7 +538,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bits: int = 64,
     hash_family: str = "portable",
-    max_bucket_size: int = 10_000,
+    max_task_pairs: int = 25_000_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` using
     the block-rotation trick: split the signature into ``max_hamming+1``
@@ -522,7 +559,7 @@ def simhash_near_dups(
         # wrapper only accepts int literals)
         F.expr(f"shiftright(sig, blk * {block_bits})").bitwiseAND(mask).alias("blk_val"),
     )
-    pairs = _guarded_bucket_self_join(blocked, ["blk", "blk_val"], ["sig"], max_bucket_size)
+    pairs = _guarded_bucket_self_join(blocked, ["blk", "blk_val"], ["sig"], max_task_pairs)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         pairs.select("id_a", "id_b", ham.alias("hamming"))
@@ -540,7 +577,7 @@ def near_dup_clusters(
     bands: int = 8,
     k: int = 3,
     hash_family: str = "portable",
-    max_bucket_size: int = 10_000,
+    max_task_pairs: int = 25_000_000,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering — the training-data dedup
     pipeline composed from the engine's own operators:
@@ -560,7 +597,7 @@ def near_dup_clusters(
     is the filtered corpus.
     """
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, k, hash_family, max_bucket_size
+        df, text_col, id_col, num_hashes, bands, k, hash_family, max_task_pairs
     )
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("toks")

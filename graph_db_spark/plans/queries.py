@@ -3961,7 +3961,7 @@ def _simhash_oracle_sql(bits: int = 64, max_hamming: int = 3) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+             unnest(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))) AS t
       FROM documents
     ),
     words AS (
@@ -4876,62 +4876,36 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences the top-N vocabulary covers (the tokenizer-budget planning
     number).
 
-    Two-level prefix sum — NO global window anywhere (a web-scale corpus
-    has 10⁸-10⁹ distinct tokens; round 3's global rank/cumsum sorted them
-    on one core). Range-partition the count table on (cnt DESC, token) so
-    partition ids follow the global order; rank/cumsum WITHIN each
-    partition (parallel window, partitioned by pid); then lift local
-    ranks to global ones by adding per-partition offsets computed from a
-    #partitions-sized totals table via a pid<pid self-join (tiny cross
-    product of a bounded table — no single-partition window even there).
-    Rows with local rank > max(wanted rank) can't reach a wanted global
-    rank, so the offset join touches ≤ nparts·100 rows."""
+    NO global window anywhere (a web-scale corpus has 10⁸-10⁹ distinct
+    tokens; round 3's global rank/cumsum sorted them on one core): the
+    global rank AND the running token mass both come from the shared
+    two-level prefix sum (`aggregates.with_global_rank` with a cumsum
+    column — range partition + pid-partitioned windows + broadcast
+    per-partition offsets)."""
     ranks = [1, 5, 10, 25, 50, 100]
     docs = spread(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        # materialize the corpus-sized explode+count ONCE; the three
-        # consumers below (ranked rows, offsets, total) recompute only
-        # vocabulary-sized stages from here. Checkpointing above the
-        # window keeps the Window node visible to the plan test.
+        # materialize the corpus-sized explode+count ONCE; the ranked
+        # rows, the offsets and the total recompute only vocabulary-sized
+        # stages from here. Checkpointing above the window keeps the
+        # Window node visible to the plan test.
         .localCheckpoint()
     )
-    nparts = spark.sparkContext.defaultParallelism
-    local = (
-        counts.repartitionByRange(nparts, F.desc("cnt"), F.asc("token"))
-        .withColumn("pid", F.spark_partition_id())
+    ranked = A.with_global_rank(
+        counts, [F.desc("cnt"), F.asc("token")], rank_col="rn", cumsum_cols={"cum": "cnt"}
     )
-    wloc = Window.partitionBy("pid").orderBy(F.desc("cnt"), "token")
-    local = (
-        local.withColumn("lrn", F.row_number().over(wloc))
-        .withColumn("lcum", F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, 0)))
-    )
-    ptots = local.groupBy("pid").agg(
-        F.count(F.lit(1)).alias("nrows"), F.sum("cnt").alias("psum")
-    )
-    a, b = ptots.alias("a"), ptots.alias("b")
-    offs = (
-        a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(
-            F.coalesce(F.sum("b.nrows"), F.lit(0)).alias("rn_off"),
-            F.coalesce(F.sum("b.psum"), F.lit(0)).alias("cum_off"),
-        )
-    )
-    total = ptots.agg(F.sum("psum").alias("total"))
+    total = counts.agg(F.sum("cnt").alias("total"))
     return (
-        local.filter(F.col("lrn") <= max(ranks))
-        .join(F.broadcast(offs), on="pid")
+        ranked.filter(F.col("rn").isin(ranks))
         .crossJoin(F.broadcast(total))
-        .withColumn("rn", F.col("lrn") + F.col("rn_off"))
-        .filter(F.col("rn").isin(ranks))
         .select(
-            F.col("rn").cast("bigint").alias("rn"),
+            "rn",
             "token",
             "cnt",
-            r4((F.col("lcum") + F.col("cum_off")) / F.col("total")).alias("coverage"),
+            r4(F.col("cum") / F.col("total")).alias("coverage"),
         )
     )
 

@@ -213,16 +213,26 @@ class TableLock:
 
     Crash-robustness: a writer that dies holding the lock would block all
     successors, so locks older than ``ttl_ms`` are broken (the staged
-    swap they guarded is itself crash-recoverable). Breaking re-checks
-    freshness immediately before deleting to shrink the two-breaker
-    window — the residual race is inherent to lockfiles without
-    compare-and-swap.
+    swap they guarded is itself crash-recoverable). A LIVE holder is
+    protected from TTL breaking by a heartbeat: a daemon thread bumps the
+    lockfile mtime every ``ttl_ms/3``, so only a dead writer's lock ever
+    looks stale — a merge slower than the TTL no longer loses the lock
+    mid-flight (review finding). Each lockfile carries its holder's
+    random token, and release/breaking deletes the file only if the token
+    still matches what the deleter expects — a holder that somehow lost
+    the lock can't cascade-delete the NEXT holder's lock. Breaking
+    re-checks freshness immediately before deleting; the residual
+    two-breaker race is inherent to lockfiles without compare-and-swap.
     """
 
     def __init__(self, spark, path: str, ttl_ms: int = 600_000, timeout_ms: int = 120_000, poll_ms: int = 50):
+        import uuid
+
         self.spark, self.table_path, self.path = spark, path, path + "__lock"
         self.ttl_ms, self.timeout_ms, self.poll_ms = ttl_ms, timeout_ms, poll_ms
         self._plock = _process_lock(path)
+        self._token = uuid.uuid4().hex
+        self._hb_stop = None
 
     # -- lockfile primitives, local-atomic or hadoop ---------------------
     def _try_create(self) -> bool:
@@ -230,12 +240,65 @@ class TableLock:
             import os
 
             try:
-                os.close(os.open(_local_part(self.path), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                fd = os.open(_local_part(self.path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, self._token.encode())
+                os.close(fd)
                 return True
             except FileExistsError:
                 return False
         fs, lock = _fs(self.spark, self.path)
-        return bool(fs.createNewFile(lock))
+        try:
+            # create(overwrite=False) is the namenode-atomic primitive;
+            # the token rides in the file body
+            out = fs.create(lock, False)
+            out.write(bytearray(self._token.encode()))
+            out.close()
+            return True
+        except Exception:
+            return False
+
+    def _read_token(self) -> str | None:
+        try:
+            if _is_local_path(self.path):
+                with open(_local_part(self.path)) as f:
+                    return f.read()
+            fs, lock = _fs(self.spark, self.path)
+            stream = fs.open(lock)
+            token = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            stream.close()
+            return token
+        except Exception:
+            return None
+
+    def _touch(self) -> None:
+        import contextlib
+        import time
+
+        with contextlib.suppress(Exception):
+            if _is_local_path(self.path):
+                import os
+
+                os.utime(_local_part(self.path), None)
+            else:
+                fs, lock = _fs(self.spark, self.path)
+                now = int(time.time() * 1000)
+                fs.setTimes(lock, now, now)
+
+    def _start_heartbeat(self) -> None:
+        import threading
+
+        stop = threading.Event()
+        interval = max(self.ttl_ms / 3000.0, 0.05)
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                self._touch()
+
+        t = threading.Thread(target=beat, daemon=True, name=f"tablelock-hb-{self.table_path}")
+        t.start()
+        self._hb_stop = stop
 
     def _age_ms(self) -> float | None:
         import time
@@ -250,7 +313,12 @@ class TableLock:
         except Exception:
             return None  # vanished between probe and stat
 
-    def _delete(self) -> None:
+    def _delete(self, expect_token: str | None) -> None:
+        """Delete the lockfile, but only when its token matches
+        ``expect_token`` (None = delete unconditionally — used when the
+        breaker just read the token it is breaking)."""
+        if expect_token is not None and self._read_token() != expect_token:
+            return
         if _is_local_path(self.path):
             import contextlib
             import os
@@ -270,13 +338,16 @@ class TableLock:
             deadline = time.time() + self.timeout_ms / 1000.0
             while True:
                 if self._try_create():
+                    self._start_heartbeat()
                     return self
                 age = self._age_ms()
                 if age is not None and age > self.ttl_ms:
-                    # re-probe right before breaking: only delete if STILL stale
+                    stale_token = self._read_token()
+                    # re-probe right before breaking: only delete if STILL
+                    # stale AND still the same holder we judged stale
                     age2 = self._age_ms()
                     if age2 is not None and age2 > self.ttl_ms:
-                        self._delete()
+                        self._delete(expect_token=stale_token)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(f"could not acquire table lock {self.path}")
@@ -287,7 +358,12 @@ class TableLock:
 
     def __exit__(self, *exc):
         try:
-            self._delete()
+            if self._hb_stop is not None:
+                self._hb_stop.set()
+                self._hb_stop = None
+            # release only OUR lock: if a breaker took it over, the token
+            # differs and the new holder's lockfile survives
+            self._delete(expect_token=self._token)
         finally:
             self._plock.release()
         return False
@@ -487,7 +563,12 @@ def stream_incremental_dedup(
 
     def batch(bdf: DataFrame, batch_id: int) -> None:
         cands = minhash_lsh_candidates_against(bdf, index_banded, text_col, id_col)
-        cands.write.mode("append").parquet(out_path)
+        # per-batch OVERWRITE subdir, not a blind append: a micro-batch
+        # replayed after a crash-between-commit-and-checkpoint rewrites
+        # its own partition instead of duplicating pairs (the same
+        # idempotence discipline as upsert_sink's staged swap); readers
+        # see hive-style batch_id partitions under out_path
+        cands.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return (
         stream_docs.writeStream.foreachBatch(batch)

@@ -166,3 +166,15 @@ def test_personalized_pagerank_localizes_to_sources(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         personalized_pagerank(e, src.filter("id = 'zz'"))
+    # a seed absent from the edge list is a dangling vertex that must
+    # still hold its restart mass (review finding: it was silently
+    # dropped, returning all-zero ranks)
+    lone = spark.createDataFrame([("ghost",)], "id string")
+    ranks = {r["id"]: r["rank"] for r in personalized_pagerank(e, lone, max_iter=5).collect()}
+    assert abs(ranks["ghost"] - 1.0) < 1e-9
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # mixed set: half the restart mass sits on the edgeless seed
+    mixed = spark.createDataFrame([("a",), ("ghost",)], "id string")
+    ranks = {r["id"]: r["rank"] for r in personalized_pagerank(e, mixed, max_iter=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks["ghost"] > 0

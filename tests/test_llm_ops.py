@@ -489,17 +489,17 @@ def skewed_docs_df(spark, n=300, n_near=6):
 
 
 def test_guarded_bucket_join_split_path_is_exact(spark):
-    """With max_bucket_size far below the degenerate bucket, the
+    """With max_task_pairs far below the degenerate bucket, the
     salt-and-split branch must activate and return EXACTLY the plain
     self-join's pairs (the guard spreads work, never drops pairs)."""
     df = skewed_docs_df(spark, n=120)
     plain = {
         (r["id_a"], r["id_b"])
-        for r in D.minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=10**9).collect()
+        for r in D.minhash_lsh_candidates(df, "text", "doc_id", max_task_pairs=10**12).collect()
     }
     split = {
         (r["id_a"], r["id_b"])
-        for r in D.minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=16).collect()
+        for r in D.minhash_lsh_candidates(df, "text", "doc_id", max_task_pairs=500).collect()
     }
     assert split == plain
     assert len(plain) >= 120 * 119 // 2  # the bomb bucket's pairs all present
@@ -511,26 +511,30 @@ def test_guarded_bucket_join_split_path_is_exact(spark):
         sig.select(F.concat_ws(",", F.slice("sig", 1, 4).cast("array<string>")).alias("b"))
         .groupBy("b").count().agg(F.max("count")).collect()[0][0]
     )
-    assert top > 16
+    assert top * top > 500  # the 2-D cell split path was genuinely active
 
 
 def test_guarded_simhash_split_path_is_exact(spark):
     df = skewed_docs_df(spark, n=80)
     plain = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in D.simhash_near_dups(df, "text", "doc_id", max_bucket_size=10**9).collect()
+        for r in D.simhash_near_dups(df, "text", "doc_id", max_task_pairs=10**12).collect()
     }
     split = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in D.simhash_near_dups(df, "text", "doc_id", max_bucket_size=8).collect()
+        for r in D.simhash_near_dups(df, "text", "doc_id", max_task_pairs=300).collect()
     }
     assert split == plain and len(plain) >= 80 * 79 // 2
 
 
 def test_simhash_column_equals_table(spark):
     """The inline Column simhash and the codegen explode-aggregate
-    simhash_table must produce identical signatures."""
-    df = docs_df(spark)
+    simhash_table must produce identical signatures — including NULL and
+    empty texts (review finding: explode silently dropped them from the
+    table; identical degenerate docs are exactly what dedup must pair)."""
+    df = docs_df(spark).unionByName(
+        spark.createDataFrame([(98, None), (99, "")], "doc_id long, text string")
+    )
     col_sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.simhash(F.col("text")).alias("s")).collect()}
     tbl_sigs = {r["id"]: r["sig"] for r in D.simhash_table(df, "text", "doc_id").collect()}
     assert col_sigs == tbl_sigs
@@ -705,13 +709,13 @@ def test_incremental_lsh_split_path_is_exact(spark):
     plain = {
         (r["new_id"], r["corpus_id"])
         for r in D.minhash_lsh_candidates_against(
-            new, index, "text", "doc_id", max_bucket_size=10**9
+            new, index, "text", "doc_id", max_task_pairs=10**12
         ).collect()
     }
     split = {
         (r["new_id"], r["corpus_id"])
         for r in D.minhash_lsh_candidates_against(
-            new, index, "text", "doc_id", max_bucket_size=8
+            new, index, "text", "doc_id", max_task_pairs=400
         ).collect()
     }
     assert split == plain and len(plain) >= 100 * 100  # bomb bucket fully paired

@@ -138,3 +138,29 @@ def test_table_lock_blocks_and_breaks_stale(spark, tmp_path):
     lk.__enter__()
     lk.__exit__(None, None, None)
     assert not fs.exists(lock)
+
+
+def test_table_lock_heartbeat_protects_live_holder(spark, tmp_path):
+    """A merge slower than the TTL must NOT lose its lock: the heartbeat
+    keeps the lockfile fresh, so a waiting writer times out instead of
+    breaking in (review finding); and release still works afterwards."""
+    import time
+
+    from graph_db_spark.streaming.jobs import TableLock, _fs
+
+    path = str(tmp_path / "hb_tbl")
+    fs, lock = _fs(spark, path + "__lock")
+    with TableLock(spark, path, ttl_ms=300):
+        time.sleep(1.0)  # well past the TTL; heartbeat (ttl/3) keeps it live
+        with pytest.raises(TimeoutError):
+            TableLock(spark, path, ttl_ms=300, timeout_ms=700).__enter__()
+        assert fs.exists(lock)  # never broken while held
+    assert not fs.exists(lock)
+    # token guard: a stranger's fresh lock is not deleted by our release
+    other = TableLock(spark, path, ttl_ms=60_000)
+    other.__enter__()
+    stale_handle = TableLock(spark, path)
+    stale_handle._delete(expect_token=stale_handle._token)  # token mismatch → no-op
+    assert fs.exists(lock)
+    other.__exit__(None, None, None)
+    assert not fs.exists(lock)
