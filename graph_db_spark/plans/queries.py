@@ -5082,6 +5082,55 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_oracle_sql(k: int = 100, seed: int = 83) -> str:
+    """Replay the Efraimidis-Spirakis keys in DuckDB: same portable
+    62-bit hash (md5-window polys + affine, sketches.portable_hash64),
+    same u=(h+1)/(range+1) map, same ln(u)/w key."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    (a1, b1), (a2, b2) = minhash_params(2, seed=seed)
+    rng = float(P * 2**31)
+    h64 = (
+        f"((({a1} * {_poly_sql('CAST(doc_id AS VARCHAR)')} + {b1}) % {P}) * 2147483648"
+        f" + (({a2} * {_poly_sql('CAST(doc_id AS VARCHAR)', 131)} + {b2}) % {P}))"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(({h64} + 1.0) / {rng + 1.0!r}) / greatest(n_chars, 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 4) AS es_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {k}
+    """
+
+
+@register("weighted_sample_docs", oracle=_weighted_sample_oracle_sql())
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each document gets key ln(u)/w — u a hash-derived
+    uniform in (0,1), w its length weight — and the global top-k by key
+    IS a weighted sample. No ``rand()`` anywhere: the sample is a pure
+    function of the ids, so task retries, re-runs, and the DuckDB oracle
+    all agree — the retry-safety discipline of `stratified_sample`
+    extended to weighted selection. Top-k compiles to TakeOrdered
+    (per-partition heaps + driver merge of k rows), never a global
+    sort."""
+    from graph_db_spark.operators.sketches import portable_hash64
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rng = float(2147483647 * 2**31)
+    u = (portable_hash64(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(rng + 1.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars", r4(F.col("k")).alias("es_key"))
+    )
+
+
 @register(
     "percentile_sketch_bound",
     oracle="""

@@ -719,3 +719,23 @@ def test_incremental_lsh_split_path_is_exact(spark):
         ).collect()
     }
     assert split == plain and len(plain) >= 100 * 100  # bomb bucket fully paired
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """The ES weighted sample is deterministic (pure function of ids) and
+    length-weighted: the sampled docs' mean length must exceed the
+    corpus mean."""
+    from graph_db_spark.plans.queries import QUERIES
+
+    a = [(r["doc_id"], r["es_key"]) for r in QUERIES["weighted_sample_docs"](spark, sf_dir).collect()]
+    b = [(r["doc_id"], r["es_key"]) for r in QUERIES["weighted_sample_docs"](spark, sf_dir).collect()]
+    assert a == b and len(a) == 100  # retry/re-run deterministic
+    from graph_db_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_ids = [d for d, _ in a]
+    sample_mean = (
+        docs.filter(F.col("doc_id").isin(sample_ids)).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
