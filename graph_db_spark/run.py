@@ -33,7 +33,8 @@ import time
 
 from graph_db_spark.plans.pipeline import REGISTRY, build
 from graph_db_spark.session import get_spark
-from graph_db_spark.writers.upsert import assert_unique_key, upsert, write_table
+from graph_db_spark.streaming.jobs import merge_into_parquet_table
+from graph_db_spark.writers.upsert import assert_unique_key, write_table
 
 
 def run(
@@ -57,12 +58,12 @@ def run(
         td = REGISTRY[name]
         path = os.path.join(out_dir, name)
         if mode == "upsert" and td.keys:
-            try:
-                existing = spark.read.parquet(path)
-            except Exception:  # noqa: BLE001 — first write
-                existing = None
-            merged = upsert(existing, df, td.keys) if existing is not None else df
-            write_table(merged, path, keys=td.keys)
+            # the locked staged-rename MERGE (streaming/jobs.py): never
+            # overwrites the directory it is lazily reading, serializes
+            # concurrent writers, and is crash-recoverable mid-swap —
+            # the round-3 read-then-overwrite-in-place dance relied on
+            # Spark not noticing the self-overwrite
+            merge_into_parquet_table(df, path, td.keys, co_partition=True)
         else:
             write_table(df, path, keys=td.keys or None)
         if check_keys and td.kind == "node" and td.keys:

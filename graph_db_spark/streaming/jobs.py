@@ -240,7 +240,9 @@ class TableLock:
             import os
 
             try:
-                fd = os.open(_local_part(self.path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                local = _local_part(self.path)
+                os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, self._token.encode())
                 os.close(fd)
                 return True
@@ -369,11 +371,17 @@ class TableLock:
         return False
 
 
-def merge_into_parquet_table(batch_df: DataFrame, path: str, keys: list[str]) -> None:
+def merge_into_parquet_table(
+    batch_df: DataFrame, path: str, keys: list[str], co_partition: bool = False
+) -> None:
     """One serialized MERGE of ``batch_df`` into the parquet table at
     ``path``: acquire the single-writer lock, read-merge-stage-swap,
-    release. Module-level so both the streaming sink and batch callers
-    (and the concurrency test) share the exact code path."""
+    release. Module-level so the streaming sink, the pipeline CLI, and
+    the concurrency test share the exact code path. ``co_partition``
+    repartitions the merged table by ``keys`` before landing (the
+    bucketing analogue for plain parquet — downstream key joins read
+    co-located data). The staged ``__next`` write also means the merge
+    never overwrites the parquet directory it is lazily reading from."""
     from graph_db_spark.writers.upsert import upsert
 
     spark = batch_df.sparkSession
@@ -397,6 +405,8 @@ def merge_into_parquet_table(batch_df: DataFrame, path: str, keys: list[str]) ->
         # error (corruption, permissions) raises out of spark.read below.
         existing = spark.read.parquet(path) if fs.exists(cur) else None
         merged = upsert(existing, batch_df, keys)
+        if co_partition:
+            merged = merged.repartition(*keys)
         merged.write.mode("overwrite").parquet(path + "__next")
         # swap: cur→old, next→cur, drop old. Each rename is atomic and
         # failure-checked; every intermediate state is recoverable (see
