@@ -5082,6 +5082,78 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cusum_oracle_sql(k_sig: float = 0.5, h_sig: float = 4.0) -> str:
+    """Replay the CUSUM fold in DuckDB with the IDENTICAL left-to-right
+    arithmetic: list ordered by (ts, event_id); mean and variance as
+    left folds over the same order, so every intermediate double is
+    bit-identical to the executor's python fold and the drift-count
+    comparisons can't flip at boundaries. The per-key recurrence runs as
+    a recursive CTE stepping index i (one row per key per step, sp'/sn'
+    named ONCE in a subquery — DuckDB 1.0's list_reduce struct
+    accumulators rebind fields sequentially mid-lambda, so the
+    reduce-based formulation is not usable); same replay shape as the
+    sequence_packing oracle."""
+    return f"""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT user_id AS key, list(value ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY 1
+    ),
+    seq AS MATERIALIZED (
+      SELECT key, xs, n, mean,
+             CASE WHEN n > 1 THEN sqrt(
+               list_reduce(list_prepend(0.0, list_transform(xs, x -> (x - mean) * (x - mean))),
+                           (a, y) -> a + y) / (n - 1))
+             ELSE 0.0 END AS std
+      FROM (
+        SELECT key, xs, len(xs) AS n,
+               list_reduce(list_prepend(0.0, xs), (a, x) -> a + x) / len(xs) AS mean
+        FROM ordered
+      )
+    ),
+    rec(key, i, sp, sn, nd, mx) AS (
+      SELECT key, 0, 0.0::DOUBLE, 0.0::DOUBLE, 0::BIGINT, 0.0::DOUBLE FROM seq
+      UNION ALL
+      SELECT key, i,
+             CASE WHEN h > 0 AND (sp1 > h OR sn1 > h) THEN 0.0 ELSE sp1 END,
+             CASE WHEN h > 0 AND (sp1 > h OR sn1 > h) THEN 0.0 ELSE sn1 END,
+             nd + CASE WHEN h > 0 AND (sp1 > h OR sn1 > h) THEN 1 ELSE 0 END,
+             greatest(mx, sp1, sn1)
+      FROM (
+        SELECT r.key, r.i + 1 AS i, r.nd AS nd, r.mx AS mx,
+               {h_sig!r} * q.std AS h,
+               greatest(0.0, r.sp + (q.xs[r.i + 1] - q.mean - {k_sig!r} * q.std)) AS sp1,
+               greatest(0.0, r.sn + (q.mean - q.xs[r.i + 1] - {k_sig!r} * q.std)) AS sn1
+        FROM rec r JOIN seq q ON q.key = r.key AND r.i < q.n
+      )
+    )
+    SELECT CAST(r.key AS BIGINT) AS user_id, CAST(q.n AS BIGINT) AS n_events,
+           CAST(r.nd AS BIGINT) AS n_drifts, round(r.mx, 4) AS max_cusum
+    FROM rec r JOIN seq q ON q.key = r.key AND r.i = q.n
+    """
+
+
+@register("cusum_drift", oracle=_cusum_oracle_sql())
+def cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection — two-sided self-calibrating
+    CUSUM per user over the time-ordered value stream
+    (operators/drift.py): the recurrence S⁺/S⁻ with reset-on-drift has
+    no window-function form, so it runs as an ``applyInPandas`` fold per
+    key (Arrow batches, keys parallel) — the same escape-hatch shape as
+    sequence packing, with ``applyInPandasWithState`` as the streaming
+    twin. EXACT oracle: DuckDB replays the identical left-to-right fold
+    including the mean/variance arithmetic."""
+    from graph_db_spark.operators.drift import cusum_drift
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    out = cusum_drift(ev, "user_id", "ts", "value", "event_id")
+    return out.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "n_events",
+        "n_drifts",
+        r4(F.col("max_cusum")).alias("max_cusum"),
+    )
+
+
 def _weighted_sample_oracle_sql(k: int = 100, seed: int = 83) -> str:
     """Replay the Efraimidis-Spirakis keys in DuckDB: same portable
     62-bit hash (md5-window polys + affine, sketches.portable_hash64),

@@ -160,3 +160,27 @@ def test_kmv_merge_equals_direct_build(spark):
     )
     direct = SK.kmv_sketches(union_df, "grp", "item", k=k).collect()[0].sample
     assert merged == sorted(direct)
+
+
+def test_cusum_fold_detects_planted_shift(spark):
+    """A mean shift after a stable prefix must fire the detector; a
+    stationary series must not. The Spark applyInPandas fold equals the
+    shared pure-python reference by construction — here we pin detector
+    BEHAVIOR plus ordering determinism (shuffled input, same answer)."""
+    import random
+
+    from graph_db_spark.operators.drift import cusum_drift, cusum_fold
+
+    rng = random.Random(11)
+    stable = [rng.gauss(0, 1) for _ in range(60)]
+    shifted = stable[:30] + [x + 6.0 for x in (rng.gauss(0, 1) for _ in range(30))]
+    nd_stable, _ = cusum_fold(stable, 0.0, 1.0, 0.5, 4.0)
+    nd_shift, mx_shift = cusum_fold(shifted, 0.0, 1.0, 0.5, 4.0)
+    assert nd_stable == 0 and nd_shift >= 1 and mx_shift > 4.0
+    rows = [(1, i, i, x) for i, x in enumerate(shifted)]
+    rng.shuffle(rows)  # arrival order must not matter — (ts, tiebreak) sorts
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    out = cusum_drift(df, "user_id", "ts", "value", "event_id").collect()[0]
+    # self-calibrating variant computes its own mu/sigma; the planted
+    # shift dominates, so it still fires
+    assert out["n_drifts"] >= 1 and out["n_events"] == 60
