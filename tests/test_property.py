@@ -306,3 +306,68 @@ def test_bucketed_interval_overlap_equals_naive(spark, case):
         ).collect()
     }
     assert bucketed == naive
+
+
+bucket_case = st.tuples(
+    # docs: groups of identical texts (group id, copies) → signature buckets
+    st.lists(st.tuples(st.integers(0, 3), st.integers(1, 8)), min_size=1, max_size=6),
+    st.sampled_from([1, 10, 200, 10**9]),  # pair budgets incl. always-split / never-split
+)
+
+
+def _bucket_docs(spark, groups):
+    rows = []
+    i = 0
+    filler = " ".join(f"w{j}" for j in range(12))
+    for gid, copies in groups:
+        for _ in range(copies):
+            rows.append((i, f"group {gid} text {filler} body"))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=bucket_case)
+def test_guarded_self_join_equals_plain_on_random_buckets(spark, case):
+    """The 2-D cell split must be invisible in the result for ANY bucket
+    size distribution and ANY pair budget — including budgets that split
+    every bucket into many cells."""
+    from graph_db_spark.operators.dedup import minhash_lsh_candidates
+
+    groups, budget = case
+    df = _bucket_docs(spark, groups)
+    plain = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(df, "text", "doc_id", max_task_pairs=10**12).collect()}
+    split = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(df, "text", "doc_id", max_task_pairs=budget).collect()}
+    assert split == plain
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=bucket_case, cut=st.integers(1, 20))
+def test_guarded_cross_join_equals_plain_on_random_buckets(spark, case, cut):
+    from graph_db_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_candidates_against,
+    )
+
+    groups, budget = case
+    df = _bucket_docs(spark, groups)
+    corpus = df.filter(f"doc_id < {cut}")
+    new = df.filter(f"doc_id >= {cut}")
+    if corpus.count() == 0 or new.count() == 0:
+        return
+    index = minhash_banded(corpus, "text", "doc_id")
+    plain = {(r["new_id"], r["corpus_id"]) for r in minhash_lsh_candidates_against(
+        new, index, "text", "doc_id", max_task_pairs=10**12).collect()}
+    split = {(r["new_id"], r["corpus_id"]) for r in minhash_lsh_candidates_against(
+        new, index, "text", "doc_id", max_task_pairs=budget).collect()}
+    assert split == plain
