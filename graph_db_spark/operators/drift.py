@@ -15,8 +15,6 @@ unbounded histories). μ/σ come from the same groupBy pass.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
