@@ -32,12 +32,22 @@ def read_source(
     fmt: str,
     path: str,
     schema: StructType | str | None = None,
+    tolerant: bool = False,
     **options: str,
 ) -> DataFrame:
     """Read a batch source of any supported format.
 
     CSV defaults to ``header=true``; pass an explicit ``schema`` to skip the
     inference pass (mandatory at scale — inference reads the data twice).
+
+    ``tolerant=True`` is the flag-don't-fail contract at the source layer
+    (the multimodal decoders' discipline applied to ingest): corrupt
+    FILES are skipped (``ignoreCorruptFiles`` — at 100 TB a single
+    truncated object must not kill a day-long job), and for CSV/JSON
+    malformed ROWS are captured instead of raising (PERMISSIVE mode;
+    include a ``_corrupt_record string`` field in the schema to retain
+    the raw bad line for quarantine-and-audit). Default stays strict:
+    silent data skipping must be an explicit caller decision.
     """
     if fmt not in BATCH_FORMATS:
         raise ValueError(f"unknown source format {fmt!r}; expected one of {BATCH_FORMATS}")
@@ -48,6 +58,12 @@ def read_source(
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
         reader = reader.option("inferSchema", "true")
+    if tolerant:
+        reader = reader.option("ignoreCorruptFiles", "true")
+        if fmt in ("csv", "json"):
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            )
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)

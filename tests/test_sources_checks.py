@@ -154,3 +154,33 @@ def test_events_ts_normalized_to_session_timestamp(spark, sf_dir):
     from pyspark.sql import functions as F
 
     assert ev.select(F.col("ts").cast("double")).limit(1).count() == 1
+
+
+def test_tolerant_read_skips_corrupt_file_and_captures_bad_rows(spark, tmp_path):
+    """tolerant=True: a corrupt parquet part is skipped instead of
+    failing the scan, and a malformed JSON line lands in _corrupt_record
+    for quarantine; the default stays strict."""
+    import pytest
+
+    from graph_db_spark.sources.registry import read_source
+
+    # parquet dir: one valid part + one garbage file
+    pq = str(tmp_path / "pq")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1) \
+        .write.mode("overwrite").parquet(pq)
+    (tmp_path / "pq" / "part-corrupt.parquet").write_bytes(b"not a parquet file at all")
+    good = read_source(spark, "parquet", pq, tolerant=True)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    with pytest.raises(Exception):
+        read_source(spark, "parquet", pq).collect()  # strict default raises
+
+    # json: malformed row captured, valid rows parsed
+    js = tmp_path / "rows.json"
+    js.write_text('{"id": 1, "v": "ok"}\n{"id": 2 "v": BROKEN}\n{"id": 3, "v": "ok"}\n')
+    df = read_source(
+        spark, "json", str(js),
+        schema="id long, v string, _corrupt_record string", tolerant=True,
+    )
+    rows = df.collect()
+    assert {r["id"] for r in rows if r["_corrupt_record"] is None} == {1, 3}
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
