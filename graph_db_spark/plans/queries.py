@@ -5082,6 +5082,79 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_dup_rate",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT)
+             AS n_unique,
+           round(1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                 * 1.0 / count(*), 4) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate — the first number a curation
+    review asks for per feed ("how much of this crawl is copies?").
+    One groupBy with a distinct-count over the normalized content hash;
+    at 100 TB the distinct count swaps to the mergeable HLL sketch per
+    source (same re-aggregation story as hll_user_reach) with the exact
+    form as the audit path."""
+    from graph_db_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(normalize_text(F.col("text")))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(h).cast("bigint").alias("n_unique"),
+        r4(F.lit(1.0) - F.countDistinct(h) / F.count(F.lit(1))).alias("dup_rate"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, next, CAST(n AS BIGINT) AS n_transitions,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 4) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimate over per-user event
+    streams: for each (prev → next) event-type pair, the count and the
+    conditional probability P(next | prev). One lag window PARTITIONED
+    BY user (parallel — never global), one count aggregation, and a
+    probability normalization windowed over the 5×5 transition table
+    (bounded by the event-type vocabulary, not the data). The behavioral
+    fingerprint sessions/funnels read their structure from.
+    Deterministic ordering tiebreak on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return pairs.select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        r4(F.col("n") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
 def _cusum_oracle_sql(k_sig: float = 0.5, h_sig: float = 4.0) -> str:
     """Replay the CUSUM fold in DuckDB with the IDENTICAL left-to-right
     arithmetic: list ordered by (ts, event_id); mean and variance as
