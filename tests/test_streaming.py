@@ -199,3 +199,38 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
     }
     assert got == expected
     assert any(got.values()) and not all(got.values())  # both outcomes occur
+
+
+def test_stream_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """Replaying every micro-batch (fresh checkpoint over the same input)
+    must not duplicate candidate pairs: each batch overwrites its own
+    batch_id partition, so TOTAL row counts — not just distinct pairs —
+    are identical across runs."""
+    import graph_db_spark.operators.dedup as D
+    from graph_db_spark.streaming.jobs import stream_incremental_dedup
+
+    filler = " ".join(f"w{j}" for j in range(12))
+    rows = [(i, f"group {i % 3} text {filler} body") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id < 15")
+    new = docs.filter("doc_id >= 15")
+    index = D.minhash_banded(corpus, "text", "doc_id").localCheckpoint()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    new.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run_once(ckpt: str) -> int:
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = stream_incremental_dedup(stream, index, out, ckpt)
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    n1 = run_once(str(tmp_path / "ckpt1"))
+    n2 = run_once(str(tmp_path / "ckpt2"))  # full replay, same out dir
+    assert n1 == n2 and n1 > 0  # overwrite-per-batch => no duplication
+    pairs = spark.read.parquet(out).select("new_id", "corpus_id")
+    assert pairs.count() == pairs.distinct().count()
