@@ -5083,6 +5083,119 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             avg(value) AS avg_value, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dow, round(avg_value, 4) AS avg_value, n,
+           round(avg_value / avg(avg_value) OVER (PARTITION BY event_type), 4)
+             AS vs_weekly_mean
+    FROM d
+    """,
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean value and
+    its ratio to the type's weekly mean (the capacity-planning /
+    anomaly-baseline shape). One groupBy plus a window over the
+    7×|types| profile table — bounded by the calendar, not the data.
+    DuckDB's dayofweek is 0-6 Sunday-first; Spark's dayofweek is 1-7, so
+    the Spark side maps to DuckDB's convention explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).agg(F.avg("value").alias("av"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    return d.select(
+        "event_type", "dow", r4(F.col("av")).alias("avg_value"), "n",
+        r4(F.col("av") / F.avg("av").over(w)).alias("vs_weekly_mean"),
+    )
+
+
+@register(
+    "degree_histogram",
+    oracle=f"""
+    WITH edges AS ({edges_sql()}),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY 1
+    )
+    SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS log2_degree_bin,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree distribution of the graph — the first plot of
+    any graph audit (power-law tail ⇒ expect skew in every per-vertex
+    join). One degree aggregation + one bounded histogram groupBy; the
+    bin count is log(max degree), independent of graph size."""
+    g = build_graph(spark, sf_dir)
+    deg = g.degrees()
+    bin_ = F.floor(F.log(F.col("degree").cast("double")) / F.log(F.lit(2.0)))
+    return deg.groupBy(bin_.cast("bigint").alias("log2_degree_bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.min("degree").cast("bigint").alias("min_degree"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )
+
+
+@register(
+    "rolling_anomaly_flags",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS nw
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) FILTER (nw >= 5 AND sd > 0 AND abs(value - mu) / sd > 3.0) AS BIGINT)
+             AS n_anomalies,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1
+    """,
+)
+def rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its user's PRECEDING 10 events (trailing window — the
+    point itself excluded, so an outlier can't mask itself), flagged at
+    |z| > 3 once ≥5 points of history exist. Per-user partitioned ROWS
+    window — parallel across users at any scale; the count rollup is the
+    alerting summary."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("nw"),
+    )
+    is_anom = (
+        (F.col("nw") >= 5)
+        & (F.col("sd") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) / F.col("sd") > 3.0)
+    )
+    return scored.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.sum(is_anom.cast("int")).cast("bigint").alias("n_anomalies"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
     "source_dup_rate",
     oracle="""
     SELECT source,
