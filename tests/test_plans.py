@@ -60,7 +60,11 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "shipping_priority", "large_volume_customers", "cms_day_merge",
         "kmv_audience_overlap", "kmv_source_ngram_overlap",
         "repeated_spans", "doc_chunks", "embedding_diversity",
-        "motif_branch_conation",
+        "motif_branch_conation", "local_supplier_volume", "funnel_conversion",
+        "last_touch_attribution", "cohort_retention", "tokenizer_fertility",
+        "unigram_logperplexity", "quality_quantile_filter",
+        "event_transition_matrix", "source_dup_rate", "dow_seasonality",
+        "degree_histogram", "rolling_anomaly_flags", "session_overlap_pairs",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
