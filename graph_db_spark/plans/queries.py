@@ -6093,4 +6093,437 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(emb, "embedding", "vec_id", threshold=0.3)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions (session B): classic decision-support shapes the
+# reference's scan→join→agg surface implies but no prior query exercised
+# (TPC-H Q4/Q10 shapes), warehouse SCD2 history build, deterministic
+# train/valid/test splitting + shard planning for training corpora,
+# robust (median/MAD) outlier flags, and two graph-ML staples —
+# Adamic-Adar link prediction and label-propagation communities.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; late-shipment variant —
+    the fixture carries l_shipdate, not commit/receipt dates). The EXISTS
+    subquery becomes a LEFT SEMI join so lineitem can never inflate the
+    order count; the semi probe side is projected to two columns, the
+    date filter prunes orders before any shuffle, and the non-equi
+    shipdate predicate rides the same equi-join (no second pass)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@register(
+    "returned_item_reporting",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY 1
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+           round(c_acctbal, 4) AS acctbal, revenue
+    FROM rev JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top customers by lost
+    revenue on returned lineitems in a quarter. Aggregate-then-join —
+    lineitem⋈orders collapses to one narrow (custkey, revenue) row per
+    customer BEFORE touching the customer table, so the wide dimension
+    joins against O(customers) rows, never O(lineitems); nation rides
+    broadcast. Top-20 is rank-deterministic: ordered on the ROUNDED
+    revenue with custkey tie-break, identical on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            r4(F.col("c_acctbal")).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             event_id
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             CAST(count(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seg_id
+      FROM ordered
+    ),
+    spans AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id, event_type, seg_id,
+             min(ts) AS vf, CAST(count(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type AS state, seg_id,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY seg_id),
+                             '%Y-%m-%d %H:%M:%S.%f'), '<current>') AS valid_to,
+           lead(vf) OVER (PARTITION BY user_id ORDER BY seg_id) IS NULL AS is_current,
+           n_events
+    FROM spans
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into contiguous same-state spans with [valid_from, valid_to)
+    validity and an is_current flag — the standard warehouse history
+    table the reference's MERGE-everything write model implies
+    (reference writers upsert current state; SCD2 is the auditable
+    superset). One shuffle on user_id serves all three windows (lag →
+    change marker → running count → span lead); ordering is (ts,
+    event_id) so ties are deterministic. At 100 TB this is the
+    incremental-dimension pattern: partition by user, append-only input,
+    windows never cross users."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marker = F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+    seg = ev.select(
+        "user_id", "event_type", "ts",
+        F.count(marker).over(w).cast("bigint").alias("seg_id"),
+    )
+    spans = seg.groupBy("user_id", "event_type", "seg_id").agg(
+        F.min("ts").alias("vf"), F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg_id")
+    nxt = F.lead("vf").over(w2)
+    return spans.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").alias("state"),
+        "seg_id",
+        _fmt_ts(F.col("vf")).alias("valid_from"),
+        F.coalesce(_fmt_ts(nxt), F.lit("<current>")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@register("dataset_split_assign")
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment for a training corpus:
+    split = portable_hash(doc_id) % 100 → 90/5/5. Hash-based (not
+    rand()) so the split is retry-safe, stable across runs and engines,
+    and needs zero coordination — every executor computes membership
+    locally; no shuffle until the per-(source, split) report agg."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@register("corpus_shard_plan")
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard planner: hash documents into 8 shards and report
+    per-shard doc/char totals plus the balance ratio (shard size ×
+    n_shards / corpus size — 1.0 = perfectly even). The deterministic
+    hash gives writers an embarrassingly parallel partitioner
+    (repartition(n, shard) → one output file per shard); the report is
+    the pre-flight check that no shard is skewed. The corpus total rides
+    a broadcast 1-row join, not a global window."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (portable_hash(F.col("doc_id").cast("string")) % 8).alias("shard")
+    per = (
+        docs.select(shard, "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "total_chars",
+        r4(F.col("n_docs") * 8.0 / F.col("_total")).alias("balance_ratio"),
+    )
+
+
+@register(
+    "robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN abs(d.value - d.med) > 3.5 * 1.4826 * m.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median/MAD (modified z-score,
+    |x − med| > 3.5·1.4826·MAD — Iglewicz-Hoaglin) instead of mean/stddev,
+    so the detector isn't dragged by the outliers it hunts. Two grouped
+    exact-percentile passes + broadcast joins of the tiny per-group
+    stats back onto the facts; at 100 TB swap the exact `percentile`
+    for `approx_percentile` (same shape, documented trade — the
+    percentile_value_stats note in SCALE.md)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad"), 1
+    )
+    return d.groupBy("event_type").agg(
+        r4(F.max("med")).alias("med"),
+        r4(F.max("mad")).alias("mad"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(is_out).cast("bigint").alias("n_outliers"),
+    )
+
+
+@register(
+    "link_prediction_adamic_adar",
+    oracle="""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    keep AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND 500
+    ),
+    w AS (
+      SELECT a.c AS ca, b.c AS cb, k.d
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      JOIN keep k ON k.p = a.p
+    ),
+    aa AS (
+      SELECT ca, cb, CAST(count(*) AS BIGINT) AS common_parts,
+             round(sum(1.0 / ln(d)), 4) AS aa_score
+      FROM w GROUP BY 1, 2
+    )
+    SELECT CAST(ca AS BIGINT) AS cust_a, CAST(cb AS BIGINT) AS cust_b,
+           common_parts, aa_score
+    FROM aa ORDER BY aa_score DESC, ca, cb LIMIT 50
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the customer↔part bipartite graph:
+    score customer pairs by Σ 1/ln(deg(part)) over co-purchased parts —
+    rare parts bind harder than popular ones. The wedge join enumerates
+    pairs per part, so cost is Σ deg², bounded by the hub cap (parts
+    touched by >500 customers are suppressed — they contribute ≈0 score
+    and quadratic work; standard link-prediction hub suppression, encoded
+    identically in the oracle). Top-50 ranks on the ROUNDED score with a
+    (cust_a, cust_b) tie-break, deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    keep = (
+        cp.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= 500))
+    )
+    a = cp.alias("a")
+    b = cp.select(F.col("c").alias("cb"), F.col("p").alias("pb")).alias("b")
+    w = (
+        a.join(b, (F.col("a.p") == F.col("pb")) & (F.col("a.c") < F.col("cb")))
+        .join(F.broadcast(keep), F.col("a.p") == keep.p)
+        .select(F.col("a.c").alias("ca"), "cb", "d")
+    )
+    aa = w.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+        r4(F.sum(1.0 / F.log(F.col("d")))).alias("aa_score"),
+    )
+    return (
+        aa.select(
+            F.col("ca").cast("bigint").alias("cust_a"),
+            F.col("cb").cast("bigint").alias("cust_b"),
+            "common_parts",
+            "aa_score",
+        )
+        .orderBy(F.desc("aa_score"), "cust_a", "cust_b")
+        .limit(50)
+    )
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation over the part co-occurrence
+    graph — one (count, min-label) argmax CTE pair per iteration, same
+    deterministic tie-break as the Spark loop."""
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    ed AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    lab0 AS (SELECT DISTINCT u AS node, u AS label FROM ed)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""cnt{i} AS (
+      SELECT ed.u AS node, l.label, count(*) AS c
+      FROM ed JOIN lab{i - 1} l ON ed.v = l.node GROUP BY 1, 2),
+    lab{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM cnt{i}) t WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size,
+           CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+    FROM lab{iters} GROUP BY 1"""
+    )
+
+
+@register("label_propagation", oracle=_lpa_oracle_sql())
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) on the part co-occurrence graph: each node adopts its
+    neighborhood's most frequent label, ties to the smallest — 3 fixed
+    synchronous rounds so the result is deterministic and the DuckDB
+    oracle can replay them unrolled. Per round: one edge⋈label shuffle +
+    one (node, label) count + one row_number argmax — the narrow label
+    table (not the edge list) is what moves, the same delta discipline
+    as connected_components (graph/algorithms.py). Fixed-round sync LPA
+    is the scale-safe variant: async/converged LPA is order-dependent
+    and irreproducible on a cluster."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.alias("a")
+    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb")).alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("ob")) & (F.col("a.p") < F.col("pb")))
+        .select(F.col("a.p").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    ed = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ed = ed.repartition(32, "v").localCheckpoint(eager=True)
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wn = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        cnt = (
+            ed.join(labels, ed.v == labels.node)
+            .groupBy(ed.u.alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+    ).select(F.col("label").cast("bigint").alias("community"), "size", "min_node", "max_node")
+
+
+ORACLE_SQL["dataset_split_assign"] = f"""
+    WITH h AS (
+      SELECT source, n_chars,
+             {_poly_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM h GROUP BY 1, 2
+"""
+
+ORACLE_SQL["corpus_shard_plan"] = f"""
+    WITH h AS (
+      SELECT n_chars, {_poly_sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(count(*) * 8.0 / (SELECT count(*) FROM documents), 4) AS balance_ratio
+    FROM h GROUP BY 1
+"""
+
+
 _reorder_for_gate()

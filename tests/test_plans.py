@@ -65,6 +65,9 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "unigram_logperplexity", "quality_quantile_filter",
         "event_transition_matrix", "source_dup_rate", "dow_seasonality",
         "degree_histogram", "rolling_anomaly_flags", "session_overlap_pairs",
+        "order_priority_checking", "returned_item_reporting",
+        "scd2_user_state", "dataset_split_assign", "robust_outliers",
+        "link_prediction_adamic_adar", "label_propagation",
     ],
 )
 def test_no_accidental_cartesian(spark, name):

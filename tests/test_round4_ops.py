@@ -1,0 +1,85 @@
+"""Semantic invariants for the round-4 session-B additions — properties
+the DuckDB hash-match oracle can't express (cross-run determinism,
+timeline tiling, partition completeness)."""
+
+from __future__ import annotations
+
+from graph_db_spark.plans.queries import QUERIES
+from graph_db_spark.tables import load_table
+
+
+def test_scd2_spans_tile_the_timeline(spark, sf_dir):
+    """Per user: spans are contiguous (next valid_from == this valid_to),
+    exactly one span is current, and n_events reconciles with the raw
+    event count — i.e. the history table loses nothing."""
+    rows = QUERIES["scd2_user_state"](spark, sf_dir).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, spans in by_user.items():
+        spans.sort(key=lambda r: r["seg_id"])
+        assert [s["seg_id"] for s in spans] == list(range(1, len(spans) + 1))
+        assert sum(s["n_events"] for s in spans) == ev_counts[uid]
+        assert sum(1 for s in spans if s["is_current"]) == 1
+        assert spans[-1]["is_current"] and spans[-1]["valid_to"] == "<current>"
+        for a, b in zip(spans, spans[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous, no gaps
+            assert not a["is_current"]
+            # consecutive spans must differ in state (else they'd be one span)
+            assert a["state"] != b["state"]
+
+
+def test_label_propagation_is_deterministic(spark, sf_dir):
+    """Sync LPA with the (count DESC, min label) tie-break must be a pure
+    function of the input — identical across runs despite shuffles."""
+    a = sorted(map(tuple, QUERIES["label_propagation"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["label_propagation"](spark, sf_dir).collect()))
+    assert a == b
+    # every node is labelled exactly once: community sizes sum to node count
+    n_nodes = sum(r[1] for r in a)
+    assert n_nodes > 0
+    for _, size, mn, mx in a:
+        assert size >= 1 and mn <= mx
+
+
+def test_adamic_adar_scores_well_formed(spark, sf_dir):
+    rows = QUERIES["link_prediction_adamic_adar"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r["cust_a"] < r["cust_b"]
+        assert r["common_parts"] >= 1
+        # each common part contributes 1/ln(d) with 2 <= d <= 500
+        import math
+
+        lo = r["common_parts"] / math.log(500.0)
+        hi = r["common_parts"] / math.log(2.0)
+        assert lo - 1e-3 <= r["aa_score"] <= hi + 1e-3
+
+
+def test_split_and_shards_are_complete_partitions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    split = QUERIES["dataset_split_assign"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in split) == total
+    assert {r["split"] for r in split} <= {"train", "valid", "test"}
+    shards = QUERIES["corpus_shard_plan"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in shards) == total
+    assert all(0 <= r["shard"] < 8 for r in shards)
+    # balance ratios average to ~1 by construction
+    assert abs(sum(r["balance_ratio"] * r["n_docs"] for r in shards) / total - 1.0) < 0.5
+
+
+def test_robust_outliers_flags_are_minority(spark, sf_dir):
+    for r in QUERIES["robust_outliers"](spark, sf_dir).collect():
+        assert r["mad"] >= 0.0
+        # the modified z-score cut can't flag the majority of a group
+        assert r["n_outliers"] <= r["n"] // 2
