@@ -6479,17 +6479,19 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = ed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    wn = Window.partitionBy("node").orderBy(F.desc("c"), "label")
     for _ in range(3):
         cnt = (
             ed.join(labels, ed.v == labels.node)
             .groupBy(ed.u.alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax by (c DESC, label ASC) as a HASH aggregate — max of
+        # struct(c, -label) — instead of a per-node window sort; partial
+        # aggregation halves the shuffled rows and no round pays a sort
         labels = (
-            cnt.withColumn("rn", F.row_number().over(wn))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("size"),
