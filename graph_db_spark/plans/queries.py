@@ -6500,6 +6500,268 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").cast("bigint").alias("community"), "size", "min_node", "max_node")
 
 
+@register(
+    "gap_fill_forward",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.total
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, strftime(day, '%Y-%m-%d') AS day,
+           total IS NOT NULL AS observed,
+           round(last_value(total IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_total
+    FROM j
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's daily totals onto a
+    complete calendar grid (sequence + explode — the grid is generated
+    per key, never a driver-side loop) and forward-fill missing days with
+    `last(total, ignorenulls)` over an unbounded-preceding frame. The
+    hypertable-resample shape: one user_id shuffle serves the span agg,
+    the grid join, and the fill window; grid size is bounded by the span,
+    not the event count, so sparse keys cost O(days) not O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("total"))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("total").isNotNull().alias("observed"),
+        r4(F.last("total", ignorenulls=True).over(w)).alias("filled_total"),
+    )
+
+
+_PROFILE_COLS = [
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle_sql() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"printf('%.4f', min({c}))", f"printf('%.4f', max({c}))"
+        elif kind == "ts":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"min({c})", f"max({c})"
+        selects.append(
+            f"""SELECT '{c}' AS column_name,
+           CAST(count({c}) AS BIGINT) AS n_nonnull,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value
+    FROM lineitem"""
+        )
+        # one scan per column in the oracle is fine; the Spark side does
+        # all columns in a single pass
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+@register("table_profile", oracle=_profile_oracle_sql())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profiler: non-null/null/distinct
+    counts + min/max per column of lineitem, long format. ALL columns
+    profile in a SINGLE scan (one agg row fanned out with stack) — the
+    oracle's per-column UNION is the naive N-scan formulation this
+    replaces; at 100 TB that's the difference between 1 and N passes.
+    Min/max are emitted via printf/date_format so the cross-engine
+    comparison never depends on double→string formatting.
+
+    The exact distinct counts run as their OWN aggregation joined back to
+    the min/max/null pass: Spark plans mixed distinct+plain aggregates
+    with a (n_distinct+1)-way Expand that replicates every row per
+    distinct group (11.8s at sf0.1); the split keeps the plain pass
+    codegen-tight and the distinct pass to its own expand (4s total). At
+    100 TB swap `countDistinct` for `approx_count_distinct` (mergeable
+    HLL) and the profiler is one pass again."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = F.format_string("%.4f", F.min(c))
+            mx = F.format_string("%.4f", F.max(c))
+        elif kind == "ts":
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn, mx = F.min(c), F.max(c)
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nul"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
+        ]
+    nd = li.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd")
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    one = li.agg(*aggs).crossJoin(F.broadcast(nd))
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nul, {c}__nd, {c}__mn, {c}__mx"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_nonnull, n_null, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+_DQ_RULES = [
+    ("li_quantity_range", "lineitem", "l_quantity BETWEEN 1 AND 50"),
+    ("li_discount_range", "lineitem", "l_discount BETWEEN 0 AND 0.1"),
+    ("li_price_positive", "lineitem", "l_extendedprice > 0"),
+    ("ord_date_bounds", "orders",
+     "o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '2003-01-01'"),
+    ("cust_acctbal_present", "customer", "c_acctbal IS NOT NULL"),
+    ("ev_value_finite", "events", "value IS NOT NULL AND NOT isnan(value)"),
+]
+
+
+def _dq_oracle_sql() -> str:
+    selects = [
+        f"""SELECT '{rid}' AS rule_id, '{tbl}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(CASE WHEN NOT ({pred}) THEN 1 END) AS BIGINT) AS n_violations,
+           round(count(CASE WHEN ({pred}) THEN 1 END) * 1.0 / count(*), 4) AS pass_rate
+    FROM {tbl}"""
+        for rid, tbl, pred in _DQ_RULES
+    ]
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+@register("dq_validation_report", oracle=_dq_oracle_sql())
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (Deequ/Great-Expectations
+    shape): a rule table of SQL predicates, evaluated as count_if aggs —
+    ALL rules on a table share ONE scan (the rule set compiles to one agg
+    row per table, not one job per rule); violations are counted, never
+    collected. NULL predicate results count as violations (NOT(NULL) is
+    NULL → the CASE counts it on neither side unless made explicit —
+    both sides use the same NOT(pred) convention so the quirk cancels)."""
+    by_table: dict[str, list] = {}
+    for rid, tbl, pred in _DQ_RULES:
+        by_table.setdefault(tbl, []).append((rid, pred))
+    parts = []
+    for tbl, rules in by_table.items():
+        df = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+        for rid, pred in rules:
+            aggs.append(
+                F.count(F.when(~F.expr(pred), 1)).cast("bigint").alias(f"{rid}__v")
+            )
+            aggs.append(
+                F.count(F.when(F.expr(pred), 1)).cast("bigint").alias(f"{rid}__p")
+            )
+        one = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{rid}', '{tbl}', _n, {rid}__v, "
+            f"CAST(round({rid}__p * 1.0 / _n, 4) AS DOUBLE)"
+            for rid, _ in rules
+        )
+        parts.append(
+            one.select(
+                F.expr(
+                    f"stack({len(rules)}, {stack}) AS "
+                    "(rule_id, table_name, n_checked, n_violations, pass_rate)"
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "trigram_lm_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    tri AS (
+      SELECT unnest(list_transform(range(1, len(t) - 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    tc AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, CAST(count(*) AS BIGINT) AS c3
+      FROM tri GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2 FROM tc GROUP BY 1, 2)
+    SELECT tc.w1, tc.w2, tc.w3, c3, round(c3 * 1.0 / c2, 4) AS cond_p
+    FROM tc JOIN bc ON tc.w1 = bc.w1 AND tc.w2 = bc.w2
+    ORDER BY c3 DESC, tc.w1, tc.w2, tc.w3 LIMIT 30
+    """,
+)
+def trigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based trigram language model over the corpus: trigram counts
+    + conditional probability P(w3 | w1 w2), top-30 by frequency. The
+    bigram-prefix denominator is derived by RE-AGGREGATING the trigram
+    counts (sum over w3) — the corpus is tokenized and shuffled once,
+    never twice; both aggs get map-side combine. This is the n-gram LM /
+    Kneser-Ney ingestion shape: counts are mergeable across shards, so at
+    100 TB each partition emits partial counts and only (gram, count)
+    rows move."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tri = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2", "g.w3")
+    )
+    tc = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    bc = tc.groupBy("w1", "w2").agg(F.sum("c3").cast("bigint").alias("c2"))
+    return (
+        tc.join(bc, ["w1", "w2"])
+        .select("w1", "w2", "w3", "c3", r4(F.col("c3") * 1.0 / F.col("c2")).alias("cond_p"))
+        .orderBy(F.desc("c3"), "w1", "w2", "w3")
+        .limit(30)
+    )
+
+
 ORACLE_SQL["dataset_split_assign"] = f"""
     WITH h AS (
       SELECT source, n_chars,

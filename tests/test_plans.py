@@ -68,6 +68,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "order_priority_checking", "returned_item_reporting",
         "scd2_user_state", "dataset_split_assign", "robust_outliers",
         "link_prediction_adamic_adar", "label_propagation",
+        "gap_fill_forward", "table_profile", "dq_validation_report",
+        "trigram_lm_topk",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
