@@ -6762,6 +6762,255 @@ def trigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_lookup_join",
+    oracle="""
+    WITH src AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM src
+    ),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             CAST(count(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seg_id
+      FROM ordered
+    ),
+    spans AS (
+      SELECT user_id, event_type AS state, seg_id, min(ts) AS vf
+      FROM seg GROUP BY 1, 2, 3
+    ),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           coalesce(s.state, '<none>') AS state_at_purchase,
+           s.seg_id
+    FROM p ASOF LEFT JOIN spans s
+      ON p.user_id = s.user_id AND p.ts >= s.vf
+    """,
+)
+def scd2_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase event resolves the
+    SCD2 activity-state span (built from the non-purchase stream)
+    prevailing at its timestamp. NOT a range join — the spans and facts
+    merge in ONE union + one user_id window (`last(state, ignorenulls)`
+    over [unbounded, current]): the classic sort-merge as-of pattern, one
+    shuffle total, no per-fact interval probe. Span boundaries sort
+    before facts at equal ts (kind 0 < 1) so a purchase at a change
+    instant sees the NEW state — the oracle's ASOF `ts >= vf` encodes the
+    same inclusive convention."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marker = F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+    seg = src.select(
+        "user_id", "event_type", "ts",
+        F.count(marker).over(w).cast("bigint").alias("seg_id"),
+    )
+    spans = seg.groupBy("user_id", F.col("event_type").alias("state"), "seg_id").agg(
+        F.min("ts").alias("t")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("t")
+    )
+    merged = spans.select(
+        "user_id", "t", F.lit(0).alias("kind"), "state", "seg_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        p.select(
+            "user_id", "t", F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("state"),
+            F.lit(None).cast("long").alias("seg_id"), "event_id",
+        )
+    )
+    wm = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "*",
+        F.last("state", ignorenulls=True).over(wm).alias("cur_state"),
+        F.last("seg_id", ignorenulls=True).over(wm).alias("cur_seg"),
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _fmt_ts(F.col("t")).alias("purchase_ts"),
+        F.coalesce("cur_state", F.lit("<none>")).alias("state_at_purchase"),
+        F.col("cur_seg").alias("seg_id"),
+    )
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+    WITH tiles AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+      FROM events
+    )
+    SELECT event_type, CAST(tile AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM tiles GROUP BY 1, 2
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram per group: ntile(10) over each
+    event_type's value distribution → per-bucket count and [lo, hi]
+    bounds — the optimizer-statistics / drift-monitoring companion to the
+    equi-WIDTH log₂ histogram (`degree_histogram`). The window is
+    per-type PARTITIONED (never global); ties assign deterministically
+    via the (value, event_id) sort. At 100 TB swap the exact sort for
+    `approx_percentile` boundaries — same output shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("tile"))
+        .groupBy("event_type", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.min("value")).alias("lo"),
+            r4(F.max("value")).alias("hi"),
+        )
+        .select("event_type", F.col("tile").cast("bigint").alias("tile"), "n", "lo", "hi")
+    )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS r, dayofweek(ts) AS c, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(o) AS ro FROM obs GROUP BY 1),
+    ct AS (SELECT c, sum(o) AS co FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS tn FROM obs)
+    SELECT round(sum((o - ro * co / tn) * (o - ro * co / tn) / (ro * co / tn)), 4)
+             AS chi2,
+           CAST((count(DISTINCT obs.r) - 1) * (count(DISTINCT obs.c) - 1) AS BIGINT)
+             AS dof,
+           CAST(max(tn) AS BIGINT) AS n
+    FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for event_type ×
+    day-of-week — the drift/bias check a pipeline runs before trusting a
+    stratified sample. Contingency cells aggregate once; row totals, col
+    totals and N re-aggregate from the CELLS (tiny) and join back
+    broadcast, so the fact table is scanned exactly once. The statistic
+    is label-invariant, so the Spark/DuckDB day-of-week numbering
+    difference cancels — only (chi2, dof, n) leave the query."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("r"), F.dayofweek("ts").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("ro"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("co"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("ro") * F.col("co") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            r4(F.sum((F.col("o") - e) * (F.col("o") - e) / e)).alias("chi2"),
+            (
+                (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+            ).cast("bigint").alias("dof"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "entity_resolution_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    ),
+    pairs AS (
+      SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+             CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 END AS m
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+    ),
+    blocks AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(count(*) AS BIGINT) AS n_records
+      FROM c GROUP BY 1, 2
+    ),
+    ps AS (
+      SELECT nationkey, mktsegment, CAST(count(*) AS BIGINT) AS n_cand_pairs,
+             CAST(count(m) AS BIGINT) AS n_matches
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT CAST(b.nationkey AS BIGINT) AS nationkey, b.mktsegment, b.n_records,
+           CAST(coalesce(ps.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+           CAST(coalesce(ps.n_matches, 0) AS BIGINT) AS n_matches
+    FROM blocks b LEFT JOIN ps USING (nationkey, mktsegment)
+    """,
+)
+def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking + verify: customers block on
+    (nationkey, mktsegment); candidate pairs within a block verify with
+    levenshtein(name) ≤ 2 (identical edit-distance semantics in both
+    engines). The report counts records, candidate pairs, and matches
+    per block — the blocking-quality diagnostic an ER pipeline reads
+    before running the expensive compare. The pair join is guarded by
+    the same big-block probe as the dedup path (`guard_block_pairs`) so
+    a degenerate blocking key refuses instead of going quadratic."""
+    from graph_db_spark.operators.dedup import guard_block_pairs
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    blocked = c.withColumn(
+        "blk", F.concat_ws("|", F.col("c_nationkey"), F.col("c_mktsegment"))
+    )
+    guard_block_pairs(blocked, "blk", max_block_pairs=50_000_000)
+    a = c.alias("a")
+    b = c.select(
+        F.col("c_custkey").alias("k2"), F.col("c_name").alias("n2"),
+        F.col("c_nationkey").alias("nk2"), F.col("c_mktsegment").alias("ms2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("nk2"))
+        & (F.col("a.c_mktsegment") == F.col("ms2"))
+        & (F.col("a.c_custkey") < F.col("k2")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.col("a.c_mktsegment").alias("mktsegment"),
+        F.when(F.levenshtein(F.col("a.c_name"), F.col("n2")) <= 2, 1).alias("m"),
+    )
+    pair_stats = pairs.groupBy("nationkey", "mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"),
+        F.count("m").cast("bigint").alias("n_matches"),
+    )
+    blocks = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    return (
+        blocks.join(pair_stats, ["nationkey", "mktsegment"], "left")
+        .select(
+            F.col("nationkey").cast("bigint").alias("nationkey"),
+            "mktsegment",
+            "n_records",
+            F.coalesce("n_cand_pairs", F.lit(0)).alias("n_cand_pairs"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
 ORACLE_SQL["dataset_split_assign"] = f"""
     WITH h AS (
       SELECT source, n_chars,

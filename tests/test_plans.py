@@ -69,7 +69,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "scd2_user_state", "dataset_split_assign", "robust_outliers",
         "link_prediction_adamic_adar", "label_propagation",
         "gap_fill_forward", "table_profile", "dq_validation_report",
-        "trigram_lm_topk",
+        "trigram_lm_topk", "scd2_lookup_join", "equi_depth_histogram",
+        "entity_resolution_pairs",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
