@@ -7011,6 +7011,160 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_global_shuffle")
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every document
+    by (portable_hash(doc_id), doc_id) — a reproducible pseudo-random
+    permutation — and carry the RUNNING char budget so a trainer can cut
+    'first N tokens of epoch 0' without a second pass. Uses the same
+    two-level prefix-sum as the Zipf curve (`with_global_rank`): no
+    single-partition window anywhere, a 10⁹-doc corpus shuffles as
+    #partitions parallel sorts + a broadcast offset join. Output is the
+    head of the permutation (rank ≤ 100); the full table is what a
+    writer would persist."""
+    from graph_db_spark.operators.aggregates import with_global_rank
+    from graph_db_spark.operators.dedup import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        portable_hash(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    ranked = with_global_rank(
+        docs,
+        [F.col("hkey"), F.col("doc_id")],
+        rank_col="position",
+        cumsum_cols={"chars_through": "n_chars"},
+        n_partitions=8,
+    )
+    return (
+        ranked.filter(F.col("position") <= 100)
+        .select(
+            F.col("position").cast("bigint").alias("position"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("chars_through").cast("bigint").alias("chars_through"),
+        )
+    )
+
+
+def _hits_oracle_sql(iters: int = 3) -> str:
+    """Unrolled HITS power iteration on the customer→part edge list with
+    sum-normalization each half-step — same arithmetic as the Spark loop."""
+    parts = [
+        """cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, 1.0 AS h FROM cp)"""
+    ]
+    for i in range(1, iters + 1):
+        # MATERIALIZED pins each half-step: every score table is
+        # referenced twice (by its normalizer and by the next half-step),
+        # so inlined CTEs re-evaluate the whole chain 2^(2·iters) times
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+      SELECT p, sum(h) AS r FROM cp JOIN h{i - 1} USING (c) GROUP BY 1),
+    a{i} AS MATERIALIZED (
+      SELECT p, r / (SELECT sum(r) FROM ar{i}) AS a FROM ar{i}),
+    hr{i} AS MATERIALIZED (
+      SELECT c, sum(a) AS r FROM cp JOIN a{i} USING (p) GROUP BY 1),
+    h{i} AS MATERIALIZED (
+      SELECT c, r / (SELECT sum(r) FROM hr{i}) AS h FROM hr{i})"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    , ranked AS (
+      SELECT 'authority' AS role, CAST(p AS BIGINT) AS node_id, round(a, 4) AS score,
+             row_number() OVER (ORDER BY round(a, 4) DESC, p) AS rnk
+      FROM a{iters}
+      UNION ALL
+      SELECT 'hub' AS role, CAST(c AS BIGINT) AS node_id, round(h, 4) AS score,
+             row_number() OVER (ORDER BY round(h, 4) DESC, c) AS rnk
+      FROM h{iters}
+    )
+    SELECT role, node_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10"""
+    )
+
+
+@register("hits_scores", oracle=_hits_oracle_sql())
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the customer→part purchase
+    graph, 3 power-iteration rounds with sum-normalization — the
+    bipartite companion to PageRank (which this engine runs on the
+    directed order graph). Each half-step is one edge⋈score shuffle +
+    one groupBy; the normalizer is a 1-row agg broadcast back (never a
+    driver collect). Fixed rounds keep it deterministic and let the
+    oracle replay the exact arithmetic unrolled. Top-10 per role ranks
+    on the ROUNDED score with id tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = cp.select("c").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(3):
+        # checkpoint each half-step: the score table is referenced twice
+        # (normalizer + next half-step), so an uncut lineage re-executes
+        # the whole prior chain 2^(2·rounds) times (14s → 2s at sf0.01)
+        ar = (
+            cp.join(h, "c").groupBy("p").agg(F.sum("h").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        asum = ar.agg(F.sum("r").alias("s"))
+        a = ar.crossJoin(F.broadcast(asum)).select("p", (F.col("r") / F.col("s")).alias("a"))
+        hr = (
+            cp.join(a, "p").groupBy("c").agg(F.sum("a").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        hsum = hr.agg(F.sum("r").alias("s"))
+        h = hr.crossJoin(F.broadcast(hsum)).select("c", (F.col("r") / F.col("s")).alias("h"))
+    auth = a.select(
+        F.lit("authority").alias("role"),
+        F.col("p").cast("bigint").alias("node_id"),
+        r4(F.col("a")).alias("score"),
+    )
+    hub = h.select(
+        F.lit("hub").alias("role"),
+        F.col("c").cast("bigint").alias("node_id"),
+        r4(F.col("h")).alias("score"),
+    )
+    # top-10 per role: per-role window over the ~|nodes| score rows (tiny
+    # by the time ranking runs — scores are one row per node, and the
+    # window partitions by role so it is never a global single-partition
+    # sort over raw data)
+    wr = Window.partitionBy("role").orderBy(F.desc("score"), "node_id")
+    return (
+        auth.unionByName(hub)
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+ORACLE_SQL["corpus_global_shuffle"] = f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             {_poly_sql("CAST(doc_id AS VARCHAR)")} AS hkey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY hkey, doc_id) AS position,
+             sum(n_chars) OVER (ORDER BY hkey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars_through
+      FROM h
+    )
+    SELECT CAST(position AS BIGINT) AS position, CAST(doc_id AS BIGINT) AS doc_id,
+           source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(chars_through AS BIGINT) AS chars_through
+    FROM ranked WHERE position <= 100
+"""
+
 ORACLE_SQL["dataset_split_assign"] = f"""
     WITH h AS (
       SELECT source, n_chars,

@@ -70,7 +70,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "link_prediction_adamic_adar", "label_propagation",
         "gap_fill_forward", "table_profile", "dq_validation_report",
         "trigram_lm_topk", "scd2_lookup_join", "equi_depth_histogram",
-        "entity_resolution_pairs",
+        "entity_resolution_pairs", "corpus_global_shuffle",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
@@ -140,7 +140,9 @@ def test_dedup_keep_filter_not_pushed_below_repartition(spark):
     assert "regexp_extract" not in head.split("== Physical Plan ==")[1]
 
 
-@pytest.mark.parametrize("name", ["vocab_coverage", "order_value_deciles"])
+@pytest.mark.parametrize(
+    "name", ["vocab_coverage", "order_value_deciles", "corpus_global_shuffle"]
+)
 def test_two_level_rank_queries_have_no_global_window(spark, name):
     """SCALE.md: global rankings (the Zipf curve, the revenue deciles)
     must use the two-level prefix sum — every Window in the plan is
