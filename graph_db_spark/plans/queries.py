@@ -3787,11 +3787,14 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXPENSIVE_LAST = [
+    "link_prediction_adamic_adar",  # ~2.4s at sf0.01 (wedge join)
+    "label_propagation",            # ~2.7s (3 sync rounds)
     "streaming_decontamination",    # ~3s at sf0.01 (stream machinery)
     "simhash_completeness_bound",   # ~3s
     "running_idx",                  # ~3.5s
     "ann_ivf_recall_bound",         # ~3.5s
     "salted_skew_join",             # ~3.7s
+    "hits_scores",                  # ~4s (6 checkpointed half-steps)
     "pipeline_optimum_element_ranges",  # ~4.3s
     "simhash_near_dups",            # ~4.4s
     "ann_lsh_recall_bound",         # ~5s
