@@ -83,3 +83,67 @@ def test_robust_outliers_flags_are_minority(spark, sf_dir):
         assert r["mad"] >= 0.0
         # the modified z-score cut can't flag the majority of a group
         assert r["n_outliers"] <= r["n"] // 2
+
+
+def test_gap_fill_covers_full_span_per_user(spark, sf_dir):
+    rows = QUERIES["gap_fill_forward"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    from datetime import date, timedelta
+
+    for uid, rs in by_user.items():
+        days = sorted(date.fromisoformat(r["day"]) for r in rs)
+        # dense: every calendar day between min and max present exactly once
+        assert len(days) == (days[-1] - days[0]).days + 1
+        assert len(set(days)) == len(days)
+        # first day is always observed (span starts at first event)
+        first = min(rs, key=lambda r: r["day"])
+        assert first["observed"]
+        # filled_total never null after the first day
+        assert all(r["filled_total"] is not None for r in rs)
+
+
+def test_equi_depth_tiles_balanced(spark, sf_dir):
+    rows = QUERIES["equi_depth_histogram"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert len(rs) == 10
+        ns = [r["n"] for r in rs]
+        assert max(ns) - min(ns) <= 1  # ntile balance contract
+        rs.sort(key=lambda r: r["tile"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi"] <= b["lo"] + 1e-9  # buckets ordered by value
+
+
+def test_hits_scores_are_distributions(spark, sf_dir):
+    rows = QUERIES["hits_scores"](spark, sf_dir).collect()
+    roles = {r["role"] for r in rows}
+    assert roles == {"authority", "hub"}
+    for r in rows:
+        assert 0.0 <= r["score"] <= 1.0
+        assert 1 <= r["rnk"] <= 10
+    # top-10 of a sum-normalized distribution can't exceed total mass 1
+    for role in roles:
+        assert sum(r["score"] for r in rows if r["role"] == role) <= 1.0 + 1e-6
+
+
+def test_chi_square_nonnegative_and_dof(spark, sf_dir):
+    r = QUERIES["chi_square_independence"](spark, sf_dir).collect()[0]
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == (5 - 1) * (7 - 1)  # 5 event types x 7 weekdays
+    assert r["n"] > 0
+
+
+def test_global_shuffle_prefix_is_stable_and_dense(spark, sf_dir):
+    a = QUERIES["corpus_global_shuffle"](spark, sf_dir).collect()
+    b = QUERIES["corpus_global_shuffle"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # retry-safe
+    a.sort(key=lambda r: r["position"])
+    assert [r["position"] for r in a] == list(range(1, len(a) + 1))
+    run = 0
+    for r in a:
+        run += r["n_chars"]
+        assert r["chars_through"] == run  # running budget is a true prefix sum
