@@ -7149,6 +7149,52 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VALUE_BANDS = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 50.0),
+    ("high", 50.0, 100.0),
+    ("extreme", 100.0, 1e18),
+]
+
+
+@register(
+    "range_band_join",
+    oracle=f"""
+    WITH b(band, lo, hi) AS (VALUES
+      {", ".join(f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in _VALUE_BANDS)})
+    SELECT b.band, CAST(count(e.value) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS total
+    FROM b LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-dimension lookup (the IP→geo / tariff-band pattern): the
+    band table is DATA, not a compiled CASE — it broadcasts and the fact
+    stream probes it with a non-equi [lo, hi) condition, so ops can
+    repoint the dimension without a code change. Cost is O(facts ×
+    bands) comparisons inside a broadcast nested-loop — bounded because
+    interval dimensions are small by nature; a sorted dimension would
+    drop it to O(log bands) per row via `width_bucket`-style binary
+    search, noted as the swap if bands ever grow. Empty bands stay
+    visible by re-joining the band table to the AGGREGATED per-band
+    stats (tiny⋈tiny) — an outer fact join would force the preserved
+    side to be the unbroadcastable one."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    bands = spark.createDataFrame(_VALUE_BANDS, ["band", "lo", "hi"])
+    j = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    agg = j.groupBy("band").agg(
+        F.count("value").cast("bigint").alias("n"),
+        r4(F.sum("value")).alias("total"),
+    )
+    return bands.select("band").join(agg, "band", "left").select(
+        "band", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"), "total"
+    )
+
+
 ORACLE_SQL["corpus_global_shuffle"] = f"""
     WITH h AS (
       SELECT doc_id, source, n_chars,
