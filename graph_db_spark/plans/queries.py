@@ -6194,6 +6194,248 @@ def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(round(l_extendedprice / l_quantity, 4)) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_price) AS best_price FROM offers GROUP BY 1
+    ),
+    pick AS (
+      SELECT o.l_partkey, o.unit_price AS best_price,
+             min(o.l_suppkey) AS best_suppkey
+      FROM offers o JOIN best b
+        ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+           round(best_price, 4) AS best_price,
+           CAST(best_suppkey AS BIGINT) AS best_suppkey, s_name
+    FROM pick
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = best_suppkey
+    WHERE p_size <= 10
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): per part, the supplier offering
+    the minimum unit price — the correlated-MIN subquery decorrelated as
+    aggregate + join-back. Offers collapse to one row per (part, supplier)
+    with map-side combine; ``best`` is a second narrow agg on the already
+    O(part×supp) table; the equality join-back on (partkey, price) with a
+    min(suppkey) tie-break makes the argmin deterministic without a
+    global window sort. Both dimension joins broadcast; the p_size filter
+    prunes parts before the result projection. At 100 TB the heavy input
+    is scanned once and everything downstream is offer-table-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    offers = (
+        li.select(
+            "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("u"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("u").alias("unit_price"))
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "bp_partkey")
+    )
+    pick = (
+        offers.join(
+            best,
+            on=[
+                F.col("l_partkey") == F.col("bp_partkey"),
+                F.col("unit_price") == F.col("best_price"),
+            ],
+        )
+        .groupBy("l_partkey", "best_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        pick.join(F.broadcast(part), pick.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), F.col("best_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_brand",
+            r4(F.col("best_price")).alias("best_price"),
+            F.col("best_suppkey").cast("bigint").alias("best_suppkey"),
+            "s_name",
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH fp AS (
+      SELECT p_partkey, p_brand FROM part
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    ),
+    fl AS (
+      SELECT p_brand, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN fp ON l_partkey = p_partkey
+    ),
+    pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS lim FROM fl GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM fl JOIN pa ON fl.l_partkey = pa.l_partkey
+    WHERE l_quantity < lim
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 50% of their part's average — the correlated scalar
+    AVG subquery decorrelated as a per-part aggregate joined back. The
+    brand filter is at part granularity, so it semi-joins lineitem FIRST
+    (broadcast of the filtered part list) and the per-part average runs
+    on the pruned fact — the unoptimized form aggregates all 100 TB of
+    lineitem for parts the filter then throws away. One narrow shuffle on
+    partkey for the avg; the join-back is partkey-aligned."""
+    fp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fl = li.join(F.broadcast(fp), li.l_partkey == fp.p_partkey).select(
+        "p_brand", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = fl.groupBy("l_partkey").agg((F.lit(0.5) * F.avg("l_quantity")).alias("lim"))
+    return (
+        fl.join(pa, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY
+    ),
+    sole AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM late GROUP BY 1 HAVING count(*) = 1
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING count(DISTINCT l_suppkey) > 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sole
+    JOIN multi ON sole.l_orderkey = multi.l_orderkey
+    JOIN supplier ON s_suppkey = sole.l_suppkey
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    multi-supplier orders, the supplier who was the ONLY late shipper.
+    The classic EXISTS + NOT-EXISTS pair decorrelates into two per-order
+    aggregates — 'exactly one late supplier' is HAVING count(*) = 1 over
+    the distinct late pairs (no correlated re-scan per row), and the
+    multi-supplier test is a count-distinct semi-join. Three aggregations
+    on the same orderkey shuffle key, so AQE coalesces them onto one
+    exchange lineage; the supplier dimension broadcasts. Lateness (ship
+    > order + 180d) pushes into the fact join, not a post-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 180))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .drop("n_late")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.join(multi, on="l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-09-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-promise customers): above-average-balance
+    customers with no recent orders. Two decorrelations in one plan: the
+    scalar AVG subquery becomes a 1-row aggregate broadcast-cross-joined
+    into the filter (never a per-row re-scan), and NOT IN becomes a
+    left-anti join against the date-pruned distinct buyer list (the date
+    predicate pushes into the orders scan, so the anti side is recent
+    buyers only, not all orders). Customer is scanned once; both right
+    sides are tiny and broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-09-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            F.broadcast(recent),
+            cust.c_custkey == recent.o_custkey,
+            how="left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "scd2_user_state",
     oracle="""
     WITH ordered AS (

@@ -71,6 +71,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "gap_fill_forward", "table_profile", "dq_validation_report",
         "trigram_lm_topk", "scd2_lookup_join", "equi_depth_histogram",
         "entity_resolution_pairs", "corpus_global_shuffle",
+        "min_cost_supplier", "small_quantity_revenue", "sole_late_supplier",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
@@ -161,3 +162,24 @@ def test_two_level_rank_queries_have_no_global_window(spark, name):
         groups = re.findall(r"\[[^\]]*\]", args)
         assert len(groups) >= 3 and groups[1] != "[]", f"global Window: {args}"
     assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_broadcast_and_anti(spark):
+    """Q22 shape: the scalar AVG rides a 1-row BroadcastNestedLoopJoin
+    (never a per-row re-scan) and NOT IN decorrelates to a broadcast
+    left-anti against the date-pruned buyer list — customer must not
+    shuffle for either side."""
+    plan = plan_of(spark, "idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_prunes_fact_before_decorrelated_avg(spark):
+    """Q17 shape: the brand filter semi-joins lineitem BEFORE the
+    per-part average — the broadcast of the filtered part list must sit
+    under the partkey aggregate, and the filtered scan must push the
+    brand predicate down."""
+    plan = plan_of(spark, "small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "In(p_brand" in plan or "p_brand" in plan.split("PushedFilters")[1][:400]
