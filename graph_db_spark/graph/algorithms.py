@@ -406,7 +406,11 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
-    n_prev = sym.select("a").distinct().count()
+    # convergence = two consecutive rounds keep the same vertex count; no
+    # up-front distinct vertex count needed (a full extra shuffle saved —
+    # when the input is already a k-core this costs one cheap confirm
+    # round instead)
+    n_prev = -1
     for _ in range(max_rounds):
         # one materialization (the keep set) + one count on the
         # materialized rows per round; convergence = vertex count stable

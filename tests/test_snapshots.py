@@ -1,0 +1,158 @@
+"""Snapshot table format: atomic commit, bucket-level copy-on-write,
+optimistic concurrency (the round-3 verdict's concurrent-writer
+contract), time travel, exactly-once txn markers, vacuum."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_spark.writers.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+    snapshot_sink,
+)
+
+
+def _rows(df):
+    return sorted((r["k"], r["val"]) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame([(k, v) for k, v in pairs], "k int, val string")
+
+
+def test_create_read_roundtrip_collapses_dups(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _mk(spark, [(1, "a"), (2, "b"), (2, "z")]), ["k"]
+    )
+    got = _rows(t.read())
+    assert [k for k, _ in got] == [1, 2]  # dup key collapsed deterministically
+    assert t.latest_version() == 1
+
+
+def test_merge_updates_inserts_and_time_travel(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    v2 = t.merge(_mk(spark, [(2, "B"), (3, "c")]))
+    assert v2 == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c")]
+    # time travel: version 1 still serves the pre-merge snapshot
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "b")]
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[1]["operation"] == "merge:overwrite"
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    base = _mk(spark, [(i, f"v{i}") for i in range(200)])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), base, ["k"], n_buckets=16)
+    m1 = t._read_manifest(1)
+    t.merge(_mk(spark, [(7, "NEW")]))
+    m2 = t._read_manifest(2)
+    f1 = {e["path"] for e in m1["files"]}
+    f2 = {e["path"] for e in m2["files"]}
+    carried = f1 & f2
+    # one update key touches exactly one bucket: all other buckets' files
+    # carry forward by reference, untouched
+    touched_buckets = {e["bucket"] for e in m2["files"] if e["path"] not in f1}
+    assert touched_buckets and len(touched_buckets) == 1
+    assert len(carried) >= len(f1) - len([e for e in m1["files"] if e["bucket"] in touched_buckets])
+    assert _rows(t.read())[7] == (7, "NEW")
+
+
+def test_conflict_retry_preserves_both_writers(spark, tmp_path):
+    """The lost-update scenario from VERDICT r3: writer B computes against
+    version N, writer A commits N+1 first; B must re-merge against A's
+    snapshot so BOTH batches survive."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, _mk(spark, [(1, "a")]), ["k"])
+    orig = t._publish
+    interposed = []
+
+    def racing_publish(manifest):
+        if not interposed:
+            interposed.append(1)
+            SnapshotTable(spark, path).merge(_mk(spark, [(2, "from_A")]))
+        orig(manifest)
+
+    t._publish = racing_publish
+    t.merge(_mk(spark, [(3, "from_B")]))
+    assert _rows(t.read()) == [(1, "a"), (2, "from_A"), (3, "from_B")]
+    assert t.latest_version() == 3  # A's commit + B's retried commit
+
+
+def test_concurrent_threads_lose_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, _mk(spark, [(0, "seed")]), ["k"])
+    errs = []
+
+    def writer(offset):
+        try:
+            mine = SnapshotTable(spark, path)
+            for i in range(3):
+                mine.merge(_mk(spark, [(offset + i, f"w{offset}")]), max_retries=10)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(off,)) for off in (100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    keys = {k for k, _ in _rows(t.read())}
+    assert keys == {0, 100, 101, 102, 200, 201, 202}
+
+
+def test_txn_marker_makes_replay_a_noop(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
+    sink = snapshot_sink(t, app_id="job1")
+    sink(_mk(spark, [(2, "b")]), 7)
+    v = t.latest_version()
+    sink(_mk(spark, [(2, "b")]), 7)  # foreachBatch redelivery of batch 7
+    assert t.latest_version() == v  # nothing committed
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # a LATER batch from the same app still commits
+    sink(_mk(spark, [(3, "c")]), 8)
+    assert t.latest_version() == v + 1
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"], n_buckets=4)
+    t.merge(_mk(spark, [(1, "b")]))
+    t.merge(_mk(spark, [(1, "c")]))
+    removed = t.vacuum(keep_last=1)
+    assert removed  # versions 1-2's rewritten bucket files are gone
+    assert _rows(t.read()) == [(1, "c")]  # latest fully readable
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(1)
+
+
+def test_merge_strategies_pass_through(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", None)], "k int, x string, y string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["k"])
+    up = spark.createDataFrame([(1, None, "Y")], "k int, x string, y string")
+    t.merge(up, strategy="coalesce")  # new non-null wins, old kept where new null
+    row = t.read().collect()[0]
+    assert (row["x"], row["y"]) == ("a", "Y")
+    t.merge(
+        spark.createDataFrame([(1, "zzz", "zzz")], "k int, x string, y string"),
+        strategy="if_absent",
+    )  # existing values stick
+    row = t.read().collect()[0]
+    assert (row["x"], row["y"]) == ("a", "Y")
+
+
+def test_exhausted_retries_raise(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, _mk(spark, [(1, "a")]), ["k"])
+
+    def always_racing(manifest):
+        SnapshotTable(spark, path).merge(_mk(spark, [(99, "x")]))
+        raise CommitConflict("simulated")
+
+    t._publish = always_racing
+    with pytest.raises(CommitConflict):
+        t.merge(_mk(spark, [(2, "b")]), max_retries=2)
