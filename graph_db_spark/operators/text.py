@@ -8,7 +8,7 @@ fingerprinting. Everything stays JVM-side (whole-stage codegen); no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Minimal deterministic stopword sets for the language-ID heuristic.
@@ -146,3 +146,103 @@ def chunk_tokens(text: Column | str, size: int, stride: int) -> Column:
             F.concat_ws(" ", F.slice(t, s, size)).alias("chunk"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (the distributed half of a tokenizer pipeline)
+# ---------------------------------------------------------------------------
+
+
+def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → ``(w, wf)`` word-frequency table — the collapse that makes
+    BPE training tractable at 100 TB: every subsequent merge round runs
+    on the VOCABULARY (10⁵-10⁷ rows), never the corpus. One shuffle on
+    the word; map-side combine carries partial counts."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs of a symbol array, each as 'left right'.
+    Guarded: single-symbol words have no pairs (sequence(1, 0) would
+    count DOWN, the same trap as ngram spans above)."""
+    n = F.size(syms)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(syms, i), F.element_at(syms, i + 1)),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def pair_stats(vocab: DataFrame, k: int | None = None) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over a ``(w, wf, syms)``
+    vocabulary — ONE BPE round's heavy step: explode pairs, sum word
+    frequencies, optionally keep the top ``k``. Vocabulary-sized shuffle
+    with partial aggregation; the corpus is never touched."""
+    pc = (
+        vocab.select("wf", F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wf").cast("bigint").alias("freq"))
+    )
+    if k is not None:
+        pc = pc.orderBy(F.desc("freq"), "pair").limit(k)
+    return pc
+
+
+def _merge_pair(syms: Column, p1: str, p2: str) -> Column:
+    """Greedy left-to-right merge of one learned pair in a symbol array —
+    the canonical BPE application order (a run of identical candidates
+    merges at even offsets). Non-overlap is automatic: the merged symbol
+    p1+p2 can never equal p1 (p2 is non-empty), so a fresh merge can't
+    immediately re-merge with the next symbol unless it legitimately
+    forms the pair. Fold over a tiny vocabulary-row array — interpreted
+    HOF, but the input is vocab-sized, not corpus-sized."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda out, x: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(
+                F.slice(out, 1, F.size(out) - 1), F.array(F.lit(p1 + p2))
+            ),
+        ).otherwise(F.concat(out, F.array(x))),
+    )
+
+
+def bpe_learn(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> list[tuple[int, str, int]]:
+    """Distributed BPE tokenizer training: learn ``n_merges`` merge rules
+    from a corpus. Returns ``[(merge_idx, 'left right', freq), ...]`` in
+    learned order (deterministic: frequency desc, pair asc tie-break).
+
+    Scale shape: one corpus-wide shuffle builds the word-frequency
+    vocabulary; every merge round then runs :func:`pair_stats` (a
+    vocabulary-sized aggregation) + a narrow map applying the winning
+    merge — the standard word-frequency formulation of BPE (Sennrich et
+    al. 2016), where corpus size only ever affects round one. Each round
+    collects exactly ONE row (the argmax pair); the vocabulary is
+    localCheckpointed per round so lineage stays flat across rounds."""
+    vocab = (
+        word_freq_table(df, text_col)
+        .select("w", "wf", F.split("w", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(n_merges):
+        top = pair_stats(vocab, k=1).collect()
+        if not top or top[0]["freq"] <= 0:
+            break
+        pair, freq = top[0]["pair"], int(top[0]["freq"])
+        p1, p2 = pair.split(" ", 1)
+        merges.append((r + 1, pair, freq))
+        vocab = vocab.select(
+            "w", "wf", _merge_pair(F.col("syms"), p1, p2).alias("syms")
+        ).localCheckpoint()
+    return merges

@@ -5843,6 +5843,42 @@ def k_core_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_top_pairs",
+    oracle="""
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    v AS (SELECT wf, string_split_regex(w, '') AS a FROM wf),
+    pc AS (
+      SELECT unnest(list_transform(range(1, len(a)),
+                                   i -> a[i] || ' ' || a[i + 1])) AS pair,
+             wf
+      FROM v
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS freq
+    FROM pc GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training — one BPE round's heavy step: frequency-
+    weighted adjacent-symbol-pair counts over the word-frequency
+    vocabulary (operators/text.py:pair_stats). The corpus collapses to
+    the vocabulary FIRST (one shuffle), so at 100 TB every merge round
+    is a vocabulary-sized aggregation — corpus size only ever affects
+    round one. The full iterative trainer (``bpe_learn``) is pinned
+    against a canonical Python BPE in tests/test_llm_ops.py; this query
+    puts its distributed step under the exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = TX.word_freq_table(docs, "text").select(
+        "wf", F.split("w", "").alias("syms")
+    )
+    return TX.pair_stats(vocab, k=20)
+
+
+@register(
     "tokenizer_fertility",
     oracle="""
     SELECT lang,

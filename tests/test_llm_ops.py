@@ -739,3 +739,54 @@ def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
         docs.filter(F.col("doc_id").isin(sample_ids)).agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_bpe_learn_matches_canonical_python(spark):
+    """The distributed BPE trainer must learn the SAME merge sequence as
+    a canonical word-frequency BPE (Sennrich et al.) — including greedy
+    left-to-right application on runs of identical symbols (`aaaa`),
+    where overlap handling is where implementations diverge."""
+    from collections import Counter
+
+    from graph_db_spark.operators.text import bpe_learn
+
+    texts = [
+        "aaaa bb aab banana bandana",
+        "the theme there then the",
+        "aaaa aaaa abab abab cccc",
+        "low lower lowest newest widest",
+        "banana bandana the lowest aab",
+    ]
+
+    def canonical(texts, n_merges):
+        wf = Counter()
+        for t in texts:
+            for w in t.lower().strip().split():
+                wf[w] += 1
+        vocab = {w: list(w) for w in wf}
+        merges = []
+        for r in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wf[w]
+            if not pc:
+                break
+            # tie-break freq desc then 'left right' string asc — symbols
+            # never contain spaces and ' ' sorts below every symbol char,
+            # so the string order equals the tuple order
+            best = min(pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (p1, p2), freq = best
+            merges.append((r + 1, f"{p1} {p2}", freq))
+            for w, syms in vocab.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == p1 and x == p2:
+                        out[-1] = p1 + p2
+                    else:
+                        out.append(x)
+                vocab[w] = out
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe_learn(df, "text", n_merges=8) == canonical(texts, 8)
