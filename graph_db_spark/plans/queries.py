@@ -5843,6 +5843,61 @@ def k_core_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'lineitem.l_orderkey' AS key_col, CAST(l_orderkey AS VARCHAR) AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+    ),
+    counts AS (
+      SELECT key_col, k, count(*) AS c FROM per_key GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(max(c) / avg(c), 4) AS skew_ratio
+    FROM counts GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostics — join-key skew profile: per candidate join key, row
+    count, key cardinality, the heaviest key's row count, and the
+    max/avg skew ratio. This is the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting
+    (``salted_skew_join``); running it as a first-class query means the
+    decision is data-driven, not guessed. One count-per-key aggregation
+    per profiled column (map-side combined) + a key_col-grouped rollup —
+    at 100 TB each profile is a single linear pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    sides = [
+        ("lineitem.l_orderkey", li.select(F.col("l_orderkey").cast("string").alias("k"))),
+        ("lineitem.l_partkey", li.select(F.col("l_partkey").cast("string").alias("k"))),
+        ("events.user_id", ev.select(F.col("user_id").cast("string").alias("k"))),
+    ]
+    per = None
+    for name, side in sides:
+        tagged = side.withColumn("key_col", F.lit(name))
+        per = tagged if per is None else per.unionByName(tagged)
+    counts = per.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            r4(F.max("c") / F.avg("c")).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )
+
+
+@register(
     "bpe_top_pairs",
     oracle="""
     WITH wf AS (

@@ -156,3 +156,29 @@ def test_exhausted_retries_raise(spark, tmp_path):
     t._publish = always_racing
     with pytest.raises(CommitConflict):
         t.merge(_mk(spark, [(2, "b")]), max_retries=2)
+
+
+def test_streaming_merge_into_snapshot_table(spark, tmp_path):
+    """End-to-end Structured Streaming → snapshot table: a parquet file
+    stream MERGEd via foreachBatch(snapshot_sink). Restarting the stream
+    over the same source (foreachBatch redelivery of already-seen batch
+    ids) must commit nothing new — the txn marker makes replay a no-op."""
+    src = str(tmp_path / "src")
+    _mk(spark, [(1, "a"), (2, "b")]).coalesce(1).write.parquet(src)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "OLD")]), ["k"])
+
+    def run():
+        stream = spark.readStream.schema("k int, val string").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(snapshot_sink(t, app_id="stream1"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    v = t.latest_version()
+    run()  # same checkpoint: no new batches -> no commits
+    assert t.latest_version() == v
