@@ -122,13 +122,38 @@ class SnapshotTable:
 
     # -- data-file primitives ------------------------------------------
 
-    def _write_buckets(self, df: DataFrame, commit_id: str) -> list[dict]:
+    @staticmethod
+    def _json_safe(v):
+        return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+    def _bucket_stats(self, df: DataFrame, keys: list[str]) -> dict[int, dict]:
+        """Per-bucket min/max of each key column — Iceberg-style file
+        skipping one level up: the manifest carries the stats, so a keyed
+        scan prunes buckets without opening a single footer. One narrow
+        aggregation over data that is being written anyway (the caller
+        checkpoints it first, so this is a re-scan of local blocks, not a
+        recompute)."""
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"_min_{k}"), F.max(k).alias(f"_max_{k}")]
+        out = {}
+        for r in df.groupBy("_bucket").agg(*aggs).collect():
+            out[r["_bucket"]] = {
+                k: [self._json_safe(r[f"_min_{k}"]), self._json_safe(r[f"_max_{k}"])]
+                for k in keys
+            }
+        return out
+
+    def _write_buckets(self, df: DataFrame, commit_id: str, keys: list[str]) -> list[dict]:
         """Write ``df`` (already carrying ``_bucket``) as one immutable
         parquet tree under ``data/<commit_id>/``, hash-distributed so
         each bucket's rows land in its own files. Returns the new file
-        entries. Files are never visible to readers until a manifest
-        references them, so a crashed commit leaves only garbage for
-        vacuum — never a corrupt table."""
+        entries, each carrying its bucket's key min/max stats. Files are
+        never visible to readers until a manifest references them, so a
+        crashed commit leaves only garbage for vacuum — never a corrupt
+        table. The input is checkpointed so the stats aggregation reads
+        materialized blocks instead of recomputing the merge plan."""
+        df = df.localCheckpoint()
         out_dir = os.path.join(self.path, _DATA_DIR, commit_id)
         (
             df.repartition(F.col("_bucket"))
@@ -136,6 +161,7 @@ class SnapshotTable:
             .mode("error")
             .parquet(out_dir)
         )
+        stats = self._bucket_stats(df, keys)
         entries = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("_bucket="):
@@ -147,6 +173,7 @@ class SnapshotTable:
                         {
                             "bucket": b,
                             "path": f"{_DATA_DIR}/{commit_id}/{bdir}/{fn}",
+                            "stats": stats.get(b),
                         }
                     )
         return entries
@@ -199,7 +226,7 @@ class SnapshotTable:
         base = collapse_duplicates(df, keys)
         commit_id = uuid.uuid4().hex
         files = t._write_buckets(
-            base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id
+            base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id, keys
         )
         t._publish(
             {
@@ -222,6 +249,98 @@ class SnapshotTable:
         if v == 0:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         return self._read_files(self._read_manifest(v)).drop("_bucket")
+
+    def scan(self, where: dict[str, tuple], version: int | None = None) -> DataFrame:
+        """Keyed scan with manifest-level file skipping, then the
+        residual row filter — pruning is an optimization, never a
+        semantics change. Two pruning mechanisms, honest about what a
+        hash layout can and cannot do:
+
+        - **point lookups** (``lo == hi`` for every key): the key tuple
+          hashes to exactly ONE bucket, so the scan opens only that
+          bucket's files — O(1/n_buckets) of the table regardless of
+          stats.
+        - **range scans**: files are skipped when their recorded key
+          min/max is disjoint from the range. Hash bucketing scatters a
+          uniform key domain across every bucket, so this prunes nothing
+          on a static table — where it pays is a GROWING key domain
+          (append-mostly tables): files from old commits have stats
+          below the new-key range and drop out without a footer read.
+          Range-clustered file layout (Iceberg sort orders) is the
+          format-level fix, noted in SCALE.md.
+
+        Entries from pre-stats commits (no recorded stats) are
+        conservatively kept."""
+        v = version if version is not None else self.latest_version()
+        if v == 0:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._read_manifest(v)
+        kept = self._surviving_files(m, where)
+        point_bucket = self._point_bucket(m, where)
+        if point_bucket is not None:
+            kept = [e for e in kept if e["bucket"] == point_bucket]
+        df = self._read_files({**m, "files": kept}).drop("_bucket")
+        for k, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(k) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(k) <= F.lit(hi))
+        return df
+
+    def _point_bucket(self, manifest: dict, where: dict[str, tuple]) -> int | None:
+        """The single bucket a full-key point lookup hashes to, or None
+        when ``where`` isn't a point on every key. Evaluated with the
+        same Spark expression that assigned buckets at write time (typed
+        literals — evaluating xxhash64 anywhere else would risk a
+        mismatched hash)."""
+        keys = manifest["keys"]
+        if set(where) != set(keys) or any(
+            lo is None or lo != hi for lo, hi in where.values()
+        ):
+            return None
+        schema = StructType.fromJson(manifest["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        row = self.spark.range(1).select(
+            F.pmod(
+                F.xxhash64(*[F.lit(where[k][0]).cast(types[k]) for k in keys]),
+                F.lit(manifest["n_buckets"]),
+            )
+            .cast("int")
+            .alias("b")
+        )
+        return row.collect()[0]["b"]
+
+    @staticmethod
+    def _surviving_files(manifest: dict, where: dict[str, tuple]) -> list[dict]:
+        bad = set(where) - set(manifest["keys"])
+        if bad:
+            raise ValueError(f"scan ranges must be on key columns; got {sorted(bad)}")
+
+        def survives(e: dict) -> bool:
+            st = e.get("stats")
+            if not st:
+                return True
+            for k, (lo, hi) in where.items():
+                if k not in st or st[k][0] is None:
+                    continue
+                mn, mx = st[k]
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    return False
+            return True
+
+        return [e for e in manifest["files"] if survives(e)]
+
+    def pruned_files(self, where: dict[str, tuple], version: int | None = None) -> tuple[int, int]:
+        """(files read, files total) a :meth:`scan` with this range would
+        touch — the observable file-skipping contract, testable without
+        instrumenting the reader."""
+        v = version if version is not None else self.latest_version()
+        m = self._read_manifest(v)
+        kept = self._surviving_files(m, where)
+        pb = self._point_bucket(m, where)
+        if pb is not None:
+            kept = [e for e in kept if e["bucket"] == pb]
+        return len(kept), len(m["files"])
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version, operation, file/bucket
@@ -247,6 +366,7 @@ class SnapshotTable:
         strategy: str = "overwrite",
         max_retries: int = 5,
         txn: tuple[str, int] | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """MERGE ``updates`` into the table on its creation keys; returns
         the committed version. Bucket-level copy-on-write: only buckets
@@ -271,19 +391,20 @@ class SnapshotTable:
             if txn is not None and self._txn_seen(v, txn):
                 return v
             keys, n_buckets = m["keys"], m["n_buckets"]
-            batch = collapse_duplicates(updates, keys).withColumn(
+            schema, aligned = self._evolve(m, updates, allow_schema_evolution, strategy)
+            batch = collapse_duplicates(aligned, keys).withColumn(
                 "_bucket", _bucket_col(keys, n_buckets)
             )
             batch = batch.localCheckpoint()  # pin the batch across retries
             touched = {
                 r["_bucket"] for r in batch.select("_bucket").distinct().collect()
             }
-            old_touched = self._read_files(m, touched)
-            merged = upsert(
-                old_touched.drop("_bucket"), batch.drop("_bucket"), keys, strategy
-            ).withColumn("_bucket", _bucket_col(keys, n_buckets))
+            old_touched = self._align(self._read_files(m, touched).drop("_bucket"), schema)
+            merged = upsert(old_touched, batch.drop("_bucket"), keys, strategy).withColumn(
+                "_bucket", _bucket_col(keys, n_buckets)
+            )
             commit_id = uuid.uuid4().hex
-            new_files = self._write_buckets(merged, commit_id)
+            new_files = self._write_buckets(merged, commit_id, keys)
             carried = [e for e in m["files"] if e["bucket"] not in touched]
             try:
                 self._publish(
@@ -291,7 +412,7 @@ class SnapshotTable:
                         "version": v + 1,
                         "keys": keys,
                         "n_buckets": n_buckets,
-                        "schema": m["schema"],
+                        "schema": json.loads(schema.json()),
                         "operation": f"merge:{strategy}",
                         "committed_at": time.time(),
                         "txn": (
@@ -306,6 +427,53 @@ class SnapshotTable:
         raise CommitConflict(
             f"merge gave up after {max_retries} conflicts at {self.path}"
         )
+
+    @staticmethod
+    def _align(df: DataFrame, schema: StructType) -> DataFrame:
+        """Project ``df`` onto ``schema``'s column set and order; columns
+        the frame lacks come back as typed nulls. Old data files never
+        rewrite on evolution — the explicit read schema null-fills them."""
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def _evolve(
+        self, manifest: dict, updates: DataFrame, allow: bool, strategy: str
+    ) -> tuple[StructType, DataFrame]:
+        """Schema-evolution gate. NEW update columns require explicit
+        ``allow`` (typo protection — a misspelled column silently
+        becoming a new one is the classic evolution footgun) and append
+        to the schema as nullable fields; untouched buckets' files stay
+        as-is and null-fill at read time. Updates MISSING existing value
+        columns align with nulls only under a non-lossy strategy
+        (``coalesce``/``if_absent`` keep the stored value where the
+        update is null); under ``overwrite`` the aligned null would
+        silently erase stored data, so partial-column overwrites are
+        refused instead."""
+        old = StructType.fromJson(manifest["schema"])
+        old_names = {f.name for f in old.fields}
+        extra = [f for f in updates.schema.fields if f.name not in old_names]
+        missing = old_names - set(updates.columns)
+        if extra and not allow:
+            raise ValueError(
+                f"updates carry columns the table lacks ({[f.name for f in extra]}); "
+                "pass allow_schema_evolution=True to append them as nullable fields"
+            )
+        if missing and strategy == "overwrite":
+            raise ValueError(
+                f"updates are missing table columns {sorted(missing)} under the "
+                "'overwrite' strategy — the aligned nulls would erase stored "
+                "values; use 'coalesce'/'if_absent' for partial-column updates"
+            )
+        evolved = StructType(
+            list(old.fields) + [type(f)(f.name, f.dataType, True) for f in extra]
+        )
+        return evolved, self._align(updates, evolved)
 
     def _txn_seen(self, upto_version: int, txn: tuple[str, int]) -> bool:
         app, tid = txn

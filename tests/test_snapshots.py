@@ -182,3 +182,51 @@ def test_streaming_merge_into_snapshot_table(spark, tmp_path):
     v = t.latest_version()
     run()  # same checkpoint: no new batches -> no commits
     assert t.latest_version() == v
+
+
+def test_point_lookup_reads_one_bucket(spark, tmp_path):
+    """A full-key point lookup hashes to exactly one bucket — the scan
+    must open only that bucket's files, not the table."""
+    base = _mk(spark, [(i, f"v{i}") for i in range(500)])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), base, ["k"], n_buckets=16)
+    assert [(r["k"], r["val"]) for r in t.scan({"k": (107, 107)}).collect()] == [(107, "v107")]
+    read, total = t.pruned_files({"k": (107, 107)})
+    assert total >= 16 and read <= total // 8  # one bucket of sixteen
+    with pytest.raises(ValueError):
+        t.scan({"val": (0, 1)})
+
+
+def test_range_scan_stats_prune_growing_domain(spark, tmp_path):
+    """Hash bucketing scatters a static key domain, so range stats can't
+    prune it — but on a GROWING domain (append-mostly), old commits'
+    files have stats below the new range and drop out without a footer
+    read."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _mk(spark, [(i, "old") for i in range(100)]),
+        ["k"], n_buckets=8,
+    )
+    t.merge(_mk(spark, [(i, "new") for i in range(1000, 1010)]))
+    got = sorted(r["k"] for r in t.scan({"k": (1000, None)}).collect())
+    assert got == list(range(1000, 1010))
+    read, total = t.pruned_files({"k": (1000, None)})
+    # every create-commit file whose bucket the merge didn't touch is
+    # skipped by stats (max key 99 < 1000)
+    assert read < total
+
+
+def test_schema_evolution_appends_nullable_columns(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    up = spark.createDataFrame([(2, "B", 9)], "k int, val string, extra int")
+    with pytest.raises(ValueError):
+        t.merge(up)  # evolution must be explicit — typo protection
+    t.merge(up, allow_schema_evolution=True)
+    rows = {r["k"]: (r["val"], r["extra"]) for r in t.read().collect()}
+    # old row null-fills the new column without its file being rewritten
+    assert rows == {1: ("a", None), 2: ("B", 9)}
+    # time travel still serves the pre-evolution schema
+    assert t.read(version=1).columns == ["k", "val"]
+    # a later merge WITHOUT the new column aligns with nulls (coalesce
+    # keeps the stored value, per the documented partial-update contract)
+    t.merge(_mk(spark, [(2, "B2")]), strategy="coalesce")
+    rows = {r["k"]: (r["val"], r["extra"]) for r in t.read().collect()}
+    assert rows[2] == ("B2", 9)
