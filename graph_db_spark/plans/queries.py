@@ -5843,6 +5843,112 @@ def k_core_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "disjunctive_discount_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 10 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicates): an OR-of-ANDs spanning
+    both join sides. The per-table slices of the disjunction are
+    derivable (Catalyst's constraint propagation pushes
+    ``p_brand IN (...)`` / the p_size hull into the part scan and the
+    l_quantity hull into the lineitem scan), so the join sees pre-pruned
+    inputs and only the residual mixed-table disjunction evaluates as
+    the join filter. The part side is dimension-sized → broadcast. The
+    plan property that matters at 100 TB: a naive engine evaluates the
+    whole OR post-join over the full fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(10, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the revenue view + global-argmax
+    scalar subquery. Decorrelation: the quarter's per-supplier revenue
+    aggregates once (map-side combined, date range pushed into the
+    scan), the 1-row MAX broadcasts back over the SAME materialized
+    aggregate. The revenue view is localCheckpointed — it is
+    supplier-cardinality, i.e. dimension-sized — because exchange reuse
+    across the two consumers is not guaranteed (verified: the
+    un-materialized form plans TWO lineitem scans); materializing is how
+    Q15's CREATE VIEW is meant to behave, and the plan test pins the
+    single fact scan. Ties all surface (no arbitrary LIMIT 1), on the
+    ROUNDED revenue so both engines compare identical values."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev")
+    ).localCheckpoint()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "total_rev",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "join_key_skew_profile",
     oracle="""
     WITH per_key AS (

@@ -183,3 +183,31 @@ def test_q17_prunes_fact_before_decorrelated_avg(spark):
     plan = plan_of(spark, "small_quantity_revenue")
     assert "BroadcastHashJoin" in plan
     assert "In(p_brand" in plan or "p_brand" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q19_disjunction_pushes_per_table_slices(spark):
+    """Q19 shape: Catalyst must derive each table's slice of the
+    OR-of-ANDs and push it into that table's scan — the lineitem scan
+    carries the quantity-range disjunction, the part scan the
+    brand/size disjunction. A naive plan evaluates the whole OR
+    post-join over the unpruned fact scan."""
+    plan = plan_of(spark, "disjunctive_discount_revenue")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_scans_the_fact_once(spark):
+    """Q15 shape: the revenue view materializes once and serves both its
+    consumers (the global MAX and the final join) — the only parquet
+    scan left in the plan is the supplier dimension, never a second
+    lineitem scan (exchange reuse across the two consumers is not
+    guaranteed, so the query pins it with an explicit checkpoint)."""
+    plan = plan_of(spark, "top_supplier_revenue")
+    # formatted mode prints each scan node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert "l_extendedprice" not in plan.split("Scan parquet")[-1]
+    assert "CartesianProduct" not in plan
