@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "snapshot_table_lifecycle",     # ~10s at sf0.1 (5 commits: COW/MOR/delete/compact — ~15 sequential jobs of driver-fixed overhead; data volume is SF-independent)
     "k_core_4",                     # ~13s at sf0.1 (iterative peel)
     "streaming_touch_pairs",        # ~14s at sf0.1 (two-sided state store)
     "connected_components",         # ~12s
@@ -5945,6 +5946,87 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev",
         )
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "snapshot_table_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 1000
+    ),
+    up1 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+      FROM customer WHERE c_custkey > 900 AND c_custkey <= 1100
+    ),
+    up2 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 200 AS c_acctbal
+      FROM customer WHERE c_custkey > 1050 AND c_custkey <= 1200
+    ),
+    m1 AS (
+      SELECT * FROM up1
+      UNION ALL
+      SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM up1)
+    ),
+    m2 AS (
+      SELECT * FROM up2
+      UNION ALL
+      SELECT * FROM m1 WHERE c_custkey NOT IN (SELECT c_custkey FROM up2)
+    ),
+    final AS (SELECT * FROM m2 WHERE c_custkey % 97 <> 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — the full snapshot-table DML lifecycle under the
+    exact oracle (writers/snapshots.py): create → copy-on-write MERGE →
+    merge-on-read fast-ingest MERGE (delta files, read-side resolution)
+    → keyed DELETE → compact, then read the final snapshot and
+    aggregate per segment. The oracle replays the same upsert semantics
+    as precedence unions in plain SQL — what the oracle checks is that
+    five commits of manifest arithmetic (atomic publishes, carried
+    files, seq resolution, anti-join delete, defragmentation) preserve
+    exactly the state a direct computation produces. The reference's
+    MERGE-everything write story (app/graph_fields.py:16-25) lands here
+    as a transactional table, not a directory swap."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"graft_snaptable_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, cust.filter(F.col("c_custkey") <= 1000), ["c_custkey"], n_buckets=8
+    )
+    t.merge(
+        cust.filter((F.col("c_custkey") > 900) & (F.col("c_custkey") <= 1100))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+    )
+    t.merge(
+        cust.filter((F.col("c_custkey") > 1050) & (F.col("c_custkey") <= 1200))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 200),
+        mode="mor",
+    )
+    t.delete(
+        cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    )
+    t.compact()
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

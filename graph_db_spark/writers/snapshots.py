@@ -144,19 +144,25 @@ class SnapshotTable:
             }
         return out
 
-    def _write_buckets(self, df: DataFrame, commit_id: str, keys: list[str]) -> list[dict]:
+    def _write_buckets(
+        self, df: DataFrame, commit_id: str, keys: list[str], seq: int, n_buckets: int
+    ) -> list[dict]:
         """Write ``df`` (already carrying ``_bucket``) as one immutable
         parquet tree under ``data/<commit_id>/``, hash-distributed so
-        each bucket's rows land in its own files. Returns the new file
-        entries, each carrying its bucket's key min/max stats. Files are
-        never visible to readers until a manifest references them, so a
-        crashed commit leaves only garbage for vacuum — never a corrupt
-        table. The input is checkpointed so the stats aggregation reads
-        materialized blocks instead of recomputing the merge plan."""
+        each bucket's rows land in its own files (one write task per
+        bucket — n_buckets is the write-parallelism knob, sized with the
+        table). Returns the new file
+        entries, each carrying its bucket's key min/max stats and the
+        commit ``seq`` (read-side resolution order for merge-on-read
+        buckets). Files are never visible to readers until a manifest
+        references them, so a crashed commit leaves only garbage for
+        vacuum — never a corrupt table. The input is checkpointed so the
+        stats aggregation reads materialized blocks instead of
+        recomputing the merge plan."""
         df = df.localCheckpoint()
         out_dir = os.path.join(self.path, _DATA_DIR, commit_id)
         (
-            df.repartition(F.col("_bucket"))
+            df.repartition(n_buckets, F.col("_bucket"))
             .write.partitionBy("_bucket")
             .mode("error")
             .parquet(out_dir)
@@ -174,6 +180,7 @@ class SnapshotTable:
                             "bucket": b,
                             "path": f"{_DATA_DIR}/{commit_id}/{bdir}/{fn}",
                             "stats": stats.get(b),
+                            "seq": seq,
                         }
                     )
         return entries
@@ -181,7 +188,16 @@ class SnapshotTable:
     def _read_files(self, manifest: dict, buckets: set[int] | None = None) -> DataFrame:
         """Read a snapshot (optionally only some buckets) by explicit file
         list — file pruning comes from the manifest, not from a directory
-        scan, so a reader touches exactly the bytes its buckets own."""
+        scan, so a reader touches exactly the bytes its buckets own.
+
+        Merge-on-read resolution: when a bucket holds files from more
+        than one commit seq (fast-ingest ``merge(mode='mor')`` appends
+        delta files instead of rewriting the bucket), the same key may
+        appear in several files and the HIGHEST seq wins — one window on
+        the key. Copy-on-write-only snapshots have a single seq per
+        bucket and skip the window entirely, so the read-amplification
+        cost exists only where the write-amplification saving was
+        taken."""
         schema = StructType.fromJson(manifest["schema"])
         entries = manifest["files"]
         if buckets is not None:
@@ -189,23 +205,37 @@ class SnapshotTable:
         if not entries:
             empty = self.spark.createDataFrame([], schema)
             return empty.withColumn("_bucket", F.lit(0).cast("int")).limit(0)
-        by_bucket: dict[int, list[str]] = {}
+        groups: dict[tuple[int, int], list[str]] = {}
+        seqs_per_bucket: dict[int, set[int]] = {}
         for e in entries:
-            by_bucket.setdefault(e["bucket"], []).append(
+            seq = e.get("seq", 0)
+            groups.setdefault((e["bucket"], seq), []).append(
                 os.path.join(self.path, e["path"])
             )
+            seqs_per_bucket.setdefault(e["bucket"], set()).add(seq)
+        needs_resolve = any(len(s) > 1 for s in seqs_per_bucket.values())
         parts = []
-        for b, files in sorted(by_bucket.items()):
+        for (b, seq), files in sorted(groups.items()):
             # partitionBy strips _bucket from the file schema; reattach it
-            # as a literal per bucket group (cheap, exact)
+            # (and the commit seq) as literals per file group
             parts.append(
                 self.spark.read.schema(schema).parquet(*files)
                 .withColumn("_bucket", F.lit(b).cast("int"))
+                .withColumn("_seq", F.lit(seq).cast("int"))
             )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        if needs_resolve:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*manifest["keys"]).orderBy(F.col("_seq").desc())
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return df.drop("_seq")
 
     # -- public surface ------------------------------------------------
 
@@ -226,7 +256,7 @@ class SnapshotTable:
         base = collapse_duplicates(df, keys)
         commit_id = uuid.uuid4().hex
         files = t._write_buckets(
-            base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id, keys
+            base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id, keys, seq=1, n_buckets=n_buckets
         )
         t._publish(
             {
@@ -367,11 +397,26 @@ class SnapshotTable:
         max_retries: int = 5,
         txn: tuple[str, int] | None = None,
         allow_schema_evolution: bool = False,
+        mode: str = "cow",
     ) -> int:
         """MERGE ``updates`` into the table on its creation keys; returns
-        the committed version. Bucket-level copy-on-write: only buckets
-        containing an update key are re-merged and rewritten; every other
-        bucket's files carry forward by reference.
+        the committed version.
+
+        ``mode='cow'`` (default) — bucket-level copy-on-write: only
+        buckets containing an update key are re-merged and rewritten;
+        every other bucket's files carry forward by reference. Reads stay
+        window-free; writes pay the touched buckets' rewrite.
+
+        ``mode='mor'`` — merge-on-read fast ingest: the batch's rows
+        append as DELTA files next to the touched buckets' existing
+        files, which also carry forward — write cost is ∝ the batch
+        alone, zero read-back. Readers resolve each key to its highest
+        commit seq (see :meth:`_read_files`); repeated MOR merges
+        fragment hot buckets, and :meth:`compact` is the explicit
+        repair. Only the ``overwrite`` strategy is expressible without a
+        read-back (coalesce/if_absent must SEE the stored row), so other
+        strategies are refused — the write/read amplification trade is
+        taken explicitly, never silently.
 
         ``txn=(app_id, txn_id)``: exactly-once marker. If the latest
         snapshot already carries this app's txn_id ≥ the given one, the
@@ -383,6 +428,14 @@ class SnapshotTable:
         winning snapshot and retried — neither writer's keys are lost,
         and the retry re-reads only its own touched buckets.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}; one of ('cow', 'mor')")
+        if mode == "mor" and strategy != "overwrite":
+            raise ValueError(
+                "merge-on-read supports only the 'overwrite' strategy: "
+                "coalesce/if_absent need the stored row at write time, which "
+                "is exactly the read-back MOR exists to avoid — use mode='cow'"
+            )
         for _ in range(max_retries):
             v = self.latest_version()
             if v == 0:
@@ -399,13 +452,19 @@ class SnapshotTable:
             touched = {
                 r["_bucket"] for r in batch.select("_bucket").distinct().collect()
             }
-            old_touched = self._align(self._read_files(m, touched).drop("_bucket"), schema)
-            merged = upsert(old_touched, batch.drop("_bucket"), keys, strategy).withColumn(
-                "_bucket", _bucket_col(keys, n_buckets)
-            )
+            if mode == "mor":
+                merged = batch
+                carried = list(m["files"])  # delta files stack on top
+            else:
+                old_touched = self._align(
+                    self._read_files(m, touched).drop("_bucket"), schema
+                )
+                merged = upsert(
+                    old_touched, batch.drop("_bucket"), keys, strategy
+                ).withColumn("_bucket", _bucket_col(keys, n_buckets))
+                carried = [e for e in m["files"] if e["bucket"] not in touched]
             commit_id = uuid.uuid4().hex
-            new_files = self._write_buckets(merged, commit_id, keys)
-            carried = [e for e in m["files"] if e["bucket"] not in touched]
+            new_files = self._write_buckets(merged, commit_id, keys, seq=v + 1, n_buckets=n_buckets)
             try:
                 self._publish(
                     {
@@ -413,7 +472,8 @@ class SnapshotTable:
                         "keys": keys,
                         "n_buckets": n_buckets,
                         "schema": json.loads(schema.json()),
-                        "operation": f"merge:{strategy}",
+                        "operation": f"merge:{strategy}"
+                        + (":mor" if mode == "mor" else ""),
                         "committed_at": time.time(),
                         "txn": (
                             {"app": txn[0], "id": txn[1]} if txn is not None else None
@@ -482,6 +542,146 @@ class SnapshotTable:
             if t and t["app"] == app:
                 return t["id"] >= tid
         return False
+
+    def delete(self, keys_df: DataFrame, max_retries: int = 5) -> int:
+        """Delete rows whose key tuple appears in ``keys_df`` — COW: the
+        touched buckets rewrite without the deleted keys (an anti-join),
+        everything else carries forward by reference. Same optimistic
+        retry as :meth:`merge`. Returns the committed version. CDC
+        (:meth:`changes`) surfaces these rows as ``_change='delete'``
+        with their last stored image."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v == 0:
+                raise FileNotFoundError(f"no snapshots at {self.path}")
+            m = self._read_manifest(v)
+            keys, n_buckets = m["keys"], m["n_buckets"]
+            gone = (
+                keys_df.select(*keys)
+                .distinct()
+                .withColumn("_bucket", _bucket_col(keys, n_buckets))
+                .localCheckpoint()
+            )
+            touched = {r["_bucket"] for r in gone.select("_bucket").distinct().collect()}
+            kept = self._read_files(m, touched).drop("_bucket").join(
+                F.broadcast(gone.drop("_bucket")), on=keys, how="left_anti"
+            ).withColumn("_bucket", _bucket_col(keys, n_buckets))
+            commit_id = uuid.uuid4().hex
+            new_files = self._write_buckets(kept, commit_id, keys, seq=v + 1, n_buckets=n_buckets)
+            carried = [e for e in m["files"] if e["bucket"] not in touched]
+            try:
+                self._publish(
+                    {
+                        **{k: m[k] for k in ("keys", "n_buckets", "schema")},
+                        "version": v + 1,
+                        "operation": "delete",
+                        "committed_at": time.time(),
+                        "txn": None,
+                        "files": carried + new_files,
+                    }
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"delete gave up after {max_retries} conflicts at {self.path}")
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed between two snapshots (Delta CDF analog), computed
+        read-side from the manifests: returns the current/new row image
+        per changed key with ``_change in ('insert','update','delete')``
+        (deletes carry the OLD image — there is no new one).
+
+        Scale shape: copy-on-write means a bucket whose FILE SET is
+        identical in both manifests cannot contain a change, so only
+        differing buckets are read and full-outer-joined on the key —
+        CDC cost is ∝ churned data, not table size, with zero write-path
+        overhead. Equal-key value comparison uses a canonical struct
+        equality over non-key columns (null-safe)."""
+        v_to = to_version if to_version is not None else self.latest_version()
+        m_from, m_to = self._read_manifest(from_version), self._read_manifest(v_to)
+        keys = m_to["keys"]
+        by_bucket = lambda m: {  # noqa: E731
+            b: sorted(e["path"] for e in m["files"] if e["bucket"] == b)
+            for b in {e["bucket"] for e in m["files"]}
+        }
+        bf, bt = by_bucket(m_from), by_bucket(m_to)
+        churned = {
+            b for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
+        }
+        schema_to = StructType.fromJson(m_to["schema"])
+        old = self._align(self._read_files(m_from, churned).drop("_bucket"), schema_to)
+        new = self._read_files(m_to, churned).drop("_bucket")
+        vals = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in keys],
+            F.struct(*vals).alias("_oldv") if vals else F.lit(None).alias("_oldv"),
+            *[F.col(c).alias(f"_old_{c}") for c in vals],
+        )
+        n = new.select(
+            *keys,
+            F.struct(*vals).alias("_newv") if vals else F.lit(None).alias("_newv"),
+            *vals,
+        )
+        cond = [F.col(k) == F.col(f"_ok_{k}") for k in keys]
+        j = n.join(o, on=cond, how="full_outer")
+        present_new = F.col(keys[0]).isNotNull()
+        present_old = F.col(f"_ok_{keys[0]}").isNotNull()
+        change = (
+            F.when(present_new & ~present_old, F.lit("insert"))
+            .when(~present_new & present_old, F.lit("delete"))
+            .when(~F.col("_newv").eqNullSafe(F.col("_oldv")), F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys
+        ] + [
+            F.when(present_new, F.col(c)).otherwise(F.col(f"_old_{c}")).alias(c)
+            for c in vals
+        ]
+        return (
+            j.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(*out_cols, "_change")
+        )
+
+    def compact(self, max_files_per_bucket: int = 1) -> int | None:
+        """Bin-pack fragmented buckets: every bucket whose file count
+        exceeds ``max_files_per_bucket`` is read and rewritten as fresh
+        files; all other buckets carry forward by reference. Returns the
+        committed version, or None when nothing is fragmented. The
+        operational half of copy-on-write: repeated small merges fragment
+        hot buckets into many small files, and scan cost follows file
+        count — compaction is the explicit, snapshot-isolated repair
+        (readers of prior versions are untouched; vacuum reclaims the
+        replaced files once their snapshots expire)."""
+        v = self.latest_version()
+        m = self._read_manifest(v)
+        counts: dict[int, int] = {}
+        seqs: dict[int, set[int]] = {}
+        for e in m["files"]:
+            counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+            seqs.setdefault(e["bucket"], set()).add(e.get("seq", 0))
+        frag = {
+            b
+            for b, c in counts.items()
+            if c > max_files_per_bucket or len(seqs[b]) > 1
+        }
+        if not frag:
+            return None
+        rows = self._read_files(m, frag)  # MOR deltas resolve here
+        commit_id = uuid.uuid4().hex
+        new_files = self._write_buckets(rows, commit_id, m["keys"], seq=v + 1, n_buckets=m["n_buckets"])
+        carried = [e for e in m["files"] if e["bucket"] not in frag]
+        self._publish(
+            {
+                **{k: m[k] for k in ("keys", "n_buckets", "schema")},
+                "version": v + 1,
+                "operation": "compact",
+                "committed_at": time.time(),
+                "txn": None,
+                "files": carried + new_files,
+            }
+        )
+        return v + 1
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop manifests older than the last ``keep_last`` versions and

@@ -230,3 +230,47 @@ def test_schema_evolution_appends_nullable_columns(spark, tmp_path):
     t.merge(_mk(spark, [(2, "B2")]), strategy="coalesce")
     rows = {r["k"]: (r["val"], r["extra"]) for r in t.read().collect()}
     assert rows[2] == ("B2", 9)
+
+
+def test_mor_merge_appends_and_resolves(spark, tmp_path):
+    """Fast-ingest merge-on-read: delta files append (old files stay in
+    the manifest), readers resolve each key to the newest commit, and
+    compact() rewrites the fragmented buckets back to one seq."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a"), (2, "b")]), ["k"], n_buckets=4)
+    n_before = len(t._read_manifest(1)["files"])
+    t.merge(_mk(spark, [(2, "B2"), (3, "c")]), mode="mor")
+    m2 = t._read_manifest(2)
+    assert len(m2["files"]) > n_before  # nothing was rewritten, only added
+    assert any(e["seq"] == 2 for e in m2["files"]) and any(e["seq"] == 1 for e in m2["files"])
+    assert _rows(t.read()) == [(1, "a"), (2, "B2"), (3, "c")]  # newest seq wins
+    with pytest.raises(ValueError):
+        t.merge(_mk(spark, [(9, "x")]), strategy="coalesce", mode="mor")
+    v = t.compact()
+    assert v == 3
+    m3 = t._read_manifest(v)
+    per_bucket = {}
+    for e in m3["files"]:
+        per_bucket.setdefault(e["bucket"], set()).add(e["seq"])
+    assert all(len(s) == 1 for s in per_bucket.values())  # defragmented
+    assert _rows(t.read()) == [(1, "a"), (2, "B2"), (3, "c")]
+    assert t.compact() is None  # nothing left to do
+
+
+def test_delete_and_change_feed(spark, tmp_path):
+    """CDC between snapshots: inserts/updates/deletes surface with row
+    images; buckets whose file sets are identical in both manifests are
+    never read."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"], n_buckets=4
+    )
+    t.merge(_mk(spark, [(2, "B2"), (4, "d")]))        # update + insert
+    t.delete(spark.createDataFrame([(3,)], "k int"))  # delete
+    feed = {
+        r["k"]: (r["val"], r["_change"])
+        for r in t.changes(from_version=1).collect()
+    }
+    assert feed == {2: ("B2", "update"), 4: ("d", "insert"), 3: ("c", "delete")}
+    # version-bounded feed: only the delete between v2 and v3
+    feed23 = {r["k"]: r["_change"] for r in t.changes(2, 3).collect()}
+    assert feed23 == {3: "delete"}
+    assert _rows(t.read()) == [(1, "a"), (2, "B2"), (4, "d")]
