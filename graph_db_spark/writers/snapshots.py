@@ -585,11 +585,19 @@ class SnapshotTable:
                 continue
         raise CommitConflict(f"delete gave up after {max_retries} conflicts at {self.path}")
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_old: bool = False,
+    ) -> DataFrame:
         """Change feed between two snapshots (Delta CDF analog), computed
         read-side from the manifests: returns the current/new row image
         per changed key with ``_change in ('insert','update','delete')``
         (deletes carry the OLD image — there is no new one).
+        ``include_old=True`` adds ``_old_<col>`` columns (the
+        pre-change image; null for inserts) — what incremental view
+        maintenance needs to retract an update's old contribution.
 
         Scale shape: copy-on-write means a bucket whose FILE SET is
         identical in both manifests cannot contain a change, so only
@@ -637,6 +645,11 @@ class SnapshotTable:
             F.when(present_new, F.col(c)).otherwise(F.col(f"_old_{c}")).alias(c)
             for c in vals
         ]
+        if include_old:
+            out_cols += [
+                F.when(present_old, F.col(f"_old_{c}")).alias(f"_old_{c}")
+                for c in vals
+            ]
         return (
             j.withColumn("_change", change)
             .filter(F.col("_change").isNotNull())
@@ -723,3 +736,78 @@ def snapshot_sink(table: SnapshotTable, app_id: str, strategy: str = "overwrite"
         table.merge(batch_df, strategy=strategy, txn=(app_id, int(batch_id)))
 
     return write
+
+
+def apply_changes_to_aggregate(
+    agg: DataFrame | None,
+    feed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for a grouped COUNT/SUM aggregate
+    over a snapshot table: fold a CDC feed (``changes(...,
+    include_old=True)``) into the previously-maintained aggregate
+    instead of recomputing from the full table — maintenance cost is
+    ∝ churn, the defining property of a materialized view at 100 TB.
+
+    Each change row contributes signed deltas: an insert adds its new
+    image to its (new) group; a delete retracts its old image from its
+    old group; an update retracts from the OLD group and adds to the NEW
+    group — so rows migrating between groups (the case a naive
+    new-image-only fold silently corrupts) stay exact. Groups whose
+    maintained count reaches zero are dropped, keeping the view
+    identical to a fresh ``groupBy`` (which never emits empty groups).
+
+    Returns the maintained aggregate: ``group_cols + n + sum_<c>``.
+    ``agg=None`` starts from an empty view (a feed from version 0 —
+    i.e. every row as an insert — then materializes the full view).
+    """
+    vals = {c.replace("_old_", "", 1) for c in feed.columns if c.startswith("_old_")}
+
+    def old_image(c: str):
+        # key columns never change per key and carry no _old_ twin
+        return F.col(f"_old_{c}") if c in vals else F.col(c)
+
+    one = F.lit(1).cast("bigint")
+    neg = feed.filter(F.col("_change") != "insert").select(
+        *[old_image(g).alias(g) for g in group_cols],
+        (-one).alias("_dn"),
+        *[(-F.coalesce(old_image(s).cast("double"), F.lit(0.0))).alias(f"_ds_{s}") for s in sum_cols],
+    )
+    pos = feed.filter(F.col("_change") != "delete").select(
+        *[F.col(g).alias(g) for g in group_cols],
+        one.alias("_dn"),
+        *[F.coalesce(F.col(s).cast("double"), F.lit(0.0)).alias(f"_ds_{s}") for s in sum_cols],
+    )
+    deltas = (
+        neg.unionByName(pos)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            *[F.sum(f"_ds_{s}").alias(f"_ds_{s}") for s in sum_cols],
+        )
+    )
+    if agg is None:
+        merged = deltas.select(
+            *group_cols,
+            F.col("_dn").alias("n"),
+            *[F.col(f"_ds_{s}").alias(f"sum_{s}") for s in sum_cols],
+        )
+    else:
+        a = agg.select(
+            *group_cols,
+            F.col("n").alias("_an"),
+            *[F.col(f"sum_{s}").alias(f"_as_{s}") for s in sum_cols],
+        )
+        merged = a.join(deltas, on=group_cols, how="full_outer").select(
+            *group_cols,
+            (F.coalesce(F.col("_an"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"),
+            *[
+                (
+                    F.coalesce(F.col(f"_as_{s}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"_ds_{s}"), F.lit(0.0))
+                ).alias(f"sum_{s}")
+                for s in sum_cols
+            ],
+        )
+    return merged.filter(F.col("n") > 0)

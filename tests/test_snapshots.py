@@ -274,3 +274,49 @@ def test_delete_and_change_feed(spark, tmp_path):
     feed23 = {r["k"]: r["_change"] for r in t.changes(2, 3).collect()}
     assert feed23 == {3: "delete"}
     assert _rows(t.read()) == [(1, "a"), (2, "B2"), (4, "d")]
+
+
+def test_incremental_view_maintenance_matches_recompute(spark, tmp_path):
+    """IVM: folding each commit's CDC feed (with old images) into the
+    maintained aggregate must equal a full groupBy recompute after every
+    commit — including updates that MIGRATE rows between groups, the
+    case a new-image-only fold corrupts."""
+    from graph_db_spark.writers.snapshots import apply_changes_to_aggregate
+
+    def mkg(rows):  # (k, grp, amount)
+        return spark.createDataFrame(rows, "k int, grp string, amount double")
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"),
+        mkg([(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "b", 1.0)]),
+        ["k"], n_buckets=4,
+    )
+    # materialize the initial view from a synthetic all-insert feed
+    feed0 = t.read().withColumn("_change", F.lit("insert")) \
+        .withColumn("_old_grp", F.lit(None).cast("string")) \
+        .withColumn("_old_amount", F.lit(None).cast("double"))
+    view = apply_changes_to_aggregate(None, feed0, ["grp"], ["amount"]).localCheckpoint()
+
+    def check(view):
+        got = {r["grp"]: (r["n"], round(r["sum_amount"], 6)) for r in view.collect()}
+        want = {
+            r["grp"]: (r["cnt"], round(r["s"], 6))
+            for r in t.read().groupBy("grp").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("amount").alias("s")
+            ).collect()
+        }
+        assert got == want, (got, want)
+
+    commits = [
+        lambda: t.merge(mkg([(2, "b", 50.0)])),          # group migration a->b
+        lambda: t.merge(mkg([(5, "c", 2.0), (1, "a", 11.0)])),  # insert + in-place update
+        lambda: t.delete(spark.createDataFrame([(3,)], "k int")),  # delete
+        lambda: t.merge(mkg([(5, "a", 2.0)])),           # migration emptying group c
+    ]
+    for commit in commits:
+        v_before = t.latest_version()
+        commit()
+        feed = t.changes(v_before, include_old=True)
+        view = apply_changes_to_aggregate(view, feed, ["grp"], ["amount"]).localCheckpoint()
+        check(view)
+    assert not any(r["grp"] == "c" for r in view.collect())  # emptied group dropped
