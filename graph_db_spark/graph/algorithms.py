@@ -439,3 +439,80 @@ def k_core(
             .localCheckpoint()
         )
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 20,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths (Bellman-Ford rounds):
+    ``(id, landmark, dist)`` for reachable pairs, integer weights so the
+    result is exact in any engine.
+
+    Per round: relax every edge out of the CURRENT tentative frontier
+    (the rows that improved last round — not the whole dist table), fold
+    candidate distances with a min-aggregate, and keep only strict
+    improvements; converged when a round improves nothing. Unlike BFS
+    (:func:`shortest_paths`), a settled vertex may improve later through
+    a longer-but-lighter path, so improvements re-enter the frontier —
+    rounds are bounded by the longest shortest path's edge count, and
+    shuffle volume per round is O(frontier·out-degree), the same
+    delta-frontier shape as connected components. Edges are
+    pre-partitioned on ``src`` once; negative weights are rejected
+    (negative-cycle detection is a different contract).
+    """
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .repartition(nparts, "src")
+        .localCheckpoint(eager=True)
+    )
+    neg = e.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("weighted_shortest_paths requires non-negative weights")
+    dist = (
+        landmarks.select(F.col("id").cast("string").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("landmark"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"), "landmark", (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id", "landmark")
+            .agg(F.min("dist").alias("cand"))
+        )
+        # one full-outer merge carries BOTH the new dist table and the
+        # improvement flag — a single checkpoint + one convergence probe
+        # per round (the separate improved/merged pair doubled the
+        # per-round job count for no information)
+        merged = (
+            dist.join(cand, on=["id", "landmark"], how="full_outer")
+            .select(
+                "id",
+                "landmark",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
+                ).alias("_improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("_improved")).select("id", "landmark", "dist")
+        dist = merged.select("id", "landmark", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

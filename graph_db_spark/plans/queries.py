@@ -3810,6 +3810,7 @@ _EXPENSIVE_LAST = [
     "snapshot_table_lifecycle",     # ~10s at sf0.1 (5 commits: COW/MOR/delete/compact — ~15 sequential jobs of driver-fixed overhead; data volume is SF-independent)
     "k_core_4",                     # ~13s at sf0.1 (iterative peel)
     "streaming_touch_pairs",        # ~14s at sf0.1 (two-sided state store)
+    "weighted_paths_from_region",   # ~14s at sf0.1 (Bellman-Ford relax rounds)
     "connected_components",         # ~12s
     "pagerank",                     # ~14s
     "personalized_pagerank_regions",  # ~18s at sf0.1 (iterative + per-round restart join)
@@ -5946,6 +5947,57 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev",
         )
         .orderBy("s_suppkey")
+    )
+
+
+def _weighted_paths_oracle() -> str:
+    from graph_db_spark.graph.build import edges_sql
+
+    w = _poly_sql("src || '|' || dst")
+    return f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT src, dst, {w} % 9 + 1 AS w FROM ({edges_sql()})
+    ),
+    walk(id, dist) AS (
+      SELECT 'R:0', CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT e.dst, walk.dist + e.w FROM walk JOIN e ON e.src = walk.id
+    ),
+    best AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1)
+    SELECT substr(id, 1, 1) AS label, CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+    """
+
+
+@register("weighted_paths_from_region", oracle=_weighted_paths_oracle())
+def weighted_paths_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — WEIGHTED shortest paths from the Region landmark
+    (Bellman-Ford relax rounds, graph/algorithms.py:
+    weighted_shortest_paths). Suppliers are reachable both directly
+    (2 hops) and through lineitems (5 hops) with independent hash
+    weights, so the lighter-but-longer path genuinely wins for some
+    vertices — the case plain BFS cannot express. Edge weights are the
+    engine-portable md5-window hash of (src|dst) in [1, 9] (integer
+    arithmetic end-to-end, so the oracle is EXACT: DuckDB re-derives the
+    same weights and walks the DAG with a recursive CTE + min). Output
+    is aggregated to (label, dist, n) to keep the comparison compact."""
+    from graph_db_spark.graph.algorithms import weighted_shortest_paths
+    from graph_db_spark.operators.dedup import portable_hash
+
+    g = build_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src",
+        "dst",
+        (portable_hash(F.concat_ws("|", F.col("src"), F.col("dst"))) % 9 + 1).alias("weight"),
+    )
+    lms = g.vertices.filter(F.col("id") == "R:0").select("id")
+    sp = weighted_shortest_paths(e, lms, n_partitions=_graph_nparts(sf_dir))
+    return (
+        sp.groupBy(
+            F.substring("id", 1, 1).alias("label"), F.col("dist").cast("bigint").alias("dist")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 

@@ -72,6 +72,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "trigram_lm_topk", "scd2_lookup_join", "equi_depth_histogram",
         "entity_resolution_pairs", "corpus_global_shuffle",
         "min_cost_supplier", "small_quantity_revenue", "sole_late_supplier",
+        "join_key_skew_profile", "bpe_top_pairs", "disjunctive_discount_revenue",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
