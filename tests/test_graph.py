@@ -178,3 +178,27 @@ def test_personalized_pagerank_localizes_to_sources(spark):
     ranks = {r["id"]: r["rank"] for r in personalized_pagerank(e, mixed, max_iter=10).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert ranks["ghost"] > 0
+
+
+def test_weighted_paths_bounded_by_hops(spark, sf_dir):
+    """Per reachable vertex: hops ≤ weighted dist ≤ 9·hops (weights are in
+    [1,9]) — ties the Bellman-Ford result to the BFS depth structurally,
+    independent of the oracle."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.graph.algorithms import shortest_paths, weighted_shortest_paths
+    from graph_db_spark.graph.build import build_graph
+    from graph_db_spark.operators.dedup import portable_hash
+
+    g = build_graph(spark, sf_dir)
+    lms = g.vertices.filter(F.col("id") == "R:0").select("id")
+    e = g.edges.select(
+        "src", "dst",
+        (portable_hash(F.concat_ws("|", F.col("src"), F.col("dst"))) % 9 + 1).alias("weight"),
+    )
+    hops = shortest_paths(g.edges, lms).select("id", F.col("dist").alias("hops"))
+    wdist = weighted_shortest_paths(e, lms).select("id", "dist")
+    j = hops.join(wdist, on="id", how="full_outer")
+    assert j.filter(F.col("hops").isNull() | F.col("dist").isNull()).count() == 0
+    bad = j.filter((F.col("dist") < F.col("hops")) | (F.col("dist") > 9 * F.col("hops"))).count()
+    assert bad == 0
