@@ -3852,10 +3852,13 @@ _GATE_WINDOW = [
     "time_rollup_multigrain", "rolling_7day_window", "vocab_coverage",
     "tfidf_top_terms", "salted_skew_join", "shipping_priority",
     "large_volume_customers",
-    # scalars / sets / checks
-    "iso_z_parse", "area_normalized_sum", "capped_label_sample",
-    "longest_label_pick", "intersect_types", "except_types",
-    "wide_melt_roundtrip", "constraint_violations",
+    # session-C flagships: table-format DML + IVM, Bellman-Ford, BPE,
+    # decorrelation shapes, skew profiling (the long-green scalar/set
+    # entries they displace stay replica-checked; several already carried
+    # driver rows in r1-r3 files)
+    "snapshot_table_lifecycle", "incremental_view_maintenance",
+    "weighted_paths_from_region", "bpe_top_pairs", "min_cost_supplier",
+    "sole_late_supplier", "idle_rich_customers", "join_key_skew_profile",
 ]
 assert len(_GATE_WINDOW) == 50
 
