@@ -371,3 +371,84 @@ def test_guarded_cross_join_equals_plain_on_random_buckets(spark, case, cut):
     split = {(r["new_id"], r["corpus_id"]) for r in minhash_lsh_candidates_against(
         new, index, "text", "doc_id", max_task_pairs=budget).collect()}
     assert split == plain
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.lists(  # merge batch: (key, group, amount)
+                st.tuples(
+                    st.integers(0, 9),
+                    st.sampled_from(["a", "b", "c"]),
+                    st.integers(-50, 50),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            st.sets(st.integers(0, 9), min_size=1, max_size=3),  # delete keys
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ivm_fold_equals_recompute_random_dml(spark, ops):
+    """Property: for ANY sequence of merges/deletes (group migrations,
+    negative amounts, repeated keys, deleting absent keys), folding each
+    commit's CDC feed into the maintained view equals a fresh groupBy of
+    the final table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.writers.snapshots import (
+        SnapshotTable,
+        apply_changes_to_aggregate,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivm_prop_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        t = SnapshotTable.create(
+            spark,
+            path,
+            spark.createDataFrame([(0, "a", 1.0)], "k int, grp string, amount double"),
+            ["k"],
+            n_buckets=4,
+        )
+        feed0 = (
+            t.read()
+            .withColumn("_change", F.lit("insert"))
+            .withColumn("_old_grp", F.lit(None).cast("string"))
+            .withColumn("_old_amount", F.lit(None).cast("double"))
+        )
+        view = apply_changes_to_aggregate(None, feed0, ["grp"], ["amount"]).localCheckpoint()
+        for op in ops:
+            v0 = t.latest_version()
+            if isinstance(op, set):
+                t.delete(spark.createDataFrame([(k,) for k in sorted(op)], "k int"))
+            else:
+                t.merge(
+                    spark.createDataFrame(
+                        [(k, g, float(a)) for k, g, a in op],
+                        "k int, grp string, amount double",
+                    )
+                )
+            feed = t.changes(v0, include_old=True)
+            view = apply_changes_to_aggregate(view, feed, ["grp"], ["amount"]).localCheckpoint()
+        got = {r["grp"]: (r["n"], round(r["sum_amount"], 6)) for r in view.collect()}
+        want = {
+            r["grp"]: (r["cnt"], round(r["s"], 6))
+            for r in t.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amount").alias("s"))
+            .collect()
+        }
+        assert got == want, (got, want, ops)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
