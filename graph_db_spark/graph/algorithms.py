@@ -386,6 +386,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    assume_simple: bool = False,
 ) -> DataFrame:
     """The k-core of an undirected graph: iteratively peel vertices with
     degree < ``k`` until a fixpoint; returns the surviving vertices as
@@ -398,14 +399,21 @@ def k_core(
     lineage. Rounds needed = longest peeling chain, typically ≪ rounds
     available; raises if ``max_rounds`` is hit without converging (a
     silent partial peel would report a superset of the core).
+
+    ``assume_simple=True`` skips the symmetrization dedup — an explicit
+    caller contract that the directed input has no duplicate pairs and
+    no reverse pairs (true for FK-derived edge lists like the fixture
+    graph, where the distinct() is the single biggest fixed cost of the
+    whole peel). With multigraph input left at False, parallel edges
+    would double-count degrees.
     """
     directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
-        directed.unionByName(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    sym = directed.unionByName(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b"))
+    if not assume_simple:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
     # convergence = two consecutive rounds keep the same vertex count; no
     # up-front distinct vertex count needed (a full extra shuffle saved —
     # when the input is already a k-core this costs one cheap confirm
