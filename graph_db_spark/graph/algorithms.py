@@ -492,6 +492,7 @@ def weighted_shortest_paths(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    converged = False
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -522,5 +523,15 @@ def weighted_shortest_paths(
         frontier = merged.filter(F.col("_improved")).select("id", "landmark", "dist")
         dist = merged.select("id", "landmark", "dist")
         if frontier.limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # Same contract as k_core: a truncated relax loop would return
+        # silently inflated distances (any vertex whose lightest path
+        # spans > max_iter edges still carries a heavier tentative dist),
+        # so surface it instead of returning a wrong table.
+        raise RuntimeError(
+            f"weighted_shortest_paths did not converge within {max_iter} "
+            "rounds (frontier still non-empty); raise max_iter"
+        )
     return dist

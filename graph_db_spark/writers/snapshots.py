@@ -104,6 +104,20 @@ class SnapshotTable:
         ]
         return max(vs, default=0)
 
+    def oldest_version(self) -> int:
+        """Lowest RETAINED version (vacuum drops old manifests), or 0 if
+        the table doesn't exist. History/txn walks must stop here instead
+        of at version 1."""
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return 0
+        vs = [
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        ]
+        return min(vs, default=0)
+
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
@@ -341,10 +355,35 @@ class SnapshotTable:
         return row.collect()[0]["b"]
 
     @staticmethod
-    def _surviving_files(manifest: dict, where: dict[str, tuple]) -> list[dict]:
+    def _comparable(dtype: str, v):
+        """Canonical comparable form of a bound/stat value for a key of
+        Spark ``dtype`` (simpleString), or None when this dtype can't be
+        pruned safely. Manifest stats pass through :meth:`_json_safe`, so
+        dates/timestamps arrive as their ``str()`` (ISO-ordered — Python's
+        fixed-width rendering makes lexicographic == value order), numerics
+        arrive native; anything else (decimals — str() orders
+        lexicographically, i.e. wrongly; binary; structs) opts out of
+        pruning rather than pruning incorrectly (ADVICE r4 #4)."""
+        if v is None:
+            return None
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+        if dtype == "string":
+            return v if isinstance(v, str) else None
+        if dtype in ("date", "timestamp", "timestamp_ntz"):
+            return str(v)
+        return None
+
+    @classmethod
+    def _surviving_files(cls, manifest: dict, where: dict[str, tuple]) -> list[dict]:
         bad = set(where) - set(manifest["keys"])
         if bad:
             raise ValueError(f"scan ranges must be on key columns; got {sorted(bad)}")
+        schema = StructType.fromJson(manifest["schema"])
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
 
         def survives(e: dict) -> bool:
             st = e.get("stats")
@@ -353,8 +392,13 @@ class SnapshotTable:
             for k, (lo, hi) in where.items():
                 if k not in st or st[k][0] is None:
                     continue
-                mn, mx = st[k]
-                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                mn = cls._comparable(dtypes[k], st[k][0])
+                mx = cls._comparable(dtypes[k], st[k][1])
+                clo = cls._comparable(dtypes[k], lo)
+                chi = cls._comparable(dtypes[k], hi)
+                if mn is None or mx is None:
+                    continue  # unprunable dtype/value → keep the file
+                if (chi is not None and mn > chi) or (clo is not None and mx < clo):
                     return False
             return True
 
@@ -376,7 +420,7 @@ class SnapshotTable:
         """Commit log, oldest first: version, operation, file/bucket
         counts, txn marker."""
         out = []
-        for v in range(1, self.latest_version() + 1):
+        for v in range(max(1, self.oldest_version()), self.latest_version() + 1):
             m = self._read_manifest(v)
             out.append(
                 {
@@ -536,9 +580,18 @@ class SnapshotTable:
         return evolved, self._align(updates, evolved)
 
     def _txn_seen(self, upto_version: int, txn: tuple[str, int]) -> bool:
+        """Walk retained manifests newest-first for this app's last txn
+        marker. Stops at :meth:`oldest_version` — vacuum drops manifests
+        below it, so ``keep_last`` must exceed the app's replay horizon
+        (Delta has the identical txn-retention contract); a marker that
+        fell off the retained window reads as 'not seen'."""
         app, tid = txn
-        for v in range(upto_version, 0, -1):
-            t = self._read_manifest(v).get("txn")
+        floor = max(1, self.oldest_version())
+        for v in range(upto_version, floor - 1, -1):
+            try:
+                t = self._read_manifest(v).get("txn")
+            except FileNotFoundError:
+                break  # concurrent vacuum passed the floor probe; stop the walk
             if t and t["app"] == app:
                 return t["id"] >= tid
         return False
@@ -696,18 +749,29 @@ class SnapshotTable:
         )
         return v + 1
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no retained manifest references. Returns the
         deleted file paths. Explicit and separate from commit — a commit
         never deletes anything, so concurrent readers of retained
-        snapshots can't lose files mid-scan."""
+        snapshots can't lose files mid-scan.
+
+        ``min_age_seconds`` is the uncommitted-write retention guard
+        (Delta's ``deletedFileRetentionDuration`` analog): a concurrent
+        writer mid-merge has parquet files on disk under
+        ``data/<commit-id>/`` that no manifest references YET — deleting
+        them would let its subsequent ``_publish`` commit a manifest
+        pointing at missing files. Files younger than the window are
+        skipped (mtime-based), so vacuum is safe to run alongside writers
+        whose write→publish gap is under the window. ``keep_last`` also
+        bounds the txn-marker replay horizon (see :meth:`_txn_seen`)."""
         latest = self.latest_version()
         cutoff = max(1, latest - keep_last + 1)
         retained: set[str] = set()
         for v in range(cutoff, latest + 1):
             retained.update(e["path"] for e in self._read_manifest(v)["files"])
         removed = []
+        now = time.time()
         data_root = os.path.join(self.path, _DATA_DIR)
         for commit_dir in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
             cdir = os.path.join(data_root, commit_dir)
@@ -718,7 +782,13 @@ class SnapshotTable:
                 for fn in sorted(os.listdir(full_bdir)):
                     rel = f"{_DATA_DIR}/{commit_dir}/{bdir}/{fn}"
                     if fn.endswith(".parquet") and rel not in retained:
-                        os.remove(os.path.join(full_bdir, fn))
+                        full = os.path.join(full_bdir, fn)
+                        try:
+                            if now - os.path.getmtime(full) < min_age_seconds:
+                                continue  # possibly an in-flight commit's file
+                        except OSError:
+                            continue
+                        os.remove(full)
                         removed.append(rel)
         for v in range(1, cutoff):
             p = self._manifest_path(v)

@@ -123,11 +123,83 @@ def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
     t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"], n_buckets=4)
     t.merge(_mk(spark, [(1, "b")]))
     t.merge(_mk(spark, [(1, "c")]))
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, min_age_seconds=0)
     assert removed  # versions 1-2's rewritten bucket files are gone
     assert _rows(t.read()) == [(1, "c")]  # latest fully readable
     with pytest.raises(FileNotFoundError):
         t._read_manifest(1)
+    # history/txn walks survive the dropped manifests (stop at the floor)
+    assert [h["version"] for h in t.history()] == [3]
+    assert t._txn_seen(t.latest_version(), ("nope", 1)) is False
+
+
+def test_vacuum_retention_spares_inflight_commit_files(spark, tmp_path):
+    """An unreferenced file younger than min_age_seconds is a possible
+    in-flight commit (written, manifest not yet published) — vacuum must
+    leave it so the racing writer's _publish stays consistent."""
+    import os
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"], n_buckets=4)
+    t.merge(_mk(spark, [(1, "b")]))
+    t.merge(_mk(spark, [(1, "c")]))
+    # all orphaned files were written milliseconds ago → default window spares them
+    assert t.vacuum(keep_last=1) == []
+    # age the files past the window → now they go
+    data_root = tmp_path / "t" / "data"
+    for root, _, files in os.walk(data_root):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (0, 0))
+    assert t.vacuum(keep_last=1, min_age_seconds=60) != []
+    assert _rows(t.read()) == [(1, "c")]
+
+
+def test_txn_replay_noop_survives_vacuum(spark, tmp_path):
+    """merge(txn=...) must not crash when vacuum removed old manifests:
+    the marker walk stops at the retained floor (ADVICE r4 #2)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
+    sink = snapshot_sink(t, app_id="job1")
+    for b in range(3):
+        sink(_mk(spark, [(10 + b, "x")]), b)
+    t.vacuum(keep_last=2, min_age_seconds=0)
+    v = t.latest_version()
+    sink(_mk(spark, [(12, "x")]), 2)  # replay of the last retained batch → noop
+    assert t.latest_version() == v
+    sink(_mk(spark, [(13, "y")]), 3)  # a new batch still commits
+    assert t.latest_version() == v + 1
+
+
+def test_scan_on_date_key_prunes_without_type_error(spark, tmp_path):
+    """Stats for non-JSON-native key types are stringified by _json_safe;
+    the pruner must compare them canonically, not str-vs-date (ADVICE r4 #4).
+    Python date str() is ISO-ordered, so date keys stay genuinely prunable."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, d), d, f"v{d}") for d in range(1, 29)],
+        "d date, k int, val string",
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["d", "k"], n_buckets=4)
+    got = t.scan({"d": (dt.date(2024, 1, 10), dt.date(2024, 1, 12))}).collect()
+    assert sorted(r["k"] for r in got) == [10, 11, 12]
+    # string bounds in ISO form work identically
+    got2 = t.scan({"d": ("2024-01-10", "2024-01-12")}).collect()
+    assert sorted(r["k"] for r in got2) == [10, 11, 12]
+
+
+def test_scan_on_decimal_key_skips_pruning_but_stays_correct(spark, tmp_path):
+    """Decimal str() orders lexicographically ('9.0' > '10.0') — the pruner
+    must opt out for such keys instead of pruning wrongly; the residual row
+    filter still yields the right answer."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(n), n) for n in (2, 9, 10, 30)], "amt decimal(10,1), k int"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["amt"], n_buckets=2)
+    got = t.scan({"amt": (Decimal(9), Decimal(10))}).collect()
+    assert sorted(r["k"] for r in got) == [9, 10]
+    read, total = t.pruned_files({"amt": (Decimal(9), Decimal(10))})
+    assert read == total  # conservatively unpruned, never wrong
 
 
 def test_merge_strategies_pass_through(spark, tmp_path):
