@@ -400,20 +400,39 @@ def k_core(
     available; raises if ``max_rounds`` is hit without converging (a
     silent partial peel would report a superset of the core).
 
-    ``assume_simple=True`` skips the symmetrization dedup — an explicit
+    ``assume_simple=True`` skips the canonical-pair dedup — an explicit
     caller contract that the directed input has no duplicate pairs and
     no reverse pairs (true for FK-derived edge lists like the fixture
-    graph, where the distinct() is the single biggest fixed cost of the
-    whole peel). With multigraph input left at False, parallel edges
-    would double-count degrees.
+    graph). With multigraph input left at False, parallel edges would
+    double-count degrees.
+
+    The whole peel runs on the CANONICAL half-size edge list (each
+    undirected pair stored once as ``least,greatest``) instead of a
+    symmetrized 2|E| table: the multigraph dedup shuffles |E| rows
+    rather than 2|E| (the r4 verdict's single biggest fixed cost), and
+    every per-round checkpoint/semi-join touches half the data. Degrees
+    come from a two-endpoint union feeding one aggregate — partial
+    (map-side) aggregation collapses it to vertex-sized shuffle, so the
+    halved edge volume is a pure win.
     """
-    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = directed.unionByName(
-        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).filter(F.col("a") != F.col("b"))
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    canon = directed.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    )
     if not assume_simple:
-        sym = sym.distinct()
-    sym = sym.localCheckpoint()
+        canon = canon.distinct()
+    canon = canon.localCheckpoint()
+
+    def degrees(c: DataFrame) -> DataFrame:
+        return (
+            c.select(F.col("a").alias("id"))
+            .unionAll(c.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
     # convergence = two consecutive rounds keep the same vertex count; no
     # up-front distinct vertex count needed (a full extra shuffle saved —
     # when the input is already a k-core this costs one cheap confirm
@@ -422,27 +441,20 @@ def k_core(
     for _ in range(max_rounds):
         # one materialization (the keep set) + one count on the
         # materialized rows per round; convergence = vertex count stable
-        keep = (
-            sym.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("a")
-            .localCheckpoint()
-        )
+        keep = degrees(canon).filter(F.col("deg") >= k).select("id").localCheckpoint()
         n_keep = keep.count()
         if n_keep == n_prev:
-            return (
-                sym.groupBy(F.col("a").alias("id"))
-                .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            return degrees(canon).select(
+                "id", F.col("deg").cast("bigint").alias("degree")
             )
         if n_keep == 0:
-            return sym.limit(0).select(
+            return canon.limit(0).select(
                 F.col("a").alias("id"), F.lit(0).cast("bigint").alias("degree")
             )
         n_prev = n_keep
-        sym = (
-            sym.join(keep, on="a", how="left_semi")
-            .join(keep.select(F.col("a").alias("b")), on="b", how="left_semi")
+        canon = (
+            canon.join(keep.select(F.col("id").alias("a")), on="a", how="left_semi")
+            .join(keep.select(F.col("id").alias("b")), on="b", how="left_semi")
             .select("a", "b")
             .localCheckpoint()
         )
