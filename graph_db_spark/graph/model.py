@@ -23,23 +23,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _NODE_RE = re.compile(r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)")
-_EDGE_RE = re.compile(r"(<-|-)\s*(?:\[\s*:?\s*(\w*)\s*\])?\s*(->|-)")
+_EDGE_RE = re.compile(
+    r"(<-|-)\s*(?:\[\s*:?\s*(\w*)\s*(?:(\*)\s*(\d+)?(?:\s*\.\.\s*(\d+))?)?\s*\])?\s*(->|-)"
+)
 
 
-def _parse_motif(pattern: str) -> tuple[list[tuple[str, str | None, str]], dict[str, str]]:
+def _parse_motif(
+    pattern: str,
+) -> tuple[list[tuple[str, str | None, str, tuple[int, int] | None]], dict[str, str]]:
     """Parse a GraphFrames/Cypher-style motif pattern into directed
-    triples ``(src_name, rel_type|None, dst_name)`` plus per-name label
-    constraints. Supported syntax, chained and ``;``-separated::
+    quads ``(src_name, rel_type|None, dst_name, kleene|None)`` plus
+    per-name label constraints. Supported syntax, chained and
+    ``;``-separated::
 
-        (a)-[:REL]->(b)      typed edge
-        (a)-->(b)            any-type edge
-        (a)<-[:REL]-(b)      reversed direction
-        (a:Label)            label constraint on the vertex
+        (a)-[:REL]->(b)        typed edge
+        (a)-->(b)              any-type edge
+        (a)<-[:REL]-(b)        reversed direction
+        (a:Label)              label constraint on the vertex
+        (a)-[:REL*1..3]->(b)   variable-length (Kleene) path, 1-3 hops
+        (a)-[*2]->(b)          exactly-2-hop any-type path
+
+    Kleene spans bind ``(a, b)`` when SOME path whose length lies in
+    ``[min, max]`` connects them — one row per distinct endpoint binding
+    (set semantics), never one row per path (path enumeration is
+    exponential; endpoint reachability is what a DataFrame engine can
+    answer at scale). ``*n`` means exactly n; ``*m..n`` a range; min ≥ 1.
 
     Re-using a name joins on it — ``(a)-[:R]->(b); (b)-[:S]->(c)`` chains,
     ``(a)-[:R]->(b); (a)-[:S]->(c)`` branches, and repeating both ends
     closes a cycle."""
-    triples: list[tuple[str, str | None, str]] = []
+    triples: list[tuple[str, str | None, str, tuple[int, int] | None]] = []
     labels: dict[str, str] = {}
 
     def take_node(s: str, where: str) -> tuple[str, str]:
@@ -62,14 +75,27 @@ def _parse_motif(pattern: str) -> tuple[list[tuple[str, str | None, str]], dict[
             em = _EDGE_RE.match(rest)
             if not em:
                 raise ValueError(f"expected -[:TYPE]-> or --> at: {rest[:30]!r}")
-            head, rel, tail = em.group(1), em.group(2) or None, em.group(3)
+            head, rel, tail = em.group(1), em.group(2) or None, em.group(6)
+            span: tuple[int, int] | None = None
+            if em.group(3) is not None:
+                if em.group(4) is None and em.group(5) is None:
+                    raise ValueError(
+                        "unbounded Kleene '*' unsupported — give an explicit "
+                        "bound (*n or *m..n); unbounded reachability is "
+                        "shortest_paths/connected_components territory"
+                    )
+                mn = int(em.group(4)) if em.group(4) is not None else 1
+                mx = int(em.group(5)) if em.group(5) is not None else mn
+                if mn < 1 or mx < mn:
+                    raise ValueError(f"bad Kleene span *{mn}..{mx} (need 1 <= min <= max)")
+                span = (mn, mx)
             if (head, tail) not in {("-", "->"), ("<-", "-")}:
                 raise ValueError(f"undirected edges unsupported: {em.group(0)!r}")
             right, rest = take_node(rest[em.end():].lstrip(), f"after {em.group(0)!r}")
             if head == "<-":
-                triples.append((right, rel, left))
+                triples.append((right, rel, left, span))
             else:
-                triples.append((left, rel, right))
+                triples.append((left, rel, right, span))
             left = right
     if not triples:
         raise ValueError(f"no edges in motif pattern: {pattern!r}")
@@ -125,6 +151,13 @@ class PropertyGraph:
         joins and AQE handles skew — same plan shape the hand-written
         motif queries used, now generated. At 100 TB restrict the anchor
         set first (filter the first-named vertex) so hops stay selective.
+
+        A ``*m..n`` Kleene edge expands to the DISTINCT endpoint-pair
+        set via n-1 iterated frontier self-joins with per-level dedup
+        (pair-set BFS — per-level shuffle is O(reachable pairs), never
+        path enumeration); a label constraint on its source name is
+        pushed into the seed frontier so anchored patterns like
+        ``(a:Nation)-[*1..3]->(b)`` only ever expand from the anchor set.
         """
         triples, labels = _parse_motif(pattern)
         out: DataFrame | None = None
@@ -143,11 +176,22 @@ class PropertyGraph:
                     "components is never implicit — split the pattern and "
                     "cross-join explicitly if that is really intended)"
                 )
-            a, rel, b = pending.pop(idx)
+            a, rel, b, span = pending.pop(idx)
             e = self.edges
             if rel is not None:
                 e = e.filter(F.col("rel_type") == rel)
-            if a == b:  # self-loop edge: both endpoints the same name
+            if span is not None:
+                if a == b:
+                    raise ValueError("Kleene self-loop (a)-[*..]->(a) unsupported")
+                seed = None
+                if a not in bound and a in labels:
+                    seed = self.vertices.filter(
+                        F.col("label") == labels[a]
+                    ).select("id")
+                hop = self._kleene_pairs(e, span[0], span[1], seed).select(
+                    F.col("s").alias(a), F.col("d").alias(b)
+                )
+            elif a == b:  # self-loop edge: both endpoints the same name
                 hop = e.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(a))
             else:
                 hop = e.select(F.col("src").alias(a), F.col("dst").alias(b))
@@ -163,6 +207,46 @@ class PropertyGraph:
             lv = self.vertices.filter(F.col("label") == lbl).select(F.col("id").alias(name))
             out = out.join(lv, on=name, how="inner")
         return out.select(*sorted(bound))
+
+    @staticmethod
+    def _kleene_pairs(
+        e: DataFrame, mn: int, mx: int, seed: DataFrame | None = None
+    ) -> DataFrame:
+        """Distinct ``(s, d)`` pairs connected by a directed path of
+        length in ``[mn, mx]`` over the (pre-filtered) edge set ``e``.
+
+        Pair-set BFS: level L+1 = distinct(level L ⋈ edges), accumulated
+        from level mn. Each level is one equi-join on the frontier's far
+        endpoint + one distinct — shuffle is O(reachable pairs), and the
+        per-level dedup is what keeps a diamond-shaped DAG from
+        enumerating exponentially many paths. ``seed`` (optional start
+        ids, e.g. a label-constrained anchor) restricts level 1 via a
+        semi-join so the whole expansion is proportional to the anchored
+        reachable set, not the graph. Levels are localCheckpointed —
+        bounded-depth lineage, same discipline as the iterative graph
+        algorithms."""
+        base = e.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        if seed is not None:
+            base = base.join(
+                seed.select(F.col("id").alias("s")), on="s", how="left_semi"
+            )
+        cur = base.distinct().localCheckpoint()
+        acc = cur if mn <= 1 else None
+        for _depth in range(2, mx + 1):
+            cur = (
+                cur.join(
+                    e.select(F.col("src").alias("d"), F.col("dst").alias("_nd")),
+                    on="d",
+                )
+                .select("s", F.col("_nd").alias("d"))
+                .distinct()
+                .localCheckpoint()
+            )
+            if _depth >= mn:
+                acc = cur if acc is None else acc.unionByName(cur)
+        if acc is None:  # mn > mx is rejected at parse; mn == mx covered above
+            acc = cur
+        return acc.distinct()
 
     def motif_path(self, rel_types: list[str]) -> DataFrame:
         """n-hop path motif: returns ``(v0, v1, ..., vn)`` rows for the

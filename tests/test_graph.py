@@ -202,3 +202,29 @@ def test_weighted_paths_bounded_by_hops(spark, sf_dir):
     assert j.filter(F.col("hops").isNull() | F.col("dist").isNull()).count() == 0
     bad = j.filter((F.col("dist") < F.col("hops")) | (F.col("dist") > 9 * F.col("hops"))).count()
     assert bad == 0
+
+
+def test_kleene_variable_length_paths(spark):
+    """*m..n spans: distinct endpoint pairs, diamond paths collapse to one
+    row, exact-n and anchored-label variants, parse errors."""
+    import pytest
+
+    v = spark.createDataFrame([(x, "T") for x in "abcde"], "id string, label string")
+    e = edges_of(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")], rel="R")
+    g = PropertyGraph(vertices=v, edges=e)
+
+    got = {(r["x"], r["y"]) for r in g.find("(x)-[:R*1..2]->(y)").collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),  # 1 hop
+        ("a", "d"), ("b", "e"), ("c", "e"),  # 2 hops; a->d via b and c = ONE row
+    }
+    got2 = {(r["x"], r["y"]) for r in g.find("(x)-[*2]->(y)").collect()}
+    assert got2 == {("a", "d"), ("b", "e"), ("c", "e")}
+    got3 = {(r["x"], r["y"]) for r in g.find("(x:T)-[:R*2..3]->(y)").collect()}
+    assert got3 == {("a", "d"), ("b", "e"), ("c", "e"), ("a", "e")}
+    # wrong rel type: empty
+    assert g.find("(x)-[:Z*1..2]->(y)").count() == 0
+    with pytest.raises(ValueError, match="unbounded Kleene"):
+        g.find("(x)-[*]->(y)")
+    with pytest.raises(ValueError, match="Kleene span"):
+        g.find("(x)-[*0..2]->(y)")
