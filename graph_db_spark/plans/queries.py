@@ -8022,4 +8022,59 @@ def dedup_skewed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
 
 
+@register(
+    "pipeline_snapshot_merge_rerun",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS date, event_type, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        AND event_type IN ('view', 'click')
+    ),
+    daily AS (
+      SELECT user_id, date, event_type, count(value) AS n, max(value) AS mx
+      FROM ev GROUP BY 1, 2, 3
+    )
+    SELECT date,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_stations,
+           CAST(sum(CASE WHEN event_type = 'view' THEN n END) AS BIGINT) AS view_n,
+           round(max(CASE WHEN event_type = 'click' THEN mx END), 4) AS max_click
+    FROM daily GROUP BY 1
+    """,
+)
+def pipeline_snapshot_merge_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline × table format (VERDICT r4 ask #3): the WeatherDay node
+    family materialized through ``SnapshotTable`` MERGE instead of the
+    directory-swap upsert writer — the reference's incremental-run MERGE
+    contract (graph_fields.py:16-25) with the overlapping −7-day window
+    re-processing of graph_irrigation_event.py:52-53. Run 1 commits the
+    Jan 1-14 window; run 2 re-processes Jan 8-30 (7 days overlap) and
+    MERGEs with a txn marker. Day windows recompute identically inside
+    any window that covers them, so the final snapshot must equal ONE
+    direct pass over the full month — which is exactly what the oracle
+    computes from raw events; a non-idempotent writer (plain append)
+    would double the overlap rows and fail on n_stations. Bucket-level
+    copy-on-write means run 2 rewrites only buckets its keys touch."""
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    path = tempfile.mkdtemp(prefix="graft_snap_rerun_") + "/weather_days"
+    run1 = P.build(spark, sf_dir, only=["weather_days"],
+                   start="2024-01-01", end="2024-01-15")["weather_days"]
+    t = SnapshotTable.create(
+        spark, path, run1, keys=["serial_number", "date"], n_buckets=8
+    )
+    run2 = P.build(spark, sf_dir, only=["weather_days"],
+                   start="2024-01-08", end="2024-01-31")["weather_days"]
+    t.merge(run2, strategy="overwrite", txn=("weather_days_job", 2))
+    final = t.read()
+    view, click = F.col("metrics")["view"], F.col("metrics")["click"]
+    return final.groupBy("date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stations"),
+        F.sum(view["n"]).cast("bigint").alias("view_n"),
+        r4(F.max(click["max"])).alias("max_click"),
+    )
+
+
 _reorder_for_gate()
