@@ -8077,4 +8077,129 @@ def pipeline_snapshot_merge_rerun(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _run_batched_stream(spark, name, batches, transform, mode="append"):
+    """Run a streaming job over a deterministic SEQUENCE of micro-batches:
+    each batch is one parquet file (mtimes 10s apart so the file source's
+    oldest-first ordering is unambiguous) and ``maxFilesPerTrigger=1``
+    makes admission control take one file per trigger. This is what makes
+    watermark semantics oracle-checkable: which rows are late is a pure
+    function of the data split, not of scheduling.
+
+    Measured watermark mechanics (Spark 4.1, pinned by the
+    streaming_late_data oracle): during batch N, EVICTION (append-mode
+    emission of closed windows) uses ``max(event time over batches
+    0..N−1) − delay``, while the LATE-ROW FILTER uses the watermark from
+    one batch earlier — ``max(batches 0..N−2) − delay`` (SPARK-24588's
+    two-watermark design) — and compares the row's WINDOW END, not its
+    event time, so a late row whose window is still open always lands."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    d = tempfile.mkdtemp(prefix=f"graft_stream2_{name}_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, b in enumerate(batches):
+        tmp = os.path.join(d, f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = f"mem_{name}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+@register(
+    "streaming_late_data",
+    oracle="""
+    WITH wm1 AS (
+      SELECT max(ts) - INTERVAL 2 DAY AS w FROM events
+      WHERE user_id % 10 NOT IN (3, 7) AND ts < TIMESTAMP '2024-01-21'
+    ),
+    wmf AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events),
+    landed AS (
+      SELECT e.* FROM events e, wm1
+      WHERE e.user_id % 10 <> 7
+         OR date_trunc('day', e.ts) + INTERVAL 1 DAY > wm1.w
+    ),
+    emitted AS (
+      SELECT l.* FROM landed l, wmf
+      WHERE date_trunc('day', l.ts) + INTERVAL 1 DAY <= wmf.w
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           round(avg(value), 4) AS data,
+           round(min(value), 4) AS min,
+           round(max(value), 4) AS max,
+           round(avg(value), 4) AS avg,
+           round(sum(value), 4) AS sum,
+           CAST(count(value) AS BIGINT) AS n
+    FROM emitted GROUP BY 1, 2, 3
+    """,
+)
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming — the watermark late-data contract, oracle-encoded
+    (VERDICT r4 ask #4). Three deterministic micro-batches of the daily
+    aggregation (watermark = 2 days, append mode):
+
+    - batch 0: the on-time bulk (user_id%10∉{3,7}, ts < Jan 21) — its max
+      event time defines the watermark the LATE batch is filtered with
+      (the late filter lags eviction by one batch — measured, see
+      ``_run_batched_stream``): wm1 = max(batch 0) − 2d ≈ Jan 18 23:59.
+    - batch 1: more on-time rows (%10=3, ts < Jan 21) — the lag filler.
+    - batch 2: the LATE stream (%10=7, ALL dates) plus the fresh tail
+      (%10≠7, ts ≥ Jan 21). Late rows whose day window closed before wm1
+      (days ≤ Jan 17) are DROPPED; late rows in still-open windows
+      (days ≥ Jan 18) LAND — the filter compares the WINDOW END, so even
+      a Jan-18 00:01 row lands although its event time is below wm1. The
+      fresh tail advances the final watermark to global-max − 2d, closing
+      and emitting every window through Jan 27; the last ~2 days stay
+      open and never emit.
+
+    The oracle recomputes all three classes analytically from the same
+    split predicates — what lands and what drops is checked value-exactly,
+    not just counted."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21").cast("timestamp")
+    mod = F.col("user_id") % 10
+    b0 = ev.filter(~mod.isin(3, 7) & (F.col("ts") < cut))
+    b1 = ev.filter((mod == 3) & (F.col("ts") < cut))
+    b2 = ev.filter((mod == 7) | ((mod != 7) & (F.col("ts") >= cut)))
+    out = _run_batched_stream(
+        spark, "late_data", [b0, b1, b2],
+        lambda s: STRM.stream_daily_stats(s, watermark="2 days"),
+        mode="append",
+    )
+    return out.select(
+        "day",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        r4(F.col("data")).alias("data"),
+        r4(F.col("min")).alias("min"),
+        r4(F.col("max")).alias("max"),
+        r4(F.col("avg")).alias("avg"),
+        r4(F.col("sum")).alias("sum"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 _reorder_for_gate()
