@@ -4071,6 +4071,7 @@ ORACLE_SQL["near_dup_clusters"] = f"""
 # pruning (round-3 additions; operators/quality.py, operators/sketches.py)
 # ---------------------------------------------------------------------------
 
+from graph_db_spark.operators import profiling as PF  # noqa: E402
 from graph_db_spark.operators import quality as QL  # noqa: E402
 from graph_db_spark.operators import sketches as SK  # noqa: E402
 from graph_db_spark.util import spread  # noqa: E402
@@ -5220,17 +5221,19 @@ def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication rate — the first number a curation
     review asks for per feed ("how much of this crawl is copies?").
     One groupBy with a distinct-count over the normalized content hash;
-    at 100 TB the distinct count swaps to the mergeable HLL sketch per
-    source (same re-aggregation story as hll_user_reach) with the exact
-    form as the audit path."""
+    at 100 TB flip ``profiling.distinct_count(exact=False)`` (mergeable
+    per-source HLL, same re-aggregation story as hll_user_reach) with the
+    exact form as the audit path and ``profile_distinct_approx_bound``
+    as the error contract."""
     from graph_db_spark.operators.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(normalize_text(F.col("text")))
+    nu = PF.distinct_count(h, exact=True)  # exact=False → per-source HLL
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.countDistinct(h).cast("bigint").alias("n_unique"),
-        r4(F.lit(1.0) - F.countDistinct(h) / F.count(F.lit(1))).alias("dup_rate"),
+        nu.cast("bigint").alias("n_unique"),
+        r4(F.lit(1.0) - nu / F.count(F.lit(1))).alias("dup_rate"),
     )
 
 
@@ -5787,13 +5790,14 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents at or above their source's MEDIAN quality score (absolute
     thresholds are wrong across heterogeneous sources; quantile cuts are
     the standard mixture-curation move). Exact interpolated median here
-    (oracle-checkable); at 100 TB swap `approx_percentile` per SCALE.md
-    §5 — per-source medians then come from a single sketch pass. The
+    (oracle-checkable); at 100 TB flip ``profiling.percentile(
+    exact=False)`` — per-source medians then come from a single sketch
+    pass, with ``quantile_approx_bound`` as the error contract. The
     median is computed over 4-decimal-rounded scores so both engines
     compare identical doubles at the cut boundary."""
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select("source", r4(TX.quality_score("text")).alias("quality"))
-    med = q.groupBy("source").agg(F.percentile(F.col("quality"), F.lit(0.5)).alias("median_q"))
+    med = q.groupBy("source").agg(PF.percentile(F.col("quality"), 0.5).alias("median_q"))
     return (
         q.join(F.broadcast(med), on="source")
         .groupBy("source", "median_q")
@@ -6997,15 +7001,15 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x − med| > 3.5·1.4826·MAD — Iglewicz-Hoaglin) instead of mean/stddev,
     so the detector isn't dragged by the outliers it hunts. Two grouped
     exact-percentile passes + broadcast joins of the tiny per-group
-    stats back onto the facts; at 100 TB swap the exact `percentile`
-    for `approx_percentile` (same shape, documented trade — the
-    percentile_value_stats note in SCALE.md)."""
+    stats back onto the facts; at 100 TB flip
+    ``profiling.percentile(exact=False)`` (single-pass mergeable quantile
+    summary) — that path's error contract is ``quantile_approx_bound``."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    med = ev.groupBy("event_type").agg(PF.percentile("value", 0.5).alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    mad = dev.groupBy("event_type").agg(PF.percentile("adev", 0.5).alias("mad"))
     d = dev.join(F.broadcast(mad), "event_type")
     is_out = F.when(
         F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad"), 1
@@ -7266,8 +7270,9 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a (n_distinct+1)-way Expand that replicates every row per
     distinct group (11.8s at sf0.1); the split keeps the plain pass
     codegen-tight and the distinct pass to its own expand (4s total). At
-    100 TB swap `countDistinct` for `approx_count_distinct` (mergeable
-    HLL) and the profiler is one pass again."""
+    100 TB flip ``profiling.distinct_count(exact=False)`` (mergeable
+    HLL, one pass again) — that path's error contract is
+    ``profile_distinct_approx_bound``."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c, kind in _PROFILE_COLS:
@@ -7287,7 +7292,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     nd = li.agg(
         *[
-            F.countDistinct(c).cast("bigint").alias(f"{c}__nd")
+            PF.distinct_count(c, exact=True).cast("bigint").alias(f"{c}__nd")
             for c, _ in _PROFILE_COLS
         ]
     )
@@ -8200,6 +8205,87 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("sum")).alias("sum"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "profile_distinct_approx_bound",
+    oracle=f"""
+    SELECT 'n_cols' AS metric, CAST({len(_PROFILE_COLS)} AS DOUBLE) AS value
+    UNION ALL
+    SELECT 'total_exact_distinct',
+           CAST(({' + '.join(f'count(DISTINCT {c})' for c, _ in _PROFILE_COLS)}) AS DOUBLE)
+    FROM lineitem
+    UNION ALL SELECT 'max_rel_err_le_015', 1.0
+    """,
+)
+def profile_distinct_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error contract for the ``profiling.distinct_count(exact=False)``
+    scale swap (VERDICT r4 ask #6, the hll_error_bound pattern): the
+    HLL++ estimate per profiled lineitem column vs the exact count. The
+    oracle recomputes the exact facts; the contract row is 1.0 iff every
+    column's relative error ≤ 15% (= 3·rsd at the default rsd 5%;
+    measured max across sf0.001-0.1 is 6.4%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [c for c, _ in _PROFILE_COLS]
+    one = li.agg(
+        *[PF.distinct_count(c, exact=True).cast("double").alias(f"e_{c}") for c in cols],
+        *[PF.distinct_count(c, exact=False).cast("double").alias(f"a_{c}") for c in cols],
+    )
+    err = F.greatest(
+        *[F.abs(F.col(f"a_{c}") - F.col(f"e_{c}")) / F.col(f"e_{c}") for c in cols]
+    )
+    total = sum((F.col(f"e_{c}") for c in cols), F.lit(0.0))
+    return _metric_rows(
+        one.select(F.lit("n_cols").alias("metric"), F.lit(float(len(cols))).alias("value")),
+        one.select(
+            F.lit("total_exact_distinct").alias("metric"), total.alias("value")
+        ),
+        one.select(
+            F.lit("max_rel_err_le_015").alias("metric"),
+            F.when(err <= 0.15, 1.0).otherwise(0.0).alias("value"),
+        ),
+    )
+
+
+@register(
+    "quantile_approx_bound",
+    oracle="""
+    SELECT 'n_groups' AS metric,
+           CAST(count(DISTINCT event_type) AS DOUBLE) AS value FROM events
+    UNION ALL
+    SELECT 'sum_exact_median',
+           round(CAST(sum(m) AS DOUBLE), 4) FROM (
+             SELECT quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type)
+    UNION ALL SELECT 'max_rel_err_le_002', 1.0
+    """,
+)
+def quantile_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error contract for the ``profiling.percentile(exact=False)`` scale
+    swap: per-event-type approx median (accuracy 10000, rank error 1e-4)
+    vs the exact interpolated median. Contract row is 1.0 iff every
+    group's relative value error ≤ 2% (measured max across sf0.001-0.1
+    is 0.62%). The exact medians themselves are oracle-checked as a fact
+    row (DuckDB ``quantile_cont`` is the same interpolated definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        PF.percentile("value", 0.5, exact=True).alias("e"),
+        PF.percentile("value", 0.5, exact=False).alias("a"),
+    ).localCheckpoint(eager=True)
+    facts = _metric_rows(
+        g.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+            F.lit("n_groups").alias("metric"), "value"
+        ),
+        g.agg(r4(F.sum("e")).alias("value")).select(
+            F.lit("sum_exact_median").alias("metric"), "value"
+        ),
+    )
+    contract = g.agg(
+        F.max(F.abs(F.col("a") - F.col("e")) / F.abs(F.col("e"))).alias("err")
+    ).select(
+        F.lit("max_rel_err_le_002").alias("metric"),
+        F.when(F.col("err") <= 0.02, 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
 
 
 _reorder_for_gate()
