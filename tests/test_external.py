@@ -1,0 +1,148 @@
+"""Optional live-connector smoke tests (`pytest -m external`).
+
+The sandbox has neither a docker daemon, a Postgres JDBC driver jar, nor
+a Neo4j python driver, so every test here SKIPS cleanly in CI and runs
+only on a workstation/cluster where the prerequisites exist (VERDICT r4
+ask #8). They exercise the two integration seams the unit suite can only
+shape-test:
+
+- ``sources/registry.py:jdbc_source`` — partitioned JDBC scan against a
+  real dockerized Postgres (round-trip via ``DataFrame.write.jdbc``).
+- ``export.py:neo4j_compat`` — the exported datetime-struct shape loads
+  through a real ``neo4j`` driver's ``datetime($map)`` parameter path
+  (parity: /root/reference/app/utils.py:45-63).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import time
+import uuid
+
+import pytest
+
+pytestmark = pytest.mark.external
+
+
+def _docker_ready() -> bool:
+    if shutil.which("docker") is None:
+        return False
+    try:
+        return (
+            subprocess.run(
+                ["docker", "info"], capture_output=True, timeout=20
+            ).returncode
+            == 0
+        )
+    except Exception:
+        return False
+
+
+def _has_jdbc_driver() -> bool:
+    import os
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return any("postgresql" in j.lower() for j in os.listdir(jars))
+
+
+@pytest.fixture(scope="module")
+def pg_url():
+    if not _docker_ready():
+        pytest.skip("no docker daemon")
+    if not _has_jdbc_driver():
+        pytest.skip("no postgresql JDBC driver jar on the Spark classpath")
+    name = f"graft_pg_{uuid.uuid4().hex[:8]}"
+    port = 54329
+    run = subprocess.run(
+        [
+            "docker", "run", "-d", "--rm", "--name", name,
+            "-e", "POSTGRES_PASSWORD=graft", "-e", "POSTGRES_DB=graft",
+            "-p", f"{port}:5432", "postgres:16-alpine",
+        ],
+        capture_output=True,
+    )
+    if run.returncode != 0:
+        pytest.skip(f"docker run postgres failed: {run.stderr.decode()[:200]}")
+    try:
+        for _ in range(60):  # wait for readiness
+            ok = subprocess.run(
+                ["docker", "exec", name, "pg_isready", "-U", "postgres"],
+                capture_output=True,
+            )
+            if ok.returncode == 0:
+                break
+            time.sleep(1)
+        else:
+            pytest.skip("postgres container never became ready")
+        yield f"jdbc:postgresql://localhost:{port}/graft?user=postgres&password=graft"
+    finally:
+        subprocess.run(["docker", "rm", "-f", name], capture_output=True)
+
+
+def test_postgres_jdbc_partitioned_roundtrip(spark, pg_url):
+    """Write a keyed table over JDBC, read it back PARTITIONED (4 parallel
+    connections over the key range) via jdbc_source, and compare sets."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.sources.registry import jdbc_source
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    df.write.mode("overwrite").jdbc(pg_url, "t_roundtrip")
+    back = jdbc_source(
+        spark, pg_url, "t_roundtrip",
+        partition_column="k", lower_bound=0, upper_bound=1000, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(r["k"] for r in back.collect()) == list(range(1000))
+    assert back.groupBy("grp").count().count() == 7
+
+
+def test_neo4j_compat_shape_loads(spark):
+    """The exported datetime struct must be accepted by a real Neo4j
+    ``datetime($map)`` call — the reference's loader contract."""
+    neo4j = pytest.importorskip("neo4j")
+    if not _docker_ready():
+        pytest.skip("no docker daemon")
+    name = f"graft_neo_{uuid.uuid4().hex[:8]}"
+    run = subprocess.run(
+        [
+            "docker", "run", "-d", "--rm", "--name", name,
+            "-e", "NEO4J_AUTH=none", "-p", "7689:7687", "neo4j:5",
+        ],
+        capture_output=True,
+    )
+    if run.returncode != 0:
+        pytest.skip(f"docker run neo4j failed: {run.stderr.decode()[:200]}")
+    try:
+        from pyspark.sql import functions as F
+
+        from graph_db_spark.export import neo4j_compat
+
+        df = spark.createDataFrame(
+            [("n1", "2024-03-05 06:07:08")], "id string, ts string"
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+        row = neo4j_compat(df).collect()[0]
+        driver = None
+        for _ in range(60):
+            try:
+                driver = neo4j.GraphDatabase.driver("bolt://localhost:7689")
+                driver.verify_connectivity()
+                break
+            except Exception:
+                time.sleep(1)
+        else:
+            pytest.skip("neo4j container never became ready")
+        with driver.session() as s:
+            got = s.run(
+                "CREATE (n:X {id: $id, ts: datetime($ts)}) RETURN n.ts.year AS y",
+                id=row["id"], ts=row["ts_dt"].asDict(),
+            ).single()
+            assert got["y"] == 2024
+        driver.close()
+    finally:
+        subprocess.run(["docker", "rm", "-f", name], capture_output=True)
