@@ -3818,47 +3818,46 @@ _EXPENSIVE_LAST = [
 ]
 
 
-# Round-4 rotation of the driver's correctness window: the driver gate
-# reads the FIRST 50 registered queries, and rounds 1-3 kept the same
-# prefix stable — so 70 of 120 queries never got a driver-visible
-# correctness row (VERDICT r3 "What's missing" #1). These 50 are exactly
-# the families the r3 verdict called out as driver-unseen: the sketch
-# family, the uncovered pipeline families, the recall-bound contracts,
-# streaming, multimodal, and the guarded dedup path. All are
-# oracle-backed and green in the local replica; the long-green basics
-# from r1-r3 park behind them (still registered, still replica-checked).
+# Round-5 rotation of the driver's correctness window (the driver gate
+# reads the FIRST 50 registered queries): after r04, 75 registered
+# queries had never carried a driver-green row — including the graph
+# flagships whose only rows were r02 `no_oracle` errors (VERDICT r4
+# "What's missing" #1 / "Next round" #1). This window is 50 of those 81
+# never-green names (75 + the 6 round-5 additions); the remaining 31
+# never-green (all sub-second scalar/set/window shapes) rotate in at r06.
+# Ordered cheapest-first within the window so a wall-clock cut drops as
+# few verdicts as possible (timings: tools/check_correctness.py sf0.01).
 _GATE_WINDOW = [
-    # sketches
-    "hll_user_reach_portable", "hll_error_bound", "percentile_value_stats",
-    "cms_heavy_hitters", "cms_day_merge", "kmv_audience_overlap",
-    "kmv_source_ngram_overlap", "bloom_semi_prune",
-    # pipeline families without a prior driver row
-    "pipeline_sap_analyses", "pipeline_sap_element_results",
-    "pipeline_optimum_element_ranges", "pipeline_app_nutrient_contents",
-    # approximation / recall contracts
-    "minhash_recall_bound", "simhash_completeness_bound",
-    "ann_lsh_recall_bound", "ann_ivf_recall_bound",
-    # dedup + corpus quality (the round-4 guarded/md5-hash path)
-    "simhash_near_dups", "near_dup_clusters", "repetition_quality",
-    "pii_scrub_audit", "curated_corpus_stats", "benchmark_decontamination",
-    # streaming
-    "streaming_daily_stats", "streaming_sessions", "streaming_enriched_daily",
-    "streaming_exact_dedup", "streaming_decontamination",
-    # multimodal
-    "multimodal_features", "multimodal_png_decode", "multimodal_audio_features",
-    "multimodal_frame_sample", "multimodal_resize",
-    # analytic shapes
-    "rollup_pricing", "cube_order_counts", "grouping_sets_revenue",
-    "time_rollup_multigrain", "rolling_7day_window", "vocab_coverage",
-    "tfidf_top_terms", "salted_skew_join", "shipping_priority",
-    "large_volume_customers",
-    # session-C flagships: table-format DML + IVM, Bellman-Ford, BPE,
-    # decorrelation shapes, skew profiling (the long-green scalar/set
-    # entries they displace stay replica-checked; several already carried
-    # driver rows in r1-r3 files)
-    "snapshot_table_lifecycle", "incremental_view_maintenance",
-    "weighted_paths_from_region", "bpe_top_pairs", "min_cost_supplier",
-    "sole_late_supplier", "idle_rich_customers", "join_key_skew_profile",
+    # cheap graph + motif shapes
+    "degree_histogram", "motif_branch_conation", "motif_4hop_counts",
+    # LLM text ops
+    "doc_chunks", "repeated_spans", "embedding_diversity", "trigram_lm_topk",
+    "unigram_logperplexity", "tokenizer_fertility", "sequence_packing",
+    # deterministic corpus ops
+    "dataset_split_assign", "corpus_shard_plan", "corpus_global_shuffle",
+    "stratified_sample", "mixture_weights", "weighted_sample_docs",
+    # SCD2 + decision-support family
+    "scd2_user_state", "scd2_lookup_join", "order_priority_checking",
+    "returned_item_reporting", "small_quantity_revenue",
+    "disjunctive_discount_revenue",
+    # analytics / data-quality battery
+    "table_profile", "dq_validation_report", "robust_outliers",
+    "quality_quantile_filter", "equi_depth_histogram",
+    "chi_square_independence", "entity_resolution_pairs", "cusum_drift",
+    "cohort_retention",
+    # round-5 approx-swap contracts
+    "profile_distinct_approx_bound", "quantile_approx_bound",
+    # dedup / similarity flagships (exact oracles since r3, never driver-seen)
+    "semantic_dedup", "incremental_lsh_dedup", "streaming_incremental_dedup",
+    # round-5 additions
+    "motif_var_length", "pipeline_snapshot_merge_rerun", "streaming_late_data",
+    "dedup_skewed_corpus",
+    # iterative graph flagships, cheapest-first (the r02 no_oracle re-entries
+    # connected_components/pagerank among them)
+    "link_prediction_adamic_adar", "label_propagation", "hits_scores",
+    "shortest_paths_from_regions", "cooccurrence_triangles", "k_core_4",
+    "streaming_touch_pairs", "connected_components", "pagerank",
+    "personalized_pagerank_regions",
 ]
 assert len(_GATE_WINDOW) == 50
 
