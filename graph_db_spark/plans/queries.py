@@ -8287,4 +8287,55 @@ def quantile_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _metric_rows(facts, contract)
 
 
+@register(
+    "snapshot_range_pruning",
+    oracle="""
+    WITH sel AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal >= 1000 AND c_acctbal <= 2000
+    )
+    SELECT 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM sel
+    UNION ALL
+    SELECT 'sum_bal', round(CAST(sum(c_acctbal) AS DOUBLE), 4) FROM sel
+    UNION ALL SELECT 'files_pruned', 1.0
+    """,
+)
+def snapshot_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — range-clustered file layout (Iceberg sort-order
+    analog; the gap scan()'s docstring called out: hash bucketing alone
+    never prunes a range on a static table). The customer table is
+    snapshot-created keyed on c_custkey but CLUSTERED on c_acctbal:
+    rows sort within each bucket, files roll every n rows, and each
+    file's parquet-footer min/max joins the manifest — so the acctbal
+    range scan opens only the files whose range overlaps. The scan's
+    ROWS are value-checked against a direct SQL filter (pruning is an
+    optimization, never a semantics change) and the contract row is 1.0
+    iff the scan read strictly fewer files than the table holds."""
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n = cust.count()
+    path = tempfile.mkdtemp(prefix="graft_snap_range_") + "/cust"
+    t = SnapshotTable.create(
+        spark, path, cust, keys=["c_custkey"], n_buckets=4,
+        cluster_by=["c_acctbal"], records_per_file=max(10, n // 40),
+    )
+    got = t.scan({"c_acctbal": (1000.0, 2000.0)}).localCheckpoint(eager=True)
+    read, total = t.pruned_files({"c_acctbal": (1000.0, 2000.0)})
+    return _metric_rows(
+        got.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+            F.lit("n_rows").alias("metric"), "value"
+        ),
+        got.agg(r4(F.sum("c_acctbal")).alias("value")).select(
+            F.lit("sum_bal").alias("metric"), "value"
+        ),
+        spark.range(1).select(
+            F.lit("files_pruned").alias("metric"),
+            F.lit(1.0 if read < total else 0.0).alias("value"),
+        ),
+    )
+
+
 _reorder_for_gate()

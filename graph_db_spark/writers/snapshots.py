@@ -159,7 +159,14 @@ class SnapshotTable:
         return out
 
     def _write_buckets(
-        self, df: DataFrame, commit_id: str, keys: list[str], seq: int, n_buckets: int
+        self,
+        df: DataFrame,
+        commit_id: str,
+        keys: list[str],
+        seq: int,
+        n_buckets: int,
+        cluster_by: list[str] | None = None,
+        records_per_file: int | None = None,
     ) -> list[dict]:
         """Write ``df`` (already carrying ``_bucket``) as one immutable
         parquet tree under ``data/<commit_id>/``, hash-distributed so
@@ -172,15 +179,24 @@ class SnapshotTable:
         references them, so a crashed commit leaves only garbage for
         vacuum — never a corrupt table. The input is checkpointed so the
         stats aggregation reads materialized blocks instead of
-        recomputing the merge plan."""
+        recomputing the merge plan.
+
+        ``cluster_by`` (Iceberg sort-order analog): rows sort WITHIN each
+        bucket on these columns and ``records_per_file`` rolls the sorted
+        stream into multiple files — each file then covers a contiguous
+        cluster-key range, its footer min/max (read back from the parquet
+        metadata, one local footer read per file) joins the manifest
+        stats, and a range scan on the cluster key prunes files inside a
+        bucket — exactly what a hash layout alone can never give."""
         df = df.localCheckpoint()
         out_dir = os.path.join(self.path, _DATA_DIR, commit_id)
-        (
-            df.repartition(n_buckets, F.col("_bucket"))
-            .write.partitionBy("_bucket")
-            .mode("error")
-            .parquet(out_dir)
-        )
+        distributed = df.repartition(n_buckets, F.col("_bucket"))
+        if cluster_by:
+            distributed = distributed.sortWithinPartitions("_bucket", *cluster_by)
+        writer = distributed.write.partitionBy("_bucket").mode("error")
+        if cluster_by and records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(records_per_file))
+        writer.parquet(out_dir)
         stats = self._bucket_stats(df, keys)
         entries = []
         for bdir in sorted(os.listdir(out_dir)):
@@ -189,15 +205,47 @@ class SnapshotTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fn.endswith(".parquet"):
+                    full = os.path.join(out_dir, bdir, fn)
+                    st = dict(stats.get(b) or {})
+                    if cluster_by:
+                        st.update(self._footer_stats(full, cluster_by))
                     entries.append(
                         {
                             "bucket": b,
                             "path": f"{_DATA_DIR}/{commit_id}/{bdir}/{fn}",
-                            "stats": stats.get(b),
+                            "stats": st or None,
                             "seq": seq,
                         }
                     )
         return entries
+
+    @staticmethod
+    def _footer_stats(full_path: str, cols: list[str]) -> dict:
+        """Per-FILE min/max for ``cols`` from the parquet footer (row-group
+        statistics folded) — no data read. Columns whose stats are absent
+        in any row group are omitted (conservative: the pruner keeps
+        files with missing stats)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+        names = [md.schema.column(i).path for i in range(md.num_columns)]
+        out = {}
+        for c in cols:
+            if c not in names:
+                continue
+            j = names.index(c)
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if ok and mn is not None:
+                out[c] = [SnapshotTable._json_safe(mn), SnapshotTable._json_safe(mx)]
+        return out
 
     def _read_files(self, manifest: dict, buckets: set[int] | None = None) -> DataFrame:
         """Read a snapshot (optionally only some buckets) by explicit file
@@ -261,22 +309,35 @@ class SnapshotTable:
         df: DataFrame,
         keys: list[str],
         n_buckets: int = 16,
+        cluster_by: list[str] | None = None,
+        records_per_file: int | None = None,
     ) -> "SnapshotTable":
         """Create version 1 from ``df`` (duplicate keys collapse
-        deterministically, same contract as :func:`upsert`)."""
+        deterministically, same contract as :func:`upsert`).
+
+        ``cluster_by``: sort rows within each bucket on these columns
+        and roll files every ``records_per_file`` rows, so range scans
+        on them prune FILES (per-file footer stats), not just buckets —
+        the table-format half of predicate pushdown. The clustering is a
+        table property: every later merge/delete/compact rewrite
+        preserves it."""
         t = cls(spark, path)
         if t.latest_version() != 0:
             raise ValueError(f"table already exists at {path}")
         base = collapse_duplicates(df, keys)
         commit_id = uuid.uuid4().hex
         files = t._write_buckets(
-            base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id, keys, seq=1, n_buckets=n_buckets
+            base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id, keys,
+            seq=1, n_buckets=n_buckets, cluster_by=cluster_by,
+            records_per_file=records_per_file,
         )
         t._publish(
             {
                 "version": 1,
                 "keys": keys,
                 "n_buckets": n_buckets,
+                "cluster_by": cluster_by,
+                "records_per_file": records_per_file,
                 "schema": json.loads(base.schema.json()),
                 "operation": "create",
                 "committed_at": time.time(),
@@ -379,9 +440,12 @@ class SnapshotTable:
 
     @classmethod
     def _surviving_files(cls, manifest: dict, where: dict[str, tuple]) -> list[dict]:
-        bad = set(where) - set(manifest["keys"])
+        prunable = set(manifest["keys"]) | set(manifest.get("cluster_by") or ())
+        bad = set(where) - prunable
         if bad:
-            raise ValueError(f"scan ranges must be on key columns; got {sorted(bad)}")
+            raise ValueError(
+                f"scan ranges must be on key or cluster_by columns; got {sorted(bad)}"
+            )
         schema = StructType.fromJson(manifest["schema"])
         dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
 
@@ -508,13 +572,19 @@ class SnapshotTable:
                 ).withColumn("_bucket", _bucket_col(keys, n_buckets))
                 carried = [e for e in m["files"] if e["bucket"] not in touched]
             commit_id = uuid.uuid4().hex
-            new_files = self._write_buckets(merged, commit_id, keys, seq=v + 1, n_buckets=n_buckets)
+            new_files = self._write_buckets(
+                merged, commit_id, keys, seq=v + 1, n_buckets=n_buckets,
+                cluster_by=m.get("cluster_by"),
+                records_per_file=m.get("records_per_file"),
+            )
             try:
                 self._publish(
                     {
                         "version": v + 1,
                         "keys": keys,
                         "n_buckets": n_buckets,
+                        "cluster_by": m.get("cluster_by"),
+                        "records_per_file": m.get("records_per_file"),
                         "schema": json.loads(schema.json()),
                         "operation": f"merge:{strategy}"
                         + (":mor" if mode == "mor" else ""),
@@ -620,12 +690,18 @@ class SnapshotTable:
                 F.broadcast(gone.drop("_bucket")), on=keys, how="left_anti"
             ).withColumn("_bucket", _bucket_col(keys, n_buckets))
             commit_id = uuid.uuid4().hex
-            new_files = self._write_buckets(kept, commit_id, keys, seq=v + 1, n_buckets=n_buckets)
+            new_files = self._write_buckets(
+                kept, commit_id, keys, seq=v + 1, n_buckets=n_buckets,
+                cluster_by=m.get("cluster_by"),
+                records_per_file=m.get("records_per_file"),
+            )
             carried = [e for e in m["files"] if e["bucket"] not in touched]
             try:
                 self._publish(
                     {
                         **{k: m[k] for k in ("keys", "n_buckets", "schema")},
+                        "cluster_by": m.get("cluster_by"),
+                        "records_per_file": m.get("records_per_file"),
                         "version": v + 1,
                         "operation": "delete",
                         "committed_at": time.time(),
@@ -735,11 +811,17 @@ class SnapshotTable:
             return None
         rows = self._read_files(m, frag)  # MOR deltas resolve here
         commit_id = uuid.uuid4().hex
-        new_files = self._write_buckets(rows, commit_id, m["keys"], seq=v + 1, n_buckets=m["n_buckets"])
+        new_files = self._write_buckets(
+            rows, commit_id, m["keys"], seq=v + 1, n_buckets=m["n_buckets"],
+            cluster_by=m.get("cluster_by"),
+            records_per_file=m.get("records_per_file"),
+        )
         carried = [e for e in m["files"] if e["bucket"] not in frag]
         self._publish(
             {
                 **{k: m[k] for k in ("keys", "n_buckets", "schema")},
+                "cluster_by": m.get("cluster_by"),
+                "records_per_file": m.get("records_per_file"),
                 "version": v + 1,
                 "operation": "compact",
                 "committed_at": time.time(),

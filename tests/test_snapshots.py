@@ -392,3 +392,34 @@ def test_incremental_view_maintenance_matches_recompute(spark, tmp_path):
         view = apply_changes_to_aggregate(view, feed, ["grp"], ["amount"]).localCheckpoint()
         check(view)
     assert not any(r["grp"] == "c" for r in view.collect())  # emptied group dropped
+
+
+def test_cluster_by_prunes_files_within_buckets(spark, tmp_path):
+    """cluster_by (Iceberg sort-order analog): rows sort within buckets,
+    files roll every records_per_file rows, per-file footer stats join
+    the manifest — a range scan on the cluster key prunes FILES, which a
+    hash layout alone never can. Clustering must survive rewrites."""
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"), F.lit("x").alias("val")
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, ["k"], n_buckets=4,
+        cluster_by=["v"], records_per_file=100,
+    )
+    read, total = t.pruned_files({"v": (100.0, 200.0)})
+    assert total >= 16  # the sorted stream rolled into multiple files/bucket
+    assert read < total / 2  # pruning bites inside buckets
+    got = sorted(r["k"] for r in t.scan({"v": (100.0, 200.0)}).collect())
+    assert got == list(range(100, 201))
+    # a COW merge rewrite keeps the clustering (manifest table property)
+    up = spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"), F.lit("y").alias("val")
+    )
+    t.merge(up)
+    read2, total2 = t.pruned_files({"v": (100.0, 200.0)})
+    assert read2 < total2 / 2
+    got2 = sorted(r["k"] for r in t.scan({"v": (100.0, 200.0)}).collect())
+    assert got2 == list(range(100, 201))
+    # key-column pruning still intact alongside
+    r3, t3 = t.pruned_files({"k": (5, 5)})
+    assert r3 <= total2 / 4 + 1  # point lookup → one bucket's files
