@@ -3807,6 +3807,8 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
+    "ivm_minmax_rescan",            # ~19s (3 commits + minmax folds + rescans; SF-independent)
     "incremental_view_maintenance", # ~12s at sf0.1 (3 commits + 3 CDC folds; SF-independent data)
     "snapshot_table_lifecycle",     # ~10s at sf0.1 (5 commits: COW/MOR/delete/compact — ~15 sequential jobs of driver-fixed overhead; data volume is SF-independent)
     "k_core_4",                     # ~13s at sf0.1 (iterative peel)
@@ -8336,6 +8338,91 @@ def snapshot_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0 if read < total else 0.0).alias("value"),
         ),
     )
+
+
+@register(
+    "ivm_minmax_rescan",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 800
+    ),
+    up1 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS c_acctbal
+      FROM customer WHERE c_custkey > 700 AND c_custkey <= 900
+    ),
+    m1 AS (
+      SELECT * FROM up1
+      UNION ALL
+      SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM up1)
+    ),
+    final AS (SELECT * FROM m1 WHERE c_custkey % 53 <> 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(min(c_acctbal), 4) AS min_bal,
+           round(max(c_acctbal), 4) AS max_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def ivm_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — MIN/MAX incremental view maintenance
+    (writers/snapshots.py:apply_changes_to_minmax). MIN/MAX are the
+    textbook non-self-maintainable aggregates under deletes: inserts
+    fold monotonically, but a retraction of the attained bound forces a
+    rescan of exactly the affected groups (semi-join-restricted — cost ∝
+    those groups' rows, never table size). Same create → doubled-balance
+    COW merge → keyed delete sequence as incremental_view_maintenance;
+    the doubled balances retract-and-replace per-segment maxima via
+    updates, and the modulo deletes retract whatever extremes they hit —
+    both the fold path and the rescan path execute, and the hash match
+    against the direct SQL replay proves the maintained view equals the
+    recompute."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import (
+        SnapshotTable,
+        apply_changes_to_minmax,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"graft_ivm_mm_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, cust.filter(F.col("c_custkey") <= 800), ["c_custkey"], n_buckets=8
+    )
+    feed0 = (
+        t.read()
+        .withColumn("_change", F.lit("insert"))
+        .withColumn("_old_c_mktsegment", F.lit(None).cast("string"))
+        .withColumn("_old_c_acctbal", F.lit(None).cast("double"))
+    )
+    view = apply_changes_to_minmax(
+        None, feed0, t.read(), ["c_mktsegment"], "c_acctbal"
+    ).localCheckpoint()
+    for commit in (
+        lambda: t.merge(
+            cust.filter((F.col("c_custkey") > 700) & (F.col("c_custkey") <= 900))
+            .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+        ),
+        lambda: t.delete(
+            cust.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+        ),
+    ):
+        v_before = t.latest_version()
+        commit()
+        feed = t.changes(v_before, include_old=True)
+        view = apply_changes_to_minmax(
+            view, feed, t.read(), ["c_mktsegment"], "c_acctbal"
+        ).localCheckpoint()
+    return view.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("min_v")).alias("min_bal"),
+        r4(F.col("max_v")).alias("max_bal"),
+    ).orderBy("c_mktsegment")
 
 
 _reorder_for_gate()

@@ -963,3 +963,114 @@ def apply_changes_to_aggregate(
             ],
         )
     return merged.filter(F.col("n") > 0)
+
+
+def apply_changes_to_minmax(
+    agg: DataFrame | None,
+    feed: DataFrame,
+    current: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a grouped MIN/MAX (+count) view.
+
+    MIN/MAX are the textbook NOT-self-maintainable aggregates under
+    deletes: an insert can only tighten a bound (fold with
+    least/greatest — free), but a retraction that REMOVES the attained
+    bound invalidates it, and no amount of delta algebra recovers the
+    runner-up. The sound minimal move is a targeted rescan: exactly the
+    groups whose bound was retracted AND not rescued by a same-batch
+    insert at-or-below(above) the old bound re-aggregate from
+    ``current`` (the post-change snapshot), restricted by a semi-join —
+    cost ∝ rows of bound-affected groups, never table size. Every other
+    group's new bound is exact from the fold.
+
+    ``feed`` is ``changes(..., include_old=True)``; ``agg`` is the
+    previously maintained view (``group_cols + n + min_v + max_v``) or
+    None to bootstrap from an all-insert feed. Count maintenance (and
+    the empty-group drop) matches :func:`apply_changes_to_aggregate`.
+    """
+    vals = {c.replace("_old_", "", 1) for c in feed.columns if c.startswith("_old_")}
+
+    def old_image(c: str):
+        return F.col(f"_old_{c}") if c in vals else F.col(c)
+
+    one = F.lit(1).cast("bigint")
+    v = F.col(value_col).cast("double")
+    ov = old_image(value_col).cast("double")
+    neg = feed.filter(F.col("_change") != "insert").select(
+        *[old_image(g).alias(g) for g in group_cols],
+        (-one).alias("_dn"),
+        ov.alias("_rv"),
+    )
+    pos = feed.filter(F.col("_change") != "delete").select(
+        *[F.col(g).alias(g) for g in group_cols],
+        one.alias("_dn"),
+        v.alias("_pv"),
+    )
+    negagg = neg.groupBy(*group_cols).agg(
+        F.sum("_dn").alias("_dnn"),
+        F.min("_rv").alias("_retr_min"),
+        F.max("_rv").alias("_retr_max"),
+    )
+    posagg = pos.groupBy(*group_cols).agg(
+        F.sum("_dn").alias("_dnp"),
+        F.min("_pv").alias("_new_min"),
+        F.max("_pv").alias("_new_max"),
+    )
+    deltas = posagg.join(negagg, on=group_cols, how="full_outer")
+    if agg is None:
+        merged = deltas.select(
+            *group_cols,
+            (F.coalesce(F.col("_dnp"), F.lit(0)) + F.coalesce(F.col("_dnn"), F.lit(0))).alias("n"),
+            F.lit(None).cast("double").alias("_amin"),
+            F.lit(None).cast("double").alias("_amax"),
+            "_new_min", "_new_max", "_retr_min", "_retr_max",
+        )
+    else:
+        a = agg.select(
+            *group_cols,
+            F.col("n").alias("_an"),
+            F.col("min_v").alias("_amin"),
+            F.col("max_v").alias("_amax"),
+        )
+        merged = a.join(deltas, on=group_cols, how="full_outer").select(
+            *group_cols,
+            (
+                F.coalesce(F.col("_an"), F.lit(0))
+                + F.coalesce(F.col("_dnp"), F.lit(0))
+                + F.coalesce(F.col("_dnn"), F.lit(0))
+            ).alias("n"),
+            "_amin", "_amax", "_new_min", "_new_max", "_retr_min", "_retr_max",
+        )
+    merged = merged.filter(F.col("n") > 0).localCheckpoint()
+    # bound invalidated iff a retraction touched it and no same-batch
+    # insert rescued it (an insert ≤ the old min IS the new exact min —
+    # every surviving old row is ≥ the old min)
+    # NULL-care: with no same-batch insert the rescue comparison is NULL,
+    # and `touched AND NOT NULL` would be NULL → coalesce each term
+    # separately, else a bound-retracting delete with no inserts would
+    # silently skip its rescan (three-valued-logic trap).
+    susp_min = F.coalesce(
+        F.col("_retr_min") <= F.col("_amin"), F.lit(False)
+    ) & ~F.coalesce(F.col("_new_min") <= F.col("_amin"), F.lit(False))
+    susp_max = F.coalesce(
+        F.col("_retr_max") >= F.col("_amax"), F.lit(False)
+    ) & ~F.coalesce(F.col("_new_max") >= F.col("_amax"), F.lit(False))
+    suspect = susp_min | susp_max
+    good = merged.filter(~suspect).select(
+        *group_cols,
+        "n",
+        F.least("_amin", "_new_min").alias("min_v"),
+        F.greatest("_amax", "_new_max").alias("max_v"),
+    )
+    bad = merged.filter(suspect).select(*group_cols, "n")
+    rescanned = (
+        current.select(*group_cols, v.alias("_v"))
+        .join(bad.select(*group_cols), on=group_cols, how="left_semi")
+        .groupBy(*group_cols)
+        .agg(F.min("_v").alias("min_v"), F.max("_v").alias("max_v"))
+        .join(bad, on=group_cols)
+        .select(*group_cols, "n", "min_v", "max_v")
+    )
+    return good.unionByName(rescanned)

@@ -423,3 +423,57 @@ def test_cluster_by_prunes_files_within_buckets(spark, tmp_path):
     # key-column pruning still intact alongside
     r3, t3 = t.pruned_files({"k": (5, 5)})
     assert r3 <= total2 / 4 + 1  # point lookup → one bucket's files
+
+
+def test_ivm_minmax_fold_matches_recompute(spark, tmp_path):
+    """MIN/MAX IVM: inserts fold monotonically; retractions of an attained
+    bound trigger the targeted group-rescan; a same-batch insert at/past
+    the old bound rescues the group without rescan. In every case the
+    maintained view must equal a direct recompute of the current state."""
+    from graph_db_spark.writers.snapshots import apply_changes_to_minmax
+
+    def mkv(rows):
+        return spark.createDataFrame(rows, "k int, g string, v double")
+
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "t"),
+        mkv([(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+             (4, "b", 5.0), (5, "b", 7.0)]),
+        ["k"],
+        n_buckets=4,
+    )
+    feed0 = (
+        t.read().withColumn("_change", F.lit("insert"))
+        .withColumn("_old_g", F.lit(None).cast("string"))
+        .withColumn("_old_v", F.lit(None).cast("double"))
+    )
+    view = apply_changes_to_minmax(None, feed0, t.read(), ["g"], "v").localCheckpoint()
+
+    def check():
+        got = {r["g"]: (r["n"], r["min_v"], r["max_v"]) for r in view.collect()}
+        want = {
+            r["g"]: (r["n"], r["mn"], r["mx"])
+            for r in t.read().groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+            ).collect()
+        }
+        assert got == want
+
+    check()
+    commits = [
+        # retract group-a MIN (k=1 deleted, no rescue) → rescan path
+        lambda: t.delete(mkv([(1, "a", 10.0)]).select("k")),
+        # retract group-b MAX via update, same-batch rescued by higher value
+        lambda: t.merge(mkv([(5, "b", 9.0)])),
+        # group migration: k=2 moves a→b (retracts a's 20, adds to b)
+        lambda: t.merge(mkv([(2, "b", 20.0)])),
+        # plain insert tightening nothing
+        lambda: t.merge(mkv([(9, "a", 25.0)])),
+    ]
+    for commit in commits:
+        v_before = t.latest_version()
+        commit()
+        feed = t.changes(v_before, include_old=True)
+        view = apply_changes_to_minmax(view, feed, t.read(), ["g"], "v").localCheckpoint()
+        check()
