@@ -461,6 +461,69 @@ def k_core(
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph in which
+    every edge participates in ≥ k−2 triangles (support) WITHIN the
+    subgraph. Returns canonical surviving edges ``(a, b, support)`` with
+    ``a < b``; the truss is unique, so the result is deterministic.
+
+    Edge-peeling fixpoint (the edge analog of :func:`k_core`): per round,
+    enumerate triangles once over the canonical (id-ordered) edge list —
+    (x,y)⋈(y,z) wedges closed by (x,z), so each triangle counts exactly
+    once — fold the three edge participations into a support table, and
+    keep edges with support ≥ k−2; converged when the edge count is
+    stable (supports are monotone non-increasing under edge removal, so
+    count-stable ⇒ set-stable). Raises if ``max_rounds`` elapse without
+    convergence — a partial peel would report a superset of the truss.
+
+    Scale shape: each round is two self-equi-joins + one vertex-ish
+    aggregation, all shuffling on edge endpoints; per-round wedge work is
+    Σ_y high(y)·low(y) under the id orientation. On power-law graphs
+    switch the orientation to degree-order (as cooccurrence_triangles
+    does) so out-lists are arboricity-bounded; localCheckpoint bounds
+    lineage per round.
+    """
+    if k < 3:
+        raise ValueError("k_truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    canon = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = -1
+    for _ in range(max_rounds):
+        e = canon
+        xy = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        yz = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        xz = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = xy.join(yz, on="y").join(xz, on=["x", "z"])
+        supp = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+        n_keep = supp.count()
+        if n_keep == n_prev:
+            return supp
+        if n_keep == 0:
+            return supp.limit(0)
+        n_prev = n_keep
+        canon = supp.select("a", "b").localCheckpoint()
+    raise RuntimeError(f"k_truss did not converge within {max_rounds} rounds")
+
+
 def weighted_shortest_paths(
     edges: DataFrame,
     landmarks: DataFrame,

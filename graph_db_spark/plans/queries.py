@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "k_truss_cooccurrence",         # ~10s at sf0.01 (3-4 peel rounds, triangle join each)
     "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
     "ivm_minmax_rescan",            # ~19s (3 commits + minmax folds + rescans; SF-independent)
     "incremental_view_maintenance", # ~12s at sf0.1 (3 commits + 3 CDC folds; SF-independent data)
@@ -8423,6 +8424,80 @@ def ivm_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("min_v")).alias("min_bal"),
         r4(F.col("max_v")).alias("max_bal"),
     ).orderBy("c_mktsegment")
+
+
+def _k_truss_oracle_sql(k: int = 6, rounds: int = 8) -> str:
+    """Unrolled edge-peel replay of graph/algorithms.py:k_truss over the
+    p%4 part-co-occurrence graph. The fixture converges in 3-4 rounds at
+    every SF (probed 0.001/0.01/0.1); extra rounds are no-ops after the
+    fixpoint, so 8 gives margin. Triangles enumerate once per round via
+    the id-ordering (x<y<z); a final support pass over the converged
+    edge set yields the reported per-edge supports."""
+    parts = [
+        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
+        " FROM lineitem WHERE l_partkey % 4 = 0)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b"
+        " FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM e{r} e1 JOIN e{r} e2 ON e2.a = e1.b"
+            f" JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM ("
+            f" SELECT x AS a, y AS b FROM tri{r}"
+            f" UNION ALL SELECT y, z FROM tri{r}"
+            f" UNION ALL SELECT x, z FROM tri{r})"
+            f" GROUP BY 1, 2 HAVING count(*) >= {k - 2})"
+        )
+    r = rounds
+    parts.append(
+        f"ftri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+        f" FROM e{r} e1 JOIN e{r} e2 ON e2.a = e1.b"
+        f" JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+    )
+    parts.append(
+        "fsupp AS MATERIALIZED (SELECT a, b, count(*) AS s FROM ("
+        " SELECT x AS a, y AS b FROM ftri"
+        " UNION ALL SELECT y, z FROM ftri"
+        " UNION ALL SELECT x, z FROM ftri) GROUP BY 1, 2)"
+    )
+    return ",\n".join(parts) + """
+    SELECT CAST(s AS BIGINT) AS support, CAST(count(*) AS BIGINT) AS n_edges
+    FROM fsupp GROUP BY 1
+    """
+
+
+@register("k_truss_cooccurrence", oracle=_k_truss_oracle_sql())
+def k_truss_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — the 6-truss of the p%4 part-co-occurrence graph
+    (graph/algorithms.py:k_truss): the cohesive backbone where every
+    surviving edge closes ≥4 triangles WITHIN the survivors. The edge
+    analog of k_core — peeling cascades for 3-4 rounds at every fixture
+    SF (a single support filter is NOT the truss; early removals strip
+    support from surviving edges). Output is the support histogram of
+    the converged truss. Oracle: the peel unrolled round-by-round in SQL
+    with a fixpoint margin."""
+    from graph_db_spark.graph.algorithms import k_truss
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, on=[F.col("a.o") == F.col("b.o"), F.col("a.p") < F.col("b.p")])
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    t = k_truss(e, 6)
+    return t.groupBy(F.col("support").cast("bigint").alias("support")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
 
 
 _reorder_for_gate()

@@ -228,3 +228,25 @@ def test_kleene_variable_length_paths(spark):
         g.find("(x)-[*]->(y)")
     with pytest.raises(ValueError, match="Kleene span"):
         g.find("(x)-[*0..2]->(y)")
+
+
+def test_k_truss_peels_weak_edges(spark):
+    """K4 is its own 4-truss (every edge in 2 triangles); a pendant
+    triangle hanging off one vertex survives k=3 but peels at k=4; a
+    dangling chain edge (no triangle) never survives."""
+    from graph_db_spark.graph.algorithms import k_truss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pendant = [("d", "e"), ("d", "f"), ("e", "f")]
+    chain = [("f", "g")]
+    e = edges_of(spark, k4 + pendant + chain)
+
+    t4 = {(r["a"], r["b"]): r["support"] for r in k_truss(e, 4).collect()}
+    assert set(t4) == {tuple(sorted(p)) for p in k4}
+    assert all(s == 2 for s in t4.values())
+    t3 = {(r["a"], r["b"]) for r in k_truss(e, 3).collect()}
+    assert t3 == {tuple(sorted(p)) for p in k4 + pendant}
+    assert k_truss(e, 5).count() == 0
+    # reversed/duplicate directed input canonicalizes identically
+    e2 = edges_of(spark, [(b, a) for a, b in k4] + k4 + pendant + chain)
+    assert {(r["a"], r["b"]) for r in k_truss(e2, 4).collect()} == set(t4)
