@@ -452,3 +452,93 @@ def test_ivm_fold_equals_recompute_random_dml(spark, ops):
         assert got == want, (got, want, ops)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.lists(  # merge batch: (key, group, amount)
+                st.tuples(
+                    st.integers(0, 9),
+                    st.sampled_from(["a", "b", "c"]),
+                    st.integers(-50, 50),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            st.sets(st.integers(0, 9), min_size=1, max_size=3),  # delete keys
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ivm_minmax_fold_equals_recompute_random_dml(spark, ops):
+    """Property: for ANY merge/delete sequence (bound retractions with and
+    without same-batch rescue, group migrations, repeated keys, deleting
+    absent keys), the maintained MIN/MAX view — fold for untouched bounds,
+    targeted group-rescan for invalidated ones — equals a fresh groupBy
+    of the final table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.writers.snapshots import (
+        SnapshotTable,
+        apply_changes_to_minmax,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivm_mm_prop_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        t = SnapshotTable.create(
+            spark,
+            path,
+            spark.createDataFrame([(0, "a", 1.0)], "k int, grp string, amount double"),
+            ["k"],
+            n_buckets=4,
+        )
+        feed0 = (
+            t.read()
+            .withColumn("_change", F.lit("insert"))
+            .withColumn("_old_grp", F.lit(None).cast("string"))
+            .withColumn("_old_amount", F.lit(None).cast("double"))
+        )
+        view = apply_changes_to_minmax(
+            None, feed0, t.read(), ["grp"], "amount"
+        ).localCheckpoint()
+        for op in ops:
+            v0 = t.latest_version()
+            if isinstance(op, set):
+                t.delete(spark.createDataFrame([(k,) for k in sorted(op)], "k int"))
+            else:
+                t.merge(
+                    spark.createDataFrame(
+                        [(k, g, float(a)) for k, g, a in op],
+                        "k int, grp string, amount double",
+                    )
+                )
+            feed = t.changes(v0, include_old=True)
+            view = apply_changes_to_minmax(
+                view, feed, t.read(), ["grp"], "amount"
+            ).localCheckpoint()
+        got = {r["grp"]: (r["n"], r["min_v"], r["max_v"]) for r in view.collect()}
+        want = {
+            r["grp"]: (r["cnt"], r["mn"], r["mx"])
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("amount").alias("mn"),
+                F.max("amount").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want, ops)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
