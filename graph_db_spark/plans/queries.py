@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "streaming_left_outer_attribution",  # ~13s (two-sided state store + null emission)
     "k_truss_cooccurrence",         # ~10s at sf0.01 (3-4 peel rounds, triangle join each)
     "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
     "ivm_minmax_rescan",            # ~19s (3 commits + minmax folds + rescans; SF-independent)
@@ -8497,6 +8498,87 @@ def k_truss_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = k_truss(e, 6)
     return t.groupBy(F.col("support").cast("bigint").alias("support")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+
+
+@register(
+    "streaming_left_outer_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS tts, event_type AS touch FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    wm AS (
+      SELECT least((SELECT max(pts) FROM p) - INTERVAL 1 DAY,
+                   (SELECT max(tts) FROM t) - INTERVAL 2 DAY) AS w
+    ),
+    matched AS (
+      SELECT p.pts, t.touch FROM p JOIN t ON t.user_id = p.user_id
+        AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+    ),
+    unmatched AS (
+      SELECT p.pts, 'none' AS touch FROM p, wm
+      WHERE p.pts < wm.w AND NOT EXISTS (
+        SELECT 1 FROM t WHERE t.user_id = p.user_id
+          AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS)
+    ),
+    allr AS (
+      SELECT strftime(pts, '%Y-%m-%d') AS day, touch FROM matched
+      UNION ALL
+      SELECT strftime(pts, '%Y-%m-%d'), touch FROM unmatched
+    )
+    SELECT day, touch AS touch_type, CAST(count(*) AS BIGINT) AS n
+    FROM allr GROUP BY 1, 2
+    """,
+)
+def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 STREAM-STREAM LEFT OUTER join — the null-emission contract,
+    oracle-encoded: matched purchase×touch pairs emit as they join, and
+    an untouched purchase emits ONCE with a null touch — but only after
+    the query's global watermark (min of the two sides' horizons: here
+    max(touch ts) − 2d wins) passes its event time, because a matching
+    touch could otherwise still arrive. Purchases younger than that
+    horizon at end-of-stream never emit their null row — the oracle's
+    ``pts < wm`` cut reproduces exactly which purchases report as
+    unattributed vs stay pending. State stays bounded by the interval
+    condition + watermarks on both sides, same as the inner variant."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_stream_lo_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    ev.write.mode("overwrite").parquet(d)
+    p_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type") == "purchase")
+    )
+    t_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type").isin("view", "click"))
+    )
+    pairs = STRM.stream_touch_pairs(p_stream, t_stream, how="left_outer")
+    qname = "mem_touch_lo"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.date_format(F.to_date("pts"), "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 

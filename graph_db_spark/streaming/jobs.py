@@ -594,6 +594,7 @@ def stream_touch_pairs(
     window_hours: int = 24,
     p_watermark: str = "1 day",
     t_watermark: str = "2 days",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join: each purchase pairs with every
     view/click by the same user in the preceding ``window_hours`` — the
@@ -609,6 +610,14 @@ def stream_touch_pairs(
     state once the other side's watermark passes their match horizon.
     Without the interval condition the state would grow unboundedly;
     with it, state ≈ each side's watermark horizon of rows.
+
+    ``how='left_outer'`` adds the null-emission contract: a purchase
+    with NO touch in its window emits once with null touch columns —
+    but only after the query's GLOBAL watermark (the min of both sides'
+    watermarks) passes its ``pts``, because until then a matching touch
+    could still arrive; purchases younger than that horizon at
+    end-of-stream stay buffered and never emit. That timing is exactly
+    what the ``streaming_left_outer_attribution`` oracle encodes.
     """
     p = purchases.select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("pts"),
@@ -623,5 +632,5 @@ def stream_touch_pairs(
         F.expr(
             f"p_user = t_user AND tts <= pts AND tts >= pts - INTERVAL {window_hours} HOURS"
         ),
-        "inner",
+        how,
     )
