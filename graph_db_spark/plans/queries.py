@@ -8063,11 +8063,15 @@ def pipeline_snapshot_merge_rerun(spark: SparkSession, sf_dir: str) -> DataFrame
     computes from raw events; a non-idempotent writer (plain append)
     would double the overlap rows and fail on n_stations. Bucket-level
     copy-on-write means run 2 rewrites only buckets its keys touch."""
+    import os
+    import shutil
     import tempfile
 
     from graph_db_spark.writers.snapshots import SnapshotTable
 
-    path = tempfile.mkdtemp(prefix="graft_snap_rerun_") + "/weather_days"
+    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"graft_snap_rerun_{tag}", "weather_days")
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     run1 = P.build(spark, sf_dir, only=["weather_days"],
                    start="2024-01-01", end="2024-01-15")["weather_days"]
     t = SnapshotTable.create(
@@ -8106,7 +8110,8 @@ def _run_batched_stream(spark, name, batches, transform, mode="append"):
     import tempfile
     import time
 
-    d = tempfile.mkdtemp(prefix=f"graft_stream2_{name}_")
+    d = os.path.join(tempfile.gettempdir(), f"graft_stream2_{name}")
+    shutil.rmtree(d, ignore_errors=True)
     src = os.path.join(d, "src")
     os.makedirs(src)
     now = time.time()
@@ -8315,13 +8320,17 @@ def snapshot_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS are value-checked against a direct SQL filter (pruning is an
     optimization, never a semantics change) and the contract row is 1.0
     iff the scan read strictly fewer files than the table holds."""
+    import os
+    import shutil
     import tempfile
 
     from graph_db_spark.writers.snapshots import SnapshotTable
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     n = cust.count()
-    path = tempfile.mkdtemp(prefix="graft_snap_range_") + "/cust"
+    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"graft_snap_range_{tag}", "cust")
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     t = SnapshotTable.create(
         spark, path, cust, keys=["c_custkey"], n_buckets=4,
         cluster_by=["c_acctbal"], records_per_file=max(10, n // 40),
