@@ -542,3 +542,46 @@ def test_ivm_minmax_fold_equals_recompute_random_dml(spark, ops):
         assert got == want, (got, want, ops)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    mn=st.integers(1, 3),
+    width=st.integers(0, 2),
+)
+def test_kleene_pairs_equal_python_reference(spark, edges, mn, width):
+    """Property: for ANY small directed graph (cycles, multi-edges,
+    diamonds) and ANY bounded span *mn..mx, the pair-set BFS expansion
+    equals a brute-force Python reachability-by-exact-length union."""
+    from graph_db_spark.graph.model import PropertyGraph
+
+    mx = mn + width
+    e = spark.createDataFrame(
+        [(f"v{a}", f"v{b}", "R") for a, b in edges],
+        "src string, dst string, rel_type string",
+    )
+    v = spark.createDataFrame(
+        [(f"v{i}", "T") for i in range(8)], "id string, label string"
+    )
+    g = PropertyGraph(vertices=v, edges=e)
+    got = {(r["x"], r["y"]) for r in g.find(f"(x)-[:R*{mn}..{mx}]->(y)").collect()}
+
+    adj = {}
+    for a, b in set(edges):
+        adj.setdefault(f"v{a}", set()).add(f"v{b}")
+    level = {(n, m) for n in adj for m in adj[n]}  # length 1
+    want = set(level) if mn <= 1 else set()
+    for depth in range(2, mx + 1):
+        level = {(a, c) for a, b in level for c in adj.get(b, ())}
+        if depth >= mn:
+            want |= level
+    assert got == want, (sorted(got), sorted(want), mn, mx, sorted(set(edges)))
