@@ -136,7 +136,7 @@ class PropertyGraph:
             .select(F.col("dst").alias("id"))
         )
 
-    def find(self, pattern: str) -> DataFrame:
+    def find(self, pattern: str, props: dict[str, list[str]] | None = None) -> DataFrame:
         """Composable motif finder — the Cypher ``MATCH`` / GraphFrames
         ``find`` contract (SURVEY §1.6): one column per named vertex,
         one row per binding of the pattern. See :func:`_parse_motif`
@@ -151,6 +151,10 @@ class PropertyGraph:
         joins and AQE handles skew — same plan shape the hand-written
         motif queries used, now generated. At 100 TB restrict the anchor
         set first (filter the first-named vertex) so hops stay selective.
+
+        ``props={'a': ['name', ...]}`` projects vertex properties for
+        named vertices as ``<name>_<prop>`` columns — Cypher's
+        ``RETURN a.name`` — via one column-pruned vertex join per name.
 
         A ``*m..n`` Kleene edge expands to the DISTINCT endpoint-pair
         set via n-1 iterated frontier self-joins with per-level dedup
@@ -206,7 +210,21 @@ class PropertyGraph:
                 raise ValueError(f"label constraint on unused name ({name}:{lbl})")
             lv = self.vertices.filter(F.col("label") == lbl).select(F.col("id").alias(name))
             out = out.join(lv, on=name, how="inner")
-        return out.select(*sorted(bound))
+        out = out.select(*sorted(bound))
+        if props:
+            # Cypher's RETURN a.prop: one broadcast-or-shuffle join per
+            # named vertex against the needed vertex columns only
+            # (column-pruned — never the whole property set)
+            bad = set(props) - bound
+            if bad:
+                raise ValueError(f"props requested for unbound names {sorted(bad)}")
+            for name, cols in props.items():
+                pv = self.vertices.select(
+                    F.col("id").alias(name),
+                    *[F.col(c).alias(f"{name}_{c}") for c in cols],
+                )
+                out = out.join(pv, on=name, how="left")
+        return out
 
     @staticmethod
     def _kleene_pairs(

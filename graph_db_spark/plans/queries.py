@@ -8591,4 +8591,33 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "motif_props_projection",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM nation n
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def motif_props_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif finder with PROPERTY projection — Cypher's ``MATCH
+    (r:Region)-[:HAS_NATION]->(n)-[:HAS_CUSTOMER]->(c) RETURN r.name,
+    n.name, count(c)`` (``PropertyGraph.find(props=...)``): each named
+    vertex's requested properties join in column-pruned (never the whole
+    vertex attribute set), then the binding table aggregates. The oracle
+    is the plain relational join — the property-graph view and the
+    relational view of the same data must agree exactly."""
+    g = build_graph(spark, sf_dir)
+    m = g.find(
+        "(r:Region)-[:HAS_NATION]->(n); (n)-[:HAS_CUSTOMER]->(c)",
+        props={"r": ["name"], "n": ["name"]},
+    )
+    return m.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
 _reorder_for_gate()

@@ -788,7 +788,11 @@ class SnapshotTable:
     def compact(self, max_files_per_bucket: int = 1) -> int | None:
         """Bin-pack fragmented buckets: every bucket whose file count
         exceeds ``max_files_per_bucket`` is read and rewritten as fresh
-        files; all other buckets carry forward by reference. Returns the
+        files; all other buckets carry forward by reference. On a
+        ``cluster_by`` table the rewrite re-sorts and re-rolls at
+        ``records_per_file`` — size ``max_files_per_bucket`` to the
+        expected roll count there (≈ bucket rows / records_per_file), or
+        the default of 1 re-compacts such buckets on every call. Returns the
         committed version, or None when nothing is fragmented. The
         operational half of copy-on-write: repeated small merges fragment
         hot buckets into many small files, and scan cost follows file

@@ -250,3 +250,21 @@ def test_k_truss_peels_weak_edges(spark):
     # reversed/duplicate directed input canonicalizes identically
     e2 = edges_of(spark, [(b, a) for a, b in k4] + k4 + pendant + chain)
     assert {(r["a"], r["b"]) for r in k_truss(e2, 4).collect()} == set(t4)
+
+
+def test_find_props_projection(spark):
+    """props= projects vertex properties per named vertex (Cypher's
+    RETURN a.name), column-pruned; unbound names are rejected."""
+    import pytest
+
+    v = spark.createDataFrame(
+        [("a", "T", "Ann"), ("b", "T", "Bob"), ("c", "U", "Cy")],
+        "id string, label string, name string",
+    )
+    e = edges_of(spark, [("a", "b"), ("b", "c")], rel="R")
+    g = PropertyGraph(vertices=v, edges=e)
+    rows = g.find("(x)-[:R]->(y)", props={"y": ["name"]}).collect()
+    got = {(r["x"], r["y"], r["y_name"]) for r in rows}
+    assert got == {("a", "b", "Bob"), ("b", "c", "Cy")}
+    with pytest.raises(ValueError, match="unbound"):
+        g.find("(x)-[:R]->(y)", props={"z": ["name"]})
