@@ -461,6 +461,65 @@ def k_core(
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
+def shortest_path_tree(
+    edges: DataFrame,
+    source: str,
+    max_iter: int = 20,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Single-source BFS tree WITH parent pointers: ``(id, dist,
+    parent)`` for every vertex reachable from ``source`` (the source row
+    carries a null parent). Deterministic: when a vertex is first
+    reached, its parent is the MINIMUM id among the frontier vertices
+    that reach it — so the tree (and any path read off it) is a pure
+    function of the graph, independent of partitioning or schedule.
+
+    Same frontier discipline as :func:`shortest_paths` (static edge
+    table pre-partitioned on src + checkpointed once; per-round shuffle
+    is the frontier only; anti-join settles each vertex exactly once at
+    its minimal depth). BFS terminates when the frontier empties; raises
+    if ``max_iter`` rounds elapse first — a truncated tree would
+    silently miss reachable vertices. Path RECONSTRUCTION is a
+    level-by-level join over the tree (depth-bounded, see
+    ``shortest_path_routes``), never a driver-side walk.
+    """
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .repartition(nparts, "src")
+        .localCheckpoint(eager=True)
+    )
+    tree = (
+        e.sparkSession.createDataFrame([(source,)], "id string")
+        .select("id", F.lit(0).alias("dist"), F.lit(None).cast("string").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = tree.select("id")
+    for d in range(1, max_iter + 1):
+        grown = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
+            .groupBy("id")
+            .agg(F.min("parent").alias("parent"))
+        )
+        new = (
+            grown.join(tree, on="id", how="left_anti")
+            .select("id", F.lit(d).alias("dist"), "parent")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            return tree
+        tree = tree.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("id")
+    raise RuntimeError(
+        f"shortest_path_tree did not finish within {max_iter} rounds "
+        "(frontier still non-empty); raise max_iter"
+    )
+
+
 def k_truss(
     edges: DataFrame,
     k: int,

@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "shortest_path_routes",         # ~14s at sf0.01 (full BFS tree + level-wise reconstruction)
     "streaming_left_outer_attribution",  # ~13s (two-sided state store + null emission)
     "k_truss_cooccurrence",         # ~10s at sf0.01 (3-4 peel rounds, triangle join each)
     "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
@@ -8618,6 +8619,71 @@ def motif_props_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy(
         F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "shortest_path_routes",
+    oracle=f"""
+    WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql()})),
+    walk(id, dist) AS (
+      SELECT 'R:0', 0
+      UNION ALL
+      SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.id
+      WHERE walk.dist < 8
+    ),
+    best AS MATERIALIZED (SELECT id, min(dist) AS dist FROM walk GROUP BY 1),
+    par AS MATERIALIZED (
+      SELECT b.id, min(e.src) AS parent
+      FROM best b JOIN e ON e.dst = b.id
+      JOIN best p ON p.id = e.src AND p.dist = b.dist - 1
+      GROUP BY b.id
+    ),
+    route(id, path) AS (
+      SELECT 'R:0', 'R:0'
+      UNION ALL
+      SELECT pr.id, route.path || '>' || pr.id
+      FROM par pr JOIN route ON route.id = pr.parent
+    )
+    SELECT id, path FROM route
+    WHERE id LIKE 'S:%' AND CAST(substr(id, 3) AS INTEGER) % 37 = 0
+    """,
+)
+def shortest_path_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — shortest-path RECONSTRUCTION (not just
+    distances): the deterministic min-parent BFS tree from the Region
+    landmark (graph/algorithms.py:shortest_path_tree), with the actual
+    path strings rebuilt by a depth-bounded level-by-level join over the
+    tree — never a driver-side walk; each level joins only that level's
+    vertices against the previous level's routes. Output: the canonical
+    route for every 37th supplier. Oracle: recursive-CTE BFS + the same
+    min-parent rule + a recursive path walk."""
+    from graph_db_spark.graph.algorithms import shortest_path_tree
+
+    g = build_graph(spark, sf_dir)
+    tree = shortest_path_tree(g.edges, "R:0", n_partitions=_graph_nparts(sf_dir))
+    maxd = tree.agg(F.max("dist").alias("m")).collect()[0]["m"]  # scalar probe
+    routes = tree.filter(F.col("dist") == 0).select(
+        "id", F.col("id").alias("path")
+    ).localCheckpoint(eager=True)
+    acc = [routes]
+    for d in range(1, maxd + 1):
+        routes = (
+            tree.filter(F.col("dist") == d)
+            .join(
+                routes.select(F.col("id").alias("parent"), F.col("path").alias("ppath")),
+                on="parent",
+            )
+            .select("id", F.concat_ws(">", "ppath", "id").alias("path"))
+            .localCheckpoint(eager=True)
+        )
+        acc.append(routes)
+    allr = acc[0]
+    for r in acc[1:]:
+        allr = allr.unionByName(r)
+    return allr.filter(
+        F.col("id").startswith("S:")
+        & (F.substring("id", 3, 10).cast("int") % 37 == 0)
+    ).select("id", "path")
 
 
 _reorder_for_gate()

@@ -268,3 +268,24 @@ def test_find_props_projection(spark):
     assert got == {("a", "b", "Bob"), ("b", "c", "Cy")}
     with pytest.raises(ValueError, match="unbound"):
         g.find("(x)-[:R]->(y)", props={"z": ["name"]})
+
+
+def test_shortest_path_tree_min_parent_deterministic(spark):
+    """Parent = min id among same-depth predecessors; unreachable nodes
+    absent; non-finishing raises."""
+    import pytest
+
+    from graph_db_spark.graph.algorithms import shortest_path_tree
+
+    e = edges_of(
+        spark,
+        [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"), ("t", "z"), ("x", "y")],
+    )
+    tree = {r["id"]: (r["dist"], r["parent"]) for r in shortest_path_tree(e, "s").collect()}
+    assert tree == {
+        "s": (0, None), "a": (1, "s"), "b": (1, "s"),
+        "t": (2, "a"),  # min("a","b") deterministic
+        "z": (3, "t"),
+    }
+    with pytest.raises(RuntimeError, match="did not finish"):
+        shortest_path_tree(e, "s", max_iter=2)
