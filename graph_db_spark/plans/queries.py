@@ -8686,4 +8686,92 @@ def shortest_path_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "path")
 
 
+@register(
+    "local_clustering_coeff",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_partkey % 4 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+                       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+      SELECT v, count(*) AS t FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    ),
+    lcc AS (
+      SELECT deg.v, deg.d, coalesce(tv.t, 0) AS t,
+             CASE WHEN deg.d >= 2
+                  THEN round(coalesce(tv.t, 0) * 2.0 / (deg.d * (deg.d - 1)), 4)
+                  ELSE 0.0 END AS c
+      FROM deg LEFT JOIN tv ON tv.v = deg.v
+    )
+    SELECT CAST(round(c, 1) AS DOUBLE) AS coeff_bucket,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(sum(t) AS BIGINT) AS total_triangles
+    FROM lcc GROUP BY 1
+    """,
+)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — per-vertex local clustering coefficient on the
+    p%4 part-co-occurrence graph: triangles(v) / C(deg(v), 2). Triangles
+    enumerate ONCE via the id-ordering (x<y<z) and fold to per-vertex
+    counts — one triangle join + two vertex-sized aggregations, the same
+    shuffle shape as k_truss's single round; never per-vertex
+    neighborhood intersection. Output is the 0.1-bucketed coefficient
+    histogram plus the (3×triangle-count) mass check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, on=[F.col("a.o") == F.col("b.o"), F.col("a.p") < F.col("b.p")])
+        .select(F.col("a.p").alias("a"), F.col("b.p").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    xy = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    yz = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    xz = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = xy.join(yz, on="y").join(xz, on=["x", "z"])
+    tv = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lcc = deg.join(tv, on="v", how="left").select(
+        "v", "d", F.coalesce("t", F.lit(0)).alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(F.coalesce("t", F.lit(0)) * 2.0 / (F.col("d") * (F.col("d") - 1)), 4),
+        ).otherwise(0.0).alias("c"),
+    )
+    return lcc.groupBy(
+        F.round(F.col("c"), 1).cast("double").alias("coeff_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum("t").cast("bigint").alias("total_triangles"),
+    )
+
+
 _reorder_for_gate()
