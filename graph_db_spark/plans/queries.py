@@ -8236,10 +8236,12 @@ def profile_distinct_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     measured max across sf0.001-0.1 is 6.4%)."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = [c for c, _ in _PROFILE_COLS]
+    # one-row result referenced by three metric selects → checkpoint so
+    # the exact+approx distinct pass runs once, not three times
     one = li.agg(
         *[PF.distinct_count(c, exact=True).cast("double").alias(f"e_{c}") for c in cols],
         *[PF.distinct_count(c, exact=False).cast("double").alias(f"a_{c}") for c in cols],
-    )
+    ).localCheckpoint(eager=True)
     err = F.greatest(
         *[F.abs(F.col(f"a_{c}") - F.col(f"e_{c}")) / F.col(f"e_{c}") for c in cols]
     )
