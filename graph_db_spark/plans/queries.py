@@ -9096,4 +9096,81 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'le_30d'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN 'le_60d'
+                ELSE 'gt_60d' END AS ship_lag,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate columns, so the
+    lag is shipdate − orderdate bucketed at 30/60 days) — does shipping
+    latency correlate with order priority? One fact⋈orders shuffle join
+    + a two-key aggregate; the CASE buckets evaluate inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, "le_30d").when(lag <= 60, "le_60d").otherwise("gt_60d")
+    )
+    return (
+        li.join(o, on=li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority", bucket.alias("ship_lag"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+
+
+@register(
+    "heavy_part_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l.l_suppkey, sum(l.l_quantity) AS total_qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'SMALL'
+      GROUP BY 1
+    )
+    SELECT CAST(sq.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           round(sq.total_qty, 4) AS total_qty
+    FROM sq JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    WHERE sq.total_qty > (SELECT avg(total_qty) * 1.1 FROM sq)
+    """,
+)
+def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for availqty)
+    — suppliers who moved >1.1× the average SMALL-part volume (the
+    fixture quantities are near-uniform, so 1.1× is the discriminating
+    cut at every SF): the
+    candidate-supplier decorrelation with the average as a broadcast
+    1-row aggregate over the checkpointed per-supplier totals (one fact
+    pass feeds both sides)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sq = (
+        li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .localCheckpoint(eager=True)
+    )
+    cut = sq.agg((F.avg("total_qty") * 1.1).alias("cut"))
+    return (
+        sq.crossJoin(F.broadcast(cut))
+        .filter(F.col("total_qty") > F.col("cut"))
+        .join(F.broadcast(s), on=sq["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            r4(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+
+
 _reorder_for_gate()
