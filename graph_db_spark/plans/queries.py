@@ -8093,7 +8093,7 @@ def pipeline_snapshot_merge_rerun(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _run_batched_stream(spark, name, batches, transform, mode="append"):
+def _run_batched_stream(spark, name, batches, transform, mode="append", tag=""):
     """Run a streaming job over a deterministic SEQUENCE of micro-batches:
     each batch is one parquet file (mtimes 10s apart so the file source's
     oldest-first ordering is unambiguous) and ``maxFilesPerTrigger=1``
@@ -8114,7 +8114,7 @@ def _run_batched_stream(spark, name, batches, transform, mode="append"):
     import tempfile
     import time
 
-    d = os.path.join(tempfile.gettempdir(), f"graft_stream2_{name}")
+    d = os.path.join(tempfile.gettempdir(), f"graft_stream2_{name}_{tag}")
     shutil.rmtree(d, ignore_errors=True)
     src = os.path.join(d, "src")
     os.makedirs(src)
@@ -8201,10 +8201,13 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = ev.filter(~mod.isin(3, 7) & (F.col("ts") < cut))
     b1 = ev.filter((mod == 3) & (F.col("ts") < cut))
     b2 = ev.filter((mod == 7) | ((mod != 7) & (F.col("ts") >= cut)))
+    import os
+
     out = _run_batched_stream(
         spark, "late_data", [b0, b1, b2],
         lambda s: STRM.stream_daily_stats(s, watermark="2 days"),
         mode="append",
+        tag=f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
     )
     return out.select(
         "day",
