@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "truss_communities",            # ~17s at sf0.01 (peel + CC + unrolled closure oracle)
     "shortest_path_routes",         # ~14s at sf0.01 (full BFS tree + level-wise reconstruction)
     "streaming_left_outer_attribution",  # ~13s (two-sided state store + null emission)
     "k_truss_cooccurrence",         # ~10s at sf0.01 (3-4 peel rounds, triangle join each)
@@ -8517,6 +8518,67 @@ def k_truss_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy(F.col("support").cast("bigint").alias("support")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     )
+
+
+@register(
+    "truss_communities",
+    oracle=_k_truss_oracle_sql().replace(
+        "WITH op AS", "WITH RECURSIVE op AS", 1
+    ).replace(
+        """
+    SELECT CAST(s AS BIGINT) AS support, CAST(count(*) AS BIGINT) AS n_edges
+    FROM fsupp GROUP BY 1
+    """,
+        """,
+    tedges AS (
+      SELECT a AS src, b AS dst FROM fsupp
+      UNION ALL SELECT b, a FROM fsupp
+    ),
+    tnodes AS (SELECT DISTINCT src AS id FROM tedges),
+    reach(id, rid) AS (
+      SELECT id, id FROM tnodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN tedges e ON e.src = r.rid
+    ),
+    memb AS (SELECT id, min(rid) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, count(*) AS community_size FROM memb GROUP BY 1)
+    SELECT CAST(community_size AS BIGINT) AS community_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY 1
+    """,
+    ),
+)
+def truss_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — cohesive community detection by COMPOSITION:
+    the 6-truss strips every weakly-attached edge (k_truss), then
+    connected components over the surviving edges yields communities in
+    which every member edge closes ≥4 internal triangles — the standard
+    truss-community construction, and exactly the kind of two-operator
+    pipeline a graph-DB user writes. Both stages are the already-verified
+    operators; the oracle appends the recursive closure to the unrolled
+    peel. Output: community-size histogram."""
+    from graph_db_spark.graph.algorithms import connected_components, k_truss
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, on=[F.col("a.o") == F.col("b.o"), F.col("a.p") < F.col("b.p")])
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    truss = k_truss(e, 6).select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    comp = connected_components(truss, n_partitions=4)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("community_size"))
+    return sizes.groupBy(
+        F.col("community_size").cast("bigint").alias("community_size")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
 
 
 @register(
