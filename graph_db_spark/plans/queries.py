@@ -3807,6 +3807,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_element_results", # ~8s
     "cooccurrence_triangles",       # ~9s
     "near_dup_clusters",            # ~9s
+    "curated_training_corpus",      # ~18s at sf0.01 (LSH dedup → quality cut → split, end-to-end)
     "truss_communities",            # ~17s at sf0.01 (peel + CC + unrolled closure oracle)
     "shortest_path_routes",         # ~14s at sf0.01 (full BFS tree + level-wise reconstruction)
     "streaming_left_outer_attribution",  # ~13s (two-sided state store + null emission)
@@ -8579,6 +8580,117 @@ def truss_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(
         F.col("community_size").cast("bigint").alias("community_size")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+
+
+_CURATED_ORACLE = f"""
+    WITH RECURSIVE {_minhash_band_sql()},
+    vtoks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN vtoks a ON a.doc_id = c.id_a
+      JOIN vtoks b ON b.doc_id = c.id_b
+      WHERE len(list_intersect(a.t, b.t)) * 1.0
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.6
+    ),
+    dedges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    dnodes AS (SELECT DISTINCT src AS id FROM dedges),
+    reach(id, rid) AS (
+      SELECT id, id FROM dnodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN dedges e ON e.src = r.rid
+    ),
+    -- the canonical pick must mirror Spark's CC label exactly: component
+    -- ids are STRINGS there, so min() is lexicographic ('10' < '9')
+    memb AS (
+      SELECT id, min(CAST(rid AS VARCHAR)) AS canonical FROM reach GROUP BY id
+    ),
+    drops AS (SELECT id FROM memb WHERE CAST(id AS VARCHAR) <> canonical),
+    keepd AS (
+      SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
+    ),
+    hq AS (
+      SELECT doc_id, source, n_chars, text,
+             len(list_distinct(list_intersect(
+               list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               {{sw_en}}))) AS h_en,
+             len(list_distinct(list_intersect(
+               list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               {{sw_es}}))) AS h_es,
+             len(list_distinct(list_intersect(
+               list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               {{sw_de}}))) AS h_de,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM keepd
+    ),
+    q AS (
+      SELECT doc_id, source, n_chars,
+             round((least(n_tok / 50.0, 1.0)
+                    + (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                                    / nullif(length(text), 0)) * 5.0, 1.0))
+                    + least((h_en + h_es + h_de) / 5.0, 1.0)) / 3.0, 4) AS quality
+      FROM hq
+    ),
+    med AS (SELECT source, quantile_cont(quality, 0.5) AS m FROM q GROUP BY 1),
+    kept AS (
+      SELECT q.* FROM q JOIN med ON med.source = q.source WHERE q.quality >= med.m
+    ),
+    final AS (
+      SELECT source,
+             CASE WHEN {_poly_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                  WHEN {_poly_sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM kept
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM final GROUP BY 1, 2
+""".replace("{sw_en}", _SW_SQL["en"]).replace("{sw_es}", _SW_SQL["es"]).replace("{sw_de}", _SW_SQL["de"])
+
+
+@register("curated_training_corpus", oracle=_CURATED_ORACLE)
+def curated_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation pipeline as ONE composed
+    query — what this engine exists for at 100 TB:
+
+    1. near-duplicate clustering (MinHash-LSH → exact Jaccard verify →
+       transitive closure) drops every non-canonical copy;
+    2. per-source MEDIAN quality cut (quantile-relative, not absolute);
+    3. deterministic hash split into train/valid/test (retry-safe, no
+       rand());
+    4. the per-(source, split) corpus report.
+
+    Every stage is an already-verified operator; the oracle replays the
+    entire composition in SQL (recursive closure included), so the
+    four-stage hand-off — including exactly WHICH docs each stage drops
+    — is hash-checked end to end."""
+    from graph_db_spark.operators.dedup import near_dup_clusters, portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, "text", "doc_id", threshold=0.6)
+    drops = clusters.filter(~F.col("is_canonical")).select(
+        F.col("id").cast("bigint").alias("doc_id")
+    )
+    keep = docs.join(drops, on="doc_id", how="left_anti")
+    q = keep.select(
+        "doc_id", "source", "n_chars", r4(TX.quality_score("text")).alias("quality")
+    )
+    med = q.groupBy("source").agg(PF.percentile(F.col("quality"), 0.5).alias("m"))
+    kept = q.join(F.broadcast(med), on="source").filter(F.col("quality") >= F.col("m"))
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    return kept.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
 
 
 @register(
