@@ -3830,13 +3830,15 @@ _EXPENSIVE_LAST = [
 # queries had never carried a driver-green row — including the graph
 # flagships whose only rows were r02 `no_oracle` errors (VERDICT r4
 # "What's missing" #1 / "Next round" #1). This window is 50 of those
-# never-green names. The r06 rotation pool is the remaining 48
-# never-green: 31 sub-second scalar/set/window shapes deferred here,
-# plus the 17 queries registered after this window froze (k-truss, LCC,
+# never-green names. The r06 rotation pool is the remaining 50
+# never-green — exactly one more full window: 31 sub-second
+# scalar/set/window shapes deferred here, plus the 19 queries
+# registered after this window froze (k-truss + truss communities, LCC,
 # range pruning, MIN/MAX IVM, left-outer streaming, route
-# reconstruction, property-projected motifs, and the ten Q6-Q20 TPC-H
-# shapes). Ordered cheapest-first within the window so a wall-clock cut
-# drops as few verdicts as possible (tools/check_correctness.py sf0.01).
+# reconstruction, property-projected motifs, the ten Q6-Q20 TPC-H
+# shapes, and the curated_training_corpus capstone). Ordered
+# cheapest-first within the window so a wall-clock cut drops as few
+# verdicts as possible (tools/check_correctness.py sf0.01).
 _GATE_WINDOW = [
     # cheap graph + motif shapes
     "degree_histogram", "motif_branch_conation", "motif_4hop_counts",
