@@ -212,3 +212,15 @@ def test_q15_scans_the_fact_once(spark):
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
     assert "l_extendedprice" not in plan.split("Scan parquet")[-1]
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 is a pure pushed-filter scan: every predicate (shipdate range,
+    discount band, quantity cap) must reach the parquet reader, and the
+    projection must prune to the three referenced columns + filters."""
+    plan = plan_of(spark, "forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:500]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert "Exchange" in plan  # only the final 1-row reduce shuffles
+    assert "l_returnflag" not in plan  # column pruning held

@@ -585,3 +585,48 @@ def test_kleene_pairs_equal_python_reference(spark, edges, mn, width):
         if depth >= mn:
             want |= level
     assert got == want, (sorted(got), sorted(want), mn, mx, sorted(set(edges)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
+        min_size=3,
+        max_size=25,
+    ),
+    k=st.integers(3, 5),
+)
+def test_k_truss_equals_python_peel(spark, edges, k):
+    """Property: for ANY small graph (multi-edges, reversed duplicates)
+    and k in 3..5, the DataFrame edge-peel equals a brute-force Python
+    peel to fixpoint — surviving edge set AND per-edge supports."""
+    from collections import defaultdict
+
+    from graph_db_spark.graph.algorithms import k_truss
+
+    e = spark.createDataFrame(
+        [(f"v{a}", f"v{b}", "E") for a, b in edges],
+        "src string, dst string, rel_type string",
+    )
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(e, k).collect()}
+
+    cur = {tuple(sorted((f"v{a}", f"v{b}"))) for a, b in edges}
+    while True:
+        nbr = defaultdict(set)
+        for a, b in cur:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        supp = {(a, b): len(nbr[a] & nbr[b]) for a, b in cur}
+        keep = {p for p in cur if supp[p] >= k - 2}
+        if keep == cur:
+            want = {p: supp[p] for p in keep}
+            break
+        cur = keep
+        if not cur:
+            want = {}
+            break
+    assert got == want, (got, want, k, sorted(set(edges)))
