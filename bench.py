@@ -81,6 +81,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -91,7 +92,24 @@ def main() -> None:
                 "reps": reps,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # The driver keeps only the TAIL of stdout, so the full per-query line
+    # above truncates and has parsed=null in every BENCH_r0*.json. Emit a
+    # compact machine-readable summary LAST so it survives tail capture.
+    print(
+        json.dumps(
+            {
+                "metric": "queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "mean_sec_per_query": round(total / max(len(timings), 1), 3),
+                "reps": reps,
+                "loadavg_end": _loadavg(),
+                "sf": sf_val,
             }
         )
     )

@@ -17,6 +17,7 @@ Conventions that keep the value-hash comparison deterministic:
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 
@@ -33,6 +34,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Stable per-SF tag for scratch dirs / stream names. A digest, not
+    ``hash()``: Python str hash is salted per process (PYTHONHASHSEED is
+    not pinned), so hash-derived tags were random per run — stale
+    /tmp/graft_* trees never matched the cleanup path and paths were not
+    reproducible across processes (r5 ADVICE #1)."""
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -44,7 +54,12 @@ def register(name: str, oracle: str | None = None):
 
 
 def r4(c: Column) -> Column:
-    return F.round(c, 4)
+    # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0): the
+    # driver's serialized value-hash distinguishes -0.0 from 0.0, so any
+    # rounded emission that can be a tiny negative must pin the sign.
+    # Oracle SQL must apply the same `+ 0.0` after round() (r5 verdict:
+    # weighted_sample_docs hash-FAIL — DuckDB round keeps -0.0).
+    return F.round(c, 4) + F.lit(0.0)
 
 
 def _fmt_ts(c: Column) -> Column:
@@ -2651,7 +2666,7 @@ def _run_stream_to_table(spark, sf_dir, name, transform, table="events", mode="c
     batch = load_table(spark, sf_dir, table)
     d = os.path.join(
         tempfile.gettempdir(),
-        f"graft_stream_{name}_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"graft_stream_{name}_{_sf_tag(sf_dir)}",
     )
     batch.write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(batch.schema).parquet(d)
@@ -2664,7 +2679,13 @@ def _run_stream_to_table(spark, sf_dir, name, transform, table="events", mode="c
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
     return spark.table(qname)
 
 
@@ -3825,51 +3846,48 @@ _EXPENSIVE_LAST = [
 ]
 
 
-# Round-5 rotation of the driver's correctness window (the driver gate
-# reads the FIRST 50 registered queries): after r04, 75 registered
-# queries had never carried a driver-green row — including the graph
-# flagships whose only rows were r02 `no_oracle` errors (VERDICT r4
-# "What's missing" #1 / "Next round" #1). This window is 50 of those
-# never-green names. The r06 rotation pool is the remaining 50
-# never-green — exactly one more full window: 31 sub-second
-# scalar/set/window shapes deferred here, plus the 19 queries
-# registered after this window froze (k-truss + truss communities, LCC,
-# range pruning, MIN/MAX IVM, left-outer streaming, route
-# reconstruction, property-projected motifs, the ten Q6-Q20 TPC-H
-# shapes, and the curated_training_corpus capstone). Ordered
-# cheapest-first within the window so a wall-clock cut drops as few
-# verdicts as possible (tools/check_correctness.py sf0.01).
+# Round-6 rotation of the driver's correctness window (the driver gate
+# reads the FIRST 50 registered queries). This window is the FINAL 50
+# never-driver-checked names — computed as registered ∖ union of
+# CORRECTNESS_r01-r05 keys (verified exactly 50 at r6 open): the 17
+# §2-verifying shapes that were local-oracle-only through r5, the
+# deferred sub-second analytics/TPC-H shapes, and the round-5 flagships
+# registered after the r5 window froze (k-truss + truss communities,
+# LCC, range pruning, MIN/MAX IVM, left-outer streaming, route
+# reconstruction, property-projected motifs, curated_training_corpus).
+# After this window goes green, cumulative driver verification is
+# 201/202. Ordered cheapest-first (BENCH_r05 per-query times +
+# sf0.01 measurements) so a wall-clock cut drops as few verdicts as
+# possible (tools/check_correctness.py sf0.01).
+#
+# r07 window: pin "weighted_sample_docs" FIRST (its r5 driver row was
+# hash_match=false from the -0.0 round() divergence, fixed this round
+# — see r4/`round_pos0` below); fill the rest with rotating re-checks
+# of the oldest driver-green rows (r01 names first).
 _GATE_WINDOW = [
-    # cheap graph + motif shapes
-    "degree_histogram", "motif_branch_conation", "motif_4hop_counts",
-    # LLM text ops
-    "doc_chunks", "repeated_spans", "embedding_diversity", "trigram_lm_topk",
-    "unigram_logperplexity", "tokenizer_fertility", "sequence_packing",
-    # deterministic corpus ops
-    "dataset_split_assign", "corpus_shard_plan", "corpus_global_shuffle",
-    "stratified_sample", "mixture_weights", "weighted_sample_docs",
-    # SCD2 + decision-support family
-    "scd2_user_state", "scd2_lookup_join", "order_priority_checking",
-    "returned_item_reporting", "small_quantity_revenue",
-    "disjunctive_discount_revenue",
-    # analytics / data-quality battery
-    "table_profile", "dq_validation_report", "robust_outliers",
-    "quality_quantile_filter", "equi_depth_histogram",
-    "chi_square_independence", "entity_resolution_pairs", "cusum_drift",
-    "cohort_retention",
-    # round-5 approx-swap contracts
-    "profile_distinct_approx_bound", "quantile_approx_bound",
-    # dedup / similarity flagships (exact oracles since r3, never driver-seen)
-    "semantic_dedup", "incremental_lsh_dedup", "streaming_incremental_dedup",
-    # round-5 additions
-    "motif_var_length", "pipeline_snapshot_merge_rerun", "streaming_late_data",
-    "dedup_skewed_corpus",
-    # iterative graph flagships, cheapest-first (the r02 no_oracle re-entries
-    # connected_components/pagerank among them)
-    "link_prediction_adamic_adar", "label_propagation", "hits_scores",
-    "shortest_paths_from_regions", "cooccurrence_triangles", "k_core_4",
-    "streaming_touch_pairs", "connected_components", "pagerank",
-    "personalized_pagerank_regions",
+    # §2-verifying scalar/set/window shapes (local-green since r3/r4)
+    "iso_z_parse", "ineq_trimmed_float", "json_encode_props",
+    "area_normalized_sum", "capped_label_sample", "longest_label_pick",
+    "intersect_types", "except_types", "fallback_selection",
+    "data_field_discovery", "wide_melt_roundtrip", "constraint_violations",
+    "dangling_edge_check", "conditional_edge_join", "window_widened_scan",
+    "dynamic_measurement_pivot", "asof_bucketed_line",
+    # sub-second analytics battery
+    "source_dup_rate", "rolling_anomaly_flags", "forecast_revenue",
+    "dow_seasonality", "funnel_conversion", "promo_revenue_share",
+    "percentile_sketch_bound", "gap_fill_forward", "top_supplier_revenue",
+    "range_band_join", "parts_supplier_counts", "event_transition_matrix",
+    "customer_order_distribution", "important_parts_share",
+    "heavy_part_suppliers", "nation_volume_shipping",
+    "last_touch_attribution", "local_supplier_volume", "product_type_profit",
+    "session_overlap_pairs", "late_shipment_priority", "nation_market_share",
+    # sketch (rows-only) + heavier analytics
+    "hll_user_reach", "local_clustering_coeff", "order_value_deciles",
+    "motif_props_projection",
+    # round-5 flagships, cheapest-first at sf0.01
+    "k_truss_cooccurrence", "snapshot_range_pruning",
+    "streaming_left_outer_attribution", "shortest_path_routes",
+    "truss_communities", "curated_training_corpus", "ivm_minmax_rescan",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -5382,7 +5400,7 @@ def _weighted_sample_oracle_sql(k: int = 100, seed: int = 83) -> str:
              ln(({h64} + 1.0) / {rng + 1.0!r}) / greatest(n_chars, 1) AS k
       FROM documents
     )
-    SELECT doc_id, n_chars, round(k, 4) AS es_key
+    SELECT doc_id, n_chars, round(k, 4) + 0.0 AS es_key
     FROM keyed ORDER BY k DESC, doc_id LIMIT {k}
     """
 
@@ -5551,7 +5569,7 @@ def streaming_touch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = os.path.join(
         tempfile.gettempdir(),
-        f"graft_stream_touch_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"graft_stream_touch_{_sf_tag(sf_dir)}",
     )
     ev.write.mode("overwrite").parquet(d)
     p_stream = (
@@ -5571,7 +5589,13 @@ def streaming_touch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
     return (
         spark.table(qname)
         .groupBy(
@@ -6075,7 +6099,7 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    tag = _sf_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"graft_snaptable_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     t = SnapshotTable.create(
@@ -6150,7 +6174,7 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    tag = _sf_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"graft_ivm_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     t = SnapshotTable.create(
@@ -6355,7 +6379,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") >= 400)
     # index built once, materialized — every micro-batch reuses the rows
     index = D.minhash_banded(corpus, "text", "doc_id").localCheckpoint()
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    tag = _sf_tag(sf_dir)
     src = os.path.join(tempfile.gettempdir(), f"graft_incdedup_src_{tag}")
     out = os.path.join(tempfile.gettempdir(), f"graft_incdedup_out_{tag}")
     ckpt = os.path.join(tempfile.gettempdir(), f"graft_incdedup_ckpt_{tag}")
@@ -6368,7 +6392,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = STRM.stream_incremental_dedup(stream, index, out, ckpt)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
     return spark.read.parquet(out).select("new_id", "corpus_id").distinct()
 
 
@@ -8077,7 +8107,7 @@ def pipeline_snapshot_merge_rerun(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from graph_db_spark.writers.snapshots import SnapshotTable
 
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    tag = _sf_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"graft_snap_rerun_{tag}", "weather_days")
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     run1 = P.build(spark, sf_dir, only=["weather_days"],
@@ -8144,7 +8174,13 @@ def _run_batched_stream(spark, name, batches, transform, mode="append", tag=""):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
     return spark.table(qname)
 
 
@@ -8211,7 +8247,7 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "late_data", [b0, b1, b2],
         lambda s: STRM.stream_daily_stats(s, watermark="2 days"),
         mode="append",
-        tag=f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        tag=_sf_tag(sf_dir),
     )
     return out.select(
         "day",
@@ -8300,8 +8336,16 @@ def quantile_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("sum_exact_median").alias("metric"), "value"
         ),
     )
+    # denominator floored at 1e-12: a group whose exact median is 0 would
+    # yield NULL rel-err, F.max would IGNORE it, and the contract row
+    # would report pass without checking that group (r5 ADVICE #4) — the
+    # floor turns any nonzero absolute error on a zero median into a
+    # loud contract failure instead of a silent skip.
     contract = g.agg(
-        F.max(F.abs(F.col("a") - F.col("e")) / F.abs(F.col("e"))).alias("err")
+        F.max(
+            F.abs(F.col("a") - F.col("e"))
+            / F.greatest(F.abs(F.col("e")), F.lit(1e-12))
+        ).alias("err")
     ).select(
         F.lit("max_rel_err_le_002").alias("metric"),
         F.when(F.col("err") <= 0.02, 1.0).otherwise(0.0).alias("value"),
@@ -8341,7 +8385,7 @@ def snapshot_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     n = cust.count()
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    tag = _sf_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"graft_snap_range_{tag}", "cust")
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     t = SnapshotTable.create(
@@ -8411,7 +8455,7 @@ def ivm_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    tag = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    tag = _sf_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"graft_ivm_mm_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     t = SnapshotTable.create(
@@ -8745,7 +8789,7 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     ev = load_table(spark, sf_dir, "events")
     d = os.path.join(
         tempfile.gettempdir(),
-        f"graft_stream_lo_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"graft_stream_lo_{_sf_tag(sf_dir)}",
     )
     ev.write.mode("overwrite").parquet(d)
     p_stream = (
@@ -8765,7 +8809,13 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
     return (
         spark.table(qname)
         .groupBy(

@@ -49,10 +49,9 @@ def test_oracle_keys_subset_of_queries():
 
 def test_gate_window_and_expensive_tail_ordering():
     """Registration order = the driver's contract: the first 50 names are
-    exactly _GATE_WINDOW (the round-4 rotation giving driver-visible
-    correctness rows to the families rounds 1-3 never surfaced), and the
-    expensive iterative queries not promoted into the window close the
-    tail in their cost order."""
+    exactly _GATE_WINDOW (the round-6 rotation closing the never-driver-
+    checked backlog), and the expensive iterative queries not promoted
+    into the window close the tail in their cost order."""
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
     q = list(queries())
@@ -61,3 +60,67 @@ def test_gate_window_and_expensive_tail_ordering():
     assert set(_EXPENSIVE_LAST) <= set(q), set(_EXPENSIVE_LAST) - set(q)
     tail = [n for n in _EXPENSIVE_LAST if n not in set(_GATE_WINDOW)]
     assert q[-len(tail):] == tail
+
+
+def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
+    """The r6 rotation's whole point (r5 verdict #1): the window must be
+    EXACTLY the 50 names absent from every CORRECTNESS_r0{1..5}.json, so
+    one green round completes full-inventory driver verification
+    (201/202 — weighted_sample_docs has an r5 row, hash-red, re-queued
+    first in the r7 window)."""
+    import glob
+    import json
+    import os
+
+    from graph_db_spark.plans.queries import _GATE_WINDOW
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-5].json")))
+    if len(files) < 5:
+        pytest.skip("driver correctness files absent")
+    seen = set()
+    for f in files:
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    never = {n for n in queries() if n not in seen}
+    assert set(_GATE_WINDOW) == never, (
+        set(_GATE_WINDOW) ^ never
+    )
+
+
+def test_rounded_emissions_cannot_produce_negative_zero(spark, sf_dir):
+    """Driver-hash trap regression (r5 verdict #2): Spark `r4` and the
+    paired oracle `round(...,4) + 0.0` must both normalize IEEE -0.0 —
+    the driver's serialized value-hash distinguishes -0.0 from 0.0 even
+    though == does not. Exercise the query that actually failed r5
+    (weighted_sample_docs: 7 of 100 ES keys round to zero at sf0.01,
+    several at sf0.001 too) plus r4 on a literal -0.0-producing column."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.plans.queries import r4
+
+    # unit level: r4 pins the sign of a rounded tiny negative
+    row = spark.range(1).select(r4(F.lit(-1e-9)).alias("v")).first()
+    assert row.v == 0.0 and math.copysign(1.0, row.v) > 0
+
+    # query level, both engines, at fixture scale
+    from __spark_entry__ import oracle_sql as _osql
+    from __spark_entry__ import queries as _qs
+    from graph_db_spark.tables import TABLE_NAMES
+
+    sdf = _qs()["weighted_sample_docs"](spark, sf_dir)
+    svals = [v for r in sdf.collect() for v in r if isinstance(v, float)]
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ovals = [
+        v
+        for r in con.execute(_osql()["weighted_sample_docs"]).fetchall()
+        for v in r
+        if isinstance(v, float)
+    ]
+    assert any(v == 0.0 for v in svals + ovals), "fixture no longer hits the round-to-zero path"
+    bad = [v for v in svals + ovals if v == 0.0 and math.copysign(1.0, v) < 0]
+    assert not bad, f"{len(bad)} -0.0 cells emitted"

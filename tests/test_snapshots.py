@@ -168,6 +168,46 @@ def test_txn_replay_noop_survives_vacuum(spark, tmp_path):
     assert t.latest_version() == v + 1
 
 
+def test_txn_highwater_map_is_o1_and_retention_independent(spark, tmp_path):
+    """The exactly-once contract at streaming commit counts (r5 verdict
+    #8): every manifest carries the cumulative {app: max txn_id} map, so
+    (a) resolving a marker is ≤2 manifest reads no matter how many
+    commits the table has seen — the old newest-first walk was O(versions)
+    driver-side file opens per batch — and (b) a marker whose manifest
+    was VACUUMED still reads as seen, so a delayed replay of an ancient
+    batch cannot re-commit under a non-idempotent strategy."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
+    sink = snapshot_sink(t, app_id="job1")
+    for b in range(6):
+        sink(_mk(spark, [(10 + b, "x")]), b)
+    # interleaved non-txn commits must CARRY the map, not drop it
+    t.delete(_mk(spark, [(10, "x")]).select("k"))
+    t.merge(_mk(spark, [(11, "x2")]), mode="mor")  # delta atop 11's existing file
+    assert t.compact() is not None
+    t.vacuum(keep_last=1, min_age_seconds=0)  # every txn-marked manifest is gone
+    reads = 0
+    orig = SnapshotTable._read_manifest
+
+    def counting(self, version):
+        nonlocal reads
+        reads += 1
+        return orig(self, version)
+
+    SnapshotTable._read_manifest = counting
+    try:
+        assert t._txn_seen(t.latest_version(), ("job1", 0)) is True  # ancient marker
+        assert t._txn_seen(t.latest_version(), ("job1", 5)) is True  # newest marker
+        assert t._txn_seen(t.latest_version(), ("job1", 6)) is False
+        assert t._txn_seen(t.latest_version(), ("other_app", 1)) is False
+        assert reads <= 2 * 4, f"{reads} manifest reads for 4 probes"
+    finally:
+        SnapshotTable._read_manifest = orig
+    # the replayed ancient batch is a noop even though its manifest is vacuumed
+    v = t.latest_version()
+    sink(_mk(spark, [(99, "replay")]), 0)
+    assert t.latest_version() == v
+
+
 def test_scan_on_date_key_prunes_without_type_error(spark, tmp_path):
     """Stats for non-JSON-native key types are stringified by _json_safe;
     the pruner must compare them canonically, not str-vs-date (ADVICE r4 #4).

@@ -35,6 +35,19 @@ def norm_cell(v):
     return str(v)
 
 
+def neg_zero_cells(rows):
+    """Count IEEE -0.0 cells: the driver's serialized value-hash
+    distinguishes -0.0 from 0.0 even though == does not (r5 verdict,
+    weighted_sample_docs). Any query emitting one on EITHER side is a
+    latent hash mismatch — normalize with `+ 0.0` on both sides."""
+    return sum(
+        1
+        for r in rows
+        for v in r
+        if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+    )
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -85,6 +98,11 @@ def main() -> int:
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ; first diffs: {diff}")
+        nz = neg_zero_cells(srows) + neg_zero_cells(orows)
+        if nz:
+            problems.append(
+                f"negative-zero: {nz} -0.0 cell(s) emitted (driver hash trap)"
+            )
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
