@@ -214,6 +214,39 @@ def test_q15_scans_the_fact_once(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_iterative_round_reuses_edge_partitioning(spark):
+    """Pin the r5 headline wins (CC 20.8→13.0s, PageRank 21.5→13.9s at
+    sf0.1): every iterative algorithm pre-partitions its static edge
+    table on the per-round join key and checkpoints it
+    (graph/algorithms.py:prepartition_for_rounds); LogicalRDD preserves
+    the partitioning, so a round's join must shuffle ONLY the narrow
+    label/rank side — exactly one Exchange in the plan, never one on the
+    checkpointed edge side. Dropping the repartition inside the helper
+    turns the count to 2."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.graph.algorithms import prepartition_for_rounds
+
+    edges = spark.range(2000).select(
+        (F.col("id") % 500).cast("string").alias("src"),
+        ((F.col("id") * 7) % 500).cast("string").alias("dst"),
+    )
+    sym = prepartition_for_rounds(edges.select("src", F.col("dst").alias("b")), 8, "b")
+    labels = spark.range(500).select(
+        F.col("id").cast("string").alias("b"), F.col("id").alias("label")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = sym.join(labels, on="b")
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 Exchange (label side only), got {n_exchanges}:\n{plan}"
+
+
 def test_forecast_revenue_pushes_all_predicates(spark):
     """Q6 is a pure pushed-filter scan: every predicate (shipdate range,
     discount band, quantity cap) must reach the parquet reader, and the
