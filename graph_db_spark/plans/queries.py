@@ -1853,6 +1853,58 @@ def tz_offset_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tz_zone_correct_offsets",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR AS ts
+      FROM orders),
+    off AS (
+      SELECT yr,
+             date_diff('hour', ts, timezone('America/New_York', timezone('UTC', ts))) AS ny_off,
+             date_diff('hour', ts, timezone('Europe/Istanbul', timezone('UTC', ts))) AS ist_off
+      FROM t)
+    SELECT yr, CAST(ny_off AS BIGINT) AS ny_off, CAST(ist_off AS BIGINT) AS ist_off,
+           CAST(ist_off <> 3 AS BOOLEAN) AS ist_diverges_from_lossy_map,
+           CAST(count(*) AS BIGINT) AS n
+    FROM off GROUP BY 1, 2, 3, 4
+    """,
+)
+def tz_zone_correct_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8's zone-CORRECT companion (SURVEY §7.4.5 "real zone conversion
+    and document divergence"): DST-true conversion via Spark
+    ``convert_timezone`` against DuckDB ICU ``timezone()``, grouped into
+    per-year (zone-offset) distributions over orders noon timestamps.
+
+    Divergence from the reference's lossy map (app/utils.py:34-43,
+    replicated as `tz_offset_map`/F8), measured in the data itself:
+    - America/New_York: the lossy map returns NULL; the zone-correct
+      offset is -5 (EST) or -4 (EDT) depending on the date.
+    - Europe/Istanbul: the lossy map hardcodes +03:00, but Turkey
+      observed DST through 2016, so the 1992-1998 order dates split
+      +2 (winter) / +3 (summer) — every +2 row is a date the reference
+      would shift by a wrong hour. ``ist_diverges_from_lossy_map``
+      flags them.
+    Scale: pure Column expressions over one scan + one grouped agg."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.to_timestamp_ntz(
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(" 12:00:00"))
+    )
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), ts)
+    ist = F.convert_timezone(F.lit("UTC"), F.lit("Europe/Istanbul"), ts)
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.timestamp_diff("HOUR", ts, ny).cast("bigint").alias("ny_off"),
+            F.timestamp_diff("HOUR", ts, ist).cast("bigint").alias("ist_off"),
+        )
+        .withColumn("ist_diverges_from_lossy_map", F.col("ist_off") != 3)
+        .groupBy("yr", "ny_off", "ist_off", "ist_diverges_from_lossy_map")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
     "datetime_components",
     oracle="""
     SELECT o_orderkey,
