@@ -438,3 +438,217 @@ def embedding_diversity(
     return ss.join(cnt, on=keys).select(
         *keys, "n_vectors", F.round(mean_cos, 4).alias("mean_pairwise_cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid: "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the compressed-domain ANN path.
+# ---------------------------------------------------------------------------
+
+
+def _sub(vec: Column, s: int, subdim: int) -> Column:
+    """Subspace ``s``'s slice of a vector (1-based F.slice)."""
+    return F.slice(vec, s * subdim + 1, subdim)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via the expanded form dp(a,a) − 2·dp(a,b) +
+    dp(b,b). The THREE left-to-right dot-product folds are the exact
+    summation order the DuckDB oracle replays (list_dot_product is also a
+    left fold) — the same cross-engine float-parity discipline as the IVF
+    argmax (plans/queries.py:_ivf_training_sql)."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def _argmin_code(sub: Column, book: Column) -> Column:
+    """Index of the nearest codeword (squared L2; ties → SMALLER index via
+    ascending struct sort on (dist, idx) — the oracle's
+    ``ORDER BY d ASC, code ASC``)."""
+    dists = F.transform(book, lambda c: _l2sq(sub, c))
+    idx = F.sequence(F.lit(0), F.size(book) - 1)
+    ranked = F.array_sort(
+        F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    return ranked[0]["i"]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k_sub: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace codebooks of ``k_sub`` codewords each —
+    plain (non-spherical) L2 k-means over each subvector block.
+
+    Same engine-portable determinism contract as :func:`ivf_centroids`:
+    seeds are the ``k_sub`` corpus rows with the smallest LCG mix
+    ``(id·1103515245 + 12345) mod 2³¹`` (one seed ROW set shared by all
+    subspaces — each subspace takes its slice), assignment is argmin
+    squared-L2 with smaller-index tiebreak, means are plain per-dimension
+    averages (no normalization — PQ codewords live in the data's affine
+    space), and an empty cluster keeps its previous codeword. Per Lloyd
+    round: one narrow argmin pass + one posexplode/groupBy-avg shuffle
+    covering ALL subspaces at once; only m·k_sub·(dim/m) = dim·k_sub
+    doubles ever reach the driver, so training holds at corpus scale."""
+    subdim = dim // m
+    v = _as_double(F.col(vec_col))
+    lcg = (F.col(id_col).cast("bigint") * 1103515245 + 12345) % 2147483648
+    base = corpus.select(
+        v.alias("v"), lcg.alias("h"), F.col(id_col).alias("_sid")
+    ).localCheckpoint(eager=True)
+    seed_rows = base.orderBy("h", "_sid").limit(k_sub).select("v").collect()
+    books = [
+        [list(r["v"])[s * subdim : (s + 1) * subdim] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(lloyd_iters):
+        with_books = with_matrix(
+            base, [c for book in books for c in book], "_flat"
+        )  # m·k_sub codewords stacked; subspace s owns rows [s·k_sub, (s+1)·k_sub)
+        coded = with_books.select(
+            "v",
+            *[
+                _argmin_code(
+                    _sub(F.col("v"), s, subdim),
+                    F.slice(F.col("_flat"), s * k_sub + 1, k_sub),
+                ).alias(f"c{s}")
+                for s in range(m)
+            ],
+        )
+        # one exploded agg over every (subspace, code, dim) cell
+        cells = coded.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"c{s}").alias("code"),
+                            _sub(F.col("v"), s, subdim).alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select(
+            F.col("e.s").alias("s"),
+            F.col("e.code").alias("code"),
+            F.posexplode(F.col("e.sub")).alias("pos", "x"),
+        )
+        means = (
+            cells.groupBy("s", "code", "pos").agg(F.avg("x").alias("mn")).collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mn"]
+        books = [
+            [
+                [got[(s, j)][p] for p in range(subdim)] if (s, j) in got else old
+                for j, old in enumerate(book)
+            ]
+            for s, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``codes: array<int>`` (length m) — its
+    nearest codeword per subspace. The compressed corpus this produces is
+    the PQ scale story: m small ints per vector instead of ``dim``
+    floats (16× at m=4/dim=64 before bit-packing), and the ADC scan
+    reads ONLY the codes."""
+    m, k_sub = len(books), len(books[0])
+    subdim = len(books[0][0])
+    flat = [c for book in books for c in book]
+    return with_matrix(
+        spread(df).select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ),
+        flat,
+        "_flat",
+    ).select(
+        "id",
+        F.array(
+            *[
+                _argmin_code(
+                    _sub(F.col("v"), s, subdim),
+                    F.slice(F.col("_flat"), s * k_sub + 1, k_sub),
+                )
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 4,
+    k_sub: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation over PQ codes: each
+    query precomputes its m×k_sub distance table against the broadcast
+    codebooks, then every corpus vector's approximate distance is m table
+    LOOKUPS summed — never a ``dim``-wide dot product, and the corpus
+    side of the scan is the codes column alone. Returns
+    ``(query_id, neighbor_id, approx_dist, rank)``, ascending distance.
+
+    Scale shape: the compressed scan is O(n·m) lookups vs brute force's
+    O(n·dim) multiplies, over a 16×-smaller corpus projection; codebooks
+    (dim·k_sub doubles) ride a broadcast row. Composes with the IVF
+    coarse quantizer (restrict the scan to ``ivf_assign`` probe lists)
+    exactly as IVF-PQ does; the full ADC scan here is the Jégou et al.
+    baseline and the honest recall ceiling."""
+    if books is None:
+        books = pq_codebooks(corpus, vec_col, id_col, m, k_sub, lloyd_iters, dim)
+    subdim = dim // m
+    flat = [c for book in books for c in book]
+    codes = pq_encode(corpus, books, vec_col, id_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    def _dtab_row(s: int) -> Column:
+        # NOTE: the codeword lambda must stay unary — a second Python arg
+        # (even a defaulted one) makes pyspark pass the ELEMENT INDEX as
+        # the extra transform argument; close over ``s`` instead.
+        return F.transform(
+            F.slice(F.col("_flat"), s * k_sub + 1, k_sub),
+            lambda c: _l2sq(_sub(F.col("qv"), s, subdim), c),
+        )
+
+    q = with_matrix(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        flat,
+        "_flat",
+    ).select(
+        "query_id",
+        # per-query distance table: dtab[s][j] = ‖q_s − books[s][j]‖²
+        F.array(*[_dtab_row(s) for s in range(m)]).alias("dtab"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("dtab"), lambda c, trow: F.element_at(trow, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = codes.join(
+        F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adc.alias("approx_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
