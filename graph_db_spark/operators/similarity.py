@@ -652,3 +652,108 @@ def pq_topk(
     ).select("query_id", "neighbor_id", adc.alias("approx_dist"))
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    ivf_iters: int = 3,
+    m: int = 4,
+    k_sub: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the IVF coarse quantizer prunes candidates to ``nprobe``
+    inverted lists, then the re-rank inside those lists is COMPRESSED —
+    approximate cosine from PQ codes alone:
+
+        cos(q, v) ≈ (Σ_s 〈q_s, cw_s〉) / (‖q‖ · √(Σ_s ‖cw_s‖²))
+
+    where cw_s is subspace s's codeword for v. Both the numerator terms
+    and the reconstruction norm are m table lookups per pair — the
+    candidate scan never touches a raw corpus vector, which is the point
+    at 100 TB: candidates are corpus·nprobe/n_centroids (IVF's pruning)
+    AND each costs O(m) lookups over a 16×-smaller projection (PQ's
+    compression). Codebooks are GLOBAL, not per-list residual codebooks
+    (FAISS ``by_residual=False`` flavor) — the residual variant needs a
+    cosine-consistent residual space and is the documented upgrade.
+    Returns ``(query_id, neighbor_id, approx_cos, rank)``."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, vec_col, id_col, n_centroids, ivf_iters)
+    if books is None:
+        books = pq_codebooks(corpus, vec_col, id_col, m, k_sub, pq_iters, dim)
+    subdim = dim // m
+    flat = [c for book in books for c in book]
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    codes = pq_encode(corpus, books, vec_col, id_col)
+    cand = (
+        assigned.select(F.col("id").alias("neighbor_id"), "cluster")
+        .join(codes.withColumnRenamed("id", "neighbor_id"), on="neighbor_id")
+    )
+    q = with_matrix(
+        with_matrix(
+            queries.select(
+                F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            ),
+            centroids,
+            "_cents",
+        ),
+        flat,
+        "_flat",
+    ).select(
+        "query_id",
+        F.explode(
+            _top_clusters(_centroid_sims(F.col("qv"), F.col("_cents")), nprobe)
+        ).alias("cluster"),
+        # dot table dt[s][j] = 〈q_s, books[s][j]〉 — unary lambda (see
+        # pq_topk note on transform's index argument)
+        F.array(
+            *[
+                F.transform(
+                    F.slice(F.col("_flat"), s * k_sub + 1, k_sub),
+                    (lambda _s: lambda c: dot(_sub(F.col("qv"), _s, subdim), c))(s),
+                )
+                for s in range(m)
+            ]
+        ).alias("dt"),
+        norm(F.col("qv")).alias("qn"),
+    )
+    # reconstruction-norm table is query-independent: nt[s][j] = ‖books[s][j]‖²
+    nt = [[sum(x * x for x in c) for c in book] for book in books]
+    recon_sq = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.array(*[F.array(*[F.lit(v) for v in row]) for row in nt]),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("dt"), lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.col("qn") * F.sqrt(recon_sq)
+    scored = (
+        cand.join(F.broadcast(q), on="cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(denom > 0, approx_dot / denom).otherwise(F.lit(0.0)).alias("approx_cos"),
+        )
+        # a corpus vector can appear via several probed clusters only if
+        # ids collide across lists — assignment is unique, so no dedup
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1455,30 +1455,29 @@ def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 8, lloyd_iters: int = 3
     """
 
 
-def _pq_oracle_sql(
-    m: int = 4, k_sub: int = 8, lloyd_iters: int = 2, k: int = 5, dim: int = 64
-) -> str:
-    """Product-quantization ANN oracle: replay codebook training
-    (operators/similarity.py:pq_codebooks — LCG seed rows, unrolled plain-L2
-    Lloyd rounds with smaller-index tiebreak and empty-cluster keep-old),
-    corpus encoding, and the asymmetric-distance scan + re-rank. The
-    squared-L2 form dp(a,a) − 2·dp(a,b) + dp(b,b) and the s=0..m−1 ADC
-    summation order are written identically in both engines so argmin
-    comparisons and the final distances agree bit-for-bit."""
+def _pq_d2(a: str, b: str) -> str:
+    """Squared-L2 in the exact expanded form similarity._l2sq uses."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
 
-    def d2(a: str, b: str) -> str:
-        return (
-            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}))"
-        )
 
+def _pq_training_sql(
+    m: int = 4, k_sub: int = 8, lloyd_iters: int = 2, dim: int = 64
+) -> list[str]:
+    """DuckDB CTE suffix replaying PQ codebook training + corpus encoding
+    (operators/similarity.py:pq_codebooks/pq_encode — LCG seed rows,
+    unrolled plain-L2 Lloyd rounds with smaller-index tiebreak and
+    empty-cluster keep-old), ending at ``codes`` (id, c0..c{m−1}).
+    Assumes a ``uv(id, rawv, h)`` CTE exists (both the standalone PQ
+    oracle and the IVF-PQ composition provide one — the latter reuses
+    `_ivf_training_sql`'s, whose extra columns are harmless)."""
+    d2 = _pq_d2
     subdim = dim // m
     lo = lambda s: s * subdim + 1  # noqa: E731
     hi = lambda s: (s + 1) * subdim  # noqa: E731
     parts = [
-        "WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rawv FROM embeddings)",
-        "uv AS MATERIALIZED (SELECT id, rawv,"
-        " (id * 1103515245 + 12345) % 2147483648 AS h FROM base)",
         f"seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS code, rawv"
         f" FROM uv ORDER BY h, id LIMIT {k_sub})",
     ]
@@ -1519,10 +1518,30 @@ def _pq_oracle_sql(
     parts.append(
         f"codes AS MATERIALIZED (SELECT uv.id, {enc_cols} FROM uv {enc_joins})"
     )
+    return parts
+
+
+def _pq_oracle_sql(
+    m: int = 4, k_sub: int = 8, lloyd_iters: int = 2, k: int = 5, dim: int = 64
+) -> str:
+    """Standalone PQ ANN oracle: training replay + full-corpus ADC scan +
+    re-rank. The squared-L2 form and the s=0..m−1 ADC summation order are
+    written identically in both engines so argmin comparisons and the
+    final distances agree bit-for-bit."""
+    subdim = dim // m
+    lo = lambda s: s * subdim + 1  # noqa: E731
+    hi = lambda s: (s + 1) * subdim  # noqa: E731
+    parts = [
+        "WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rawv FROM embeddings)",
+        "uv AS MATERIALIZED (SELECT id, rawv,"
+        " (id * 1103515245 + 12345) % 2147483648 AS h FROM base)",
+    ] + _pq_training_sql(m, k_sub, lloyd_iters, dim)
     adc = " + ".join(
-        d2(f"q.rawv[{lo(s)}:{hi(s)}]", f"b{s}.cvec") for s in range(m)
+        _pq_d2(f"q.rawv[{lo(s)}:{hi(s)}]", f"b{s}.cvec") for s in range(m)
     )
-    joins = " ".join(f"JOIN bk{s}_{fin} b{s} ON t.c{s} = b{s}.code" for s in range(m))
+    joins = " ".join(
+        f"JOIN bk{s}_{lloyd_iters} b{s} ON t.c{s} = b{s}.code" for s in range(m)
+    )
     parts.append(
         f"scored AS (SELECT q.id AS query_id, t.id AS neighbor_id, {adc} AS ad"
         f" FROM (SELECT id, rawv FROM uv WHERE id < 10) q"
@@ -1536,6 +1555,88 @@ def _pq_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _ivf_pq_oracle_sql(
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    ivf_iters: int = 3,
+    m: int = 4,
+    k_sub: int = 8,
+    pq_iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ oracle — BOTH replay generators composed: the IVF prefix
+    (`_ivf_training_sql`, whose ``uv`` carries the id/rawv/h columns the
+    PQ suffix needs) trains centroids, assigns the corpus (``casg``) and
+    probes queries; the PQ suffix (`_pq_training_sql`) trains codebooks
+    and encodes; the candidate scan then scores approx cosine
+    Σ〈q_s,cw_s〉 / (‖q‖·√Σ‖cw_s‖²) from codes alone — identical
+    subspace summation order to similarity.cosine_topk_ivf_pq."""
+    subdim = dim // m
+    lo = lambda s: s * subdim + 1  # noqa: E731
+    hi = lambda s: (s + 1) * subdim  # noqa: E731
+    parts = _ivf_training_sql(n_centroids, ivf_iters, dim)
+    cur = f"cent{ivf_iters}"
+    parts += [
+        f"qpro AS MATERIALIZED (SELECT id AS query_id, cluster, rawv AS qv FROM ("
+        f"  SELECT uv.id, uv.rawv, c.cluster,"
+        f"         row_number() OVER (PARTITION BY uv.id"
+        f"           ORDER BY list_dot_product(uv.rawv, c.cvec) DESC, c.cluster DESC) AS rn"
+        f"  FROM uv CROSS JOIN {cur} c WHERE uv.id < 10) WHERE rn <= {nprobe})",
+    ]
+    parts += _pq_training_sql(m, k_sub, pq_iters, dim)
+    approx_dot = " + ".join(
+        f"list_dot_product(q.qv[{lo(s)}:{hi(s)}], b{s}.cvec)" for s in range(m)
+    )
+    recon_sq = " + ".join(
+        f"list_dot_product(b{s}.cvec, b{s}.cvec)" for s in range(m)
+    )
+    joins = " ".join(
+        f"JOIN bk{s}_{pq_iters} b{s} ON t.c{s} = b{s}.code" for s in range(m)
+    )
+    parts.append(
+        "scored AS (SELECT q.query_id, c.neighbor_id,"
+        f" CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt({recon_sq}) > 0"
+        f"      THEN ({approx_dot}) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({recon_sq}))"
+        "      ELSE 0.0 END AS ac"
+        " FROM qpro q JOIN casg c ON q.cluster = c.cluster AND q.query_id <> c.neighbor_id"
+        f" JOIN codes t ON t.id = c.neighbor_id {joins})"
+    )
+    return ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, approx_cos, rank FROM (
+      SELECT query_id, neighbor_id, round(ac, 4) AS approx_cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ac DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle_sql())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity — IVF-PQ: the production-shape ANN at 100 TB. The IVF
+    coarse quantizer prunes candidates to nprobe inverted lists
+    (corpus·nprobe/n_centroids per query) AND the in-list re-rank is
+    compressed — approximate cosine from PQ codes via m table lookups
+    per pair, never touching a raw corpus vector (FAISS IVFADC with
+    ``by_residual=False``; the residual variant is the documented
+    upgrade). Compose-don't-reimplement: reuses `ivf_centroids`/
+    `ivf_assign` and `pq_codebooks`/`pq_encode` verbatim.
+
+    EXACT oracle: both unrolled-Lloyd replays (spherical IVF + per-
+    subspace L2 PQ) composed in one DuckDB query, then probe, encode,
+    compressed-cosine scoring, and re-rank reproduced end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = SIM.cosine_topk_ivf_pq(
+        emb, q, k=5, n_centroids=16, nprobe=8, ivf_iters=3, m=4, k_sub=8, pq_iters=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("approx_cos")).alias("approx_cos"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @register("ann_pq_topk", oracle=_pq_oracle_sql())
@@ -4087,8 +4188,10 @@ _EXPENSIVE_LAST = [
 #
 # r07 window: pin "weighted_sample_docs" FIRST (its r5 driver row was
 # hash_match=false from the -0.0 round() divergence, fixed this round
-# — see r4/`round_pos0` below); fill the rest with rotating re-checks
-# of the oldest driver-green rows (r01 names first).
+# via the `+ 0.0` normalization in r4 and its oracle), then the r6
+# post-freeze registrations ("tz_zone_correct_offsets", "ann_pq_topk",
+# "ann_pq_distortion_bound"); fill the rest with rotating re-checks of
+# the oldest driver-green rows (r01 names first).
 _GATE_WINDOW = [
     # §2-verifying scalar/set/window shapes (local-green since r3/r4)
     "iso_z_parse", "ineq_trimmed_float", "json_encode_props",

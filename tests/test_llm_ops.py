@@ -186,7 +186,8 @@ def test_pq_ranks_clustered_data(spark):
     """The fixture's uniform vectors concentrate distances (recall is the
     wrong metric there — see ann_pq_distortion_bound); on SEPARATED
     clusters the same codec must rank correctly: every query's top
-    neighbors come from its own cluster."""
+    neighbors come from its own cluster — for both the full ADC scan
+    (pq_topk) and the IVF-pruned compressed scan (cosine_topk_ivf_pq)."""
     import random
 
     rnd = random.Random(7)
@@ -202,6 +203,12 @@ def test_pq_ranks_clustered_data(spark):
     out = SIM.pq_topk(df, q, k=3, m=2, k_sub=4, lloyd_iters=3, dim=16).collect()
     assert len(out) == 12
     for r in out:
+        assert r["neighbor_id"] // 10 == r["query_id"] // 10, r
+    out2 = SIM.cosine_topk_ivf_pq(
+        df, q, k=3, n_centroids=4, nprobe=2, m=2, k_sub=4, pq_iters=3, dim=16
+    ).collect()
+    assert len(out2) == 12
+    for r in out2:
         assert r["neighbor_id"] // 10 == r["query_id"] // 10, r
 
 

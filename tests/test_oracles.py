@@ -83,7 +83,12 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
             seen |= set(json.load(fh))
     # queries registered AFTER the r6 window froze queue for r7 (behind
     # weighted_sample_docs, whose r5 row was hash-red)
-    post_freeze = {"tz_zone_correct_offsets", "ann_pq_topk", "ann_pq_distortion_bound"}
+    post_freeze = {
+        "tz_zone_correct_offsets",
+        "ann_pq_topk",
+        "ann_pq_distortion_bound",
+        "ann_ivf_pq_topk",
+    }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
         set(_GATE_WINDOW) ^ never
