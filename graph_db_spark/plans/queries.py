@@ -53,6 +53,24 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _poly_sql(expr: str, mult: int = 31) -> str:
+    """DuckDB replica of operators/dedup.py:portable_hash over ``expr``:
+    parse the same 8-hex-digit md5 window (mult 31 → chars 1-8, 131 →
+    chars 9-16) as an integer mod 2^31-1. md5 hex output is identical in
+    both engines (UTF-8 bytes, lowercase hex — verified incl. multibyte);
+    the 8-step digit fold is the engine-neutral hex→int parse."""
+    from graph_db_spark.operators.dedup import _MD5_WINDOW
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+
+    off = _MD5_WINDOW[mult]
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex(substr(md5({expr}), {off}, 8), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(acc, x) -> acc * 16 + x) % {P}"
+    )
+
+
 def r4(c: Column) -> Column:
     # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0): the
     # driver's serialized value-hash distinguishes -0.0 from 0.0, so any
@@ -2719,6 +2737,98 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("__h") < rate_map[F.col("lang")]).drop("__h")
 
 
+def _dsir_oracle_sql(n_buckets: int = 256, k: int = 50) -> str:
+    """DSIR replay: same whitespace tokens, same md5-window hash mod
+    ``n_buckets``, Laplace-smoothed bucket distributions, identical
+    log-ratio formula (division/paren structure matters for float
+    parity), per-doc sum, top-k. ``round(w,4) + 0.0`` pins the -0.0
+    sign for near-zero weights (r5 lesson)."""
+    h = _poly_sql("t")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, t FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents) WHERE t <> ''
+    ),
+    hb AS (SELECT doc_id, lang, {h} % {n_buckets} AS b FROM tok),
+    tgt AS (SELECT b, count(*) AS ct FROM hb WHERE lang <> 'en' GROUP BY b),
+    rawp AS (SELECT b, count(*) AS cr FROM hb WHERE lang = 'en' GROUP BY b),
+    tots AS (SELECT (SELECT count(*) FROM hb WHERE lang <> 'en') AS nt,
+                    (SELECT count(*) FROM hb WHERE lang = 'en') AS nr),
+    lr AS (SELECT r.b,
+             ln(((coalesce(t.ct, 0) + 1.0) / (tots.nt + {n_buckets}.0))
+                / ((coalesce(w.cr, 0) + 1.0) / (tots.nr + {n_buckets}.0))) AS lw
+           FROM range(0, {n_buckets}) r(b)
+           LEFT JOIN tgt t ON r.b = t.b
+           LEFT JOIN rawp w ON r.b = w.b
+           CROSS JOIN tots),
+    scored AS (SELECT hb.doc_id, count(*) AS n_tok, sum(lr.lw) AS w
+               FROM hb JOIN lr ON hb.b = lr.b
+               WHERE hb.lang = 'en' GROUP BY hb.doc_id)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(w, 4) + 0.0 AS dsir_logweight
+    FROM scored ORDER BY w DESC, doc_id LIMIT {k}
+    """
+
+
+@register("dsir_selection", oracle=_dsir_oracle_sql())
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection via hashed-n-gram importance resampling
+    (DSIR — Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): estimate target/raw token-bucket
+    distributions with ``n_buckets`` hashed features + Laplace
+    smoothing, score every raw-pool document by its summed bucket
+    log-ratio, and take the top-k most target-like. Here the target
+    domain is the non-English documents and the raw pool is English —
+    the canonical "select from the big pool what looks like the small
+    domain" shape. The selection itself is `weighted_sample_docs`-style
+    deterministic top-k (no rand(): retry-safe, oracle-replayable).
+
+    Scale shape: one explode→hash pass over the corpus (linear in
+    tokens), two 256-row distribution aggregates, a BROADCAST join of
+    the 256-entry log-ratio table back onto the token stream, one
+    per-doc sum, TakeOrdered top-k. Nothing quadratic, nothing
+    driver-side beyond the k rows; the same plan at 100 TB is one
+    map-side-combined shuffle per distribution + one for the doc sum."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    B = 256
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(TX.tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("doc_id", "lang", (portable_hash(F.col("t")) % B).alias("b"))
+    )
+    tgt = tok.filter(F.col("lang") != "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rawp = tok.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    buckets = (
+        spark.range(B).select(F.col("id").cast("bigint").alias("b"))
+        .join(tgt, on="b", how="left")
+        .join(rawp, on="b", how="left")
+    )
+    nt = F.sum("ct").over(Window.partitionBy())
+    nr = F.sum("cr").over(Window.partitionBy())
+    lr = buckets.select(
+        "b",
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (nt + F.lit(float(B))))
+            / ((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (nr + F.lit(float(B))))
+        ).alias("lw"),
+    )
+    scored = (
+        tok.filter(F.col("lang") == "en")
+        .join(F.broadcast(lr), on="b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"), F.sum("lw").alias("w"))
+    )
+    return (
+        scored.orderBy(F.desc("w"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_tok", r4(F.col("w")).alias("dsir_logweight"))
+    )
+
+
 @register(
     "mixture_weights",
     oracle="""
@@ -4190,8 +4300,10 @@ _EXPENSIVE_LAST = [
 # hash_match=false from the -0.0 round() divergence, fixed this round
 # via the `+ 0.0` normalization in r4 and its oracle), then the r6
 # post-freeze registrations ("tz_zone_correct_offsets", "ann_pq_topk",
-# "ann_pq_distortion_bound"); fill the rest with rotating re-checks of
-# the oldest driver-green rows (r01 names first).
+# "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection");
+# fill the rest with rotating re-checks of the oldest driver-green
+# rows (r01 names first). Keep tests/test_oracles.py's `post_freeze`
+# set in sync.
 _GATE_WINDOW = [
     # §2-verifying scalar/set/window shapes (local-green since r3/r4)
     "iso_z_parse", "ineq_trimmed_float", "json_encode_props",
@@ -4228,24 +4340,6 @@ def _reorder_for_gate() -> None:
         ordered = {n: d[n] for n in head + mid + late if n in d}
         d.clear()
         d.update(ordered)
-
-
-def _poly_sql(expr: str, mult: int = 31) -> str:
-    """DuckDB replica of operators/dedup.py:portable_hash over ``expr``:
-    parse the same 8-hex-digit md5 window (mult 31 → chars 1-8, 131 →
-    chars 9-16) as an integer mod 2^31-1. md5 hex output is identical in
-    both engines (UTF-8 bytes, lowercase hex — verified incl. multibyte);
-    the 8-step digit fold is the engine-neutral hex→int parse."""
-    from graph_db_spark.operators.dedup import _MD5_WINDOW
-    from graph_db_spark.operators.dedup import _MINHASH_P as P
-
-    off = _MD5_WINDOW[mult]
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split_regex(substr(md5({expr}), {off}, 8), ''), "
-        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
-        f"(acc, x) -> acc * 16 + x) % {P}"
-    )
 
 
 def _minhash_band_sql(

@@ -88,6 +88,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "ann_pq_topk",
         "ann_pq_distortion_bound",
         "ann_ivf_pq_topk",
+        "dsir_selection",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
