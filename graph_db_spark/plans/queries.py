@@ -2802,18 +2802,20 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tgt = tok.filter(F.col("lang") != "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     rawp = tok.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # totals ride a 1-row broadcast (the scalar-probe idiom) — a global
+    # window over the bucket table would single-partition it
+    tots = tgt.agg(F.sum("ct").alias("nt")).crossJoin(rawp.agg(F.sum("cr").alias("nr")))
     buckets = (
         spark.range(B).select(F.col("id").cast("bigint").alias("b"))
         .join(tgt, on="b", how="left")
         .join(rawp, on="b", how="left")
+        .crossJoin(F.broadcast(tots))
     )
-    nt = F.sum("ct").over(Window.partitionBy())
-    nr = F.sum("cr").over(Window.partitionBy())
     lr = buckets.select(
         "b",
         F.log(
-            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (nt + F.lit(float(B))))
-            / ((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (nr + F.lit(float(B))))
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.lit(float(B))))
+            / ((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (F.col("nr") + F.lit(float(B))))
         ).alias("lw"),
     )
     scored = (
