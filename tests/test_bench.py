@@ -1,0 +1,28 @@
+"""bench.py output contract — the driver keeps only the TAIL of stdout
+and machine-reads the LAST line, so bench must print the full per-query
+record first and a compact parseable summary last (r5 verdict: every
+BENCH_r0*.json had parsed=null because the single giant line truncated)."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_bench_prints_compact_parseable_line_last(spark, monkeypatch, capsys):
+    import bench
+
+    monkeypatch.setattr(bench, "HEADLINE", [])
+    monkeypatch.setattr(
+        bench, "QUERIES", {"probe": lambda s, sf_dir: s.range(3).toDF("id")}
+    )
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 2, lines
+    full, compact = (json.loads(l) for l in lines)
+    assert full["metric"] == compact["metric"] == "queries_total_wall"
+    assert full["value"] == compact["value"]
+    assert set(full["queries"]) == {"probe"}
+    assert compact["n_queries"] == 1
+    assert "queries" not in compact  # must stay small enough for tail capture
+    assert compact["mean_sec_per_query"] == round(compact["value"], 3)
+    assert len(lines[1]) < 400
