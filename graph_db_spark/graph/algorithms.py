@@ -48,6 +48,32 @@ def prepartition_for_rounds(df: DataFrame, nparts: int, key: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def checkpoint_keep_partitioning(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that records the plan's existing output
+    partitioning/ordering in the LogicalRDD (same AQE caveat as
+    :func:`prepartition_for_rounds` — under AQE the recorded partitioning
+    is ``UnknownPartitioning``). No repartition: for per-round tables that
+    are ALREADY hash-partitioned by the round's join/aggregate (e.g. CC's
+    ``merged``, which exits its merge join partitioned on ``id``), this
+    makes the next round's joins exchange-free on that side. The
+    checkpointed job itself runs without AQE — acceptable for iterative
+    rounds, whose fixed partition count is what keeps rounds plan-stable.
+
+    Co-partitioned reuse needs MATCHING partition counts: per-round
+    tables exit their join/agg at ``spark.sql.shuffle.partitions``, so
+    the exchange-free round holds when the static table's ``nparts``
+    equals it (the default — ``defaultParallelism`` — does on this
+    harness; callers passing a small ``n_partitions`` for tiny inputs
+    knowingly trade the reuse for lower task overhead)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
@@ -132,7 +158,13 @@ def connected_components(
         # checkpoint FIRST (single execution of the join+agg), then run the
         # convergence probe against the materialized result — otherwise the
         # probe action and the checkpoint each execute the full iteration.
-        merged = (
+        # checkpoint_keep_partitioning: merged exits its merge join hash-
+        # partitioned on id, and recording that makes round N+1's two
+        # vertex-side joins (comp⋈incoming on id; frontier-as-b⋈sym — the
+        # alias-aware projection carries hash(id)→hash(b)) exchange-free:
+        # from round 2 on, the ONLY per-round shuffle is the groupBy(a)
+        # aggregation.
+        merged = checkpoint_keep_partitioning(
             comp.join(incoming, on="id", how="left")
             .select(
                 "id",
@@ -141,7 +173,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
                 ).alias("new_component"),
             )
-            .localCheckpoint(eager=True)
         )
         frontier = merged.filter(
             F.col("new_component") != F.col("old_component")

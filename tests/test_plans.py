@@ -248,6 +248,78 @@ def test_iterative_round_reuses_edge_partitioning(spark):
     assert n_exchanges == 1, f"expected 1 Exchange (label side only), got {n_exchanges}:\n{plan}"
 
 
+def test_cc_round_two_has_single_exchange(spark):
+    """The full CC round-plan contract (r6): with the static edge table
+    through prepartition_for_rounds AND the per-round merged table
+    through checkpoint_keep_partitioning, round ≥2's whole pipeline —
+    frontier⋈sym (alias-aware hash(id)→hash(b)), groupBy(a), and the
+    comp⋈incoming merge join — carries EXACTLY ONE Exchange: the
+    aggregation. At cluster scale that makes per-round shuffle volume
+    the label deltas alone, not the edge table."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.graph.algorithms import (
+        checkpoint_keep_partitioning,
+        prepartition_for_rounds,
+    )
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 800).cast("string").alias("src"),
+        ((F.col("id") * 13) % 800).cast("string").alias("dst"),
+    )
+    raw = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    ids = raw.select("a").distinct()
+    # nparts MUST equal spark.sql.shuffle.partitions: the per-round merged
+    # table exits its join/agg at shuffle.partitions, and co-partitioned
+    # reuse needs matching counts (the algorithms' default —
+    # defaultParallelism — matches; callers overriding n_partitions on
+    # tiny inputs trade the reuse away knowingly)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = prepartition_for_rounds(
+        raw.unionAll(ids.select("a", F.col("a").alias("b"))), nparts, "b"
+    )
+    comp = sym.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("a").alias("component")
+    )
+    frontier = comp
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = None
+        for rnd in range(2):
+            incoming = (
+                sym.join(
+                    frontier.select(
+                        F.col("id").alias("b"), F.col("component").alias("flabel")
+                    ),
+                    on="b",
+                )
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("flabel").alias("cand"))
+            )
+            merged_plan = comp.join(incoming, on="id", how="left").select(
+                "id",
+                F.col("component").alias("old_component"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
+                ).alias("new_component"),
+            )
+            if rnd == 1:
+                merged_plan.count()
+                plan = merged_plan._jdf.queryExecution().executedPlan().toString()
+            merged = checkpoint_keep_partitioning(merged_plan)
+            frontier = merged.filter(
+                F.col("new_component") != F.col("old_component")
+            ).select("id", F.col("new_component").alias("component"))
+            comp = merged.select("id", F.col("new_component").alias("component"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n = plan.count("Exchange")
+    assert n == 1, f"expected 1 Exchange (the aggregation), got {n}:\n{plan}"
+
+
 def test_forecast_revenue_pushes_all_predicates(spark):
     """Q6 is a pure pushed-filter scan: every predicate (shipdate range,
     discount band, quantity cap) must reach the parquet reader, and the
