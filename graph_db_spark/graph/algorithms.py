@@ -240,7 +240,12 @@ def pagerank(
             .unionAll(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    v = v.localCheckpoint(eager=True)
+    # checkpoint_keep_partitioning: distinct() leaves v hash-partitioned
+    # on id at shuffle.partitions; recording it makes every round's
+    # v ⟕ contribs join AND the next round's ranks⋈weighted join
+    # exchange-free on the vertex side (see the r6 CC round contract —
+    # tests/test_plans.py::test_cc_round_two_has_single_exchange).
+    v = checkpoint_keep_partitioning(v)
     n = v.count()
     # only vertices with out-edges produce contributions; dangling mass is
     # recovered by conservation (see below), so the per-iteration plan never
@@ -257,15 +262,6 @@ def pagerank(
         n_partitions or edges.sparkSession.sparkContext.defaultParallelism,
         "id",
     )
-    # every vertex with an in-edge receives ≥1 contribution every round
-    # (ranks and weights are strictly positive), so the per-round
-    # v ⟕ contribs join is replaced by a UNION with this static, usually
-    # tiny complement — computed once, zero per-round shuffle.
-    no_in = (
-        v.join(e.select(F.col("dst").alias("id")).distinct(), on="id", how="left_anti")
-        .localCheckpoint(eager=True)
-    )
-
     ranks = v.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
         contribs = (
@@ -275,16 +271,23 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_contrib"))
         )
         # partial update without dangling redistribution; one heavy job.
-        partial = (
-            contribs.unionByName(no_in.withColumn("in_contrib", F.lit(0.0)))
-            .select(
+        # v ⟕ contribs null-fills the no-in-edge complement. Through r5
+        # this was a UNION with a precomputed complement ("zero per-round
+        # shuffle") — but the union erased the id-partitioning, so the
+        # NEXT round's ranks⋈weighted join re-exchanged the whole rank
+        # table. With v and contribs both hash(id, shuffle.partitions)
+        # the left join is exchange-free AND partial keeps the
+        # partitioning through the preserving checkpoint: the round's
+        # only exchange is the contribution aggregation (CC contract).
+        partial = checkpoint_keep_partitioning(
+            v.join(contribs, on="id", how="left").select(
                 "id",
                 (
                     F.lit(reset_prob / n)
-                    + F.lit(1 - reset_prob) * F.col("in_contrib")
+                    + F.lit(1 - reset_prob)
+                    * F.coalesce(F.col("in_contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         # mass conservation: 1 - sum(partial) == (1-reset)*dangling_mass,
         # redistributed uniformly — a cheap scan of the checkpointed result
@@ -328,12 +331,11 @@ def personalized_pagerank(
     # vertex set INCLUDES sources absent from the edge list — an edgeless
     # seed is a dangling vertex that must still hold its restart mass
     # (dropping it silently deflates every score and breaks Σrank ≈ 1)
-    v = (
+    v = checkpoint_keep_partitioning(
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .unionAll(s)
         .distinct()
-        .localCheckpoint(eager=True)
     )
     weighted = prepartition_for_rounds(
         e.groupBy("src")
@@ -347,31 +349,40 @@ def personalized_pagerank(
         n_partitions or edges.sparkSession.sparkContext.defaultParallelism,
         "id",
     )
-    no_in = (
-        v.join(e.select(F.col("dst").alias("id")).distinct(), on="id", how="left_anti")
-        .localCheckpoint(eager=True)
-    )
     # the vertex-wide rank table starts at 0 everywhere; the sources' full
     # initial mass (1/ns each) rides in `missing` and enters round 1 as
-    # the unioned source rows — no initialization join needed either.
-    partial = v.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+    # the broadcast restart rows — no initialization join needed either.
+    # v is id-partitioned (preserving checkpoint), so every round's
+    # partial⋈weighted and v⟕contribs joins are exchange-free (CC round
+    # contract): the one per-round exchange is the contribution agg.
+    partial = v.withColumn("rank", F.lit(0.0))
     missing = 1.0
     for _ in range(max_iter):
-        # effective rank = partial + restart deposit; the deposit rows are
-        # k source rows UNIONED in (the groupBy sums a source's two
-        # contribution terms), not a per-round vertex-wide join.
+        # effective rank = partial + restart deposit, as TWO contribution
+        # row sets the aggregation sums: the partitioned rank table joins
+        # co-located, and the k restart rows ride a broadcast join — a
+        # single union on the RANKS side would erase partial's
+        # partitioning and re-exchange the whole rank table every round.
         restart = s.withColumn("rank", F.lit(missing / ns))
+        cont_in = partial.join(weighted, on="id").select(
+            F.col("dst").alias("id"), (F.col("rank") * F.col("weight")).alias("contrib")
+        )
+        cont_restart = F.broadcast(restart).join(weighted, on="id").select(
+            F.col("dst").alias("id"), (F.col("rank") * F.col("weight")).alias("contrib")
+        )
         contribs = (
-            partial.unionByName(restart)
-            .join(weighted, on="id")
-            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("weight")).alias("contrib"))
+            cont_in.unionByName(cont_restart)
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_contrib"))
         )
-        partial = (
-            contribs.unionByName(no_in.withColumn("in_contrib", F.lit(0.0)))
-            .select("id", (F.lit(1 - reset_prob) * F.col("in_contrib")).alias("rank"))
-            .localCheckpoint(eager=True)
+        partial = checkpoint_keep_partitioning(
+            v.join(contribs, on="id", how="left").select(
+                "id",
+                (
+                    F.lit(1 - reset_prob)
+                    * F.coalesce(F.col("in_contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
         # missing = reset mass + (1-reset)·dangling mass — including the
         # share of the PREVIOUS deposit a dangling/edgeless source shed —

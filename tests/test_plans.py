@@ -320,6 +320,74 @@ def test_cc_round_two_has_single_exchange(spark):
     assert n == 1, f"expected 1 Exchange (the aggregation), got {n}:\n{plan}"
 
 
+def test_pagerank_round_two_has_single_exchange(spark):
+    """PageRank's round contract (r6, mirrors the CC test): with v and
+    the weighted edge table both carrying recorded hash(id) partitioning,
+    round ≥2's ranks⋈weighted join and the v⟕contribs null-fill join are
+    exchange-free — the union-with-static-complement trick this replaces
+    had zero join cost but ERASED partial's partitioning, silently
+    re-exchanging the whole rank table every round."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.graph.algorithms import (
+        checkpoint_keep_partitioning,
+        prepartition_for_rounds,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.range(4000).select(
+            (F.col("id") % 800).cast("string").alias("src"),
+            ((F.col("id") * 13) % 800).cast("string").alias("dst"),
+        )
+        v = checkpoint_keep_partitioning(
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        n = v.count()
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        weighted = prepartition_for_rounds(
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .join(e, on="src")
+            .select(
+                F.col("src").alias("id"), "dst", (F.lit(1.0) / F.col("od")).alias("weight")
+            ),
+            nparts,
+            "id",
+        )
+        ranks = v.withColumn("rank", F.lit(1.0 / n))
+        plan = None
+        for rnd in range(2):
+            contribs = (
+                ranks.join(weighted, on="id")
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") * F.col("weight")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("ic"))
+            )
+            partial_plan = v.join(contribs, on="id", how="left").select(
+                "id",
+                (
+                    F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("ic"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            if rnd == 1:
+                partial_plan.count()
+                plan = partial_plan._jdf.queryExecution().executedPlan().toString()
+            partial = checkpoint_keep_partitioning(partial_plan)
+            mass = partial.agg(F.sum("rank")).collect()[0][0]
+            ranks = partial.withColumn("rank", F.col("rank") + F.lit((1.0 - mass) / n))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n_ex = plan.count("Exchange")
+    assert n_ex == 1, f"expected 1 Exchange (the aggregation), got {n_ex}:\n{plan}"
+
+
 def test_forecast_revenue_pushes_all_predicates(spark):
     """Q6 is a pure pushed-filter scan: every predicate (shipdate range,
     discount band, quantity cap) must reach the parquet reader, and the
