@@ -714,8 +714,12 @@ def weighted_shortest_paths(
         # one full-outer merge carries BOTH the new dist table and the
         # improvement flag — a single checkpoint + one convergence probe
         # per round (the separate improved/merged pair doubled the
-        # per-round job count for no information)
-        merged = (
+        # per-round job count for no information).
+        # checkpoint_keep_partitioning: merged exits hash(id, landmark),
+        # matching cand's aggregation partitioning, so the FULL-SIZE dist
+        # side of next round's merge is exchange-free — per-round shuffle
+        # is the relax aggregation plus the (shrinking) frontier only.
+        merged = checkpoint_keep_partitioning(
             dist.join(cand, on=["id", "landmark"], how="full_outer")
             .select(
                 "id",
@@ -729,7 +733,6 @@ def weighted_shortest_paths(
                     | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
                 ).alias("_improved"),
             )
-            .localCheckpoint(eager=True)
         )
         frontier = merged.filter(F.col("_improved")).select("id", "landmark", "dist")
         dist = merged.select("id", "landmark", "dist")
