@@ -500,7 +500,10 @@ def k_core(
     )
     if not assume_simple:
         canon = canon.distinct()
-    canon = canon.localCheckpoint()
+    # seed the alternating-key discipline below: canon starts partitioned
+    # (and recorded, via the AQE-off checkpoint) on "a"
+    nparts = edges.sparkSession.sparkContext.defaultParallelism
+    canon = prepartition_for_rounds(canon, nparts, "a")
 
     def degrees(c: DataFrame) -> DataFrame:
         return (
@@ -515,6 +518,13 @@ def k_core(
     # when the input is already a k-core this costs one cheap confirm
     # round instead)
     n_prev = -1
+    # Alternating semi-join order: a semi join preserves its LEFT side's
+    # partitioning, so filtering on the key canon is CURRENTLY partitioned
+    # by costs nothing and the other endpoint's filter re-exchanges the
+    # (shrinking) edge list once — ending partitioned on THAT key, which
+    # next round's first join then rides for free. Fixed ordering paid the
+    # edge-sized exchange twice per round.
+    part_key = "a"
     for _ in range(max_rounds):
         # one materialization (the keep set) + one count on the
         # materialized rows per round; convergence = vertex count stable
@@ -529,12 +539,13 @@ def k_core(
                 F.col("a").alias("id"), F.lit(0).cast("bigint").alias("degree")
             )
         n_prev = n_keep
-        canon = (
-            canon.join(keep.select(F.col("id").alias("a")), on="a", how="left_semi")
-            .join(keep.select(F.col("id").alias("b")), on="b", how="left_semi")
+        first, second = (part_key, "b" if part_key == "a" else "a")
+        canon = checkpoint_keep_partitioning(
+            canon.join(keep.select(F.col("id").alias(first)), on=first, how="left_semi")
+            .join(keep.select(F.col("id").alias(second)), on=second, how="left_semi")
             .select("a", "b")
-            .localCheckpoint()
         )
+        part_key = second
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
