@@ -18,8 +18,29 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The AQE toggle below mutates SESSION-wide conf for the duration of one
+# checkpoint action; a lock keeps concurrent callers (e.g. a driver
+# running queries from multiple threads on one session) from restoring a
+# stale value over each other. Jobs already running are unaffected —
+# Spark snapshots conf at job submission.
+_AQE_TOGGLE_LOCK = threading.Lock()
+
+
+@contextmanager
+def _aqe_off(spark):
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def prepartition_for_rounds(df: DataFrame, nparts: int, key: str) -> DataFrame:
@@ -39,13 +60,8 @@ def prepartition_for_rounds(df: DataFrame, nparts: int, key: str) -> DataFrame:
     in this module routes its static side through this helper; the
     one-Exchange-per-round property is pinned by
     tests/test_plans.py::test_iterative_round_reuses_edge_partitioning."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with _aqe_off(df.sparkSession):
         return df.repartition(nparts, key).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def checkpoint_keep_partitioning(df: DataFrame) -> DataFrame:
@@ -65,13 +81,8 @@ def checkpoint_keep_partitioning(df: DataFrame) -> DataFrame:
     equals it (the default — ``defaultParallelism`` — does on this
     harness; callers passing a small ``n_partitions`` for tiny inputs
     knowingly trade the reuse for lower task overhead)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with _aqe_off(df.sparkSession):
         return df.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def connected_components(
