@@ -168,6 +168,57 @@ def test_txn_replay_noop_survives_vacuum(spark, tmp_path):
     assert t.latest_version() == v + 1
 
 
+def test_legacy_txn_walk_survives_concurrent_vacuum(spark, tmp_path):
+    """Legacy tables (manifests predating the txns high-water map) fall
+    back to the newest-first marker walk; a FileNotFoundError mid-walk
+    (concurrent vacuum raised the floor) must RESUME past the vanished
+    manifest, not conclude 'not seen' — that conclusion would re-commit
+    an already-applied batch under a non-idempotent strategy (r5 ADVICE
+    #3)."""
+    import json
+    import os
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
+    sink = snapshot_sink(t, app_id="job1")
+    for b in range(3):
+        sink(_mk(spark, [(10 + b, "x")]), b)  # marker for batch 2 lives at v4
+    # strip the high-water maps → every probe takes the legacy walk
+    mdir = tmp_path / "t" / "_manifests"
+    for f in os.listdir(mdir):
+        p = mdir / f
+        m = json.loads(p.read_text())
+        m.pop("txns", None)
+        p.write_text(json.dumps(m))
+    latest = t.latest_version()
+    assert t._txn_seen(latest, ("job1", 2)) is True  # sanity: plain walk
+    # now make the walk hit a vanished manifest BETWEEN the walk's start
+    # and the marker: two job2 commits stack v5/v6 above job1's v4
+    # marker; v5 "vanishes" mid-walk as if vacuum just deleted it
+    sink_other = snapshot_sink(t, app_id="job2")
+    sink_other(_mk(spark, [(99, "y")]), 0)
+    sink_other(_mk(spark, [(98, "z")]), 1)
+    top = t.latest_version()
+    for f in os.listdir(mdir):  # strip job2's maps too
+        p = mdir / f
+        m = json.loads(p.read_text())
+        m.pop("txns", None)
+        p.write_text(json.dumps(m))
+    orig = SnapshotTable._read_manifest
+    blown = {top - 1}
+
+    def racing(self, version):
+        if version in blown:
+            blown.discard(version)  # vanish exactly once, then re-appear
+            raise FileNotFoundError(f"v{version} vacuumed")
+        return orig(self, version)
+
+    SnapshotTable._read_manifest = racing
+    try:
+        assert t._txn_seen(top, ("job1", 2)) is True
+    finally:
+        SnapshotTable._read_manifest = orig
+
+
 def test_txn_highwater_map_is_o1_and_retention_independent(spark, tmp_path):
     """The exactly-once contract at streaming commit counts (r5 verdict
     #8): every manifest carries the cumulative {app: max txn_id} map, so
