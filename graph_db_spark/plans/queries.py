@@ -4302,10 +4302,11 @@ _EXPENSIVE_LAST = [
 # hash_match=false from the -0.0 round() divergence, fixed this round
 # via the `+ 0.0` normalization in r4 and its oracle), then the r6
 # post-freeze registrations ("tz_zone_correct_offsets", "ann_pq_topk",
-# "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection");
-# fill the rest with rotating re-checks of the oldest driver-green
-# rows (r01 names first). Keep tests/test_oracles.py's `post_freeze`
-# set in sync.
+# "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection",
+# "doc_token_entropy", "bm25_doc_ranking", and the later r6-continuation
+# registrations listed in tests/test_oracles.py `post_freeze`); fill the
+# rest with rotating re-checks of the oldest driver-green rows (r01
+# names first). Keep tests/test_oracles.py's `post_freeze` set in sync.
 _GATE_WINDOW = [
     # §2-verifying scalar/set/window shapes (local-green since r3/r4)
     "iso_z_parse", "ineq_trimmed_float", "json_encode_props",
@@ -9826,6 +9827,156 @@ def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             r4(F.col("total_qty")).alias("total_qty"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation — retrieval / quality additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents) WHERE t <> ''
+    ),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS nd, sum(c * ln(c)) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+           round(ln(CAST(n AS DOUBLE)) - s / n, 4) + 0.0 AS entropy,
+           round(CASE WHEN nd > 1
+                      THEN (ln(CAST(n AS DOUBLE)) - s / n) / ln(CAST(nd AS DOUBLE))
+                      ELSE 0.0 END, 4) + 0.0 AS norm_entropy
+    FROM ent
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality — per-document Shannon token entropy (the
+    C4/RefinedWeb-style repetitiveness signal: near-zero entropy means
+    boilerplate/spam, near-1 normalized entropy means diverse text).
+    Computed via the fold-free identity H = ln(N) − (Σ c·ln c)/N so one
+    (doc, token) count pass and one per-doc aggregate suffice — no
+    window, no second scan; both shuffles map-side-combine. Normalized
+    entropy divides by ln(n_distinct) (0 when the doc is a single
+    repeated token). At 100 TB this is two linear shuffles keyed on
+    doc_id — the same shape as any per-doc quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("c") * F.log("c")).alias("s"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("s") / F.col("n")
+    return ent.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("nd").cast("bigint").alias("n_distinct"),
+        r4(h).alias("entropy"),
+        r4(
+            F.when(F.col("nd") > 1, h / F.log(F.col("nd").cast("double"))).otherwise(0.0)
+        ).alias("norm_entropy"),
+    )
+
+
+_BM25_TERMS = ("spark", "join", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS f FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents)
+      WHERE t IN ('spark', 'join', 'merge') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tf.t, ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+      FROM tf CROSS JOIN stats GROUP BY tf.t, stats.n
+    ),
+    scored AS (
+      SELECT tf.doc_id, count(*) AS n_terms,
+             sum(idf.idf * (tf.f * ({_BM25_K1} + 1.0))
+                 / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf JOIN idf ON tf.t = idf.t
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           round(score, 4) + 0.0 AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — Okapi BM25 ranking of the corpus against a fixed
+    query ("spark join merge"): idf·tf saturation with k1=1.2 and b=0.75
+    doc-length normalization (Robertson/Spärck Jones — the standard
+    lexical scorer for decontamination lookups and quality-by-relevance
+    cuts in training pipelines; tfidf_top_terms covers the unsaturated
+    variant). Plan shape: one token explode restricted to the query
+    terms (the IN filter prunes before the shuffle), a |terms|-row idf
+    table and a 1-row corpus-stats row both BROADCAST onto the per-doc
+    partials, one per-doc sum, TakeOrdered top-k — at 100 TB one linear
+    pass plus k driver rows, nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(TX.tokens("text"), lambda x: x != "")).cast("double").alias("dl"),
+    ).localCheckpoint(eager=True)  # feeds stats AND the per-doc join
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    ).localCheckpoint(eager=True)  # feeds idf AND the scored join
+    idf = (
+        tf.crossJoin(F.broadcast(stats))
+        .groupBy("t", "n")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "t",
+            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = F.col("idf") * (F.col("f") * (k1 + 1.0)) / (
+        F.col("f") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), on="t")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"), F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_terms", r4(F.col("score")).alias("score"))
     )
 
 

@@ -89,6 +89,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "ann_pq_distortion_bound",
         "ann_ivf_pq_topk",
         "dsir_selection",
+        "doc_token_entropy",
+        "bm25_doc_ranking",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
