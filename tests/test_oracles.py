@@ -91,6 +91,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "dsir_selection",
         "doc_token_entropy",
         "bm25_doc_ranking",
+        "zorder_clustering_prune",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (

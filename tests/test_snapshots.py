@@ -568,3 +568,45 @@ def test_ivm_minmax_fold_matches_recompute(spark, tmp_path):
         feed = t.changes(v_before, include_old=True)
         view = apply_changes_to_minmax(view, feed, t.read(), ["g"], "v").localCheckpoint()
         check()
+
+
+def test_zorder_column_matches_python_morton(spark):
+    """zorder_column's Column bit arithmetic equals a straight Python
+    Morton encode over the same clamp/rank normalization — including
+    out-of-domain values (which must clamp, keeping pruning conservative
+    rather than wrong)."""
+    from graph_db_spark.writers.snapshots import zorder_column
+
+    bits = 8
+    lo_x, hi_x, lo_y, hi_y = -1000.0, 10000.0, 0.0, 25.0
+    vals = [
+        (-1500.0, -3),  # clamps below on both dims
+        (-1000.0, 0),
+        (0.0, 1),
+        (4321.5, 5),
+        (9999.99, 24),
+        (12000.0, 30),  # clamps above on both dims
+    ]
+
+    def rank(v, lo, hi):
+        r = int((v - lo) / (hi - lo) * (1 << bits))
+        return max(0, min((1 << bits) - 1, r))
+
+    def morton(x, y):
+        rx, ry = rank(x, lo_x, hi_x), rank(y, lo_y, hi_y)
+        z = 0
+        for i in range(bits):
+            z |= ((rx >> i) & 1) << (2 * i)
+            z |= ((ry >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(vals, "x double, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y",
+            zorder_column([(F.col("x"), lo_x, hi_x), (F.col("y"), lo_y, hi_y)], bits=bits).alias("z"),
+        ).collect()
+    }
+    for x, y in vals:
+        assert got[(x, y)] == morton(x, y), (x, y)
