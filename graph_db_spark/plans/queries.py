@@ -9894,10 +9894,13 @@ _BM25_TERMS = ("spark", "join", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "bm25_doc_ranking",
-    oracle=f"""
-    WITH dl AS (
+def _bm25_cte_sql() -> str:
+    """Shared DuckDB CTE block replaying _bm25_scored: same tokenizer,
+    same idf smoothing, same k1/b saturation expression STRUCTURE (float
+    parity depends on the division/paren shape matching the Spark
+    Columns). Ends with ``scored(doc_id, n_terms, score)``."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""dl AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                   x -> x <> '')) AS DOUBLE) AS dl
@@ -9908,7 +9911,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS f FROM (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
         FROM documents)
-      WHERE t IN ('spark', 'join', 'merge') GROUP BY 1, 2
+      WHERE t IN ({terms}) GROUP BY 1, 2
     ),
     idf AS (
       SELECT tf.t, ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
@@ -9923,31 +9926,19 @@ _BM25_K1, _BM25_B = 1.2, 0.75
               JOIN dl ON tf.doc_id = dl.doc_id
               CROSS JOIN stats
       GROUP BY 1
-    )
-    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
-           round(score, 4) + 0.0 AS score
-    FROM scored ORDER BY score DESC, doc_id LIMIT 50
-    """,
-)
-def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval — Okapi BM25 ranking of the corpus against a fixed
-    query ("spark join merge"): idf·tf saturation with k1=1.2 and b=0.75
-    doc-length normalization (Robertson/Spärck Jones — the standard
-    lexical scorer for decontamination lookups and quality-by-relevance
-    cuts in training pipelines; tfidf_top_terms covers the unsaturated
-    variant). Plan shape: one token explode restricted to the query
-    terms (the IN filter prunes before the shuffle), a |terms|-row idf
-    table and a 1-row corpus-stats row both BROADCAST onto the per-doc
-    partials, one per-doc sum, TakeOrdered top-k — at 100 TB one linear
-    pass plus k driver rows, nothing quadratic."""
-    docs = load_table(spark, sf_dir, "documents")
+    )"""
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """Okapi BM25 per-doc scores for the fixed ``_BM25_TERMS`` query —
+    ``(doc_id, n_terms, score)``, unrounded. One term-pruned explode,
+    broadcast idf/stats, one per-doc sum (plan notes on
+    bm25_doc_ranking)."""
     dl = docs.select(
         "doc_id",
         F.size(F.filter(TX.tokens("text"), lambda x: x != "")).cast("double").alias("dl"),
     ).localCheckpoint(eager=True)  # feeds stats AND the per-doc join
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     tf = (
         docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
         .filter(F.col("t").isin(*_BM25_TERMS))
@@ -9967,15 +9958,39 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = F.col("idf") * (F.col("f") * (k1 + 1.0)) / (
         F.col("f") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(idf), on="t")
         .join(dl, on="doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"), F.sum(contrib).alias("score"))
     )
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH {_bm25_cte_sql()}
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           round(score, 4) + 0.0 AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — Okapi BM25 ranking of the corpus against a fixed
+    query ("spark join merge"): idf·tf saturation with k1=1.2 and b=0.75
+    doc-length normalization (Robertson/Spärck Jones — the standard
+    lexical scorer for decontamination lookups and quality-by-relevance
+    cuts in training pipelines; tfidf_top_terms covers the unsaturated
+    variant). Plan shape: one token explode restricted to the query
+    terms (the IN filter prunes before the shuffle), a |terms|-row idf
+    table and a 1-row corpus-stats row both BROADCAST onto the per-doc
+    partials, one per-doc sum, TakeOrdered top-k — at 100 TB one linear
+    pass plus k driver rows, nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        scored.orderBy(F.desc("score"), "doc_id")
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), "doc_id")
         .limit(50)
         .select("doc_id", "n_terms", r4(F.col("score")).alias("score"))
     )
@@ -10130,6 +10145,88 @@ def harmonic_centrality_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
             r4(F.sum(F.lit(1.0) / F.col("dist"))).alias("harmonic"),
+        )
+    )
+
+
+@register(
+    "hybrid_retrieval_rerank",
+    oracle=f"""
+    WITH {_bm25_cte_sql()},
+    cands AS (
+      SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 100
+    ),
+    cent AS (
+      SELECT pos, avg(val) AS c FROM (
+        SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings WHERE label = 0) GROUP BY pos
+    ),
+    centv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
+    rer AS (
+      SELECT cands.doc_id, cands.score,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), centv.cv) AS cos
+      FROM cands JOIN embeddings e ON e.vec_id = cands.doc_id
+                 CROSS JOIN centv
+    )
+    SELECT doc_id, round(score, 4) + 0.0 AS bm25_score,
+           round(cos, 4) + 0.0 AS cosine_sim
+    FROM rer ORDER BY cos DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval capstone — the standard two-stage hybrid stack: BM25
+    lexical preselection (cheap, inverted-index-shaped) feeding a dense
+    embedding rerank (expensive, quality), here against a deterministic
+    query vector (the label-0 centroid — a topic prototype). Stage 1
+    reuses _bm25_scored's linear plan and keeps only the top-100
+    candidate ids; stage 2 joins JUST those candidates to their
+    embeddings (semi-join-sized, never the corpus), scores cosine to
+    the centroid via the JVM-side zip_with/aggregate kernel
+    (operators/similarity.py:29), and emits the top-20. The centroid is
+    computed in-plan (posexplode → 64-row avg → packed array on one
+    row, broadcast) — no driver-side vector math. At 100 TB: candidate
+    generation is the only corpus-wide pass; the rerank touches k rows.
+    Both stages replay exactly in the oracle (same idf smoothing, same
+    saturation structure, DuckDB list_cosine_similarity)."""
+    from graph_db_spark.operators.similarity import _as_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+        .select("doc_id", "score")
+        .localCheckpoint(eager=True)
+    )
+    centv = (
+        emb.filter(F.col("label") == 0)
+        .select(F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cv")
+        )
+    )
+    rer = (
+        cands.join(emb, on=cands["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(centv))
+        .select(
+            "doc_id",
+            "score",
+            cosine(_as_double(F.col("embedding")), F.col("cv")).alias("cos"),
+        )
+    )
+    return (
+        rer.orderBy(F.desc("cos"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            r4(F.col("score")).alias("bm25_score"),
+            r4(F.col("cos")).alias("cosine_sim"),
         )
     )
 
