@@ -10231,4 +10231,101 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH e AS ({edges_sql()}),
+    outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+    ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS id_ FROM e GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(outd.od, ind.id_), 4) + 0.0 AS assortativity,
+           round(avg(outd.od), 4) AS mean_src_outdeg,
+           round(avg(ind.id_), 4) AS mean_dst_indeg
+    FROM e JOIN outd ON e.src = outd.src
+           JOIN ind ON e.dst = ind.dst
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — directed degree assortativity (Newman 2002):
+    the Pearson correlation, over every edge, between the source's
+    out-degree and the destination's in-degree. Negative values mean
+    hubs feed leaves (the fixture's hierarchy shape); positive means
+    hub-to-hub wiring. Plan: two map-side-combined degree aggregates,
+    both joined back onto the edge list (degree tables are
+    vertex-sized; the joins shuffle on the same src/dst keys the
+    degrees grouped on), then ONE pass of Spark's built-in distributed
+    co-moment fold (F.corr) — never a driver-side collect. Exact
+    oracle: DuckDB corr() over the identical join."""
+    g = build_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("id_"))
+    return (
+        e.join(outd, on="src")
+        .join(ind, on="dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            r4(F.corr("od", "id_")).alias("assortativity"),
+            F.round(F.avg("od"), 4).alias("mean_src_outdeg"),
+            F.round(F.avg("id_"), 4).alias("mean_dst_indeg"),
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    SELECT query_id, neg_id, round(cosine_sim, 4) + 0.0 AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op — hard-negative mining for contrastive training
+    (the retrieval/embedding-training staple): for each anchor vector,
+    the most similar corpus vectors with a DIFFERENT label — maximally
+    confusing negatives. Same plan as the brute cosine baseline (anchors
+    broadcast, corpus partitioned, one shuffle for the per-anchor
+    top-k); the label-mismatch predicate rides the broadcast join. The
+    scale path swaps the corpus scan for the IVF/LSH candidate
+    generation exactly as in ann_*_topk — this query pins the exact
+    semantics those approximations are graded against."""
+    from graph_db_spark.operators.similarity import _as_double, cosine
+    from graph_db_spark.util import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("q_vec"),
+    )
+    c = spread(emb).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("c_label"),
+        _as_double(F.col("embedding")).alias("c_vec"),
+    )
+    scored = c.join(F.broadcast(q), on=F.col("q_label") != F.col("c_label")).select(
+        "query_id", "neg_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neg_id", r4(F.col("cosine_sim")).alias("cosine_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 _reorder_for_gate()

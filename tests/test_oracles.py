@@ -94,6 +94,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "zorder_clustering_prune",
         "harmonic_centrality_landmarks",
         "hybrid_retrieval_rerank",
+        "degree_assortativity",
+        "hard_negative_mining",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
