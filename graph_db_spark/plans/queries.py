@@ -4272,6 +4272,8 @@ _EXPENSIVE_LAST = [
     "shortest_path_routes",         # ~14s at sf0.01 (full BFS tree + level-wise reconstruction)
     "streaming_left_outer_attribution",  # ~13s (two-sided state store + null emission)
     "k_truss_cooccurrence",         # ~10s at sf0.01 (3-4 peel rounds, triangle join each)
+    "snapshot_schema_evolution",    # ~8s (create + evolving merge; commit-overhead-bound)
+    "zorder_clustering_prune",      # ~11s (two clustered creates + footer stats; commit-overhead-bound)
     "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
     "ivm_minmax_rescan",            # ~19s (3 commits + minmax folds + rescans; SF-independent)
     "incremental_view_maintenance", # ~12s at sf0.1 (3 commits + 3 CDC folds; SF-independent data)
@@ -10325,6 +10327,82 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neg_id", r4(F.col("cosine_sim")).alias("cosine_sim"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+@register(
+    "snapshot_schema_evolution",
+    oracle="""
+    WITH up AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS c_acctbal,
+             CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS c_tier
+      FROM customer WHERE c_custkey > 700 AND c_custkey <= 900
+    ),
+    base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, NULL AS c_tier
+      FROM customer
+      WHERE c_custkey <= 800 AND c_custkey NOT IN (SELECT c_custkey FROM up)
+    ),
+    m AS (SELECT * FROM up UNION ALL SELECT * FROM base)
+    SELECT coalesce(c_tier, '__null__') AS tier, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 4) AS sum_bal
+    FROM m GROUP BY 1
+    UNION ALL SELECT '__v1_has_tier__', 0, 0.0
+    """,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — explicit schema evolution
+    (writers/snapshots.py:_evolve; the Delta mergeSchema contract):
+    create the customer table, then MERGE a batch carrying a NEW
+    ``c_tier`` column under ``allow_schema_evolution=True`` (without the
+    flag the merge raises — typo protection, pytest-pinned). The new
+    column appends as a nullable field; untouched buckets' files are
+    NOT rewritten — their rows null-fill at read time through the
+    evolved manifest schema, so evolution costs one manifest write plus
+    the touched buckets, never a table rewrite. The hash check proves
+    read-side semantics (updated rows carry tiers, carried-forward rows
+    read NULL, doubled balances land); the ``__v1_has_tier__`` contract
+    row pins that TIME TRAVEL to v1 still serves the pre-evolution
+    schema — old snapshots never grow columns retroactively."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = _sf_tag(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"graft_snap_evolve_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, cust.filter(F.col("c_custkey") <= 800), ["c_custkey"], n_buckets=8
+    )
+    up = (
+        cust.filter((F.col("c_custkey") > 700) & (F.col("c_custkey") <= 900))
+        .withColumn(
+            "c_tier", F.when(F.col("c_acctbal") > 5000, "gold").otherwise("std")
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+    )
+    t.merge(up, allow_schema_evolution=True)
+    agg = (
+        t.read()
+        .groupBy(F.coalesce(F.col("c_tier"), F.lit("__null__")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.sum("c_acctbal")).alias("sum_bal"),
+        )
+    )
+    v1_has_tier = "c_tier" in t.read(version=1).columns
+    return _metric_rows(
+        agg,
+        spark.range(1).select(
+            F.lit("__v1_has_tier__").alias("tier"),
+            F.lit(1 if v1_has_tier else 0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("sum_bal"),
+        ),
     )
 
 

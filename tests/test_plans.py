@@ -74,6 +74,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "min_cost_supplier", "small_quantity_revenue", "sole_late_supplier",
         "join_key_skew_profile", "bpe_top_pairs", "disjunctive_discount_revenue",
         "ann_ivf_pq_topk", "dsir_selection", "tz_zone_correct_offsets",
+        "doc_token_entropy", "bm25_doc_ranking", "hybrid_retrieval_rerank",
+        "degree_assortativity",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
