@@ -10151,6 +10151,37 @@ def harmonic_centrality_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _centroid_cte_sql(label: int = 0) -> str:
+    """Shared DuckDB CTE pair ending in ``centv(cv)`` — the label-``label``
+    embedding centroid as one list row (replays _label_centroid)."""
+    return f"""cent AS (
+      SELECT pos, avg(val) AS c FROM (
+        SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings WHERE label = {label}) GROUP BY pos
+    ),
+    centv AS (SELECT list(c ORDER BY pos) AS cv FROM cent)"""
+
+
+def _label_centroid(emb: DataFrame, label: int = 0) -> DataFrame:
+    """1-row DataFrame ``(cv: array<double>)`` — the mean vector of the
+    ``label`` embeddings, computed in-plan (posexplode → per-position avg
+    → packed array); broadcast it onto whatever needs scoring."""
+    from graph_db_spark.operators.similarity import _as_double
+
+    return (
+        emb.filter(F.col("label") == label)
+        .select(F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cv")
+        )
+    )
+
+
 @register(
     "hybrid_retrieval_rerank",
     oracle=f"""
@@ -10158,13 +10189,7 @@ def harmonic_centrality_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame
     cands AS (
       SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 100
     ),
-    cent AS (
-      SELECT pos, avg(val) AS c FROM (
-        SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
-               unnest(CAST(embedding AS DOUBLE[])) AS val
-        FROM embeddings WHERE label = 0) GROUP BY pos
-    ),
-    centv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
+    {_centroid_cte_sql()},
     rer AS (
       SELECT cands.doc_id, cands.score,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), centv.cv) AS cos
@@ -10202,17 +10227,7 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
         .localCheckpoint(eager=True)
     )
-    centv = (
-        emb.filter(F.col("label") == 0)
-        .select(F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.avg("val").alias("c"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-            ).alias("cv")
-        )
-    )
+    centv = _label_centroid(emb)
     rer = (
         cands.join(emb, on=cands["doc_id"] == emb["vec_id"])
         .crossJoin(F.broadcast(centv))
@@ -10403,6 +10418,96 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1 if v1_has_tier else 0).cast("bigint").alias("n"),
             F.lit(0.0).alias("sum_bal"),
         ),
+    )
+
+
+@register(
+    "rrf_fusion_ranking",
+    oracle=f"""
+    WITH {_bm25_cte_sql()},
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+      FROM scored ORDER BY score DESC, doc_id LIMIT 100
+    ),
+    {_centroid_cte_sql()},
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                               (SELECT cv FROM centv)) DESC, vec_id
+             ) AS drank
+      FROM embeddings ORDER BY drank LIMIT 100
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, lex.lrank, dense.drank,
+             coalesce(1.0 / (60 + lex.lrank), 0) + coalesce(1.0 / (60 + dense.drank), 0)
+               AS rrf
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    SELECT doc_id, CAST(lrank AS BIGINT) AS lex_rank,
+           CAST(drank AS BIGINT) AS dense_rank,
+           round(rrf, 4) + 0.0 AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 25
+    """,
+)
+def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval — reciprocal-rank fusion (Cormack et al. 2009, the
+    standard score-free way to fuse heterogeneous rankers): BM25 lexical
+    top-100 and dense centroid-cosine top-100 fuse by
+    Σ 1/(60 + rank), which needs no score normalization across the two
+    incomparable scales. hybrid_retrieval_rerank is the cascade
+    (lexical gates dense); this is the parallel-union alternative —
+    docs ranked by either signal survive. Plan: each ranker is a
+    corpus-linear pass ending in TakeOrdered(100); rank assignment and
+    the FULL OUTER fuse then run on two 100-row sets (the global
+    row_number windows are k-sized by construction — never a
+    corpus-wide single-partition sort). Both rankers quantize to
+    discrete score levels (integer tf/doc-length grids), so ranking is
+    reproducible across engines — the oracle replays ranks exactly."""
+    from graph_db_spark.operators.similarity import _as_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "lrank", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+        )
+        .select("doc_id", "lrank")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(_label_centroid(emb)))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(_as_double(F.col("embedding")), F.col("cv")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "drank", F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
+        )
+        .select("doc_id", "drank")
+    )
+    fused = lex.join(dense, on="doc_id", how="full_outer").select(
+        "doc_id",
+        "lrank",
+        "drank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("drank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            F.col("lrank").cast("bigint").alias("lex_rank"),
+            F.col("drank").cast("bigint").alias("dense_rank"),
+            r4(F.col("rrf")).alias("rrf_score"),
+        )
     )
 
 
