@@ -289,3 +289,51 @@ def test_shortest_path_tree_min_parent_deterministic(spark):
     }
     with pytest.raises(RuntimeError, match="did not finish"):
         shortest_path_tree(e, "s", max_iter=2)
+
+
+def test_harmonic_centrality_matches_bruteforce(spark):
+    """Multi-landmark BFS reduced to harmonic centrality equals a Python
+    Floyd-Warshall brute force on a digraph with cycles, unreachable
+    nodes, and asymmetric distances."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.graph.algorithms import shortest_paths
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # 3-cycle
+        ("c", "d"), ("d", "e"),               # tail off the cycle
+        ("f", "a"),                           # f reaches in, nothing reaches f
+    ]
+    nodes = sorted({x for p in pairs for x in p})
+    INF = float("inf")
+    dist = {(u, v): (0 if u == v else INF) for u in nodes for v in nodes}
+    for u, v in pairs:
+        dist[(u, v)] = 1
+    for k in nodes:
+        for i in nodes:
+            for j in nodes:
+                d = dist[(i, k)] + dist[(k, j)]
+                if d < dist[(i, j)]:
+                    dist[(i, j)] = d
+
+    def harmonic(u):
+        return sum(
+            1.0 / dist[(u, v)] for v in nodes if v != u and dist[(u, v)] < INF
+        )
+
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    lms = spark.createDataFrame([(n,) for n in nodes], "id string")
+    got = {
+        r["landmark"]: r["h"]
+        for r in shortest_paths(edges, lms)
+        .filter(F.col("dist") > 0)
+        .groupBy("landmark")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("h"))
+        .collect()
+    }
+    for u in nodes:
+        want = harmonic(u)
+        if want == 0.0:
+            assert u not in got, u  # e reaches nothing: no row
+        else:
+            assert abs(got[u] - want) < 1e-12, (u, got[u], want)

@@ -861,3 +861,72 @@ def test_bpe_learn_matches_canonical_python(spark):
 
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     assert bpe_learn(df, "text", n_merges=8) == canonical(texts, 8)
+
+
+def test_bm25_matches_python_reference(spark):
+    """_bm25_scored equals a direct Python Okapi BM25 (k1=1.2, b=0.75,
+    ln(1+(N-df+0.5)/(df+0.5)) idf) on a handcrafted corpus covering
+    repeated terms, absent terms, and varied doc lengths."""
+    import math
+
+    from graph_db_spark.plans.queries import _BM25_B, _BM25_K1, _BM25_TERMS, _bm25_scored
+
+    texts = {
+        0: "spark join merge spark spark",
+        1: "table scan filter value",           # no query terms
+        2: "join",                               # shortest doc, one term
+        3: "merge merge merge merge join spark",
+        4: "spark a b c d e f g h i j k l m",    # long doc, one hit
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    tok = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    df = {t: sum(1 for v in tok.values() if t in v) for t in _BM25_TERMS}
+    idf = {t: math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in _BM25_TERMS}
+
+    def score(i):
+        s, hits = 0.0, 0
+        for t in _BM25_TERMS:
+            f = tok[i].count(t)
+            if not f:
+                continue
+            hits += 1
+            s += idf[t] * (f * (_BM25_K1 + 1.0)) / (
+                f + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(tok[i]) / avgdl)
+            )
+        return hits, s
+
+    got = {r["doc_id"]: (r["n_terms"], r["score"]) for r in _bm25_scored(docs).collect()}
+    want = {i: score(i) for i in texts if score(i)[0]}
+    assert set(got) == set(want)
+    for i, (hits, s) in want.items():
+        assert got[i][0] == hits, i
+        assert abs(got[i][1] - s) < 1e-9, (i, got[i][1], s)
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF on two hand-built rank lists: overlap sums both reciprocal
+    ranks, single-list docs contribute one term, and ordering follows
+    the fused score with doc_id tie-break."""
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, lrank int")
+    dense = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, drank int")
+    fused = (
+        lex.join(dense, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("drank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    got = {r["doc_id"]: r["rrf"] for r in fused.collect()}
+    assert abs(got[2] - (1 / 62 + 1 / 61)) < 1e-12   # both lists
+    assert abs(got[1] - 1 / 61) < 1e-12              # lex only
+    assert abs(got[4] - 1 / 62) < 1e-12              # dense only
+    order = sorted(got, key=lambda d: (-got[d], d))
+    assert order[0] == 2  # overlap wins over either single ranker
