@@ -4258,6 +4258,7 @@ _EXPENSIVE_LAST = [
     "simhash_near_dups",            # ~4.4s
     "ann_lsh_recall_bound",         # ~5s
     "streaming_exact_dedup",        # ~6s (stream machinery)
+    "streaming_watermark_dedup",    # ~10s at sf0.1 (3 micro-batches, keyed state)
     "enrich_missing_brand",         # ~5.6s
     "pipeline_sap_analyses",        # ~6s
     "shortest_paths_from_regions",  # ~6s
@@ -10508,6 +10509,73 @@ def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("drank").cast("bigint").alias("dense_rank"),
             r4(F.col("rrf")).alias("rrf_score"),
         )
+    )
+
+
+@register(
+    "streaming_watermark_dedup",
+    oracle="""
+    WITH base AS (SELECT event_id, ts FROM events WHERE user_id % 25 = 3),
+    m AS (SELECT max(ts) AS m FROM base)
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(CASE WHEN e.ts < m.m - INTERVAL 4 DAY THEN 2 ELSE 1 END AS BIGINT)
+             AS n_emitted
+    FROM base e, m
+    """,
+)
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming — BOUNDED-state dedup via
+    ``dropDuplicatesWithinWatermark`` (streaming/jobs.py:
+    dedupe_within_watermark): the contract that makes streaming exact
+    dedup viable at 100 TB — state holds one entry per key only inside
+    the watermark horizon, and the price is that a key re-sent AFTER its
+    horizon re-admits. This query pins the exact eviction timing,
+    measured on Spark 4.1 (same method as _run_batched_stream's
+    late-data mechanics):
+
+    - batch 0: the base cohort — every key lands, state created.
+    - batch 1: the ENTIRE cohort re-sent verbatim — every copy drops.
+      (Eviction is LAGGED one batch: at batch 1 the operative watermark
+      is still −∞, so all state is alive and every resend is a
+      duplicate. Even under an unlagged reading the outcome is
+      identical: old keys would be evicted but their old timestamps
+      fall below the unlagged watermark and drop as late — the batch
+      design makes both readings agree, so the oracle is robust to the
+      internal two-watermark schedule.)
+    - batch 2: the cohort re-sent with a FRESH timestamp (max−1h, which
+      also never advances the watermark): evicted keys RE-ADMIT; keys
+      still held drop. The measured eviction rule (this oracle went red
+      under the naive reading and pinned it): state stores an
+      EXPIRATION of first_seen_ts + delay and evicts when that falls
+      below the watermark (max_prior_ts − delay) — so with delay d the
+      re-admission cutoff is max − 2·d, not max − d. The dedup horizon
+      a key is actually protected for is up to TWICE the configured
+      delay.
+
+    Emitted copies per key are therefore exactly 2 for keys first seen
+    before max−2·delay and 1 otherwise — a pure function of the data
+    split that DuckDB replays with one CASE. At scale this is the
+    ingest-dedup configuration: O(keys-per-horizon) state instead of
+    O(corpus), with the re-admission tail swept by the downstream batch
+    near-dup/exact-dedup passes (stream_exact_dedup docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id") % 25 == 3).select("event_id", "ts")
+    m = base.agg(F.max("ts")).collect()[0][0]  # 1-row scalar probe
+    b2 = base.withColumn(
+        "ts", (F.lit(m) - F.expr("INTERVAL 1 HOUR")).cast("timestamp")
+    )
+    out = _run_batched_stream(
+        spark,
+        "wm_dedup",
+        [base, base, b2],
+        lambda s: STRM.dedupe_within_watermark(
+            s, ["event_id"], ts_col="ts", watermark="2 days"
+        ),
+        mode="append",
+        tag=_sf_tag(sf_dir),
+    )
+    return out.groupBy(F.col("event_id").cast("bigint").alias("event_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted")
     )
 
 
