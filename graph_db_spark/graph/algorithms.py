@@ -367,19 +367,33 @@ def personalized_pagerank(
     # partial⋈weighted and v⟕contribs joins are exchange-free (CC round
     # contract): the one per-round exchange is the contribution agg.
     partial = v.withColumn("rank", F.lit(0.0))
+    # the restart deposit's contribution PATTERN is static: only the
+    # sources' out-edges carry it, scaled per round by the scalar
+    # missing/ns. Materialize that k-source edge subset ONCE (it is
+    # seed-sized, not graph-sized) — through r6 the restart rows
+    # broadcast-joined the FULL weighted table every round, which re-read
+    # the 1.6M-row edge list 10 times just to pick the same k sources'
+    # rows (measured 14.9s vs pagerank's 12.1s at sf0.1; the hoist
+    # removes the gap).
+    src_w = (
+        weighted.join(F.broadcast(s), on="id")
+        .select("dst", "weight")
+        .localCheckpoint(eager=True)
+    )
     missing = 1.0
     for _ in range(max_iter):
         # effective rank = partial + restart deposit, as TWO contribution
         # row sets the aggregation sums: the partitioned rank table joins
-        # co-located, and the k restart rows ride a broadcast join — a
-        # single union on the RANKS side would erase partial's
-        # partitioning and re-exchange the whole rank table every round.
-        restart = s.withColumn("rank", F.lit(missing / ns))
+        # co-located, and the seed deposit is a literal-scaled scan of
+        # the precomputed source out-edges — a union on the RANKS side
+        # would erase partial's partitioning and re-exchange the whole
+        # rank table every round.
         cont_in = partial.join(weighted, on="id").select(
             F.col("dst").alias("id"), (F.col("rank") * F.col("weight")).alias("contrib")
         )
-        cont_restart = F.broadcast(restart).join(weighted, on="id").select(
-            F.col("dst").alias("id"), (F.col("rank") * F.col("weight")).alias("contrib")
+        cont_restart = src_w.select(
+            F.col("dst").alias("id"),
+            (F.lit(missing / ns) * F.col("weight")).alias("contrib"),
         )
         contribs = (
             cont_in.unionByName(cont_restart)
