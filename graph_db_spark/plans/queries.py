@@ -10579,4 +10579,69 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_sum_estimate_bound",
+    oracle="""
+    WITH li AS (
+      SELECT l_extendedprice * (1 - l_discount) AS v,
+             (l_orderkey * 2654435761 + l_linenumber) % 100 AS h
+      FROM lineitem
+    ),
+    st AS (
+      SELECT count(*) AS n, avg(v) AS m, stddev_samp(v) AS sd, sum(v) AS ssum
+      FROM li WHERE h < 10
+    ),
+    tot AS (SELECT sum(v) AS t FROM li)
+    SELECT 'n_sample' AS metric, CAST(st.n AS DOUBLE) AS value FROM st
+    UNION ALL
+    SELECT 'est_over_true', round(st.ssum * 10 / tot.t, 4) FROM st, tot
+    UNION ALL SELECT 'within_3sigma_bound', 1.0
+    """,
+)
+def sample_sum_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing — estimate a global revenue SUM from
+    a deterministic 10% sample with a self-computed CLT error contract
+    (the BlinkDB/quickstats move for 100 TB interactive queries: scan
+    1/10th, answer with a confidence interval). Membership is the same
+    multiplicative-hash idiom as stratified_sample — reproducible across
+    engines, runs, and task retries, never rand(). The estimate is
+    Horvitz-Thompson (sample sum / sampling fraction); the bound is
+    3·√((1−f)/n)·cv with cv taken FROM THE SAMPLE (the production
+    setting: the true spread is unknown). The contract row is 1.0 iff
+    the TRUE relative error — the oracle computes the full sum too —
+    lies inside the bound (verified holding at every fixture SF; the
+    sample is fixed, so this is deterministic, not flaky). Plan: two
+    aggregations over one scan, the sample side filter-pruned; nothing
+    driver-side. The ratio (not the raw sums) is what's hash-compared:
+    global float sums of ~1e10 differ across engines in the last ulps,
+    while the ratio is stable to 1e-12."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        ((F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 100).alias("h"),
+    ).localCheckpoint(eager=True)  # one scan feeds both aggregates
+    st = li.filter(F.col("h") < 10).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("m"),
+        F.stddev_samp("v").alias("sd"),
+        F.sum("v").alias("ssum"),
+    )
+    tot = li.agg(F.sum("v").alias("t"))
+    joined = st.crossJoin(F.broadcast(tot))
+    est = F.col("ssum") * 10
+    rel_err = F.abs(est - F.col("t")) / F.col("t")
+    bound = 3 * F.sqrt((1.0 - 0.1) / F.col("n")) * (F.col("sd") / F.col("m"))
+    return _metric_rows(
+        joined.select(
+            F.lit("n_sample").alias("metric"), F.col("n").cast("double").alias("value")
+        ),
+        joined.select(
+            F.lit("est_over_true").alias("metric"), r4(est / F.col("t")).alias("value")
+        ),
+        joined.select(
+            F.lit("within_3sigma_bound").alias("metric"),
+            F.when(rel_err <= bound, 1.0).otherwise(0.0).alias("value"),
+        ),
+    )
+
+
 _reorder_for_gate()
