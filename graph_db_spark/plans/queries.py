@@ -4263,6 +4263,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_analyses",        # ~6s
     "shortest_paths_from_regions",  # ~6s
     "harmonic_centrality_landmarks",  # ~6s (5-landmark BFS, one frontier run)
+    "scc_trade_partners",           # ~7s (one fact pass + nation-sized trim/FW-BW rounds)
     "minhash_recall_bound",         # ~7s
     "pipeline_app_nutrient_contents",  # ~7s
     "pipeline_sap_element_results", # ~8s
@@ -10641,6 +10642,89 @@ def sample_sum_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("within_3sigma_bound").alias("metric"),
             F.when(rel_err <= bound, 1.0).otherwise(0.0).alias("value"),
         ),
+    )
+
+
+@register(
+    "scc_trade_partners",
+    oracle="""
+    WITH RECURSIVE flow AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT src, max(cnt) AS m FROM flow GROUP BY 1),
+    e AS (SELECT f.src, f.dst FROM flow f JOIN mx ON f.src = mx.src
+          WHERE f.cnt = mx.m),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+    ),
+    mutual AS (
+      SELECT r1.a AS v, r1.b AS w
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+      UNION ALL
+      SELECT v, v FROM nodes
+    )
+    SELECT CAST(v AS BIGINT) AS nationkey, CAST(min(w) AS BIGINT) AS scc
+    FROM mutual GROUP BY 1
+    """,
+)
+def scc_trade_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — strongly connected components
+    (graph/algorithms.py:strongly_connected_components, TRIM + FW-BW) of
+    the "top trade partner" digraph: nation A → nation B when B is A's
+    heaviest export destination (suppliers in A shipping to customers in
+    B through lineitem⋈orders; per-source argmax keeps the graph sparse
+    and SCALE-INVARIANT — an absolute volume threshold would change the
+    topology with SF). Functional-graph SCCs are the classic mutual-
+    top-partner cycles: the fixture yields a 3-cycle at sf0.01, a
+    2-cycle at sf0.1, and a pure DAG (all trims) at sf0.001, so the
+    oracle exercises both the trim and the pivot-peel paths. Heavy
+    lifting is the ONE fact-join pass building the flow matrix (nation
+    dim broadcast, map-side-combined count); the SCC loop then runs on a
+    |nations|-sized edge list. The DuckDB oracle computes mutual
+    reachability via a recursive closure — exact, per-node."""
+    from graph_db_spark.graph.algorithms import strongly_connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flow = (
+        li.join(o, on=li["l_orderkey"] == o["o_orderkey"])
+        .join(c, on=o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), on=li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds both mx and the edge filter
+    )
+    mx = flow.groupBy("src").agg(F.max("cnt").alias("m"))
+    # zero-pad the ids: the SCC labels are STRING minima (the algorithm's
+    # ids are strings, like every graph in this module), so fixed-width
+    # rendering makes lexicographic min == numeric min — the oracle's
+    # min(nationkey) semantics
+    e = (
+        flow.join(F.broadcast(mx), on="src")
+        .filter(F.col("cnt") == F.col("m"))
+        .select(
+            F.format_string("%02d", F.col("src")).alias("src"),
+            F.format_string("%02d", F.col("dst")).alias("dst"),
+        )
+    )
+    scc = strongly_connected_components(e)
+    return scc.select(
+        F.col("id").cast("bigint").alias("nationkey"),
+        F.col("scc").cast("bigint").alias("scc"),
     )
 
 

@@ -337,3 +337,61 @@ def test_harmonic_centrality_matches_bruteforce(spark):
             assert u not in got, u  # e reaches nothing: no row
         else:
             assert abs(got[u] - want) < 1e-12, (u, got[u], want)
+
+
+def test_scc_trim_and_fwbw_match_bruteforce(spark):
+    """TRIM + FW-BW SCC equals a Python reachability brute force on a
+    digraph with a 3-cycle, a 2-cycle, a DAG shell, and an isolated-ish
+    tail — exercising both the trim path and repeated pivot peels."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from graph_db_spark.graph.algorithms import strongly_connected_components
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),        # 3-cycle SCC {a,b,c}
+        ("c", "d"), ("d", "e"), ("e", "d"),        # 2-cycle SCC {d,e}
+        ("e", "f"),                                 # sink f (trim)
+        ("g", "a"),                                 # source g (trim)
+        ("h", "i"),                                 # 2-chain (both trim)
+    ]
+    nodes = sorted({x for p in pairs for x in p})
+    adj = {n: set() for n in nodes}
+    for u, v in pairs:
+        adj[u].add(v)
+
+    def reach(u):
+        seen, st = {u}, [u]
+        while st:
+            x = st.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    st.append(y)
+        return seen
+
+    R = {u: reach(u) for u in nodes}
+    want = {u: min(v for v in nodes if v in R[u] and u in R[v]) for u in nodes}
+
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["id"]: r["scc"] for r in strongly_connected_components(e).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_scc_raises_past_max_rounds(spark):
+    """A chain of disjoint 2-cycles peels one SCC per round — exceeding
+    max_rounds must raise, not return a partial labeling."""
+    import pytest
+
+    from graph_db_spark.graph.algorithms import strongly_connected_components
+
+    pairs = []
+    for i in range(5):
+        a, b = f"x{i}", f"y{i}"
+        pairs += [(a, b), (b, a)]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(e, max_rounds=2)
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(e, max_rounds=10).collect()}
+    assert len(set(got.values())) == 5
