@@ -4275,6 +4275,7 @@ _EXPENSIVE_LAST = [
     "streaming_left_outer_attribution",  # ~13s (two-sided state store + null emission)
     "k_truss_cooccurrence",         # ~10s at sf0.01 (3-4 peel rounds, triangle join each)
     "snapshot_schema_evolution",    # ~8s (create + evolving merge; commit-overhead-bound)
+    "snapshot_write_audit_publish", # ~9s (create + rejected merge + committed merge)
     "zorder_clustering_prune",      # ~11s (two clustered creates + footer stats; commit-overhead-bound)
     "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
     "ivm_minmax_rescan",            # ~19s (3 commits + minmax folds + rescans; SF-independent)
@@ -10725,6 +10726,83 @@ def scc_trade_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc.select(
         F.col("id").cast("bigint").alias("nationkey"),
         F.col("scc").cast("bigint").alias("scc"),
+    )
+
+
+@register(
+    "snapshot_write_audit_publish",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 4 = 1 THEN c_acctbal * 2 ELSE c_acctbal END
+               AS c_acctbal
+      FROM customer
+    )
+    SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 4) AS sum_bal
+    FROM m GROUP BY 1
+    UNION ALL SELECT '__rejected_left_v1__', 1, 0.0
+    UNION ALL SELECT '__published_v2__', 1, 0.0
+    """,
+)
+def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — write-audit-publish (the Iceberg WAP gate;
+    writers/snapshots.py:merge(audit=...)): a DQ check runs against the
+    EXACT staged snapshot after the data files land but before the
+    manifest publishes, so a failing batch never has a moment of being
+    live. Sequence: create → a POISON merge (balances forced to −9999)
+    whose audit rejects — the table must still be v1 with pristine
+    balances — then the real merge (doubled balances for the
+    custkey%4==1 cohort) whose audit passes and publishes v2. The hash check proves the final
+    state equals the direct SQL replay WITHOUT the poison batch (the
+    rejected write left zero trace in reader-visible state); the
+    contract rows pin that rejection kept version=1 and the good commit
+    landed as version=2."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import AuditRejected, SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = _sf_tag(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"graft_snap_wap_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(spark, path, cust, ["c_custkey"], n_buckets=8)
+    # modulus cohort, not a key range: non-empty at EVERY fixture SF
+    window = cust.filter(F.col("c_custkey") % 4 == 1)
+
+    def no_poison(df: DataFrame) -> bool:
+        # 1-row scalar probe of the staged snapshot — the DQ gate
+        return df.filter(F.col("c_acctbal") < -5000).limit(1).count() == 0
+
+    rejected = False
+    try:
+        t.merge(window.withColumn("c_acctbal", F.lit(-9999.0)), audit=no_poison)
+    except AuditRejected:
+        rejected = True
+    left_v1 = rejected and t.latest_version() == 1
+    v2 = t.merge(
+        window.withColumn("c_acctbal", F.col("c_acctbal") * 2), audit=no_poison
+    )
+    agg = t.read().groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.sum("c_acctbal")).alias("sum_bal"),
+    )
+    return _metric_rows(
+        agg,
+        spark.range(1).select(
+            F.lit("__rejected_left_v1__").alias("seg"),
+            F.lit(1 if left_v1 else 0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("sum_bal"),
+        ),
+        spark.range(1).select(
+            F.lit("__published_v2__").alias("seg"),
+            F.lit(1 if v2 == 2 else 0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("sum_bal"),
+        ),
     )
 
 

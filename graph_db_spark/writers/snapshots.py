@@ -61,6 +61,12 @@ class CommitConflict(Exception):
     """Another writer published this version first — re-read and retry."""
 
 
+class AuditRejected(Exception):
+    """A write-audit-publish ``audit`` callback returned False: the
+    staged snapshot was never published. The table is unchanged; the
+    staged data files are unreferenced and reclaimed by vacuum."""
+
+
 def _is_local(path: str) -> bool:
     return "://" not in path or path.startswith("file:")
 
@@ -542,9 +548,20 @@ class SnapshotTable:
         txn: tuple[str, int] | None = None,
         allow_schema_evolution: bool = False,
         mode: str = "cow",
+        audit=None,
     ) -> int:
         """MERGE ``updates`` into the table on its creation keys; returns
         the committed version.
+
+        ``audit``: optional write-audit-publish hook (the Iceberg WAP
+        pattern). Called with a DataFrame of the EXACT would-be snapshot
+        — staged data files plus carried references, resolved exactly as
+        a reader would see them — after the files are written but BEFORE
+        the manifest publish. Return True to publish; False raises
+        :class:`AuditRejected` with the table untouched (readers never
+        see the staged state; the orphaned files are vacuum garbage).
+        This is how a 100 TB pipeline gates a commit on DQ checks
+        without a window where bad data is live.
 
         ``mode='cow'`` (default) — bucket-level copy-on-write: only
         buckets containing an update key are re-merged and rewritten;
@@ -613,25 +630,31 @@ class SnapshotTable:
                 cluster_by=m.get("cluster_by"),
                 records_per_file=m.get("records_per_file"),
             )
-            try:
-                self._publish(
-                    {
-                        "version": v + 1,
-                        "keys": keys,
-                        "n_buckets": n_buckets,
-                        "cluster_by": m.get("cluster_by"),
-                        "records_per_file": m.get("records_per_file"),
-                        "schema": json.loads(schema.json()),
-                        "operation": f"merge:{strategy}"
-                        + (":mor" if mode == "mor" else ""),
-                        "committed_at": time.time(),
-                        "txn": (
-                            {"app": txn[0], "id": txn[1]} if txn is not None else None
-                        ),
-                        "txns": self._carry_txns(m, txn),
-                        "files": carried + new_files,
-                    }
+            staged = {
+                "version": v + 1,
+                "keys": keys,
+                "n_buckets": n_buckets,
+                "cluster_by": m.get("cluster_by"),
+                "records_per_file": m.get("records_per_file"),
+                "schema": json.loads(schema.json()),
+                "operation": f"merge:{strategy}"
+                + (":mor" if mode == "mor" else ""),
+                "committed_at": time.time(),
+                "txn": (
+                    {"app": txn[0], "id": txn[1]} if txn is not None else None
+                ),
+                "txns": self._carry_txns(m, txn),
+                "files": carried + new_files,
+            }
+            if audit is not None and not audit(
+                self._read_files(staged).drop("_bucket")
+            ):
+                raise AuditRejected(
+                    f"audit rejected staged v{v + 1} at {self.path}; "
+                    "table unchanged, staged files await vacuum"
                 )
+            try:
+                self._publish(staged)
                 return v + 1
             except CommitConflict:
                 continue  # loser re-reads the winner's snapshot and re-merges

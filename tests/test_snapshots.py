@@ -610,3 +610,38 @@ def test_zorder_column_matches_python_morton(spark):
     }
     for x, y in vals:
         assert got[(x, y)] == morton(x, y), (x, y)
+
+
+def test_write_audit_publish_gates_the_manifest(spark, tmp_path):
+    """WAP: the audit sees the exact would-be snapshot; False leaves the
+    table byte-identical (manifest count included) and a later passing
+    audit publishes normally."""
+    from graph_db_spark.writers.snapshots import AuditRejected, SnapshotTable
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "wap"), base, ["k"], n_buckets=2)
+    poison = spark.createDataFrame([(2, -999.0)], "k int, v double")
+
+    seen = {}
+
+    def audit(df):
+        seen["rows"] = {(r["k"], r["v"]) for r in df.collect()}
+        return all(v >= 0 for _, v in seen["rows"])
+
+    with pytest.raises(AuditRejected):
+        t.merge(poison, audit=audit)
+    # the audit saw the STAGED state (poison applied)...
+    assert (2, -999.0) in seen["rows"]
+    # ...but the table never did
+    assert t.latest_version() == 1
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    # a passing audit publishes
+    good = spark.createDataFrame([(2, 25.0)], "k int, v double")
+    assert t.merge(good, audit=audit) == 2
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, 10.0), (2, 25.0), (3, 30.0)
+    }
