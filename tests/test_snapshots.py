@@ -645,3 +645,34 @@ def test_write_audit_publish_gates_the_manifest(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read().collect()} == {
         (1, 10.0), (2, 25.0), (3, 30.0)
     }
+
+
+def test_vacuum_reclaims_audit_rejected_stage(spark, tmp_path):
+    """The WAP docstring's cleanup claim: files staged by a rejected
+    audit are unreferenced by any manifest and vacuum removes them (past
+    the in-flight retention window)."""
+    import os
+
+    from graph_db_spark.writers.snapshots import AuditRejected, SnapshotTable
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "wapv"), base, ["k"], n_buckets=2)
+
+    def count_parquet():
+        n = 0
+        for root, _, files in os.walk(str(tmp_path / "wapv" / "data")):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = count_parquet()
+    with pytest.raises(AuditRejected):
+        t.merge(
+            spark.createDataFrame([(2, -1.0)], "k int, v double"),
+            audit=lambda df: False,
+        )
+    staged = count_parquet()
+    assert staged > before  # orphans exist on disk...
+    removed = t.vacuum(keep_last=2, min_age_seconds=0.0)
+    assert removed  # ...and vacuum reclaims exactly them
+    assert count_parquet() == before
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 10.0), (2, 20.0)}
