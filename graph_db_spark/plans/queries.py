@@ -4263,6 +4263,7 @@ _EXPENSIVE_LAST = [
     "pipeline_sap_analyses",        # ~6s
     "shortest_paths_from_regions",  # ~6s
     "harmonic_centrality_landmarks",  # ~6s (5-landmark BFS, one frontier run)
+    "landmark_eccentricity",        # ~6s (same BFS, max-depth reduction)
     "scc_trade_partners",           # ~7s (one fact pass + nation-sized trim/FW-BW rounds)
     "minhash_recall_bound",         # ~7s
     "pipeline_app_nutrient_contents",  # ~7s
@@ -10082,10 +10083,13 @@ def zorder_clustering_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "harmonic_centrality_landmarks",
-    oracle="""
-    WITH reach AS (
+def _landmark_levels_cte_sql() -> str:
+    """Shared DuckDB CTE pair ending in ``best(landmark, id, dist)`` —
+    the exact per-landmark BFS distances over the directed fixture graph
+    enumerated level by level (the fixed topology makes every path depth
+    writable as a join; min(dist) settles the supplier/part double
+    reach). Used by the harmonic-centrality and eccentricity oracles."""
+    return """reach AS (
       SELECT 'R:' || CAST(r_regionkey AS VARCHAR) AS landmark,
              'R:' || CAST(r_regionkey AS VARCHAR) AS id, 0 AS dist
       FROM region
@@ -10120,7 +10124,13 @@ def zorder_clustering_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN nation ON c_nationkey = n_nationkey
     ), best AS (
       SELECT landmark, id, min(dist) AS dist FROM reach GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "harmonic_centrality_landmarks",
+    oracle=f"""
+    WITH {_landmark_levels_cte_sql()}
     SELECT landmark, CAST(count(*) AS BIGINT) AS n_reachable,
            round(sum(1.0 / dist), 4) + 0.0 AS harmonic
     FROM best WHERE dist > 0 GROUP BY 1
@@ -10150,6 +10160,53 @@ def harmonic_centrality_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
             r4(F.sum(F.lit(1.0) / F.col("dist"))).alias("harmonic"),
+        )
+    )
+
+
+@register(
+    "landmark_eccentricity",
+    oracle=f"""
+    WITH {_landmark_levels_cte_sql()},
+    ecc AS (
+      SELECT landmark, max(dist) AS e FROM best WHERE dist > 0 GROUP BY 1
+    )
+    SELECT b.landmark, CAST(ecc.e AS BIGINT) AS eccentricity,
+           CAST(count(*) AS BIGINT) AS n_at_ecc,
+           CAST((SELECT max(e) FROM ecc) AS BIGINT) AS diameter_lower_bound
+    FROM best b JOIN ecc ON b.landmark = ecc.landmark AND b.dist = ecc.e
+    GROUP BY 1, 2
+    """,
+)
+def landmark_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — landmark eccentricity and the BFS
+    diameter lower bound (the standard scalable diameter estimator:
+    exact eccentricity needs all-pairs, but max over a landmark sample
+    lower-bounds the diameter and a double-sweep tightens it). Same
+    one-run multi-landmark BFS as harmonic_centrality_landmarks, reduced
+    to per-landmark max depth + the frontier population at that depth;
+    the global max rides a broadcast 1-row aggregate onto the 5 output
+    rows, never a global window."""
+    from graph_db_spark.graph.algorithms import shortest_paths
+
+    g = build_graph(spark, sf_dir)
+    lms = g.vertices.filter(F.col("label") == "Region").select("id")
+    sp = shortest_paths(
+        g.edges, lms, n_partitions=_graph_nparts(sf_dir)
+    ).localCheckpoint(eager=True)  # feeds both the ecc agg and the join back
+    ecc = sp.filter(F.col("dist") > 0).groupBy("landmark").agg(
+        F.max("dist").alias("e")
+    )
+    dia = ecc.agg(F.max("e").alias("d"))
+    return (
+        sp.join(F.broadcast(ecc), on="landmark")
+        .filter(F.col("dist") == F.col("e"))
+        .groupBy("landmark", F.col("e").cast("bigint").alias("eccentricity"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_at_ecc"))
+        .crossJoin(F.broadcast(dia))
+        .select(
+            "landmark", "eccentricity", "n_at_ecc",
+            F.col("d").cast("bigint").alias("diameter_lower_bound"),
         )
     )
 

@@ -102,6 +102,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "sample_sum_estimate_bound",
         "scc_trade_partners",
         "snapshot_write_audit_publish",
+        "landmark_eccentricity",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
