@@ -10863,4 +10863,145 @@ def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT o) AS n FROM items),
+    bc AS (SELECT b, count(*) AS nb FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.b AS ba, c.b AS bb, count(*) AS nboth
+      FROM items a JOIN items c ON a.o = c.o AND a.b < c.b
+      GROUP BY 1, 2
+    )
+    SELECT ba AS brand_a, bb AS brand_b, CAST(nboth AS BIGINT) AS n_both,
+           round(nboth * 1.0 / n.n, 4) AS support,
+           round(nboth * 1.0 / x.nb, 4) AS confidence,
+           round(nboth * 1.0 * n.n / (x.nb * y.nb), 4) AS lift
+    FROM pairs JOIN bc x ON pairs.ba = x.b JOIN bc y ON pairs.bb = y.b
+               CROSS JOIN n
+    ORDER BY nboth * 1.0 * n.n / (x.nb * y.nb) DESC, ba, bb LIMIT 20
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining — market-basket support / confidence /
+    lift over brand pairs co-purchased in one order (the Apriori
+    first-pass; at brand granularity the statistics are dense enough to
+    rank). Plan shape is the canonical bounded pair mine: distinct
+    (order, brand) baskets — one shuffle — then a per-order self-join
+    whose fan-out is capped by basket size (≤ 25 brands/order; the
+    ngram-dedup family's big-block guard pattern applies if a basket
+    key were unbounded), count aggregation, and |brands|-sized count
+    tables broadcast back for the ratio math. All ratios are
+    int-over-int divisions with identical expression structure in both
+    engines. Top-20 by lift, deterministic brand tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds n, bc, and both pair sides
+    )
+    n = items.select("o").distinct().count()  # 1-row scalar probe
+    bc = items.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a, c = items.alias("a"), items.alias("c")
+    pairs = (
+        a.join(c, on=[F.col("a.o") == F.col("c.o"), F.col("a.b") < F.col("c.b")])
+        .groupBy(F.col("a.b").alias("ba"), F.col("c.b").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("nboth"))
+    )
+    x = bc.select(F.col("b").alias("ba"), F.col("nb").alias("na"))
+    y = bc.select(F.col("b").alias("bb"), F.col("nb").alias("nb2"))
+    lift = F.col("nboth") * 1.0 * n / (F.col("na") * F.col("nb2"))
+    scored = pairs.join(F.broadcast(x), on="ba").join(F.broadcast(y), on="bb")
+    return (
+        scored.orderBy(lift.desc(), "ba", "bb")
+        .limit(20)
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("nboth").cast("bigint").alias("n_both"),
+            r4(F.col("nboth") * 1.0 / n).alias("support"),
+            r4(F.col("nboth") * 1.0 / F.col("na")).alias("confidence"),
+            r4(lift).alias("lift"),
+        )
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_smoothing",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, day, x, t,
+             sum(x * power(1.0 / {1 - _EWMA_ALPHA}, t))
+               OVER (PARTITION BY event_type ORDER BY t) AS acc,
+             first_value(x) OVER (PARTITION BY event_type ORDER BY t) AS x0
+      FROM r
+    )
+    SELECT event_type, day,
+           round(power({1 - _EWMA_ALPHA}, t)
+                 * ({_EWMA_ALPHA} * (acc - x0) + x0), 2) + 0.0 AS ewma
+    FROM s
+    """,
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — exponentially weighted moving average (α=0.3,
+    ewma₀ = x₀) over the per-type daily value series, WITHOUT a
+    sequential fold: the recurrence ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁ has
+    the closed form (1−α)ᵗ·(α·Σᵢ₌₁..ₜ xᵢ(1−α)⁻ⁱ + x₀), so one
+    cumulative-sum window over u = x·(1−α)⁻ᵗ computes every point —
+    the same one-shuffle cost as any per-series window, where the naive
+    recursion needs applyInPandas (CUSUM covers that genuinely
+    order-dependent family; EWMA is the fold that DOESN'T need it).
+    Numerical guard: (1−α)⁻ᵗ grows 1.43ᵗ, so the rescaling costs
+    ~t·log₂(1.43) ≈ 15 bits at t=29 — exact to ~1e-11 relative on the
+    fixture's month of days; an unbounded series would switch to
+    per-chunk re-anchoring, documented here rather than silently
+    degrading. Windows partition by series — never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    a = _EWMA_ALPHA
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = d.withColumn("t", F.row_number().over(w) - 1)
+    wcum = Window.partitionBy("event_type").orderBy("t")
+    s = r.withColumn(
+        "acc", F.sum(F.col("x") * F.pow(F.lit(1.0 / (1 - a)), F.col("t"))).over(wcum)
+    ).withColumn("x0", F.first("x").over(wcum))
+    # emitted at 2 decimals, not the usual r4: the closed form amplifies
+    # the engines' summation-order noise by (1−α)⁻ᵗ (~3e4 at t=29 →
+    # ~1e-8 jitter on a ~3e3 value), and with 150 emitted reals one
+    # landed exactly on a 5e-5 round() boundary at sf0.01. Two decimals
+    # put the boundary 5e5× above the jitter.
+    return s.select(
+        "event_type",
+        "day",
+        (
+            F.round(
+                F.pow(F.lit(1 - a), F.col("t"))
+                * (F.lit(a) * (F.col("acc") - F.col("x0")) + F.col("x0")),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("ewma"),
+    )
+
+
 _reorder_for_gate()

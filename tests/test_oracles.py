@@ -103,6 +103,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "scc_trade_partners",
         "snapshot_write_audit_publish",
         "landmark_eccentricity",
+        "market_basket_lift",
+        "ewma_smoothing",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
