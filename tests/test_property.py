@@ -630,3 +630,48 @@ def test_k_truss_equals_python_peel(spark, edges, k):
             want = {}
             break
     assert got == want, (got, want, k, sorted(set(edges)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=18
+    )
+)
+def test_scc_matches_bruteforce_on_random_digraphs(spark, edges):
+    """TRIM + FW-BW SCC equals a reachability brute force on arbitrary
+    small digraphs (self-loops dropped by the operator, duplicate edges
+    tolerated). Ids are single digits so string-min == numeric-min."""
+    from graph_db_spark.graph.algorithms import strongly_connected_components
+
+    pairs = [(str(a), str(b)) for a, b in edges if a != b]
+    if not pairs:
+        return
+    nodes = sorted({x for p in pairs for x in p})
+    adj = {n: set() for n in nodes}
+    for u, v in pairs:
+        adj[u].add(v)
+
+    def reach(u):
+        seen, stk = {u}, [u]
+        while stk:
+            x = stk.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stk.append(y)
+        return seen
+
+    R = {u: reach(u) for u in nodes}
+    want = {u: min(v for v in nodes if v in R[u] and u in R[v]) for u in nodes}
+
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(e, max_rounds=60).collect()
+    }
+    assert got == want, (pairs, got, want)
