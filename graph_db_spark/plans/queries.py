@@ -11004,4 +11004,229 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "autocorrelation_lags",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+             lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+             lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS x3
+      FROM d
+    ),
+    a AS (
+      SELECT event_type,
+             corr(x, x1) AS c1, CAST(count(x1) AS BIGINT) AS n1,
+             corr(x, x2) AS c2, CAST(count(x2) AS BIGINT) AS n2,
+             corr(x, x3) AS c3, CAST(count(x3) AS BIGINT) AS n3
+      FROM l GROUP BY 1
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+           round(acf, 4) + 0.0 AS acf
+    FROM (
+      SELECT event_type, 1 AS lag, n1 AS n_pairs, c1 AS acf FROM a
+      UNION ALL SELECT event_type, 2, n2, c2 FROM a
+      UNION ALL SELECT event_type, 3, n3, c3 FROM a
+    )
+    """,
+)
+def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — sample autocorrelation of the per-type daily revenue
+    series at lags 1..3, the ACF head a seasonality detector reads. No
+    self-join: `lag(x, k)` window columns align each point with its
+    k-back neighbor inside ONE per-series sort, then `corr(x, x_k)` is a
+    hash aggregate — so the whole ACF costs one event_type shuffle
+    regardless of how many lags are emitted (a lag-join formulation pays
+    a shuffle per lag). Pairwise-complete semantics (first k rows of each
+    series drop out via corr's null handling) match DuckDB exactly. The
+    lag-wide→long unpivot is a metadata-only union of three projections.
+    -0.0 guard on the rounded corr (a tiny negative ACF rounds to zero)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = d.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    a = lagd.groupBy("event_type").agg(
+        *[
+            e
+            for k in (1, 2, 3)
+            for e in (
+                F.corr("x", f"x{k}").alias(f"c{k}"),
+                F.count(f"x{k}").cast("bigint").alias(f"n{k}"),
+            )
+        ]
+    )
+    rows = [
+        a.select(
+            "event_type",
+            F.lit(k).cast("bigint").alias("lag"),
+            F.col(f"n{k}").alias("n_pairs"),
+            r4(F.col(f"c{k}")).alias("acf"),
+        )
+        for k in (1, 2, 3)
+    ]
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                  AS DOUBLE) AS t
+      FROM d
+    ),
+    s AS (
+      SELECT a.event_type, (b.x - a.x) / (b.t - a.t) AS slope
+      FROM r a JOIN r b ON a.event_type = b.event_type AND a.t < b.t
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(slope), 4) + 0.0 AS sen_slope
+    FROM s GROUP BY 1
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — Theil-Sen robust trend: the median of all pairwise
+    slopes (x_j−x_i)/(t_j−t_i) of each type's daily revenue series,
+    insensitive to the outlier days that wreck an OLS fit
+    (forecast_revenue is the OLS twin). The pair join is per-series and
+    day-bounded — d days → d(d−1)/2 slope rows (~400 for a month), so
+    "quadratic" here is quadratic in DAYS, never in events; an unbounded
+    series would chunk by window first (the market-basket basket-size
+    bound, same discipline). One series-key shuffle feeds the rank, the
+    pair join, and the median. Exact interpolated median on both engines
+    (Spark `percentile` == DuckDB `median` on doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = d.select(
+        "event_type", "x", (F.row_number().over(w) - 1).cast("double").alias("t")
+    )
+    a = r.alias("a")
+    b = r.select(
+        F.col("event_type").alias("et"), F.col("x").alias("xb"), F.col("t").alias("tb")
+    ).alias("b")
+    s = a.join(
+        b, (F.col("a.event_type") == F.col("et")) & (F.col("a.t") < F.col("tb"))
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("xb") - F.col("a.x")) / (F.col("tb") - F.col("a.t"))).alias("slope"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.round(F.expr("percentile(slope, 0.5)"), 4) + F.lit(0.0)).alias("sen_slope"),
+    )
+
+
+@register(
+    "lineitem_correlations",
+    oracle="""
+    SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 4) + 0.0 AS corr_qty_disc,
+           round(corr(l_extendedprice, l_discount), 4) + 0.0 AS corr_price_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0
+             AS covar_qty_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — grouped Pearson correlation matrix over the lineitem
+    measures (the one-pass relationship profile a feature-engineering
+    sweep starts with). `corr`/`covar_samp` are single-pass streaming
+    aggregates in both engines — co-moments accumulate map-side, so the
+    whole 4-cell matrix costs exactly one returnflag shuffle of 6 partial
+    states, never a per-pair scan. Adding measures widens the aggregate
+    list, not the pass count. Sample (n−1) semantics on both sides; -0.0
+    guard on every rounded cell (a near-zero correlation can round to
+    negative zero)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.corr("l_quantity", "l_discount")).alias("corr_qty_disc"),
+        r4(F.corr("l_extendedprice", "l_discount")).alias("corr_price_disc"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "zipf_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, token, count(*) AS f FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS rnk
+      FROM freq
+    ),
+    pts AS (
+      SELECT lang, ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(f AS DOUBLE)) AS ly
+      FROM ranked WHERE rnk <= 100
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ly, lx), 4) + 0.0 AS zipf_slope,
+           round(regr_intercept(ly, lx), 4) + 0.0 AS zipf_intercept,
+           round(regr_r2(ly, lx), 4) + 0.0 AS r2
+    FROM pts GROUP BY 1
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — Zipf's-law fit per language: OLS of ln(freq) on
+    ln(rank) over each language's top-100 terms (natural text slopes
+    ≈ −1; a flat or cliffed curve flags templated/synthetic corpora —
+    the cheap generated-text detector). Plan: one (lang, token) count
+    with map-side combine, a per-lang top-k window on the VOCABULARY
+    (≪ corpus — the sort input is the distinct-term table), then
+    `regr_slope/intercept/r2` as single-pass co-moment aggregates over
+    ≤100 points per lang. Rank ties break on token asc, so both engines
+    rank — and therefore fit — identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "token")
+    pts = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "lang",
+            F.log(F.col("rnk").cast("double")).alias("lx"),
+            F.log(F.col("f").cast("double")).alias("ly"),
+        )
+    )
+    return pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        r4(F.regr_slope("ly", "lx")).alias("zipf_slope"),
+        r4(F.regr_intercept("ly", "lx")).alias("zipf_intercept"),
+        r4(F.regr_r2("ly", "lx")).alias("r2"),
+    )
+
+
 _reorder_for_gate()

@@ -105,6 +105,10 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "landmark_eccentricity",
         "market_basket_lift",
         "ewma_smoothing",
+        "autocorrelation_lags",
+        "theil_sen_trend",
+        "lineitem_correlations",
+        "zipf_law_fit",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
