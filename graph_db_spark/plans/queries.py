@@ -7564,10 +7564,13 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle_sql(iters: int = 3) -> str:
-    """Unrolled synchronous label propagation over the part co-occurrence
-    graph — one (count, min-label) argmax CTE pair per iteration, same
-    deterministic tie-break as the Spark loop."""
+def _lpa_cte(iters: int = 3) -> str:
+    """Shared CTE chain: the part co-occurrence graph (`e` undirected
+    unique, `ed` both directions) and ``iters`` unrolled synchronous
+    label-propagation rounds ending at ``lab{iters}`` — one
+    (count, min-label) argmax CTE pair per iteration, same deterministic
+    tie-break as the Spark loop. Reused by the LPA query and the
+    modularity scorer so both replay the identical community assignment."""
     parts = [
         """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
@@ -7585,12 +7588,58 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
                row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
         FROM cnt{i}) t WHERE rn = 1)"""
         )
+    return ",\n    ".join(parts)
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
     return (
-        "WITH " + ",\n    ".join(parts) + f"""
+        "WITH " + _lpa_cte(iters) + f"""
     SELECT CAST(label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size,
            CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
     FROM lab{iters} GROUP BY 1"""
     )
+
+
+def _lpa_edges_labels(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the part co-occurrence graph and run ``iters`` synchronous
+    LPA rounds. Returns (e, ed, labels): undirected unique edges, the
+    bidirectional edge list (pre-partitioned on the per-round join key
+    and checkpointed so every round reuses one exchange), and the final
+    (node, label) table. Shared by label_propagation and
+    modularity_communities — the modularity score must be computed on
+    EXACTLY the assignment the LPA query reports."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.alias("a")
+    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb")).alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("ob")) & (F.col("a.p") < F.col("pb")))
+        .select(F.col("a.p").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds ed AND the modularity joins
+    )
+    ed = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ed = ed.repartition(32, "v").localCheckpoint(eager=True)
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        cnt = (
+            ed.join(labels, ed.v == labels.node)
+            .groupBy(ed.u.alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (c DESC, label ASC) as a HASH aggregate — max of
+        # struct(c, -label) — instead of a per-node window sort; partial
+        # aggregation halves the shuffled rows and no round pays a sort
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+    return e, ed, labels
 
 
 @register("label_propagation", oracle=_lpa_oracle_sql())
@@ -7605,34 +7654,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     as connected_components (graph/algorithms.py). Fixed-round sync LPA
     is the scale-safe variant: async/converged LPA is order-dependent
     and irreproducible on a cluster."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = op.alias("a")
-    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb")).alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("ob")) & (F.col("a.p") < F.col("pb")))
-        .select(F.col("a.p").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
-    ed = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    ed = ed.repartition(32, "v").localCheckpoint(eager=True)
-    labels = ed.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(3):
-        cnt = (
-            ed.join(labels, ed.v == labels.node)
-            .groupBy(ed.u.alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # argmax by (c DESC, label ASC) as a HASH aggregate — max of
-        # struct(c, -label) — instead of a per-node window sort; partial
-        # aggregation halves the shuffled rows and no round pays a sort
-        labels = (
-            cnt.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("label"))
-        )
+    _, _, labels = _lpa_edges_labels(spark, sf_dir, iters=3)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("size"),
         F.min("node").cast("bigint").alias("min_node"),
@@ -11226,6 +11248,175 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_slope("ly", "lx")).alias("zipf_slope"),
         r4(F.regr_intercept("ly", "lx")).alias("zipf_intercept"),
         r4(F.regr_r2("ly", "lx")).alias("r2"),
+    )
+
+
+@register(
+    "modularity_communities",
+    oracle="WITH "
+    + _lpa_cte(3)
+    + """,
+    nl AS (SELECT node, label FROM lab3),
+    deg AS (SELECT u AS node, count(*) AS d FROM ed GROUP BY 1),
+    m AS (SELECT count(*) AS m FROM e),
+    internal AS (
+      SELECT la.label AS c, count(*) AS li
+      FROM e JOIN nl la ON e.u = la.node
+             JOIN nl lb ON e.v = lb.node AND la.label = lb.label
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT g.c, g.n_nodes, coalesce(i.li, 0) AS li, g.dc,
+             coalesce(i.li, 0) * 1.0 / m.m
+               - power(g.dc * 1.0 / (2 * m.m), 2) AS q
+      FROM (SELECT l.label AS c, count(*) AS n_nodes, sum(d) AS dc
+            FROM nl l JOIN deg ON deg.node = l.node GROUP BY 1) g
+      LEFT JOIN internal i ON i.c = g.c CROSS JOIN m
+    )
+    SELECT CAST(c AS BIGINT) AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(li AS BIGINT) AS internal_edges, CAST(dc AS BIGINT) AS degree_sum,
+           round(q, 4) + 0.0 AS q_contrib
+    FROM per
+    UNION ALL
+    SELECT -1, CAST((SELECT count(*) FROM nl) AS BIGINT),
+           CAST((SELECT m FROM m) AS BIGINT),
+           CAST(2 * (SELECT m FROM m) AS BIGINT),
+           round((SELECT sum(q) FROM per), 4) + 0.0
+    """,
+)
+def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — Newman modularity of the LPA community assignment:
+    Q = Σ_c [L_c/m − (D_c/2m)²] (L_c edges inside c, D_c its degree
+    mass, m total edges) — the standard "are these communities real"
+    score, computed on EXACTLY the assignment label_propagation reports
+    (shared _lpa_edges_labels loop / _lpa_cte oracle). Cost beyond LPA
+    itself: the checkpointed edge list joins the narrow (node, label)
+    table twice (u then v side) plus two node-key aggregates — all
+    hash joins on graph keys, no new quadratic term, so modularity adds
+    O(E) work to any community algorithm it audits. Per-community
+    contribution rows plus a community=-1 total row (n_nodes=|V|,
+    internal_edges=m, degree_sum=2m there — the handshake identity)."""
+    e, ed, labels = _lpa_edges_labels(spark, sf_dir, iters=3)
+    labels = labels.localCheckpoint(eager=True)  # u-join, v-join, degree agg
+    m = e.count()  # 1-row scalar probe (total undirected edges)
+    deg = ed.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    la = labels.select(F.col("node").alias("nu"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("node").alias("nv"), F.col("label").alias("lv"))
+    internal = (
+        e.join(la, e.u == F.col("nu"))
+        .join(lb, (e.v == F.col("nv")) & (F.col("lu") == F.col("lv")))
+        .groupBy(F.col("lu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("li"))
+    )
+    g = (
+        labels.join(deg, on="node")
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("dc"))
+    )
+    per = g.join(internal, on="c", how="left").select(
+        "c",
+        "n_nodes",
+        F.coalesce(F.col("li"), F.lit(0)).alias("li"),
+        "dc",
+        (
+            F.coalesce(F.col("li"), F.lit(0)) * 1.0 / m
+            - F.pow(F.col("dc") * 1.0 / (2 * m), F.lit(2))
+        ).alias("q"),
+    )
+    per = per.localCheckpoint(eager=True)  # detail rows + the total fold
+    n_nodes_total = labels.count()  # 1-row scalar probe
+    total = per.agg(r4(F.sum("q")).alias("qt")).select(
+        F.lit(-1).cast("bigint").alias("community"),
+        F.lit(n_nodes_total).cast("bigint").alias("n_nodes"),
+        F.lit(m).cast("bigint").alias("internal_edges"),
+        F.lit(2 * m).cast("bigint").alias("degree_sum"),
+        F.col("qt").alias("q_contrib"),
+    )
+    detail = per.select(
+        F.col("c").cast("bigint").alias("community"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("li").cast("bigint").alias("internal_edges"),
+        F.col("dc").cast("bigint").alias("degree_sum"),
+        r4(F.col("q")).alias("q_contrib"),
+    )
+    return detail.unionByName(total)
+
+
+@register(
+    "jaccard_link_prediction",
+    oracle="""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    keep AS (
+      SELECT p FROM cp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500
+    ),
+    cpk AS (SELECT c, p FROM cp JOIN keep USING (p)),
+    nb AS (SELECT c, count(*) AS d FROM cpk GROUP BY 1),
+    w AS (
+      SELECT a.c AS ca, b.c AS cb, count(*) AS common
+      FROM cpk a JOIN cpk b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT ca, cb, common,
+             common * 1.0 / (x.d + y.d - common) AS j
+      FROM w JOIN nb x ON w.ca = x.c JOIN nb y ON w.cb = y.c
+    )
+    SELECT CAST(ca AS BIGINT) AS cust_a, CAST(cb AS BIGINT) AS cust_b,
+           CAST(common AS BIGINT) AS common_parts,
+           round(j, 4) AS jaccard
+    FROM scored ORDER BY j DESC, ca, cb LIMIT 50
+    """,
+)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — Jaccard-coefficient link prediction on the customer↔part
+    bipartite graph: |N(a)∩N(b)| / |N(a)∪N(b)| over hub-suppressed part
+    neighborhoods (deg 2..500 — the Adamic-Adar query's cap; both
+    neighborhood sizes count KEPT parts so numerator and denominator live
+    in the same universe). Same Σdeg²-bounded wedge enumeration as
+    link_prediction_adamic_adar — one wedge join proposes pairs, then the
+    customer-degree table (|customers|-sized) broadcasts back for the
+    ratio. Jaccard is pure integer arithmetic, so both engines rank on
+    bit-identical doubles; top-50 on the RAW score with (a, b)
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    keep = (
+        cp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= 500))
+        .select("p")
+    )
+    cpk = cp.join(F.broadcast(keep), on="p").localCheckpoint(eager=True)
+    nb = cpk.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = cpk.alias("a")
+    b = cpk.select(F.col("c").alias("cb"), F.col("p").alias("pb")).alias("b")
+    w = (
+        a.join(b, (F.col("a.p") == F.col("pb")) & (F.col("a.c") < F.col("cb")))
+        .groupBy(F.col("a.c").alias("ca"), "cb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    x = nb.select(F.col("c").alias("ca"), F.col("d").alias("da"))
+    y = nb.select(F.col("c").alias("cb"), F.col("d").alias("db"))
+    j = F.col("common") * 1.0 / (F.col("da") + F.col("db") - F.col("common"))
+    scored = w.join(F.broadcast(x), on="ca").join(F.broadcast(y), on="cb")
+    return (
+        scored.withColumn("_j", j)
+        .orderBy(F.desc("_j"), "ca", "cb")
+        .limit(50)
+        .select(
+            F.col("ca").cast("bigint").alias("cust_a"),
+            F.col("cb").cast("bigint").alias("cust_b"),
+            F.col("common").cast("bigint").alias("common_parts"),
+            r4(F.col("_j")).alias("jaccard"),
+        )
     )
 
 

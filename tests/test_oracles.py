@@ -109,6 +109,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "theil_sen_trend",
         "lineitem_correlations",
         "zipf_law_fit",
+        "modularity_communities",
+        "jaccard_link_prediction",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
