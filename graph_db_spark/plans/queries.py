@@ -11343,6 +11343,170 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    gl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+                                          i -> array_to_string(w[i+1:i+3], ' '))) AS grams
+      FROM words
+    ),
+    sz AS (SELECT doc_id, len(grams) AS g FROM gl WHERE len(grams) > 0),
+    posting AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
+    keepg AS (
+      SELECT gram FROM posting GROUP BY 1 HAVING count(*) <= 100
+    ),
+    pk AS (SELECT doc_id, gram FROM posting JOIN keepg USING (gram)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM pk a JOIN pk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b, n_shared,
+             n_shared * 1.0 / x.g AS ca, n_shared * 1.0 / y.g AS cb
+      FROM shared JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(ca, 4) AS cont_a_in_b, round(cb, 4) AS cont_b_in_a
+    FROM scored WHERE greatest(ca, cb) >= 0.5
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — asymmetric n-gram CONTAINMENT, |g(A)∩g(B)| / |g(A)|: the
+    measure that catches a document swallowed inside a larger one, which
+    symmetric Jaccard dilutes below threshold (Broder's containment vs
+    resemblance distinction — the quote/boilerplate-inclusion detector).
+    Scale path: a 3-gram posting-list self-join — never an all-pairs doc
+    join — with stop-gram suppression (grams in >100 docs are dropped
+    from the posting list; they carry no identification signal and their
+    postings are exactly the quadratic blow-up, the ngram-jaccard
+    guard_block_pairs discipline applied per-gram). Shared-gram counts
+    group once per candidate pair; the per-doc gram-count table joins
+    back for the two directional ratios (pure int division — identical
+    doubles both engines). Emits both directions per unordered pair,
+    kept when either containment ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    gl = docs.select(
+        "doc_id", TX.word_ngrams(F.col("text"), 3).alias("grams")
+    )
+    sz = gl.filter(F.size("grams") > 0).select(
+        "doc_id", F.size("grams").alias("g")
+    )
+    posting = gl.select("doc_id", F.explode("grams").alias("gram"))
+    posting = posting.localCheckpoint(eager=True)  # feeds keepg + both join sides
+    keepg = (
+        posting.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 100)
+        .select("gram")
+    )
+    pk = posting.join(F.broadcast(keepg), on="gram")
+    a = pk.alias("a")
+    b = pk.select(F.col("doc_id").alias("id_b"), F.col("gram").alias("gb")).alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("gb")) & (F.col("a.doc_id") < F.col("id_b")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    x = sz.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    y = sz.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb2"))
+    scored = (
+        shared.join(F.broadcast(x), on="id_a")
+        .join(F.broadcast(y), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (F.col("n_shared") * 1.0 / F.col("ga")).alias("ca"),
+            (F.col("n_shared") * 1.0 / F.col("gb2")).alias("cb"),
+        )
+    )
+    return (
+        scored.filter(F.greatest("ca", "cb") >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            r4(F.col("ca")).alias("cont_a_in_b"),
+            r4(F.col("cb")).alias("cont_b_in_a"),
+        )
+    )
+
+
+@register(
+    "embedding_eval_contamination",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    tr AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 20 <> 0
+    ),
+    scored AS (
+      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+             list_cosine_similarity(tr.v, ev.v) AS cos,
+             row_number() OVER (
+               PARTITION BY tr.vec_id
+               ORDER BY list_cosine_similarity(tr.v, ev.v) DESC, ev.vec_id
+             ) AS rn
+      FROM tr CROSS JOIN ev
+    )
+    SELECT CAST(train_id AS BIGINT) AS train_id,
+           CAST(eval_id AS BIGINT) AS eval_id,
+           round(cos, 4) AS max_cosine
+    FROM scored WHERE rn = 1 AND cos >= 0.9
+    """,
+)
+def embedding_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination — the EMBEDDING twin of benchmark_decontamination:
+    flag training vectors whose max cosine against the held-out eval set
+    (vec_id % 20 == 0 stands in for the benchmark embeddings) reaches
+    0.9 — the paraphrase-contamination test n-gram collision misses.
+    Plan: the eval set is tiny by construction (eval suites vs a 100 TB
+    corpus), so it broadcasts to the partitioned train side as a
+    BroadcastNestedLoopJoin — the corpus never shuffles and never
+    self-joins; per-train argmax is a hash aggregate over the eval
+    fan-out (|eval| rows per train vector). Deterministic argmax:
+    max-by (cos, -eval_id) struct, ties to the smaller eval id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ev = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), v.alias("ve")
+    )
+    tr = emb.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("train_id"), v.alias("vt")
+    )
+    cos = SIM.cosine(F.col("vt"), F.col("ve"))
+    best = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("train_id", "eval_id", cos.alias("cos"))
+        .groupBy("train_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("eval_id")).alias("ne"))
+            ).alias("m")
+        )
+        .select(
+            "train_id",
+            (-F.col("m.ne")).alias("eval_id"),
+            F.col("m.cos").alias("cos"),
+        )
+    )
+    return best.filter(F.col("cos") >= 0.9).select(
+        F.col("train_id").cast("bigint").alias("train_id"),
+        F.col("eval_id").cast("bigint").alias("eval_id"),
+        r4(F.col("cos")).alias("max_cosine"),
+    )
+
+
+@register(
     "jaccard_link_prediction",
     oracle="""
     WITH cp AS (

@@ -111,6 +111,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "zipf_law_fit",
         "modularity_communities",
         "jaccard_link_prediction",
+        "ngram_containment_pairs",
+        "embedding_eval_contamination",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
