@@ -3101,6 +3101,45 @@ def streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 2 HOURS, ts) - k.k * INTERVAL 2 HOURS
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1), (2)) k(k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(window_start + INTERVAL 6 HOURS, '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming — SLIDING 6h-window / 2h-slide per-type counts via
+    Structured Streaming (complete mode over the static fixture, the same
+    runner as streaming_daily_stats). The oracle replays Spark's window
+    assignment arithmetic exactly: every event belongs to the w/s = 3
+    epoch-aligned windows starting at time_bucket_2h(t) − k·2h, k∈{0,1,2}
+    — so the overlap semantics, not just the totals, are hash-checked.
+    Tumbling (streaming_daily_stats) is the s = w special case."""
+    out = _run_stream_to_table(
+        spark, sf_dir, "sliding_counts",
+        lambda s: STRM.stream_sliding_counts(s, watermark="3650 days"),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+@register(
     "streaming_exact_dedup",
     oracle="""
     SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash

@@ -82,6 +82,39 @@ def stream_sessions(
     )
 
 
+def stream_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] = ("event_type",),
+    value_col: str = "value",
+    window: str = "6 hours",
+    slide: str = "2 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming SLIDING-window aggregation — ``window(ts, w, s)`` with
+    s < w, the overlapping-horizon variant the tumbling jobs above can't
+    express (a 6h window every 2h: each event lands in w/s = 3 windows).
+    State grows w/s× over tumbling for the same key set, bounded as ever
+    by watermark horizon × key cardinality; Spark assigns the epoch-
+    aligned window starts floor(t/s)·s − k·s inside codegen, so the
+    fan-out is an in-task explode, not a join."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), *key_cols)
+        .agg(
+            F.count(value_col).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *key_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def dedupe_within_watermark(
     events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 day"
 ) -> DataFrame:
