@@ -11382,6 +11382,89 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_tag_travel",
+    oracle="""
+    SELECT 'baseline' AS snap, c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 4) AS sum_bal
+    FROM customer GROUP BY 2
+    UNION ALL
+    SELECT 'latest', c_mktsegment, CAST(count(*) AS BIGINT),
+           round(sum(CASE WHEN c_custkey % 4 = 1 THEN c_acctbal * 2
+                          WHEN c_custkey % 4 = 2 THEN c_acctbal + 1000
+                          ELSE c_acctbal END), 4)
+    FROM customer GROUP BY 2
+    UNION ALL SELECT '__flags__', '__tag_pinned_v1__', 1, 0.0
+    UNION ALL SELECT '__flags__', '__v2_vacuumed__', 1, 0.0
+    """,
+)
+def snapshot_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table — named refs (the Iceberg TAG analog): tag v1 as
+    `baseline`, commit two more merges, then vacuum with keep_last=1.
+    The contract under test: the tagged version's manifest AND data
+    files survive vacuum (v2, untagged, is reclaimed — the flag rows
+    assert both), and `read(tag=)` still serves the exact v1 snapshot —
+    the audit/reproducibility anchor pattern ("the corpus revision this
+    run trained on") that plain keep_last retention cannot express.
+    Aggregates of the tag read and the latest read are both
+    oracle-checked against closed-form reconstructions. Commit overhead
+    is SF-independent driver-fixed cost, same as the WAP/lifecycle
+    queries; see writers/snapshots.py create_tag/vacuum."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"graft_snap_tag_{_sf_tag(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(spark, path, cust, ["c_custkey"], n_buckets=8)
+    t.create_tag("baseline")
+    t.merge(
+        cust.filter(F.col("c_custkey") % 4 == 1).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        )
+    )
+    t.merge(
+        cust.filter(F.col("c_custkey") % 4 == 2).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000
+        )
+    )
+    t.vacuum(keep_last=1, min_age_seconds=0.0)
+    pinned = (
+        t.resolve_tag("baseline") == 1
+        and os.path.exists(t._manifest_path(1))
+        and t.tags() == {"baseline": 1}
+    )
+    v2_gone = not os.path.exists(t._manifest_path(2))
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.sum("c_acctbal")).alias("sum_bal"),
+        ).select(F.lit(snap).alias("snap"), "seg", "n", "sum_bal")
+
+    def flag(name: str, ok: bool) -> DataFrame:
+        return spark.range(1).select(
+            F.lit("__flags__").alias("snap"),
+            F.lit(name).alias("seg"),
+            F.lit(1 if ok else 0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("sum_bal"),
+        )
+
+    return _metric_rows(
+        agg(t.read(tag="baseline"), "baseline"),
+        agg(t.read(), "latest"),
+        flag("__tag_pinned_v1__", pinned),
+        flag("__v2_vacuumed__", v2_gone),
+    )
+
+
+@register(
     "ngram_containment_pairs",
     oracle="""
     WITH words AS (

@@ -55,6 +55,7 @@ from graph_db_spark.writers.upsert import collapse_duplicates, upsert
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_REFS_DIR = "_refs"
 
 
 class CommitConflict(Exception):
@@ -389,13 +390,70 @@ class SnapshotTable:
         )
         return t
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         """Snapshot read (latest by default; any retained ``version`` for
-        time travel). The ``_bucket`` column is internal and dropped."""
+        time travel, or a named ``tag``). The ``_bucket`` column is
+        internal and dropped."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         v = version if version is not None else self.latest_version()
         if v == 0:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         return self._read_files(self._read_manifest(v)).drop("_bucket")
+
+    # -- named refs (Iceberg tag analog) -------------------------------
+
+    def _ref_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.path, _REFS_DIR, f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named immutable ref to ``version`` (default: latest) —
+        the Iceberg tag analog. The ref file is create-exclusive like a
+        manifest publish, so tags never silently move; a tagged version
+        (manifest AND data files) survives :meth:`vacuum` regardless of
+        ``keep_last``, which is what makes tags usable as audit /
+        reproducibility anchors ("the corpus revision the run trained
+        on"). Returns the pinned version."""
+        v = version if version is not None else self.latest_version()
+        if v == 0:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(f"version {v} is not retained")
+        p = self._ref_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise ValueError(f"tag {name!r} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+        return v
+
+    def resolve_tag(self, name: str) -> int:
+        with open(self._ref_path(name)) as f:
+            return int(json.load(f)["version"])
+
+    def tags(self) -> dict[str, int]:
+        """All named refs as {name: version}."""
+        d = os.path.join(self.path, _REFS_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    r = json.load(f)
+                out[r["name"]] = int(r["version"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        """Delete a ref. The version it pinned becomes vacuum-eligible
+        again (if outside ``keep_last``)."""
+        os.remove(self._ref_path(name))
 
     def scan(self, where: dict[str, tuple], version: int | None = None) -> DataFrame:
         """Keyed scan with manifest-level file skipping, then the
@@ -524,10 +582,15 @@ class SnapshotTable:
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version, operation, file/bucket
-        counts, txn marker."""
+        counts, txn marker. Retained versions need not be contiguous — a
+        tagged old version survives vacuum while its neighbors don't —
+        so missing manifests inside the range are skipped."""
         out = []
         for v in range(max(1, self.oldest_version()), self.latest_version() + 1):
-            m = self._read_manifest(v)
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                continue
             out.append(
                 {
                     "version": m["version"],
@@ -954,8 +1017,12 @@ class SnapshotTable:
         back to the retention-bounded walk."""
         latest = self.latest_version()
         cutoff = max(1, latest - keep_last + 1)
+        # tagged versions are pinned: their manifests and data files
+        # survive vacuum regardless of keep_last (Iceberg ref retention)
+        tagged = {v for v in self.tags().values() if v < cutoff}
+        keep_versions = sorted(tagged) + list(range(cutoff, latest + 1))
         retained: set[str] = set()
-        for v in range(cutoff, latest + 1):
+        for v in keep_versions:
             retained.update(e["path"] for e in self._read_manifest(v)["files"])
         removed = []
         now = time.time()
@@ -978,6 +1045,8 @@ class SnapshotTable:
                         os.remove(full)
                         removed.append(rel)
         for v in range(1, cutoff):
+            if v in tagged:
+                continue
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.remove(p)

@@ -114,6 +114,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "ngram_containment_pairs",
         "embedding_eval_contamination",
         "streaming_sliding_counts",
+        "snapshot_tag_travel",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (

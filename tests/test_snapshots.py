@@ -133,6 +133,43 @@ def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
     assert t._txn_seen(t.latest_version(), ("nope", 1)) is False
 
 
+def test_tag_pins_version_and_survives_vacuum(spark, tmp_path):
+    """Iceberg-style named refs: a tag pins a version immutably, read(tag=)
+    serves it, and vacuum keeps the tagged manifest AND its data files
+    even when keep_last would drop them."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"], n_buckets=4)
+    assert t.create_tag("baseline") == 1
+    t.merge(_mk(spark, [(1, "b")]))
+    t.merge(_mk(spark, [(1, "c")]))
+    assert t.tags() == {"baseline": 1}
+    t.vacuum(keep_last=1, min_age_seconds=0)
+    # v2 is gone, v1 (tagged) and v3 (latest) both fully readable
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(2)
+    assert _rows(t.read(tag="baseline")) == [(1, "a")]
+    assert _rows(t.read()) == [(1, "c")]
+    # history tolerates the gap the pinned version creates
+    assert [h["version"] for h in t.history()] == [1, 3]
+    # tags are immutable; dropping re-exposes the version to vacuum
+    with pytest.raises(ValueError):
+        t.create_tag("baseline")
+    t.drop_tag("baseline")
+    assert t.tags() == {}
+    t.vacuum(keep_last=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(1)
+
+
+def test_tag_validation(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("missing", version=9)
+    with pytest.raises(ValueError):
+        t.create_tag("../escape")
+    with pytest.raises(ValueError):
+        t.read(version=1, tag="baseline")
+
+
 def test_vacuum_retention_spares_inflight_commit_files(spark, tmp_path):
     """An unreferenced file younger than min_age_seconds is a possible
     in-flight commit (written, manifest not yet published) — vacuum must
