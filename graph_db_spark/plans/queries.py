@@ -11381,6 +11381,157 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detail.unionByName(total)
 
 
+_POIS1_CDF = (  # Poisson(1) CDF at k=0..4 — identical literals both engines
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+
+
+@register(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, value,
+             CAST(event_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR) AS hk,
+             r.b AS b
+      FROM events CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r
+    ),
+    w AS (
+      SELECT event_type, b, value,
+             CASE WHEN u < {_POIS1_CDF[0]} THEN 0
+                  WHEN u < {_POIS1_CDF[1]} THEN 1
+                  WHEN u < {_POIS1_CDF[2]} THEN 2
+                  WHEN u < {_POIS1_CDF[3]} THEN 3
+                  WHEN u < {_POIS1_CDF[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM (SELECT event_type, b, value,
+                   ({_poly_sql('hk')}) / 2147483647.0 AS u FROM x)
+    ),
+    rep AS (
+      SELECT event_type, b, sum(w * value) / sum(w) AS mb
+      FROM w GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    base AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, avg(value) AS mean
+      FROM events GROUP BY 1
+    )
+    SELECT base.event_type, n, round(mean, 4) AS mean,
+           round(quantile_cont(mb, 0.025), 4) AS ci_lo,
+           round(quantile_cont(mb, 0.975), 4) AS ci_hi
+    FROM base JOIN rep ON base.event_type = rep.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — DISTRIBUTED bootstrap: a 95% CI on each type's mean
+    via the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams" — resample weights ~ Poisson(1) per
+    (row, replicate) instead of multinomial draws, which is the only
+    bootstrap that works when no worker can see n). Fully deterministic:
+    the weight comes from inverting the Poisson(1) CDF at a portable
+    md5-hash uniform of (event_id, replicate), so both engines draw the
+    SAME resamples — the randomness is reproducible, not seeded-global.
+    Cost: one explode ×32 replicates (linear, constant factor B) + one
+    (type, replicate) aggregate + a 32-row-per-type percentile — no
+    driver loop, no global sort. The CI percentile interpolates
+    identically (Spark `percentile` == DuckDB `quantile_cont`)."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    x = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "event_id",
+    ).withColumn("hk", F.concat_ws(":", "event_id", "b"))
+    u = portable_hash(F.col("hk")) / F.lit(2147483647.0)
+    cdf = [F.lit(float(c)) for c in _POIS1_CDF]
+    w = (
+        F.when(u < cdf[0], 0)
+        .when(u < cdf[1], 1)
+        .when(u < cdf[2], 2)
+        .when(u < cdf[3], 3)
+        .when(u < cdf[4], 4)
+        .otherwise(5)
+    )
+    rep = (
+        x.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("value")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("event_type", (F.col("swx") / F.col("sw")).alias("mb"))
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("mean"),
+    )
+    ci = rep.groupBy("event_type").agg(
+        F.expr("percentile(mb, 0.025)").alias("lo"),
+        F.expr("percentile(mb, 0.975)").alias("hi"),
+    )
+    return base.join(F.broadcast(ci), on="event_type").select(
+        "event_type",
+        "n",
+        r4(F.col("mean")).alias("mean"),
+        r4(F.col("lo")).alias("ci_lo"),
+        r4(F.col("hi")).alias("ci_hi"),
+    )
+
+
+@register(
+    "trimmed_mean_stats",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS raw_mean,
+           round(avg(value) FILTER (WHERE value >= lo AND value <= hi), 4)
+             AS trimmed_mean,
+           round(avg(greatest(lo, least(hi, value))), 4) AS winsor_mean,
+           round(any_value(lo), 4) AS p05, round(any_value(hi), 4) AS p95
+    FROM events e JOIN th ON e.event_type = th.event_type
+    GROUP BY 1
+    """,
+)
+def trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — robust location estimates per type: the 5/95-trimmed
+    mean (drop the tails) and the winsorized mean (clamp the tails),
+    side by side with the raw mean — the outlier-robust aggregation pair
+    (robust_outliers is the detection twin; this is the estimation one).
+    Plan: one grouped percentile pass produces the |types|-sized
+    threshold table, which broadcasts back over the fact stream for the
+    conditional/clamped averages — two shuffles total, no per-group
+    sort of the fact side. Thresholds interpolate identically in both
+    engines, so the trim set membership is bit-deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    th = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = ev.join(F.broadcast(th), on="event_type")
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.avg("value")).alias("raw_mean"),
+        r4(F.avg(F.when(inside, F.col("value")))).alias("trimmed_mean"),
+        r4(F.avg(clamped)).alias("winsor_mean"),
+        r4(F.first("lo")).alias("p05"),
+        r4(F.first("hi")).alias("p95"),
+    )
+
+
 @register(
     "snapshot_tag_travel",
     oracle="""

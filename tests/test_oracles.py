@@ -115,6 +115,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "embedding_eval_contamination",
         "streaming_sliding_counts",
         "snapshot_tag_travel",
+        "bootstrap_ci_mean",
+        "trimmed_mean_stats",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
