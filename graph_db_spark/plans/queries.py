@@ -11381,6 +11381,171 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detail.unionByName(total)
 
 
+@register(
+    "psi_distribution_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN extract(day FROM ts) <= 15 THEN 'ref' ELSE 'cur' END AS g
+      FROM events
+    ),
+    th AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS t
+      FROM e WHERE g = 'ref' GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type, g,
+             len(list_filter(t, x -> x < value)) AS bin
+      FROM e JOIN th ON e.event_type = th.event_type
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             count(*) FILTER (WHERE g = 'ref') AS nr,
+             count(*) FILTER (WHERE g = 'cur') AS nc
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM cnt GROUP BY 1
+    ),
+    terms AS (
+      SELECT cnt.event_type,
+             (cnt.nr + 0.5) / (tot.tr + 5.0) AS p,
+             (cnt.nc + 0.5) / (tot.tc + 5.0) AS q,
+             tot.tr AS tr, tot.tc AS tc
+      FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+    )
+    SELECT event_type, CAST(any_value(tr) AS BIGINT) AS n_ref,
+           CAST(any_value(tc) AS BIGINT) AS n_cur,
+           round(sum((p - q) * ln(p / q)), 4) + 0.0 AS psi
+    FROM terms GROUP BY 1
+    """,
+)
+def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift — Population Stability Index per event type between the
+    month's first half (reference window) and second half (current): the
+    standard production drift gate (PSI < 0.1 stable, > 0.25 shifted).
+    Bins are the REFERENCE deciles — quantile binning, so PSI is
+    scale-free — with 0.5/5 Laplace smoothing so an empty bin
+    contributes a finite term (encoded identically both engines). Plan:
+    one grouped-percentile pass builds the |types|×9 threshold table,
+    broadcast back for bin assignment (a 9-element filtered-array count
+    — in-task, codegen), then two narrow aggregates. Threshold
+    comparisons are strict `<` on identically-interpolated doubles, so
+    bin membership is bit-deterministic. This quantile-binned shape is
+    also the 100 TB path where the exact-ECDF KS below must degrade."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("g"),
+    )
+    th = (
+        ev.filter(F.col("g") == "ref")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("t")
+        )
+    )
+    binned = ev.join(F.broadcast(th), on="event_type").select(
+        "event_type",
+        "g",
+        F.size(F.filter(F.col("t"), lambda x: x < F.col("value"))).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("g") == "ref", 1)).alias("nr"),
+        F.count(F.when(F.col("g") == "cur", 1)).alias("nc"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc")
+    )
+    terms = cnt.join(F.broadcast(tot), on="event_type").select(
+        "event_type",
+        ((F.col("nr") + 0.5) / (F.col("tr") + 5.0)).alias("p"),
+        ((F.col("nc") + 0.5) / (F.col("tc") + 5.0)).alias("q"),
+        "tr",
+        "tc",
+    )
+    return terms.groupBy("event_type").agg(
+        F.first("tr").cast("bigint").alias("n_ref"),
+        F.first("tc").cast("bigint").alias("n_cur"),
+        r4(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))).alias(
+            "psi"
+        ),
+    )
+
+
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN extract(day FROM ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, value,
+             sum(is_ref) AS nr, sum(1 - is_ref) AS nc
+      FROM e GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM pv GROUP BY 1
+    ),
+    cdf AS (
+      SELECT pv.event_type,
+             sum(nr) OVER (PARTITION BY pv.event_type ORDER BY value) * 1.0
+               / tot.tr AS fr,
+             sum(nc) OVER (PARTITION BY pv.event_type ORDER BY value) * 1.0
+               / tot.tc AS fc,
+             tot.tr AS tr, tot.tc AS tc
+      FROM pv JOIN tot ON pv.event_type = tot.event_type
+    )
+    SELECT event_type, CAST(any_value(tr) AS BIGINT) AS n_ref,
+           CAST(any_value(tc) AS BIGINT) AS n_cur,
+           round(max(abs(fr - fc)), 4) AS ks_stat
+    FROM cdf GROUP BY 1
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift — exact two-sample Kolmogorov-Smirnov statistic per type
+    (max ECDF gap between the month's first and second half), PSI's
+    bin-free companion. Tie-correct: rows collapse to per-(type, value)
+    counts FIRST, so both ECDFs step once per distinct value and the sup
+    is evaluated after each full step — the textbook treatment of tied
+    observations. The running sums ride one per-type window sort over
+    the DISTINCT-value table (≪ events when values repeat). Honest
+    scale note: a per-key ordered window is a per-key sort — at 100 TB
+    per-key cardinalities this becomes the quantile-binned approximation
+    (psi_distribution_drift's shape); the exact form is the
+    verification-scale oracle for it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("is_ref"),
+    )
+    pv = ev.groupBy("event_type", "value").agg(
+        F.sum("is_ref").alias("nr"), F.sum(1 - F.col("is_ref")).alias("nc")
+    )
+    tot = pv.groupBy("event_type").agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cdf = pv.join(F.broadcast(tot), on="event_type").select(
+        "event_type",
+        (F.sum("nr").over(w) * 1.0 / F.col("tr")).alias("fr"),
+        (F.sum("nc").over(w) * 1.0 / F.col("tc")).alias("fc"),
+        "tr",
+        "tc",
+    )
+    return cdf.groupBy("event_type").agg(
+        F.first("tr").cast("bigint").alias("n_ref"),
+        F.first("tc").cast("bigint").alias("n_cur"),
+        r4(F.max(F.abs(F.col("fr") - F.col("fc")))).alias("ks_stat"),
+    )
+
+
 _POIS1_CDF = (  # Poisson(1) CDF at k=0..4 — identical literals both engines
     "0.36787944117144233",
     "0.7357588823428847",

@@ -117,6 +117,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "snapshot_tag_travel",
         "bootstrap_ci_mean",
         "trimmed_mean_stats",
+        "psi_distribution_drift",
+        "ks_two_sample",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
