@@ -9320,6 +9320,112 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "streaming_full_outer_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS tts, event_type AS touch FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    wm AS (
+      SELECT least((SELECT max(pts) FROM p) - INTERVAL 1 DAY,
+                   (SELECT max(tts) FROM t) - INTERVAL 2 DAY) AS w
+    ),
+    matched AS (
+      SELECT strftime(p.pts, '%Y-%m-%d') AS day, t.touch, 'both' AS side
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+    ),
+    p_only AS (
+      SELECT strftime(p.pts, '%Y-%m-%d') AS day, 'none' AS touch,
+             'purchase_only' AS side
+      FROM p, wm
+      WHERE p.pts < wm.w AND NOT EXISTS (
+        SELECT 1 FROM t WHERE t.user_id = p.user_id
+          AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS)
+    ),
+    t_only AS (
+      SELECT strftime(t.tts, '%Y-%m-%d') AS day, t.touch,
+             'touch_only' AS side
+      FROM t, wm
+      WHERE t.tts + INTERVAL 24 HOURS < wm.w AND NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = t.user_id
+          AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS)
+    ),
+    allr AS (
+      SELECT * FROM matched UNION ALL SELECT * FROM p_only
+      UNION ALL SELECT * FROM t_only
+    )
+    SELECT day, touch AS touch_type, side, CAST(count(*) AS BIGINT) AS n
+    FROM allr GROUP BY 1, 2, 3
+    """,
+)
+def streaming_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 STREAM-STREAM FULL OUTER join — completes the interval-join
+    matrix (inner: streaming_touch_pairs; left: the left_outer variant).
+    Both sides' null-emission timing is oracle-encoded against the ONE
+    global watermark (min of the two sides' horizons): an untouched
+    purchase emits its null row once the watermark passes its event
+    time (pts < wm — the pinned left-outer contract), and a touch that
+    converted no purchase emits once the watermark passes the END of
+    its forward match window (tts + 24h < wm), because until then a
+    qualifying purchase could still arrive. Rows younger than their
+    horizon at end-of-stream stay pending and never emit — the oracle's
+    two cuts reproduce exactly which rows report unmatched."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_stream_fo_{_sf_tag(sf_dir)}",
+    )
+    ev.write.mode("overwrite").parquet(d)
+    p_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type") == "purchase")
+    )
+    t_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type").isin("view", "click"))
+    )
+    pairs = STRM.stream_touch_pairs(p_stream, t_stream, how="full_outer")
+    qname = "mem_touch_fo"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
+    side = (
+        F.when(F.col("pts").isNull(), "touch_only")
+        .when(F.col("touch").isNull(), "purchase_only")
+        .otherwise("both")
+    )
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.date_format(
+                F.to_date(F.coalesce("pts", "tts")), "yyyy-MM-dd"
+            ).alias("day"),
+            F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"),
+            side.alias("side"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
     "motif_props_projection",
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
