@@ -11662,6 +11662,78 @@ _POIS1_CDF = (  # Poisson(1) CDF at k=0..4 — identical literals both engines
 
 
 @register(
+    "snapshot_bloom_point_skip",
+    oracle="""
+    WITH probe AS (
+      SELECT o_totalprice AS v FROM orders ORDER BY o_orderkey LIMIT 3
+    )
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           round(o.o_totalprice, 4) AS price
+    FROM orders o JOIN probe ON o.o_totalprice = probe.v
+    UNION ALL SELECT -1, 1, 0.0
+    """,
+)
+def snapshot_bloom_point_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table — per-bucket BLOOM-FILTER pruning (the Parquet /
+    Iceberg bloom-index analog at manifest level): point lookups on a
+    non-key, non-clustered, high-cardinality column (o_totalprice) skip
+    every bucket whose filter proves the value absent — the pruning
+    dimension hash bucketing (key equality only) and range stats
+    (clustered order only) both miss. The query creates an orders
+    snapshot with ``bloom_on=['o_totalprice']``, probes the prices of
+    the three smallest orderkeys, and emits the matching rows (oracle:
+    the same lookup on raw orders) plus a contract row asserting the
+    scans together opened FEWER files than 3 full sweeps — with ~10 bits
+    per distinct value the expected false-positive rate is ~1%, so at
+    least one of the 8 buckets prunes with near-certainty at every SF.
+    Filters are built in one distributed aggregate per commit and
+    rebuilt only for rewritten buckets (carried entries keep theirs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"graft_snap_bloom_{_sf_tag(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, orders, ["o_orderkey"], n_buckets=8,
+        bloom_on=["o_totalprice"],
+    )
+    probes = [
+        r["o_totalprice"]
+        for r in orders.orderBy("o_orderkey").limit(3).collect()  # 3-row probe
+    ]
+    hits = None
+    files_read = 0
+    files_total = 0
+    for v in probes:
+        r, tot = t.pruned_files({"o_totalprice": (v, v)})
+        files_read, files_total = files_read + r, files_total + tot
+        s = t.scan({"o_totalprice": (v, v)})
+        hits = s if hits is None else hits.unionByName(s)
+    pruned_ok = files_read < files_total
+    return _metric_rows(
+        hits.select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            r4(F.col("o_totalprice")).alias("price"),
+        ),
+        spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("o_orderkey"),
+            F.lit(1 if pruned_ok else 0).cast("bigint").alias("o_custkey"),
+            F.lit(0.0).alias("price"),
+        ),
+    )
+
+
+@register(
     "bootstrap_ci_mean",
     oracle=f"""
     WITH x AS (

@@ -200,6 +200,121 @@ class SnapshotTable:
             }
         return out
 
+    def _bucket_blooms(self, df: DataFrame, cols: list[str], k: int = 4) -> dict:
+        """Per-bucket Bloom filters over ``cols`` (the Parquet/Iceberg
+        bloom-filter-index analog, held at manifest level): m auto-sized
+        to ~10 bits per distinct value (fpr ≈ 1% at k=4), bits set by k
+        seeded xxhash64 probes — the SAME expression the scan-side
+        membership test evaluates, so write and probe can never drift.
+        Built as one narrow distributed aggregate over data being
+        written anyway (explode k positions → bit_or per 64-bit word);
+        the collect is O(n_buckets · m/64) words, driver-bounded by the
+        bloom size itself, never by the data."""
+        out = {}
+        for c in cols:
+            nn = df.filter(F.col(c).isNotNull())
+            mx = (
+                nn.groupBy("_bucket").agg(F.countDistinct(c).alias("nd"))
+                .agg(F.max("nd")).collect()[0][0]
+            ) or 1
+            m = 1024
+            while m < 10 * mx:
+                m *= 2
+            pos = nn.select(
+                "_bucket",
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(F.xxhash64(F.lit(i), F.col(c)), F.lit(m))
+                            for i in range(k)
+                        ]
+                    )
+                ).alias("p"),
+            )
+            agg = (
+                pos.select(
+                    "_bucket",
+                    (F.col("p") / 64).cast("int").alias("w"),
+                    # SQL shiftleft takes an EXPRESSION bit count; the
+                    # DataFrame F.shiftleft only takes a literal int
+                    F.expr(
+                        "shiftleft(cast(1 as bigint), cast(p % 64 as int))"
+                    ).alias("bit"),
+                )
+                .groupBy("_bucket", "w")
+                .agg(F.bit_or("bit").alias("word"))
+                .collect()
+            )
+            per_bucket: dict[int, dict[int, int]] = {}
+            for r in agg:
+                per_bucket.setdefault(r["_bucket"], {})[r["w"]] = r["word"]
+            out[c] = {
+                "m": m,
+                "k": k,
+                "buckets": {
+                    b: [wd.get(i, 0) for i in range(m // 64)]
+                    for b, wd in per_bucket.items()
+                },
+            }
+        return out
+
+    def _bloom_positions(self, dtype, value, m: int, k: int) -> list[int]:
+        """The k bit positions a probe value sets — evaluated with the
+        same typed-literal Spark expression as the write side (the
+        :meth:`_point_bucket` discipline)."""
+        row = self.spark.range(1).select(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.lit(value).cast(dtype)), F.lit(m))
+                    for i in range(k)
+                ]
+            ).alias("p")
+        )
+        return list(row.collect()[0]["p"])
+
+    def _bloom_surviving(
+        self, manifest: dict, entries: list[dict], where: dict[str, tuple]
+    ) -> list[dict]:
+        """Drop entries whose Bloom filter proves the probe value absent.
+        Only full-point predicates (lo == hi) on ``bloom_on`` columns
+        prune; entries without bloom info (pre-bloom commits) are kept —
+        pruning is an optimization, never a semantics change."""
+        bloom_cols = set(manifest.get("bloom_on") or ())
+        probes = {
+            c: b[0]
+            for c, b in where.items()
+            if c in bloom_cols and b[0] is not None and b[0] == b[1]
+        }
+        if not probes:
+            return entries
+        schema = StructType.fromJson(manifest["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        pos_cache: dict[tuple, list[int]] = {}
+        kept = []
+        for e in entries:
+            blooms = e.get("bloom") or {}
+            alive = True
+            for c, v in probes.items():
+                bl = blooms.get(c)
+                if not bl:
+                    continue
+                key = (c, bl["m"], bl["k"])
+                if key not in pos_cache:
+                    pos_cache[key] = self._bloom_positions(
+                        types[c], v, bl["m"], bl["k"]
+                    )
+                words = bl["words"]
+                for p in pos_cache[key]:
+                    w, bit = p // 64, p % 64
+                    if not (words[w] >> bit) & 1:
+                        alive = False
+                        break
+                if not alive:
+                    break
+            if alive:
+                kept.append(e)
+        return kept
+
     def _write_buckets(
         self,
         df: DataFrame,
@@ -209,6 +324,7 @@ class SnapshotTable:
         n_buckets: int,
         cluster_by: list[str] | None = None,
         records_per_file: int | None = None,
+        bloom_on: list[str] | None = None,
     ) -> list[dict]:
         """Write ``df`` (already carrying ``_bucket``) as one immutable
         parquet tree under ``data/<commit_id>/``, hash-distributed so
@@ -240,6 +356,7 @@ class SnapshotTable:
             writer = writer.option("maxRecordsPerFile", int(records_per_file))
         writer.parquet(out_dir)
         stats = self._bucket_stats(df, keys)
+        blooms = self._bucket_blooms(df, bloom_on) if bloom_on else {}
         entries = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("_bucket="):
@@ -251,12 +368,18 @@ class SnapshotTable:
                     st = dict(stats.get(b) or {})
                     if cluster_by:
                         st.update(self._footer_stats(full, cluster_by))
+                    bl = {
+                        c: {"m": d["m"], "k": d["k"], "words": d["buckets"][b]}
+                        for c, d in blooms.items()
+                        if b in d["buckets"]
+                    }
                     entries.append(
                         {
                             "bucket": b,
                             "path": f"{_DATA_DIR}/{commit_id}/{bdir}/{fn}",
                             "stats": st or None,
                             "seq": seq,
+                            **({"bloom": bl} if bl else {}),
                         }
                     )
         return entries
@@ -353,6 +476,7 @@ class SnapshotTable:
         n_buckets: int = 16,
         cluster_by: list[str] | None = None,
         records_per_file: int | None = None,
+        bloom_on: list[str] | None = None,
     ) -> "SnapshotTable":
         """Create version 1 from ``df`` (duplicate keys collapse
         deterministically, same contract as :func:`upsert`).
@@ -362,7 +486,14 @@ class SnapshotTable:
         on them prune FILES (per-file footer stats), not just buckets —
         the table-format half of predicate pushdown. The clustering is a
         table property: every later merge/delete/compact rewrite
-        preserves it."""
+        preserves it.
+
+        ``bloom_on``: maintain per-bucket Bloom filters over these
+        columns (the Parquet bloom-filter-index analog at manifest
+        level) so POINT lookups on non-key, non-clustered columns skip
+        buckets — the pruning dimension hash bucketing (key equality)
+        and range stats (clustered order) both miss. Also a table
+        property preserved by every rewrite."""
         t = cls(spark, path)
         if t.latest_version() != 0:
             raise ValueError(f"table already exists at {path}")
@@ -371,7 +502,7 @@ class SnapshotTable:
         files = t._write_buckets(
             base.withColumn("_bucket", _bucket_col(keys, n_buckets)), commit_id, keys,
             seq=1, n_buckets=n_buckets, cluster_by=cluster_by,
-            records_per_file=records_per_file,
+            records_per_file=records_per_file, bloom_on=bloom_on,
         )
         t._publish(
             {
@@ -380,6 +511,7 @@ class SnapshotTable:
                 "n_buckets": n_buckets,
                 "cluster_by": cluster_by,
                 "records_per_file": records_per_file,
+                "bloom_on": bloom_on,
                 "schema": json.loads(base.schema.json()),
                 "operation": "create",
                 "committed_at": time.time(),
@@ -484,6 +616,7 @@ class SnapshotTable:
         point_bucket = self._point_bucket(m, where)
         if point_bucket is not None:
             kept = [e for e in kept if e["bucket"] == point_bucket]
+        kept = self._bloom_surviving(m, kept, where)
         df = self._read_files({**m, "files": kept}).drop("_bucket")
         for k, (lo, hi) in where.items():
             if lo is not None:
@@ -540,7 +673,11 @@ class SnapshotTable:
 
     @classmethod
     def _surviving_files(cls, manifest: dict, where: dict[str, tuple]) -> list[dict]:
-        prunable = set(manifest["keys"]) | set(manifest.get("cluster_by") or ())
+        prunable = (
+            set(manifest["keys"])
+            | set(manifest.get("cluster_by") or ())
+            | set(manifest.get("bloom_on") or ())
+        )
         bad = set(where) - prunable
         if bad:
             raise ValueError(
@@ -578,6 +715,7 @@ class SnapshotTable:
         pb = self._point_bucket(m, where)
         if pb is not None:
             kept = [e for e in kept if e["bucket"] == pb]
+        kept = self._bloom_surviving(m, kept, where)
         return len(kept), len(m["files"])
 
     def history(self) -> list[dict]:
@@ -692,6 +830,7 @@ class SnapshotTable:
                 merged, commit_id, keys, seq=v + 1, n_buckets=n_buckets,
                 cluster_by=m.get("cluster_by"),
                 records_per_file=m.get("records_per_file"),
+                bloom_on=m.get("bloom_on"),
             )
             staged = {
                 "version": v + 1,
@@ -699,6 +838,7 @@ class SnapshotTable:
                 "n_buckets": n_buckets,
                 "cluster_by": m.get("cluster_by"),
                 "records_per_file": m.get("records_per_file"),
+                "bloom_on": m.get("bloom_on"),
                 "schema": json.loads(schema.json()),
                 "operation": f"merge:{strategy}"
                 + (":mor" if mode == "mor" else ""),
@@ -853,6 +993,7 @@ class SnapshotTable:
                 kept, commit_id, keys, seq=v + 1, n_buckets=n_buckets,
                 cluster_by=m.get("cluster_by"),
                 records_per_file=m.get("records_per_file"),
+                bloom_on=m.get("bloom_on"),
             )
             carried = [e for e in m["files"] if e["bucket"] not in touched]
             try:
@@ -861,6 +1002,7 @@ class SnapshotTable:
                         **{k: m[k] for k in ("keys", "n_buckets", "schema")},
                         "cluster_by": m.get("cluster_by"),
                         "records_per_file": m.get("records_per_file"),
+                        "bloom_on": m.get("bloom_on"),
                         "version": v + 1,
                         "operation": "delete",
                         "committed_at": time.time(),
@@ -979,6 +1121,7 @@ class SnapshotTable:
             rows, commit_id, m["keys"], seq=v + 1, n_buckets=m["n_buckets"],
             cluster_by=m.get("cluster_by"),
             records_per_file=m.get("records_per_file"),
+            bloom_on=m.get("bloom_on"),
         )
         carried = [e for e in m["files"] if e["bucket"] not in frag]
         self._publish(
@@ -986,6 +1129,7 @@ class SnapshotTable:
                 **{k: m[k] for k in ("keys", "n_buckets", "schema")},
                 "cluster_by": m.get("cluster_by"),
                 "records_per_file": m.get("records_per_file"),
+                "bloom_on": m.get("bloom_on"),
                 "version": v + 1,
                 "operation": "compact",
                 "committed_at": time.time(),

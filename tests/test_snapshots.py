@@ -160,6 +160,39 @@ def test_tag_pins_version_and_survives_vacuum(spark, tmp_path):
         t._read_manifest(1)
 
 
+def test_bloom_point_skip_and_rewrite_preserves_filters(spark, tmp_path):
+    """Manifest-level Bloom filters on a non-key column: a point lookup
+    skips buckets whose filter proves the value absent, never returns
+    wrong rows, and every rewrite (merge) rebuilds the touched bucket's
+    filter while carried buckets keep theirs."""
+    df = spark.createDataFrame(
+        [(i, f"name_{i}", i * 1.5) for i in range(400)], "k int, name string, val double"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, ["k"], n_buckets=8, bloom_on=["name"]
+    )
+    # an existing value lives in exactly one bucket's rows → most buckets skip
+    r, total = t.pruned_files({"name": ("name_7", "name_7")})
+    assert total == 8 and r < 8
+    got = t.scan({"name": ("name_7", "name_7")}).collect()
+    assert [(x["k"], x["val"]) for x in got] == [(7, 10.5)]
+    # an absent value should skip (near) everything — fpr makes ==0 almost
+    # sure on 8 buckets; assert the conservative bound
+    r2, _ = t.pruned_files({"name": ("no_such_name", "no_such_name")})
+    assert r2 <= 1
+    # merge rewrites one bucket: its bloom must cover the NEW value
+    v2 = t.merge(
+        spark.createDataFrame([(7, "renamed_7", 99.0)], "k int, name string, val double")
+    )
+    assert v2 == 2
+    got2 = t.scan({"name": ("renamed_7", "renamed_7")}).collect()
+    assert [(x["k"], x["val"]) for x in got2] == [(7, 99.0)]
+    # carried buckets keep pruning
+    r3, total3 = t.pruned_files({"name": ("name_9", "name_9")})
+    assert total3 == 8 and r3 < 8
+    assert [x["k"] for x in t.scan({"name": ("name_9", "name_9")}).collect()] == [9]
+
+
 def test_tag_validation(spark, tmp_path):
     t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
     with pytest.raises(FileNotFoundError):
