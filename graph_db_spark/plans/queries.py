@@ -11662,6 +11662,261 @@ _POIS1_CDF = (  # Poisson(1) CDF at k=0..4 — identical literals both engines
 
 
 @register(
+    "ab_test_proportions",
+    oracle="""
+    WITH e AS (
+      SELECT dayofweek(ts) AS dow,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    g AS (
+      SELECT dow,
+             sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN grp = 'a' THEN conv ELSE 0 END) AS xa,
+             sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN grp = 'b' THEN conv ELSE 0 END) AS xb
+      FROM e GROUP BY 1
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(xa * 1.0 / na, 4) AS p_a, round(xb * 1.0 / nb, 4) AS p_b,
+           round((xa * 1.0 / na - xb * 1.0 / nb)
+                 / sqrt(((xa + xb) * 1.0 / (na + nb))
+                        * (1 - (xa + xb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) + 0.0 AS z,
+           CAST(CASE WHEN abs((xa * 1.0 / na - xb * 1.0 / nb)
+                 / sqrt(((xa + xb) * 1.0 / (na + nb))
+                        * (1 - (xa + xb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb))) > 1.96
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM g
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — the two-proportion z-test, grouped: conversion
+    (purchase share) of cohort A (even user ids) vs cohort B (odd) per
+    day-of-week, with the pooled-variance z and a |z|>1.96 significance
+    flag — the A/B-test readout, computed entirely from four grouped
+    counters (one shuffle, map-side combined; the test statistic is
+    driver-free closed-form arithmetic on the aggregate row). All inputs
+    to the float math are exact integer counts, so both engines derive
+    bit-identical z values; chi_square_independence is the k×m
+    generalization, ks/psi the distributional cousins."""
+    # DuckDB dayofweek is 0-6 Sunday-first; Spark's is 1-7 — map explicitly
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    g = ev.groupBy("dow").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "a", F.col("conv")).otherwise(0)).alias("xa"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("grp") == "b", F.col("conv")).otherwise(0)).alias("xb"),
+    )
+    pa = F.col("xa") * 1.0 / F.col("na")
+    pb = F.col("xb") * 1.0 / F.col("nb")
+    pp = (F.col("xa") + F.col("xb")) * 1.0 / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return g.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r4(pa).alias("p_a"),
+        r4(pb).alias("p_b"),
+        r4(z).alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("bigint").alias("significant"),
+    )
+
+
+@register(
+    "mannwhitney_u_test",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN extract(day FROM ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, value,
+             sum(is_ref) AS nr, sum(1 - is_ref) AS nc
+      FROM e GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, nr, nc, nr + nc AS t,
+             sum(nr + nc) OVER (PARTITION BY event_type ORDER BY value)
+               - (nr + nc) AS below
+      FROM pv
+    ),
+    st AS (
+      SELECT event_type,
+             sum(nr) AS n1, sum(nc) AS n2,
+             sum(nr * (below + (t + 1) / 2.0)) AS r1,
+             sum(t * t * t - t) AS ties
+      FROM rk GROUP BY 1
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1.0)
+                           - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) + 0.0
+             AS z
+    FROM st
+    """,
+)
+def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Mann-Whitney U (Wilcoxon rank-sum) per event type
+    between the month's halves: the NONPARAMETRIC location test the
+    parametric z/t tests can't replace under skew, with textbook
+    midrank tie handling AND the tie-corrected variance. Rank sums come
+    from the same per-(type, distinct value) collapse as the KS query —
+    `below + (t+1)/2` is the average rank of a tie group, so no
+    row-level ranking ever happens: the window sorts the DISTINCT-value
+    table. Every input to the statistic is integer counts → both
+    engines compute bit-identical U and z."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("is_ref"),
+    )
+    pv = ev.groupBy("event_type", "value").agg(
+        F.sum("is_ref").alias("nr"), F.sum(1 - F.col("is_ref")).alias("nc")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    t = F.col("nr") + F.col("nc")
+    rk = pv.select(
+        "event_type",
+        "nr",
+        "nc",
+        t.alias("t"),
+        (F.sum(t).over(w) - t).alias("below"),
+    )
+    st = rk.groupBy("event_type").agg(
+        F.sum("nr").alias("n1"),
+        F.sum("nc").alias("n2"),
+        F.sum(F.col("nr") * (F.col("below") + (F.col("t") + 1) / 2.0)).alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sig = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1.0)
+            - F.col("ties")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1.0))
+        )
+    )
+    return st.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_ref"),
+        F.col("n2").cast("bigint").alias("n_cur"),
+        r4(u).alias("u_stat"),
+        r4((u - mu) / sig).alias("z"),
+    )
+
+
+@register(
+    "trade_graph_transitivity",
+    oracle="""
+    WITH vol AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v, sum(l.l_quantity) AS q
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT least(u, v) AS a, greatest(u, v) AS b, sum(q) AS q
+      FROM vol GROUP BY 1, 2
+    ),
+    med AS (SELECT median(q) AS m FROM und),
+    e AS (SELECT a, b FROM und, med WHERE q > med.m),
+    ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    tri AS (
+      SELECT count(*) AS n3
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    deg AS (SELECT u, count(*) AS d FROM ed GROUP BY 1),
+    wed AS (SELECT sum(d * (d - 1) / 2) AS nw FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n3 FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT nw FROM wed) AS BIGINT) AS n_wedges,
+           round(3.0 * (SELECT n3 FROM tri) / (SELECT nw FROM wed), 4)
+             AS transitivity
+    """,
+)
+def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — global transitivity (3·triangles / wedges) of the
+    inter-nation trade graph, thresholded at the MEDIAN undirected edge
+    volume so the topology is scale-invariant (an absolute cutoff would
+    change the graph with SF — the scc_trade_partners discipline).
+    local_clustering_coeff is the per-node version on the big
+    co-occurrence graph; this is the one-number global summary, and on
+    the nation graph the triangle join is dimension-sized — the
+    heavyweight volume aggregation (the only corpus-wide pass) happens
+    BEFORE any graph work. Oriented a<b triangle enumeration counts
+    each exactly once; wedges from the degree identity Σd(d−1)/2."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    und = (
+        vol.groupBy(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .agg(F.sum("q").alias("q"))
+        .localCheckpoint(eager=True)  # median probe + edge filter
+    )
+    m = und.agg(F.expr("percentile(q, 0.5)").alias("m")).collect()[0]["m"]
+    e = und.filter(F.col("q") > m).select("a", "b").localCheckpoint(eager=True)
+    ed = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("nw"),
+    ).collect()[0]
+    n_edges = e.count()
+    return spark.range(1).select(
+        F.lit(stats["nn"]).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(tri).cast("bigint").alias("n_triangles"),
+        F.lit(stats["nw"]).cast("bigint").alias("n_wedges"),
+        r4(F.lit(3.0 * tri / stats["nw"])).alias("transitivity"),
+    )
+
+
+@register(
     "snapshot_bloom_point_skip",
     oracle="""
     WITH probe AS (

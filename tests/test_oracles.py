@@ -121,6 +121,9 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "ks_two_sample",
         "streaming_full_outer_attribution",
         "snapshot_bloom_point_skip",
+        "ab_test_proportions",
+        "mannwhitney_u_test",
+        "trade_graph_transitivity",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
