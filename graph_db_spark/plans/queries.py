@@ -7640,7 +7640,7 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
 
 
 def _lpa_edges_labels(
-    spark: SparkSession, sf_dir: str, iters: int = 3
+    spark: SparkSession, sf_dir: str, iters: int = 3, keep_edges: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the part co-occurrence graph and run ``iters`` synchronous
     LPA rounds. Returns (e, ed, labels): undirected unique edges, the
@@ -7657,8 +7657,11 @@ def _lpa_edges_labels(
         a.join(b, (F.col("a.o") == F.col("ob")) & (F.col("a.p") < F.col("pb")))
         .select(F.col("a.p").alias("u"), F.col("pb").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds ed AND the modularity joins
     )
+    if keep_edges:
+        # only the modularity caller re-reads e; checkpointing it for the
+        # plain LPA query would pay an extra materialization for nothing
+        e = e.localCheckpoint(eager=True)
     ed = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ed = ed.repartition(32, "v").localCheckpoint(eager=True)
     labels = ed.select(F.col("u").alias("node")).distinct().select(
@@ -7693,7 +7696,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     as connected_components (graph/algorithms.py). Fixed-round sync LPA
     is the scale-safe variant: async/converged LPA is order-dependent
     and irreproducible on a cluster."""
-    _, _, labels = _lpa_edges_labels(spark, sf_dir, iters=3)
+    _, _, labels = _lpa_edges_labels(spark, sf_dir, iters=3)  # keep_edges off
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("size"),
         F.min("node").cast("bigint").alias("min_node"),
@@ -11441,7 +11444,7 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(E) work to any community algorithm it audits. Per-community
     contribution rows plus a community=-1 total row (n_nodes=|V|,
     internal_edges=m, degree_sum=2m there — the handshake identity)."""
-    e, ed, labels = _lpa_edges_labels(spark, sf_dir, iters=3)
+    e, ed, labels = _lpa_edges_labels(spark, sf_dir, iters=3, keep_edges=True)
     labels = labels.localCheckpoint(eager=True)  # u-join, v-join, degree agg
     m = e.count()  # 1-row scalar probe (total undirected edges)
     deg = ed.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -12261,7 +12264,11 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     back for the two directional ratios (pure int division — identical
     doubles both engines). Emits both directions per unordered pair,
     kept when either containment ≥ 0.5."""
-    docs = load_table(spark, sf_dir, "documents")
+    from graph_db_spark.util import spread
+
+    # spread: documents is one parquet file; without it the gram build
+    # (the dominant expression cost) runs on a single task
+    docs = spread(load_table(spark, sf_dir, "documents"))
     gl = docs.select(
         "doc_id", TX.word_ngrams(F.col("text"), 3).alias("grams")
     )
@@ -12269,7 +12276,11 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("grams").alias("g")
     )
     posting = gl.select("doc_id", F.explode("grams").alias("gram"))
-    posting = posting.localCheckpoint(eager=True)  # feeds keepg + both join sides
+    # documents is ONE parquet file -> every descendant op runs single-task
+    # unless spread; partition on the pair-join key so the self-join both
+    # parallelizes AND needs no further exchange (measured 48s -> ~3s at
+    # sf0.1 min-of-2; the ngram_jaccard bucket-spread lesson, same cause)
+    posting = posting.repartition(32, "gram").localCheckpoint(eager=True)
     keepg = (
         posting.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -12321,59 +12332,64 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id % 20 <> 0
     ),
     scored AS (
-      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+      SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
              list_cosine_similarity(tr.v, ev.v) AS cos,
              row_number() OVER (
-               PARTITION BY tr.vec_id
-               ORDER BY list_cosine_similarity(tr.v, ev.v) DESC, ev.vec_id
+               PARTITION BY ev.vec_id
+               ORDER BY list_cosine_similarity(tr.v, ev.v) DESC, tr.vec_id
              ) AS rn
       FROM tr CROSS JOIN ev
     )
-    SELECT CAST(train_id AS BIGINT) AS train_id,
-           CAST(eval_id AS BIGINT) AS eval_id,
-           round(cos, 4) AS max_cosine
-    FROM scored WHERE rn = 1 AND cos >= 0.9
+    SELECT CAST(eval_id AS BIGINT) AS eval_id, CAST(rn AS BIGINT) AS rank,
+           CAST(train_id AS BIGINT) AS train_id,
+           round(cos, 4) + 0.0 AS cosine,
+           CAST(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM scored WHERE rn <= 3
     """,
 )
 def embedding_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination — the EMBEDDING twin of benchmark_decontamination:
-    flag training vectors whose max cosine against the held-out eval set
-    (vec_id % 20 == 0 stands in for the benchmark embeddings) reaches
-    0.9 — the paraphrase-contamination test n-gram collision misses.
-    Plan: the eval set is tiny by construction (eval suites vs a 100 TB
-    corpus), so it broadcasts to the partitioned train side as a
-    BroadcastNestedLoopJoin — the corpus never shuffles and never
-    self-joins; per-train argmax is a hash aggregate over the eval
-    fan-out (|eval| rows per train vector). Deterministic argmax:
-    max-by (cos, -eval_id) struct, ties to the smaller eval id."""
+    for each held-out eval vector (vec_id % 20 == 0 stands in for the
+    benchmark embeddings), its 3 nearest TRAINING vectors by cosine with
+    a contaminated flag at 0.9 — the paraphrase-contamination audit the
+    n-gram collision test misses. Emitting the top-3 (not only
+    over-threshold hits) keeps the audit evidential on a clean corpus:
+    the fixture has NO cross-set near-dups (max cosine ~0.5 at every
+    SF), and a report of the nearest misses is what a real curation run
+    reviews. Plan: eval broadcasts (eval suites are tiny vs a 100 TB
+    corpus) over the spread train side — the corpus never shuffles and
+    never self-joins; the per-eval top-3 window partitions on the
+    |eval|-sized key after a |train|×|eval| in-task score pass."""
+    from graph_db_spark.util import spread
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     ev = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("eval_id"), v.alias("ve")
     )
-    tr = emb.filter(F.col("vec_id") % 20 != 0).select(
+    # one-file source -> spread the corpus side or the broadcast nested
+    # loop runs on a single task (the embedding_near_dup_pairs lesson)
+    tr = spread(emb.filter(F.col("vec_id") % 20 != 0)).select(
         F.col("vec_id").alias("train_id"), v.alias("vt")
     )
     cos = SIM.cosine(F.col("vt"), F.col("ve"))
-    best = (
-        tr.crossJoin(F.broadcast(ev))
-        .select("train_id", "eval_id", cos.alias("cos"))
-        .groupBy("train_id")
-        .agg(
-            F.max(
-                F.struct(F.col("cos"), (-F.col("eval_id")).alias("ne"))
-            ).alias("m")
-        )
-        .select(
-            "train_id",
-            (-F.col("m.ne")).alias("eval_id"),
-            F.col("m.cos").alias("cos"),
-        )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "eval_id", "train_id", cos.alias("cos")
     )
-    return best.filter(F.col("cos") >= 0.9).select(
-        F.col("train_id").cast("bigint").alias("train_id"),
-        F.col("eval_id").cast("bigint").alias("eval_id"),
-        r4(F.col("cos")).alias("max_cosine"),
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), "train_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("eval_id").cast("bigint").alias("eval_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("train_id").cast("bigint").alias("train_id"),
+            r4(F.col("cos")).alias("cosine"),
+            F.when(F.col("cos") >= 0.9, 1).otherwise(0).cast("bigint").alias(
+                "contaminated"
+            ),
+        )
     )
 
 
