@@ -76,6 +76,14 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "ann_ivf_pq_topk", "dsir_selection", "tz_zone_correct_offsets",
         "doc_token_entropy", "bm25_doc_ranking", "hybrid_retrieval_rerank",
         "degree_assortativity",
+        # round-6 continuation, third batch (the heavy/side-effecting ones
+        # — modularity, snapshot, streaming — run driver probes at plan
+        # build and are exercised by their own oracle queries instead)
+        "autocorrelation_lags", "theil_sen_trend", "lineitem_correlations",
+        "zipf_law_fit", "jaccard_link_prediction", "ngram_containment_pairs",
+        "psi_distribution_drift", "ks_two_sample", "ab_test_proportions",
+        "mannwhitney_u_test", "trimmed_mean_stats", "bootstrap_ci_mean",
+        "embedding_eval_contamination",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
