@@ -11824,6 +11824,72 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag, l_quantity AS q, l_extendedprice AS p
+      FROM lineitem
+    ),
+    rq AS (
+      SELECT flag, q,
+             sum(count(*)) OVER (PARTITION BY flag ORDER BY q)
+               - count(*) + (count(*) + 1) / 2.0 AS r
+      FROM li GROUP BY flag, q
+    ),
+    rp AS (
+      SELECT flag, p,
+             sum(count(*)) OVER (PARTITION BY flag ORDER BY p)
+               - count(*) + (count(*) + 1) / 2.0 AS r
+      FROM li GROUP BY flag, p
+    ),
+    ranked AS (
+      SELECT li.flag, rq.r AS r1, rp.r AS r2
+      FROM li JOIN rq ON li.flag = rq.flag AND li.q = rq.q
+              JOIN rp ON li.flag = rp.flag AND li.p = rp.p
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           round(corr(r1, r2), 4) + 0.0 AS spearman_rho
+    FROM ranked GROUP BY 1
+    """,
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Spearman's ρ per return flag (quantity vs price):
+    Pearson correlation of MIDRANKS, the tie-correct general form (the
+    6Σd² shortcut is wrong under ties, and l_quantity is massively
+    tied). Ranks come from the Mann-Whitney trick: collapse to distinct
+    values per group, one window cumsum gives every tie group's midrank
+    — so the rank "sort" runs over the DISTINCT-value tables (50-ish
+    quantities, the price vocabulary), never a per-row ranking of the
+    fact stream; the fact table then picks its ranks up via two
+    hash joins and feeds one co-moment corr aggregate. Midranks are
+    exact multiples of 0.5 → bit-identical inputs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        g = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.partitionBy("flag").orderBy(col)
+        return g.select(
+            "flag",
+            col,
+            (
+                F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = li.join(midranks("q"), on=["flag", "q"]).join(
+        midranks("p"), on=["flag", "p"]
+    )
+    return ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.corr("r_q", "r_p")).alias("spearman_rho"),
+    )
+
+
+@register(
     "trade_graph_transitivity",
     oracle="""
     WITH vol AS (
@@ -11916,6 +11982,70 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(tri).cast("bigint").alias("n_triangles"),
         F.lit(stats["nw"]).cast("bigint").alias("n_wedges"),
         r4(F.lit(3.0 * tri / stats["nw"])).alias("transitivity"),
+    )
+
+
+@register(
+    "snapshot_rebucket_evolution",
+    oracle="""
+    SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN c_custkey % 4 = 1 THEN c_acctbal * 2
+                          ELSE c_acctbal END), 4) AS sum_bal
+    FROM customer GROUP BY 1
+    UNION ALL SELECT '__routed_1_of_16__', 1, 0.0
+    UNION ALL SELECT '__v1_routed_1_of_4__', 1, 0.0
+    """,
+)
+def snapshot_rebucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table — bucket-count EVOLUTION (partition-spec evolution
+    for a hash layout): create at 4 buckets, merge an update, rebucket
+    to 16, and verify atomically-switched routing — a point lookup on
+    the latest version opens 1 of 16 files while TIME TRAVEL to the
+    pre-evolution version still routes 1 of 4 (each manifest carries
+    its own count; readers are manifest-driven so nothing is ever
+    half-migrated). The aggregate of the post-evolution read is
+    hash-checked against the closed-form reconstruction. Cost truth:
+    rebucketing is one full rewrite — priced like capacity planning,
+    not like a merge; see writers/snapshots.py rebucket."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"graft_snap_rebkt_{_sf_tag(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(spark, path, cust, ["c_custkey"], n_buckets=4)
+    t.merge(
+        cust.filter(F.col("c_custkey") % 4 == 1).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        )
+    )
+    t.rebucket(16)
+    probe = cust.agg(F.min("c_custkey")).collect()[0][0]  # 1-row scalar
+    r_new, tot_new = t.pruned_files({"c_custkey": (probe, probe)})
+    r_old, tot_old = t.pruned_files({"c_custkey": (probe, probe)}, version=1)
+    agg = t.read().groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.sum("c_acctbal")).alias("sum_bal"),
+    )
+
+    def flag(name: str, ok: bool) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(name).alias("seg"),
+            F.lit(1 if ok else 0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("sum_bal"),
+        )
+
+    return _metric_rows(
+        agg,
+        flag("__routed_1_of_16__", r_new == 1 and tot_new == 16),
+        flag("__v1_routed_1_of_4__", r_old == 1 and tot_old == 4),
     )
 
 

@@ -1087,6 +1087,61 @@ class SnapshotTable:
             .select(*out_cols, "_change")
         )
 
+    def rebucket(self, n_buckets: int, max_retries: int = 5) -> int:
+        """Bucket-count EVOLUTION (the Iceberg partition-spec-evolution
+        analog for a hash layout): rewrite the whole table under a new
+        ``n_buckets`` and record it in the manifest. Sizing n_buckets is
+        a day-one guess that data growth invalidates — too few buckets
+        caps write parallelism and bloats per-bucket rewrite cost; this
+        makes it a reversible, snapshot-isolated operation instead of a
+        table migration. Readers are manifest-driven, so point-lookup
+        routing, bloom filters, and bucket stats all switch atomically
+        with the commit, while time travel to pre-rebucket versions
+        keeps the OLD count (each manifest carries its own). Cost: one
+        full rewrite — the honest price of rehashing every key; do it at
+        the cadence of capacity planning, not per batch."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v == 0:
+                raise FileNotFoundError(f"no snapshots at {self.path}")
+            m = self._read_manifest(v)
+            if m["n_buckets"] == n_buckets:
+                return v
+            rows = (
+                self._read_files(m)  # MOR deltas resolve here
+                .drop("_bucket")
+                .withColumn("_bucket", _bucket_col(m["keys"], n_buckets))
+            )
+            commit_id = uuid.uuid4().hex
+            new_files = self._write_buckets(
+                rows, commit_id, m["keys"], seq=v + 1, n_buckets=n_buckets,
+                cluster_by=m.get("cluster_by"),
+                records_per_file=m.get("records_per_file"),
+                bloom_on=m.get("bloom_on"),
+            )
+            try:
+                self._publish(
+                    {
+                        **{k: m[k] for k in ("keys", "schema")},
+                        "n_buckets": n_buckets,
+                        "cluster_by": m.get("cluster_by"),
+                        "records_per_file": m.get("records_per_file"),
+                        "bloom_on": m.get("bloom_on"),
+                        "version": v + 1,
+                        "operation": f"rebucket:{n_buckets}",
+                        "committed_at": time.time(),
+                        "txn": None,
+                        "txns": self._carry_txns(m, None),
+                        "files": new_files,
+                    }
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"rebucket lost {max_retries} races")
+
     def compact(self, max_files_per_bucket: int = 1) -> int | None:
         """Bin-pack fragmented buckets: every bucket whose file count
         exceeds ``max_files_per_bucket`` is read and rewritten as fresh

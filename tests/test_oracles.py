@@ -124,6 +124,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "ab_test_proportions",
         "mannwhitney_u_test",
         "trade_graph_transitivity",
+        "spearman_rank_correlation",
+        "snapshot_rebucket_evolution",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (

@@ -193,6 +193,30 @@ def test_bloom_point_skip_and_rewrite_preserves_filters(spark, tmp_path):
     assert [x["k"] for x in t.scan({"name": ("name_9", "name_9")}).collect()] == [9]
 
 
+def test_rebucket_evolves_count_and_keeps_time_travel(spark, tmp_path):
+    """Bucket-count evolution: the rewrite changes routing atomically
+    (point lookups prune 1/new_count), old versions keep their own
+    count, and data is unchanged."""
+    df = _mk(spark, [(i, f"v{i}") for i in range(200)])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["k"], n_buckets=4)
+    before = _rows(t.read())
+    v2 = t.rebucket(16)
+    assert v2 == 2 and t._read_manifest(2)["n_buckets"] == 16
+    assert _rows(t.read()) == before
+    # point lookup routes through the NEW count...
+    r, total = t.pruned_files({"k": (7, 7)})
+    assert total == 16 and r == 1
+    # ...while the old version still routes through the old count
+    r1, total1 = t.pruned_files({"k": (7, 7)}, version=1)
+    assert total1 == 4 and r1 == 1
+    assert _rows(t.read(version=1)) == before
+    # idempotent: same count is a no-op commit
+    assert t.rebucket(16) == 2
+    # merges after evolution use the new count
+    t.merge(_mk(spark, [(7, "NEW")]))
+    assert ("NEW" in dict(_rows(t.read()))[7])
+
+
 def test_tag_validation(spark, tmp_path):
     t = SnapshotTable.create(spark, str(tmp_path / "t"), _mk(spark, [(1, "a")]), ["k"])
     with pytest.raises(FileNotFoundError):
