@@ -3028,6 +3028,33 @@ def asof_bucketed_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 from graph_db_spark.streaming import jobs as STRM  # noqa: E402
 
 
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_STREAM_PARTS_LOCK = _threading.Lock()
+
+
+@_contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Run a streaming job with a reduced shuffle-partition count — the
+    stateful operators (stream-stream joins, windowed aggs, dedup) open
+    one state store PER shuffle partition, and at fixture scale the
+    per-store open/commit overhead dominates (measured: the full-outer
+    interval join 8.8s at 32 partitions -> 4.5s at 8, min-of-2 sf0.1).
+    On a real cluster the right number tracks executor count x state
+    volume; here it is a fixed small constant. Serialized behind a lock
+    and restored in finally, same discipline as the AQE toggle
+    (graph/algorithms.py:_aqe_off); partition count never changes
+    RESULTS, only state-store fan-out."""
+    with _STREAM_PARTS_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_stream_to_table(spark, sf_dir, name, transform, table="events", mode="complete"):
     """Run a streaming job over a (static) fixture table with
     trigger(availableNow) into a memory sink; return the result table.
@@ -3044,15 +3071,17 @@ def _run_stream_to_table(spark, sf_dir, name, transform, table="events", mode="c
     batch.write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(batch.schema).parquet(d)
     qname = f"mem_{name}"
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError(
             "streaming query did not finish within 300s — the memory sink "
@@ -6053,14 +6082,16 @@ def streaming_touch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = STRM.stream_touch_pairs(p_stream, t_stream)
     qname = "mem_touch_pairs"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError(
             "streaming query did not finish within 300s — the memory sink "
@@ -8662,15 +8693,17 @@ def _run_batched_stream(spark, name, batches, transform, mode="append", tag=""):
         .parquet(src)
     )
     qname = f"mem_{name}"
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError(
             "streaming query did not finish within 300s — the memory sink "
@@ -9298,14 +9331,16 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
     pairs = STRM.stream_touch_pairs(p_stream, t_stream, how="left_outer")
     qname = "mem_touch_lo"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError(
             "streaming query did not finish within 300s — the memory sink "
@@ -9396,14 +9431,16 @@ def streaming_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
     pairs = STRM.stream_touch_pairs(p_stream, t_stream, how="full_outer")
     qname = "mem_touch_fo"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError(
             "streaming query did not finish within 300s — the memory sink "
