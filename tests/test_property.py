@@ -675,3 +675,116 @@ def test_scc_matches_bruteforce_on_random_digraphs(spark, edges):
         for r in strongly_connected_components(e, max_rounds=60).collect()
     }
     assert got == want, (pairs, got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.text("abcde", min_size=1, max_size=4)),
+        min_size=1,
+        max_size=40,
+    ),
+    probe_idx=st.integers(0, 39),
+)
+def test_bloom_never_false_negative(spark, tmp_path_factory, rows, probe_idx):
+    """A Bloom filter may keep a bucket spuriously but must NEVER skip a
+    bucket that holds the probe value — scan(point) equals the plain
+    filtered read on arbitrary data."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    path = str(tmp_path_factory.mktemp("bloomprop") / "t")
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id int, k int, name string"
+    )
+    t = SnapshotTable.create(spark, path, df, ["id"], n_buckets=4, bloom_on=["name"])
+    probe = rows[probe_idx % len(rows)][1]
+    got = sorted(r["id"] for r in t.scan({"name": (probe, probe)}).collect())
+    want = sorted(r["id"] for r in t.read().filter(F.col("name") == probe).collect())
+    assert got == want and got  # non-empty: the probe value exists
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ref=st.lists(st.integers(0, 8), min_size=1, max_size=15),
+    cur=st.lists(st.integers(0, 8), min_size=1, max_size=15),
+)
+def test_mannwhitney_midrank_u_equals_pairwise_bruteforce(spark, ref, cur):
+    """U from the distinct-value midrank formula equals the definition:
+    #(ref > cur) pairs + half the ties — on arbitrary tied integer data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(v, 1) for v in ref] + [(v, 0) for v in cur]
+    df = spark.createDataFrame(rows, "value int, is_ref int")
+    pv = df.groupBy("value").agg(
+        F.sum("is_ref").alias("nr"), F.sum(1 - F.col("is_ref")).alias("nc")
+    )
+    w = Window.orderBy("value")
+    t = F.col("nr") + F.col("nc")
+    rk = pv.select("nr", t.alias("t"), (F.sum(t).over(w) - t).alias("below"))
+    r1 = rk.agg(
+        F.sum(F.col("nr") * (F.col("below") + (F.col("t") + 1) / 2.0))
+    ).collect()[0][0]
+    n1 = len(ref)
+    u_formula = r1 - n1 * (n1 + 1) / 2.0
+    u_brute = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a in ref for b in cur
+    )
+    assert abs(u_formula - u_brute) < 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=3, max_size=25
+    )
+)
+def test_spearman_midranks_equal_python_ranks(spark, pairs):
+    """The distinct-value cumsum midranks equal a pure-Python midrank
+    assignment (sorted positions averaged per tie group)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def py_midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k2 in range(i, j):
+                r[order[k2]] = mid
+            i = j
+        return r
+
+    df = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(pairs)], "rid int, q int"
+    )
+    g = df.groupBy("q").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("q")
+    ranks = g.select(
+        "q",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias("r"),
+    )
+    got = {
+        r["rid"]: r["r"]
+        for r in df.join(ranks, on="q").select("rid", "r").collect()
+    }
+    want = py_midranks([a for a, _ in pairs])
+    assert all(abs(got[i] - want[i]) < 1e-9 for i in range(len(pairs)))
