@@ -12023,6 +12023,92 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c,
+             date_diff('day', max(o_orderdate), (SELECT m FROM mx)) AS recency,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT c, recency, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency DESC, c) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, c) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, c) AS m_score
+      FROM rfm
+    ),
+    seg AS (
+      SELECT *,
+             CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                  WHEN r_score >= 4 THEN 'recent'
+                  WHEN f_score >= 4 THEN 'loyal_lapsing'
+                  WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                  ELSE 'regular' END AS segment
+      FROM scored
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(recency), 4) AS avg_recency_days,
+           round(avg(frequency), 4) AS avg_orders,
+           round(sum(monetary), 4) AS total_value,
+           CAST(min(c) AS BIGINT) AS min_custkey,
+           CAST(max(c) AS BIGINT) AS max_custkey
+    FROM seg GROUP BY 1
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics capstone — RFM (recency / frequency / monetary)
+    customer segmentation, the marketing-analytics standard: one grouped
+    pass builds the per-customer RFM triple, three global ntile(5)
+    windows score it, and a rule CASE maps scores to named segments
+    (champion / recent / loyal_lapsing / at_risk / regular). Scale
+    honesty: the ntile windows are GLOBAL sorts — but over the
+    per-customer AGGREGATE table (|customers| rows, ~1.5% of lineitem),
+    which is the scale-safe global-ranking posture order_value_deciles
+    pinned; ties break on custkey so both engines assign identical
+    quintiles. The curated_training_corpus of the analytics surface:
+    every stage is an already-verified shape (grouped agg, ntile,
+    CASE routing, grouped report)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderdate")).collect()[0][0]  # 1-row scalar probe
+    rfm = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(F.lit(mx), F.max("o_orderdate")).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score", F.ntile(5).over(Window.orderBy(F.desc("recency"), F.col("c")))
+        )
+        .withColumn(
+            "f_score", F.ntile(5).over(Window.orderBy("frequency", "c"))
+        )
+        .withColumn(
+            "m_score", F.ntile(5).over(Window.orderBy("monetary", "c"))
+        )
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.groupBy(segment.alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        r4(F.avg("recency")).alias("avg_recency_days"),
+        r4(F.avg("frequency")).alias("avg_orders"),
+        r4(F.sum("monetary")).alias("total_value"),
+        F.min("c").cast("bigint").alias("min_custkey"),
+        F.max("c").cast("bigint").alias("max_custkey"),
+    )
+
+
+@register(
     "snapshot_rebucket_evolution",
     oracle="""
     SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,

@@ -126,6 +126,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "trade_graph_transitivity",
         "spearman_rank_correlation",
         "snapshot_rebucket_evolution",
+        "rfm_customer_segments",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
