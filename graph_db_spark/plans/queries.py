@@ -12023,6 +12023,56 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_path_topk",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY 1
+    ORDER BY count(*) DESC, path LIMIT 10
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining — the top-10 most common user-day event PATHS
+    (ordered event-type journeys, 'view>click>purchase'-style): what a
+    product team reads before funnel design, and the order-sensitive
+    counterpart of event_transition_matrix's first-order pairs. The
+    path builds as `array_sort(collect_list(struct(ts, event_id,
+    type)))` inside one (user, day) aggregate — event_id breaks
+    timestamp ties so both engines concatenate the identical sequence —
+    then paths count like any categorical. Per-group state is bounded
+    by the session horizon (one day); the top-k ranks the path
+    VOCABULARY, not the sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+@register(
     "rfm_customer_segments",
     oracle="""
     WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),

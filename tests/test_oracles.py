@@ -127,6 +127,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "spearman_rank_correlation",
         "snapshot_rebucket_evolution",
         "rfm_customer_segments",
+        "session_path_topk",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
