@@ -12023,6 +12023,116 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "degree_powerlaw_mle",
+    oracle="""
+    WITH deg AS (
+      SELECT l_partkey, count(DISTINCT o_custkey) AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ),
+    tail AS (SELECT d FROM deg WHERE d >= 2)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(2 AS BIGINT) AS d_min,
+           round(1.0 + count(*) / sum(ln(d / 1.5)), 4) AS alpha,
+           round(avg(d), 4) AS mean_tail_degree
+    FROM tail
+    """,
+)
+def degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph statistics — the Clauset-Shalizi-Newman MLE for a discrete
+    power-law exponent on the part-popularity degree distribution
+    (distinct customers per part): α̂ = 1 + n / Σ ln(d/(dmin−½)),
+    the estimator a log-log regression (zipf_law_fit's method) biases —
+    the two queries are the method pair the CSN paper contrasts. One
+    distinct-count aggregate builds the degree table; the MLE is a
+    single co-aggregate over its d ≥ dmin tail (no ranking, no
+    binning). heavy-tail α near 2-3 ⇒ hub-guard operators (the dedup
+    family's bucket caps, skew salting) are mandatory at scale — this
+    query is the measurement that justifies them."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .localCheckpoint(eager=True)  # node count + tail aggregate
+    )
+    n_nodes = deg.count()  # 1-row scalar probe
+    tail = deg.filter(F.col("d") >= 2)
+    return tail.agg(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.lit(2).cast("bigint").alias("d_min"),
+        r4(1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / 1.5))).alias("alpha"),
+        r4(F.avg("d")).alias("mean_tail_degree"),
+    )
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p0
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v0
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT epoch(p.p0) - epoch(v.v0) AS sec
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(sec / 3600.0, 0.25), 4) AS p25_hours,
+           round(quantile_cont(sec / 3600.0, 0.50), 4) AS p50_hours,
+           round(quantile_cont(sec / 3600.0, 0.75), 4) AS p75_hours,
+           round(quantile_cont(sec / 3600.0, 0.90), 4) AS p90_hours
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics — time-to-convert distribution: for each user,
+    the latency from FIRST view to the first purchase at-or-after it,
+    summarized at p25/50/75/90 (funnel_conversion counts who converts;
+    this measures HOW FAST — the pair product teams read together).
+    Two per-user min-aggregates and one equi-join on user_id (the
+    at-or-after condition folds into the purchase-side min over the
+    semi-joined stream — never a per-user sort); the final quantiles
+    run over the |converted users| latency vector via exact
+    interpolated percentile. Latencies are exact epoch-microsecond
+    diffs, identical doubles on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), on="user_id")
+        .filter(F.col("ts") >= F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    lat = v.join(p, on="user_id").select(
+        (
+            (F.unix_micros("p0") - F.unix_micros("v0")) / F.lit(1e6) / 3600.0
+        ).alias("hours")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        r4(F.expr("percentile(hours, 0.25)")).alias("p25_hours"),
+        r4(F.expr("percentile(hours, 0.50)")).alias("p50_hours"),
+        r4(F.expr("percentile(hours, 0.75)")).alias("p75_hours"),
+        r4(F.expr("percentile(hours, 0.90)")).alias("p90_hours"),
+    )
+
+
+@register(
     "session_path_topk",
     oracle="""
     WITH paths AS (
