@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-BATCH_FORMATS = ("parquet", "csv", "json", "orc")
+BATCH_FORMATS = ("parquet", "csv", "json", "orc", "text", "binaryFile", "avro")
+# text: one string column `value` per line (raw-corpus ingest).
+# binaryFile: (path, modificationTime, length, content) rows — the
+#   multimodal blob ingest path (content is the opaque binary column the
+#   decode operators consume); batch-only in Spark.
+# avro: requires the external spark-avro jar — read_source raises a
+#   clear actionable error when the classpath lacks it rather than a
+#   bare ClassNotFoundException mid-plan.
 
 
 def read_source(
@@ -66,6 +73,20 @@ def read_source(
             )
     for k, v in options.items():
         reader = reader.option(k, v)
+    if fmt == "avro":
+        # avro ships as an external module: a bare classpath yields an
+        # opaque "Failed to find data source" AnalysisException — convert
+        # it to the actionable deploy instruction
+        try:
+            return reader.load(path)
+        except Exception as e:  # noqa: BLE001 — AnalysisException subclass set varies
+            if "Failed to find data source" in str(e):
+                raise RuntimeError(
+                    "avro support needs the spark-avro package on the "
+                    "classpath (spark.jars.packages="
+                    "org.apache.spark:spark-avro_2.13:<spark-version>)"
+                ) from e
+            raise
     return reader.load(path)
 
 
@@ -129,4 +150,18 @@ def stream_file_source(
         reader = reader.option("header", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
+    if fmt == "avro":
+        # avro ships as an external module: a bare classpath yields an
+        # opaque "Failed to find data source" AnalysisException — convert
+        # it to the actionable deploy instruction
+        try:
+            return reader.load(path)
+        except Exception as e:  # noqa: BLE001 — AnalysisException subclass set varies
+            if "Failed to find data source" in str(e):
+                raise RuntimeError(
+                    "avro support needs the spark-avro package on the "
+                    "classpath (spark.jars.packages="
+                    "org.apache.spark:spark-avro_2.13:<spark-version>)"
+                ) from e
+            raise
     return reader.load(path)

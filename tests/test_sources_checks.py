@@ -54,6 +54,43 @@ def test_unknown_format_rejected(spark):
         read_source(spark, "avro2", "/nonexistent")
 
 
+def test_text_source_reads_lines(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    got = sorted(r["value"] for r in read_source(spark, "text", str(p)).collect())
+    assert got == ["alpha", "beta", "gamma"]
+
+
+def test_binaryfile_source_reads_blobs(spark, tmp_path):
+    (tmp_path / "img.bin").write_bytes(b"\x89PNGfakebytes")
+    rows = read_source(
+        spark, "binaryFile", str(tmp_path), pathGlobFilter="*.bin"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == b"\x89PNGfakebytes"
+    assert rows[0]["length"] == 13
+
+
+def test_avro_roundtrip_or_actionable_error(spark, sf_dir, tmp_path):
+    """Where the classpath carries spark-avro, a write/read round-trips
+    the nation table exactly; where it doesn't (this sandbox), the read
+    path must raise the actionable deploy message, never the opaque
+    'Failed to find data source'."""
+    src = load_table(spark, sf_dir, "nation")
+    d = str(tmp_path / "nation_avro")
+    try:
+        src.write.format("avro").save(d)
+    except Exception:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_source(spark, "avro", str(tmp_path))
+        return
+    back = read_source(spark, "avro", d)
+    assert sorted(back.columns) == sorted(src.columns)
+    a = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    b = {r["n_nationkey"]: r["n_name"] for r in src.collect()}
+    assert a == b
+
+
 def test_jdbc_reaches_driver_layer(spark):
     # JDBC schema resolution needs a live connection/driver; none exists in
     # this container, so the correct observable is a JDBC-layer error (the
