@@ -12453,8 +12453,12 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop, no global sort. The CI percentile interpolates
     identically (Spark `percentile` == DuckDB `quantile_cont`)."""
     from graph_db_spark.operators.dedup import portable_hash
+    from graph_db_spark.util import spread
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # spread: events is one parquet file, and the x32 replicate explode +
+    # md5 weight draw is the heavy PRE-shuffle stage — without this it
+    # runs on a single task
+    ev = spread(load_table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )
     x = ev.select(
