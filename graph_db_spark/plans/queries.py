@@ -12022,6 +12022,37 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_API_TEXT = """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+@register("sql_api_region_revenue", oracle=_SQL_API_TEXT)
+def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API surface — the SAME ANSI SQL text runs on both engines:
+    `register_views` (tables.py) exposes the fixture tables as temp
+    views and `spark.sql` executes the oracle string VERBATIM (the
+    oracle here IS the Spark query). Proves the engine's second query
+    surface — everything else in this inventory is DataFrame-built, but
+    a reference user migrating SQL text needs `spark.sql` to produce
+    the identical Catalyst plans, broadcast the dimension chain, and
+    push the column prune into the scans exactly as the DataFrame API
+    does. Four-table star join: region→nation broadcast down the
+    customer→orders fact chain, one aggregate."""
+    from graph_db_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)
+
+
 @register(
     "degree_powerlaw_mle",
     oracle="""

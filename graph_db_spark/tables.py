@@ -62,3 +62,11 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     """Load every fixture table; equivalent of opening the reference's
     Postgres pool (main_graph_topraq.py:94-95) — lazy, no I/O yet."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view so ``spark.sql`` text
+    runs directly against them — the engine's SQL API surface (same
+    Catalyst plans as the DataFrame path; see the sql_api_* queries)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
