@@ -12022,6 +12022,127 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_scd2_enrichment",
+    oracle="""
+    WITH h AS (SELECT * FROM events WHERE extract(day FROM ts) <= 15),
+    ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             event_id
+      FROM h
+    ),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             count(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg_id
+      FROM ordered
+    ),
+    spans AS (
+      SELECT user_id, event_type AS state, seg_id, min(ts) AS vf
+      FROM seg GROUP BY 1, 2, 3
+    ),
+    scd2 AS (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY seg_id) AS vt
+      FROM spans
+    ),
+    cur AS (
+      SELECT e.ts, e.value, s.state
+      FROM events e LEFT JOIN scd2 s
+        ON e.user_id = s.user_id AND e.ts >= s.vf
+           AND (s.vt IS NULL OR e.ts < s.vt)
+      WHERE extract(day FROM e.ts) > 15 AND e.event_type = 'purchase'
+    )
+    SELECT coalesce(state, '<unknown>') AS state_at_purchase,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS purchase_value
+    FROM cur GROUP BY 1, 2
+    """,
+)
+def streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming × SCD2 — POINT-IN-TIME enrichment: second-half
+    purchase events stream through a stream-static LEFT join against
+    the SCD2 state history built from the month's first half, matched
+    AS OF each purchase's event time (valid_from ≤ ts < valid_to, open
+    current spans) — the "what state was this user in when they bought"
+    join that naive current-state enrichment gets wrong for late or
+    replayed events. Stream-static joins are stateless per micro-batch,
+    so this costs a per-batch hash join against the (broadcastable)
+    dimension history — no state store, no watermark coupling; the
+    batch twin is scd2_lookup_join. Purchases before any span or for
+    users with no first-half history report '<unknown>' (the LEFT
+    contract, oracle-encoded)."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.filter(F.dayofmonth("ts") <= 15)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marker = F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+    seg = h.select(
+        "user_id", "event_type", "ts",
+        F.count(marker).over(w).alias("seg_id"),
+    )
+    spans = seg.groupBy("user_id", "event_type", "seg_id").agg(
+        F.min("ts").alias("vf")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg_id")
+    scd2 = spans.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("state"),
+        "vf",
+        F.lead("vf").over(w2).alias("vt"),
+    ).localCheckpoint(eager=True)  # frozen dimension history for every batch
+    d = os.path.join(
+        tempfile.gettempdir(), f"graft_stream_scd2_{_sf_tag(sf_dir)}"
+    )
+    ev.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter((F.dayofmonth("ts") > 15) & (F.col("event_type") == "purchase"))
+    )
+    joined = stream.join(
+        scd2,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))),
+        "left",
+    )
+    qname = "mem_scd2_enrich"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.coalesce(F.col("state"), F.lit("<unknown>")).alias(
+                "state_at_purchase"
+            ),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            r4(F.sum("value")).alias("purchase_value"),
+        )
+    )
+
+
 _SQL_API_TEXT = """
     SELECT r.r_name AS region, n.n_name AS nation,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
