@@ -336,3 +336,63 @@ def interval_overlap_join(
         .dropDuplicates([*out_cols, "__ls", "__le", "__rs", "__re"])
         .select(*out_cols)
     )
+
+
+def grid_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    radius: float,
+) -> DataFrame:
+    """Spatial distance join: all (left, right) pairs whose points lie
+    within euclidean ``radius``, plus a ``dist`` column.
+
+    Scale path — the planar analogue of the LSH band join: each point
+    maps to ONE square grid cell of side ``radius``; the right side
+    explodes to its cell's 3x3 neighborhood (a fixed 9x fan-out,
+    independent of data size) so every qualifying pair shares an exact
+    (cell_x, cell_y) equi-join key; the exact distance predicate then
+    filters the candidates. The all-pairs product never materializes —
+    shuffle volume is O(|left| + 9|right|) and each pair is produced at
+    most once (the left point's cell is unique). Skewed cells (urban
+    hot spots) are ordinary hot equi-join keys: AQE skew-join splits
+    them like any other join. Right columns colliding with left names
+    come back with an ``r_`` prefix.
+    """
+    lx, ly = left_xy
+    rcols = {c: (c if c not in left.columns else f"r_{c}") for c in right.columns}
+    rx, ry = (rcols[right_xy[0]], rcols[right_xy[1]])
+    r = float(radius)
+
+    def cell(col: Column) -> Column:
+        return F.floor(col / F.lit(r)).cast("long")
+
+    l2 = left.select("*", cell(F.col(lx)).alias("__cx"), cell(F.col(ly)).alias("__cy"))
+    nine = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    r2 = (
+        right.select(*[F.col(c).alias(rcols[c]) for c in right.columns])
+        .withColumn("__o", F.explode(nine))
+        .select(
+            "*",
+            (cell(F.col(rx)) + F.col("__o.dx")).alias("__cx"),
+            (cell(F.col(ry)) + F.col("__o.dy")).alias("__cy"),
+        )
+        .drop("__o")
+    )
+    # explicit x*x (not pow): IEEE multiply is exact-op deterministic in
+    # both engines; Math.pow is only 1-ulp-accurate
+    ddx, ddy = F.col(lx) - F.col(rx), F.col(ly) - F.col(ry)
+    d2 = ddx * ddx + ddy * ddy
+    out = [*left.columns, *[rcols[c] for c in right.columns]]
+    return (
+        l2.join(r2, on=["__cx", "__cy"])
+        .filter(d2 <= F.lit(r * r))
+        .select(*out, F.sqrt(d2).alias("dist"))
+    )

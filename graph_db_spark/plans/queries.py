@@ -13040,4 +13040,56 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geo_grid_distance_join",
+    oracle="""
+    WITH s AS (SELECT s_suppkey,
+                      CAST((s_suppkey * 53) % 1000 AS DOUBLE) / 10.0 AS sx,
+                      CAST((s_suppkey * 17) % 1000 AS DOUBLE) / 10.0 AS sy
+               FROM supplier),
+    c AS (SELECT c_custkey,
+                 CAST((c_custkey * 37) % 1000 AS DOUBLE) / 10.0 AS cx,
+                 CAST((c_custkey * 91) % 1000 AS DOUBLE) / 10.0 AS cy
+          FROM customer)
+    SELECT s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_within,
+           round(min(sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy))), 4)
+             + 0.0 AS nearest_dist
+    FROM s JOIN c
+      ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 6.25
+    GROUP BY 1
+    """,
+)
+def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid-cell bucketing
+    (operators/joins.py:grid_distance_join): per supplier site, how many
+    customer sites fall within euclidean radius 2.5 and how near the
+    closest one is. Coordinates synthesized deterministically from keys
+    (the F21 point-parse convention, parity
+    /root/reference/app/patches.py:17-27 point columns). The oracle is
+    the naive all-pairs distance filter — exact at checker scale; the
+    Spark side runs the grid path (one 3x3 neighbor explode + cell
+    equi-join), whose candidate set provably contains every
+    radius-qualifying pair, so results are identical while shuffle stays
+    O(n) at 100 TB. sqrt/multiply are correctly-rounded IEEE ops —
+    bit-identical across engines; round AFTER the min fold."""
+    from graph_db_spark.operators.joins import grid_distance_join
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53 % 1000).cast("double") / 10.0).alias("sx"),
+        ((F.col("s_suppkey") * 17 % 1000).cast("double") / 10.0).alias("sy"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 1000).cast("double") / 10.0).alias("cx"),
+        ((F.col("c_custkey") * 91 % 1000).cast("double") / 10.0).alias("cy"),
+    )
+    pairs = grid_distance_join(sup, cust, ("sx", "sy"), ("cx", "cy"), radius=2.5)
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_within"),
+        r4(F.min("dist")).alias("nearest_dist"),
+    )
+
+
 _reorder_for_gate()

@@ -224,3 +224,33 @@ def test_with_global_rank_and_ntile_match_window_functions(spark):
             ).collect()
         }
         assert got == expect, (n, tiles)
+
+
+def test_grid_distance_join_equals_naive(spark):
+    """Grid-bucketed spatial join == naive all-pairs filter, including
+    negative coordinates (floor-toward-negative cells), points exactly
+    ON the radius (closed predicate), and same-cell / far-cell mixes."""
+    import random
+
+    from graph_db_spark.operators.joins import grid_distance_join
+
+    rng = random.Random(7)
+    left = [(i, rng.uniform(-10, 10), rng.uniform(-10, 10)) for i in range(60)]
+    right = [(j, rng.uniform(-10, 10), rng.uniform(-10, 10)) for j in range(80)]
+    # exact-radius pair: dist == 2.5 must be kept (closed ball)
+    left.append((998, 0.0, 0.0))
+    right.append((999, 2.5, 0.0))
+    ldf = spark.createDataFrame(left, "lid long, x double, y double")
+    rdf = spark.createDataFrame(right, "rid long, x double, y double")
+    got = {
+        (r["lid"], r["rid"])
+        for r in grid_distance_join(ldf, rdf, ("x", "y"), ("x", "y"), 2.5).collect()
+    }
+    expect = {
+        (li, rj)
+        for (li, lx, ly) in left
+        for (rj, rx, ry) in right
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= 2.5**2
+    }
+    assert (998, 999) in expect
+    assert got == expect
