@@ -757,3 +757,43 @@ def cosine_topk_ivf_pq(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection: start
+    from the smallest-id vector, then ``k`` times pick the point farthest
+    from every center chosen so far. Returns (round, id, sep) — ``sep``
+    is the selected point's distance to its nearest prior center, a
+    monotone non-increasing sequence that IS the 2-approximation bound on
+    the k-center radius (Gonzalez 1985).
+
+    Scale: each round is ONE O(n*dim) narrow scan — the candidate set
+    never pairs with itself; the chosen set lives on the driver (k
+    vectors, broadcast into the comparison expression as literals), and
+    ``localCheckpoint`` keeps the lineage flat across rounds, so total
+    cost is O(k * n * dim) with no shuffle at all (argmax is a
+    TakeOrdered). The per-round 1-row collect is the sanctioned k-sized
+    driver probe. Distances use the expanded-form squared L2 (_l2sq) so
+    the DuckDB oracle replays bit-identical float folds."""
+    emb = df.select(
+        F.col(id_col).cast("bigint").alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seed = emb.orderBy("id").limit(1).collect()[0]
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    rows = [(0, seed["id"], 0.0)]
+    cur = emb.withColumn("md", _l2sq(F.col("v"), lit_vec(seed["v"]))).localCheckpoint(
+        eager=True
+    )
+    for t in range(1, k + 1):
+        # md > 0 drops exact duplicates of chosen centers from the argmax
+        # (mirrors the oracle's WHERE md > 0); ties break to smaller id
+        top = cur.filter(F.col("md") > 0).orderBy(F.desc("md"), F.asc("id")).limit(1).collect()[0]
+        rows.append((t, top["id"], top["md"]))
+        cur = cur.withColumn(
+            "md", F.least(F.col("md"), _l2sq(F.col("v"), lit_vec(top["v"])))
+        ).localCheckpoint(eager=True)
+    out = df.sparkSession.createDataFrame(rows, "round bigint, id bigint, md double")
+    return out.select("round", "id", F.sqrt(F.col("md")).alias("sep"))

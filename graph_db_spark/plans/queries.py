@@ -13040,6 +13040,57 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """DuckDB replay of similarity.kcenter_select: seed = smallest id,
+    then ``k`` chained (argmax, fold-min) CTE pairs using the SAME
+    expanded-form squared-L2 (_pq_d2 == similarity._l2sq) so every md is
+    bit-identical; argmax orders (md DESC, id) with the md > 0
+    chosen-duplicate guard mirrored. MATERIALIZED throughout (the
+    PageRank-oracle inlining lesson)."""
+    parts = [
+        "WITH base AS (SELECT CAST(vec_id AS BIGINT) AS id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "seed AS MATERIALIZED (SELECT id, v FROM base ORDER BY id LIMIT 1)",
+        f"m0 AS MATERIALIZED (SELECT b.id, b.v, {_pq_d2('b.v', 'seed.v')} AS md"
+        f" FROM base b CROSS JOIN seed)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT id, v, md FROM m{t - 1}"
+            f" WHERE md > 0 ORDER BY md DESC, id LIMIT 1)"
+        )
+        if t < k:
+            parts.append(
+                f"m{t} AS MATERIALIZED (SELECT m.id, m.v,"
+                f" least(m.md, {_pq_d2('m.v', 'c.v')}) AS md"
+                f" FROM m{t - 1} m CROSS JOIN c{t} c)"
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS round, seed.id AS id,"
+        " round(sqrt(0.0), 4) + 0.0 AS sep FROM seed"
+    ]
+    for t in range(1, k + 1):
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT), c{t}.id, round(sqrt(c{t}.md), 4) + 0.0 FROM c{t}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("kcenter_coreset", oracle=_kcenter_sql(8))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-first data selection: greedy k-center (farthest-point)
+    coreset over the embeddings table
+    (operators/similarity.py:kcenter_select) — the coverage-maximizing
+    complement of semantic_dedup's redundancy removal (both are
+    embedding-space curation passes a training-data pipeline runs before
+    mixing). Emits the selection order and each pick's separation — the
+    monotone radii that certify the 2-approximation. k+1 narrow scans,
+    no shuffle; the oracle replays every fold exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.kcenter_select(emb, "embedding", "vec_id", k=8)
+    return out.select("round", "id", r4(F.col("sep")).alias("sep"))
+
+
 @register(
     "geo_grid_distance_join",
     oracle="""

@@ -254,3 +254,38 @@ def test_grid_distance_join_equals_naive(spark):
     }
     assert (998, 999) in expect
     assert got == expect
+
+
+def test_kcenter_select_matches_bruteforce(spark):
+    """Greedy farthest-point selection == the textbook Gonzalez loop in
+    plain Python: same picks, same order, same separations; sep sequence
+    non-increasing (the 2-approximation certificate)."""
+    import random
+
+    from graph_db_spark.operators.similarity import kcenter_select
+
+    rng = random.Random(11)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(pts, "vid long, emb array<double>")
+    got = [
+        (r["round"], r["id"], r["sep"])
+        for r in kcenter_select(df, "emb", "vid", k=5).orderBy("round").collect()
+    ]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    vec = dict(pts)
+    chosen = [min(vec)]
+    expect = [(0, chosen[0], 0.0)]
+    md = {i: d2(v, vec[chosen[0]]) for i, v in pts}
+    for t in range(1, 6):
+        pick = max((m, -i) for i, m in md.items() if m > 0)
+        i = -pick[1]
+        expect.append((t, i, pick[0] ** 0.5))
+        for j, v in pts:
+            md[j] = min(md[j], d2(v, vec[i]))
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in expect]
+    seps = [s for _, _, s in got]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(seps, (s for _, _, s in expect)))
+    assert all(a >= b - 1e-12 for a, b in zip(seps[1:], seps[2:]))
