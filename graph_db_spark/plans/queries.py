@@ -13040,6 +13040,54 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey // 10 AS anc, 1 AS steps
+      FROM customer WHERE c_custkey >= 10
+      UNION ALL
+      SELECT node, anc // 10, steps + 1 FROM anc WHERE anc >= 10
+    ),
+    contrib AS (
+      SELECT c_custkey AS anc, c_acctbal AS v FROM customer
+      UNION ALL
+      SELECT a.anc, c.c_acctbal FROM anc a JOIN customer c ON a.node = c.c_custkey
+    ),
+    depth AS (SELECT node, max(steps) AS d FROM anc GROUP BY 1),
+    agg AS (SELECT anc AS node, CAST(count(*) AS BIGINT) AS subtree_n,
+                   sum(v) AS s
+            FROM contrib GROUP BY 1)
+    SELECT agg.node, CAST(coalesce(depth.d, 0) AS BIGINT) AS depth,
+           subtree_n, round(s, 4) + 0.0 AS subtree_sum
+    FROM agg LEFT JOIN depth USING (node)
+    WHERE agg.node < 1000
+    """,
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE query family (the reference answers these as Cypher
+    variable-length parent-chain MATCHes): per-node SUBTREE aggregates
+    over a parent-pointer forest — here the decimal-digit hierarchy
+    parent(k) = k div 10 over customers, the deterministic stand-in for
+    an org chart / BOM. Spark has no WITH RECURSIVE; the closure comes
+    from log2(depth) pointer-doubling self-joins
+    (operators/hierarchy.py:ancestor_closure) and the rollup is ONE
+    groupBy over the contribution pairs — no per-level rounds, no driver
+    walk. The oracle is the textbook recursive CTE."""
+    from graph_db_spark.operators.hierarchy import subtree_rollup
+
+    c = load_table(spark, sf_dir, "customer")
+    nodes = c.select(F.col("c_custkey").alias("node"), F.col("c_acctbal").alias("v"))
+    edges = c.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_custkey") / 10).cast("bigint").alias("parent"),
+    )
+    out = subtree_rollup(nodes, edges, "v")
+    return out.filter(F.col("node") < 1000).select(
+        "node", "depth", "subtree_n", r4(F.col("subtree_sum")).alias("subtree_sum")
+    )
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """DuckDB replay of similarity.kcenter_select: seed = smallest id,
     then ``k`` chained (argmax, fold-min) CTE pairs using the SAME

@@ -289,3 +289,49 @@ def test_kcenter_select_matches_bruteforce(spark):
     seps = [s for _, _, s in got]
     assert all(abs(a - b) < 1e-9 for a, b in zip(seps, (s for _, _, s in expect)))
     assert all(a >= b - 1e-12 for a, b in zip(seps[1:], seps[2:]))
+
+
+def test_ancestor_closure_and_subtree_rollup(spark):
+    """Pointer-doubling closure == the obvious parent-chain walk; rollup
+    sums every descendant exactly once; cycles raise."""
+    from graph_db_spark.operators.hierarchy import ancestor_closure, subtree_rollup
+
+    #        1
+    #      /   \
+    #     2     3
+    #    / \     \
+    #   4   5     6
+    #  /
+    # 7  (chain depth 3)
+    parents = {2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 4}
+    edges = spark.createDataFrame(list(parents.items()), "node long, parent long")
+    got = {
+        (r["node"], r["anc"]): r["steps"]
+        for r in ancestor_closure(edges).collect()
+    }
+    expect = {}
+    for n in parents:
+        a, s = n, 0
+        while a in parents:
+            a, s = parents[a], s + 1
+            expect[(n, a)] = s
+    assert got == expect
+
+    vals = [(i, float(i)) for i in range(1, 8)]
+    nodes = spark.createDataFrame(vals, "node long, v double")
+    roll = {
+        r["node"]: (r["depth"], r["subtree_n"], r["subtree_sum"])
+        for r in subtree_rollup(nodes, edges, "v").collect()
+    }
+    assert roll[1] == (0, 7, 28.0)
+    assert roll[2] == (1, 4, 18.0)  # {2,4,5,7}
+    assert roll[4] == (2, 2, 11.0)  # {4,7}
+    assert roll[7] == (3, 1, 7.0)
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    try:
+        ancestor_closure(cyc, max_depth=8)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised

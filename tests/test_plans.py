@@ -84,6 +84,10 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "psi_distribution_drift", "ks_two_sample", "ab_test_proportions",
         "mannwhitney_u_test", "trimmed_mean_stats", "bootstrap_ci_mean",
         "embedding_eval_contamination",
+        # round-6 continuation, fourth batch
+        "rfm_customer_segments", "session_path_topk", "degree_powerlaw_mle",
+        "conversion_latency_quantiles", "sql_api_region_revenue",
+        "geo_grid_distance_join", "hierarchy_subtree_rollup",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
