@@ -21,7 +21,7 @@ from __future__ import annotations
 import threading
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # The AQE toggle below mutates SESSION-wide conf for the duration of one
@@ -895,3 +895,53 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 40) -> Dat
         "rounds — many small SCCs; raise max_rounds or use the recursive "
         "FW-BW partition scheme"
     )
+
+
+def deterministic_walks(edges: DataFrame, starts: DataFrame, length: int) -> DataFrame:
+    """node2vec-style random-walk sampling with a PORTABLE pseudo-random
+    choice: one walk per start node, ``length`` steps; step t moves to
+    the out-neighbor at rank portable_hash(start || '#t') % out_degree,
+    over dst-sorted out-edges. Deterministic across engines and retries
+    — the property a 100 TB walk-corpus build needs (re-running a failed
+    shard regenerates the SAME walks, and an offline oracle can replay
+    them). ``edges``: (src, dst) string ids; ``starts``: (start,) — every
+    start must have at least one out-edge or its walk is dropped at the
+    first join.
+
+    Scale: L equi-join shuffles total (one per step), each with fan-out
+    exactly 1 per walker — the degree lookup happens BEFORE the edge
+    join (cur ⋈ deg → target rank, then cur ⋈ ranked on (src, rnk)), so
+    hub nodes never explode the candidate set; the ranked edge list is
+    built once and reused every round. Walk count scales with |starts|,
+    independent of |V|."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        edges.select("src", "dst")
+        .withColumn("rnk", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    deg = ranked.groupBy("src").agg(F.max("rnk").alias("deg"))
+    cur = starts.select(
+        F.col("start"), F.col("start").alias("cur"), F.col("start").alias("path")
+    )
+    for t in range(1, length + 1):
+        pick = cur.join(deg, on=[cur["cur"] == deg["src"]]).select(
+            "start",
+            "cur",
+            "path",
+            (
+                portable_hash(F.concat(F.col("start"), F.lit(f"#{t}"))) % F.col("deg")
+                + 1
+            ).alias("rnk"),
+        )
+        step = pick.join(
+            ranked, on=[pick["cur"] == ranked["src"], pick["rnk"] == ranked["rnk"]]
+        )
+        cur = step.select(
+            "start",
+            F.col("dst").alias("cur"),
+            F.concat(F.col("path"), F.lit(">"), F.col("dst")).alias("path"),
+        )
+    return cur.select("start", "path", F.col("cur").alias("end_node"))

@@ -13040,6 +13040,72 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _walks_sql(length: int = 4) -> str:
+    """DuckDB replay of graph/algorithms.py:deterministic_walks on the
+    customer–supplier bipartite trade graph: same dst-sorted edge ranks,
+    same portable md5-window hash (_poly_sql) choosing
+    rank = 1 + hash(start || '#t') % degree at every step."""
+    parts = [
+        "WITH eb AS MATERIALIZED (SELECT DISTINCT"
+        " 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb"
+        " UNION ALL SELECT s, c FROM eb)",
+        "ranked AS MATERIALIZED (SELECT src, dst,"
+        " CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk,"
+        " CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e)",
+        "w0 AS (SELECT DISTINCT 'C:' || CAST(o_custkey AS VARCHAR) AS start"
+        " FROM orders WHERE o_custkey < 50)",
+        "s0 AS (SELECT start, start AS cur, start AS path FROM w0)",
+    ]
+    for t in range(1, length + 1):
+        h = _poly_sql(f"w.start || '#{t}'")
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT w.start, r.dst AS cur,"
+            f" w.path || '>' || r.dst AS path"
+            f" FROM s{t - 1} w JOIN ranked r ON r.src = w.cur"
+            f" AND r.rnk = 1 + ({h}) % r.deg)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT start, path, cur AS end_node FROM s{length}"
+    )
+
+
+@register("random_walk_sampling", oracle=_walks_sql(4))
+def random_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-embedding preprocessing: deterministic node2vec-style walks
+    (graph/algorithms.py:deterministic_walks) over the customer–supplier
+    bipartite trade graph — 4 steps from every customer with custkey <
+    50, neighbor choice = portable-hash pseudo-randomness so the walk
+    corpus is reproducible across engines, retries, and shards (the
+    reference's Cypher traversals are the same family of typed-edge
+    hops; SURVEY §2 motif/Kleene notes). One equi-join per step,
+    degree-resolved BEFORE the edge join so hubs never fan out."""
+    from graph_db_spark.graph.algorithms import deterministic_walks
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    starts = (
+        o.filter(F.col("o_custkey") < 50)
+        .select(F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("start"))
+        .distinct()
+    )
+    return deterministic_walks(e, starts, length=4)
+
+
 @register(
     "hierarchy_subtree_rollup",
     oracle="""

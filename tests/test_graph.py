@@ -395,3 +395,47 @@ def test_scc_raises_past_max_rounds(spark):
         strongly_connected_components(e, max_rounds=2)
     got = {r["id"]: r["scc"] for r in strongly_connected_components(e, max_rounds=10).collect()}
     assert len(set(got.values())) == 5
+
+
+def test_deterministic_walks_follow_hash_rule(spark):
+    """Walks replay exactly in plain Python with the same md5-window
+    hash: right neighbor rank at every step, stable across re-runs."""
+    import hashlib
+
+    from graph_db_spark.graph.algorithms import deterministic_walks
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "a"), ("b", "c"),
+        ("c", "a"),
+        ("d", "a"), ("d", "b"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    starts = spark.createDataFrame([("a",), ("b",)], "start string")
+    got = {
+        r["start"]: (r["path"], r["end_node"])
+        for r in deterministic_walks(e, starts, length=3).collect()
+    }
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % (2**31 - 1)
+
+    out = {}
+    for s in edges:
+        out.setdefault(s[0], []).append(s[1])
+    for k in out:
+        out[k].sort()
+    expect = {}
+    for start in ("a", "b"):
+        cur, path = start, start
+        for t in (1, 2, 3):
+            nbrs = out[cur]
+            cur = nbrs[phash(f"{start}#{t}") % len(nbrs)]
+            path += ">" + cur
+        expect[start] = (path, cur)
+    assert got == expect
+    again = {
+        r["start"]: (r["path"], r["end_node"])
+        for r in deterministic_walks(e, starts, length=3).collect()
+    }
+    assert again == got

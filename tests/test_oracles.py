@@ -135,6 +135,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "geo_grid_distance_join",
         "kcenter_coreset",
         "hierarchy_subtree_rollup",
+        "random_walk_sampling",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
