@@ -945,3 +945,96 @@ def deterministic_walks(edges: DataFrame, starts: DataFrame, length: int) -> Dat
             F.concat(F.col("path"), F.lit(">"), F.col("dst")).alias("path"),
         )
     return cur.select("start", "path", F.col("cur").alias("end_node"))
+
+
+def brandes_betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    depth: int = 4,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality (Brandes 2001): exact
+    single-source dependency accumulation from each node in ``sources``,
+    summed — the standard unbiased sample estimator (scaled by |V|/|S|
+    if the caller wants absolute values; we report the raw sample sum).
+
+    Two level-synchronous passes over the BFS DAG, both expressed as
+    equi-joins against the once-partitioned edge table:
+    forward — level t's sigma(v) = sum of predecessors' sigma (number of
+    shortest source→v paths), each (source, v) settling exactly once via
+    an anti-join against the settled set; backward — level t's
+    delta(v) = sum over DAG successors w of sigma(v)/sigma(w) *
+    (1 + delta(w)), so each level is ONE join + groupBy. Depth is fixed
+    (``depth`` rounds) so the replayed oracle is a static CTE chain;
+    levels past the true eccentricity are empty and cost nothing.
+
+    Scale: per-source-per-level frontier rows, O(E) join work per round;
+    sigma/delta ride as narrow doubles (path counts are exact in a
+    double's 53-bit mantissa well past trillions). Returns (id, bc) for
+    every non-source vertex reached from at least one source."""
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = prepartition_for_rounds(
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        ),
+        nparts,
+        "src",
+    )
+    lev0 = (
+        sources.select(F.col("id").cast("string").alias("id"))
+        .distinct()
+        .select(F.col("id").alias("source"), "id", F.lit(1.0).alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [lev0]
+    settled = lev0.select("source", "id")
+    for _ in range(depth):
+        prev = levels[-1]
+        nxt = (
+            prev.join(e, prev["id"] == e["src"])
+            .select("source", F.col("dst").alias("id"), "sigma")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, on=["source", "id"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        settled = settled.unionByName(nxt.select("source", "id")).localCheckpoint(
+            eager=True
+        )
+    # backward dependency accumulation; deepest level has no successors
+    dnext = levels[depth].withColumn("delta", F.lit(0.0))
+    deltas = [dnext]
+    for t in range(depth - 1, 0, -1):
+        cur = levels[t]
+        succ = (
+            cur.join(e, cur["id"] == e["src"])
+            .join(
+                dnext.select(
+                    "source",
+                    F.col("id").alias("dst"),
+                    F.col("sigma").alias("nsigma"),
+                    F.col("delta").alias("ndelta"),
+                ),
+                on=["source", "dst"],
+            )
+            .groupBy("source", "id")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("nsigma") * (F.lit(1.0) + F.col("ndelta"))
+                ).alias("dsum")
+            )
+        )
+        dnext = (
+            cur.join(succ, on=["source", "id"], how="left")
+            .select(
+                "source", "id", "sigma", F.coalesce(F.col("dsum"), F.lit(0.0)).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(dnext)
+    alld = deltas[0]
+    for d in deltas[1:]:
+        alld = alld.unionByName(d)
+    return alld.groupBy("id").agg(F.sum("delta").alias("bc"))

@@ -13040,6 +13040,99 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brandes_sql(depth: int = 4) -> str:
+    """DuckDB replay of graph/algorithms.py:brandes_betweenness on the
+    customer–supplier bipartite trade graph, sources C:{1,7,13}: forward
+    sigma CTEs (settle-once anti via NOT EXISTS), backward dependency
+    CTEs, identical join shapes. Floats: every sigma is an
+    integer-valued double (exact); delta sums differ only in fold order
+    — the final round(.,4) absorbs the ulps (the PageRank-oracle
+    precedent)."""
+    parts = [
+        "WITH eb AS MATERIALIZED (SELECT DISTINCT"
+        " 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb"
+        " UNION ALL SELECT s, c FROM eb)",
+        "lev0 AS MATERIALIZED (SELECT"
+        " 'C:' || CAST(c_custkey AS VARCHAR) AS source,"
+        " 'C:' || CAST(c_custkey AS VARCHAR) AS id, 1.0 AS sigma"
+        " FROM customer WHERE c_custkey IN (1, 7, 13))",
+        "set0 AS MATERIALIZED (SELECT source, id FROM lev0)",
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f"lev{t} AS MATERIALIZED (SELECT c.source, c.id, c.sigma FROM ("
+            f"SELECT l.source, e.dst AS id, sum(l.sigma) AS sigma"
+            f" FROM lev{t - 1} l JOIN e ON e.src = l.id GROUP BY 1, 2) c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM set{t - 1} s"
+            f" WHERE s.source = c.source AND s.id = c.id))"
+        )
+        parts.append(
+            f"set{t} AS MATERIALIZED (SELECT * FROM set{t - 1}"
+            f" UNION ALL SELECT source, id FROM lev{t})"
+        )
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT source, id, sigma, 0.0 AS delta"
+        f" FROM lev{depth})"
+    )
+    for t in range(depth - 1, 0, -1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT l.source, l.id, l.sigma,"
+            f" coalesce(s.dsum, 0.0) AS delta FROM lev{t} l LEFT JOIN ("
+            f"SELECT l2.source, l2.id,"
+            f" sum(l2.sigma / n.sigma * (1 + n.delta)) AS dsum"
+            f" FROM lev{t} l2 JOIN e ON e.src = l2.id"
+            f" JOIN d{t + 1} n ON n.source = l2.source AND n.id = e.dst"
+            f" GROUP BY 1, 2) s ON s.source = l.source AND s.id = l.id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT source, id, delta FROM d{t}" for t in range(1, depth + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+    alld AS ({unions}),
+    bc AS (SELECT id, sum(delta) AS bc FROM alld GROUP BY 1)
+    SELECT id, round(bc, 4) + 0.0 AS bc FROM bc
+    ORDER BY round(bc, 4) + 0.0 DESC, id LIMIT 20"""
+    )
+
+
+@register("betweenness_landmarks", oracle=_brandes_sql(4))
+def betweenness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate betweenness centrality: exact Brandes dependency
+    accumulation from a 3-landmark source sample
+    (graph/algorithms.py:brandes_betweenness) over the customer–supplier
+    bipartite trade graph — the sampling estimator that makes
+    betweenness feasible at 100 TB (per-source cost is two
+    level-synchronous join passes; the sample size, not |V|, sets the
+    multiplier). Top-20 brokers by sampled centrality; ordering on the
+    ROUNDED score (ties → id) so cross-engine ulps cannot flip ranks."""
+    from graph_db_spark.graph.algorithms import brandes_betweenness
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isin(1, 7, 13)
+    ).select(F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("id"))
+    bc = brandes_betweenness(e, sources, depth=4)
+    scored = bc.select("id", r4(F.col("bc")).alias("bc"))
+    return scored.orderBy(F.desc("bc"), "id").limit(20)
+
+
 def _walks_sql(length: int = 4) -> str:
     """DuckDB replay of graph/algorithms.py:deterministic_walks on the
     customer–supplier bipartite trade graph: same dst-sorted edge ranks,

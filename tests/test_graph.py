@@ -439,3 +439,53 @@ def test_deterministic_walks_follow_hash_rule(spark):
         for r in deterministic_walks(e, starts, length=3).collect()
     }
     assert again == got
+
+
+def test_brandes_betweenness_matches_textbook(spark):
+    """Sampled-source betweenness == a plain-Python Brandes (BFS sigma +
+    dependency accumulation) on a small undirected graph, for the same
+    source set."""
+    import collections
+
+    from graph_db_spark.graph.algorithms import brandes_betweenness
+
+    und = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("b", "e"), ("c", "f"), ("f", "g"), ("a", "g"),
+    ]
+    sym = und + [(y, x) for x, y in und]
+    adj = collections.defaultdict(list)
+    for x, y in sym:
+        adj[x].append(y)
+    srcs = ["a", "c", "f"]
+
+    expect = collections.defaultdict(float)
+    for s in srcs:
+        dist, sigma, order = {s: 0}, collections.defaultdict(float), [s]
+        sigma[s] = 1.0
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                expect[w] += delta[w]
+
+    e = spark.createDataFrame(sym, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "id string")
+    got = {
+        r["id"]: r["bc"] for r in brandes_betweenness(e, sdf, depth=6).collect()
+    }
+    assert set(got) == {k for k in expect}
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)

@@ -136,6 +136,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "kcenter_coreset",
         "hierarchy_subtree_rollup",
         "random_walk_sampling",
+        "betweenness_landmarks",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
