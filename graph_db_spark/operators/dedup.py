@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_db_spark.operators.text import normalize_text, tokens
@@ -627,4 +627,66 @@ def near_dup_clusters(
         "id",
         F.col("component").alias("canonical_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def prefix_filter_jaccard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num: int = 7,
+    den: int = 10,
+) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (PPJoin /
+    AllPairs, Xiao et al. WWW'08): all document pairs whose word-set
+    Jaccard >= num/den, found without the all-pairs product AND without
+    indexing full token sets.
+
+    The filter: order each doc's distinct tokens by GLOBAL document
+    frequency (rarest first, token as tiebreak) and index only the first
+    m - ceil(t*m) + 1 of them. If J(A,B) >= t the two prefixes must
+    share a token (pigeonhole on the >= t/(1+t)*(|A|+|B|) overlap), so
+    candidate generation over prefix posting lists is COMPLETE; the
+    exact Jaccard verify then keeps true pairs only. Posting lists hold
+    each doc's rarest tokens — the hub tokens that explode plain
+    posting-list joins (dedup.guard_block_pairs territory) are exactly
+    the ones prefixes exclude for all but the shortest docs.
+
+    The threshold is the rational num/den and the verify compares
+    den*inter >= num*union in INTEGERS — no float boundary anywhere.
+    Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    ).localCheckpoint(eager=True)
+    ex = toks.select("id", F.size("toks").alias("m"), F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    # prefix length m - ceil(t*m) + 1; integer ceil via (a + den - 1)/den
+    plen = (
+        F.col("m")
+        - F.floor((F.lit(num) * F.col("m") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    )
+    prefix = (
+        ex.join(dfreq, on="tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+        .select("id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(ta, on="doc_a")
+        .join(tb, on="doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
     )

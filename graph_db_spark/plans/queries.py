@@ -13040,6 +13040,43 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "prefix_filter_jaccard",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 10
+          >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 7
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 document pairs via PPJoin prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard) — the third exact-dedup
+    scale path beside MinHash-LSH (probabilistic) and posting-list +
+    stop-gram guards (exact but hub-exposed): index only each doc's
+    rarest m - ceil(t*m) + 1 tokens, provably complete for the
+    threshold. Oracle = the naive all-pairs verify, exact at checker
+    scale; output is pure integers (inter, uni) so the hash has no float
+    surface at all."""
+    from graph_db_spark.operators.dedup import prefix_filter_jaccard as ppj
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ppj(docs, "text", "doc_id", num=7, den=10)
+    return out.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("uni").cast("bigint").alias("uni"),
+    )
+
+
 def _brandes_sql(depth: int = 4) -> str:
     """DuckDB replay of graph/algorithms.py:brandes_betweenness on the
     customer–supplier bipartite trade graph, sources C:{1,7,13}: forward

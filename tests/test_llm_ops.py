@@ -930,3 +930,38 @@ def test_rrf_fusion_semantics(spark):
     assert abs(got[4] - 1 / 62) < 1e-12              # dense only
     order = sorted(got, key=lambda d: (-got[d], d))
     assert order[0] == 2  # overlap wins over either single ranker
+
+
+def test_prefix_filter_jaccard_complete_vs_naive(spark):
+    """PPJoin candidate prefixes are COMPLETE: the filtered join finds
+    exactly the naive all-pairs Jaccard >= 0.7 set, on a corpus salted
+    with true near-dups."""
+    import random
+
+    from graph_db_spark.operators.dedup import prefix_filter_jaccard
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.sample(vocab, rng.randint(5, 20)))))
+    # salt exact and near duplicates
+    docs.append((100, docs[0][1]))
+    base = docs[1][1].split()
+    docs.append((101, " ".join(base + ["extra1"])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+        for r in prefix_filter_jaccard(df, "text", "doc_id", 7, 10).collect()
+    }
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if inter * 10 >= uni * 7:
+                    expect.add((a, b, inter, uni))
+    assert (0, 100) in {(a, b) for a, b, *_ in expect}
+    assert got == expect
