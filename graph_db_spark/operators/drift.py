@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -88,3 +89,71 @@ def cusum_drift(
         )
 
     return rows.groupBy("key").applyInPandas(fold, schema=DRIFT_SCHEMA)
+
+
+HOLT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_obs", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+
+
+def holt_fold(xs: list[float], alpha: float, beta: float):
+    """Holt's linear-trend recurrence (l₁=x₁, b₁=0): the shared
+    reference fold — pure float arithmetic in input order, replayed by
+    the DuckDB oracle's recursive CTE with identical expressions. The
+    one-minus constants are precomputed ONCE by the caller's float
+    literals on both sides, so every multiply uses bit-identical
+    coefficients."""
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        l1 = alpha * x + oma * (l + b)
+        b = beta * (l1 - l) + omb * b
+        l = l1
+    return l, b
+
+
+def holt_linear(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) with an
+    ``horizon``-step-ahead forecast l + h·b. Unlike EWMA (whose one-state
+    recurrence has the rescaled-cumsum closed form — see
+    ewma_smoothing), the two-state Holt recurrence is a 2x2 matrix
+    product chain no window function expresses, so this is the honest
+    ``applyInPandas`` fold: one shuffle on the key, each series folded in
+    one Arrow batch, keys in parallel (the CUSUM discipline above). The
+    recurrence is a contraction (alpha, beta < 1), so input ulps don't
+    amplify across steps."""
+    rows = series.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o", kind="mergesort")
+        xs = pdf["x"].tolist()
+        lvl, tr = holt_fold(xs, alpha, beta)
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n_obs": [len(xs)],
+                "level": [lvl],
+                "trend": [tr],
+                "forecast": [lvl + horizon * tr],
+            }
+        )
+
+    return rows.groupBy("key").applyInPandas(fold, schema=HOLT_SCHEMA)

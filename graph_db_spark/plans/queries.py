@@ -13040,6 +13040,62 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holt_sql(alpha: float = 0.5, beta: float = 0.3, horizon: int = 3) -> str:
+    """Recursive-CTE replay of drift.holt_fold over the per-type daily
+    series (the CUSUM-oracle pattern): identical coefficient doubles
+    (one-minus constants precomputed in Python, injected via repr),
+    identical expression shapes, l1 named once in a subquery."""
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    return f"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ordered AS MATERIALIZED (
+      SELECT key, list(x ORDER BY day) AS xs, count(*) AS n FROM d GROUP BY 1
+    ),
+    rec(key, i, l, b) AS (
+      SELECT key, 1, xs[1], 0.0::DOUBLE FROM ordered
+      UNION ALL
+      SELECT key, i, l1, {beta!r} * (l1 - l) + {omb!r} * b
+      FROM (
+        SELECT r.key, r.i + 1 AS i, r.l AS l, r.b AS b,
+               {alpha!r} * o.xs[r.i + 1] + {oma!r} * (r.l + r.b) AS l1
+        FROM rec r JOIN ordered o ON o.key = r.key AND r.i < o.n
+      )
+    )
+    SELECT r.key AS event_type, CAST(o.n AS BIGINT) AS n_days,
+           round(r.l, 4) + 0.0 AS level, round(r.b, 4) + 0.0 AS trend,
+           round(r.l + {horizon} * r.b, 4) + 0.0 AS forecast
+    FROM rec r JOIN ordered o ON o.key = r.key AND r.i = o.n
+    """
+
+
+@register("holt_trend_forecast", oracle=_holt_sql())
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting — Holt double-exponential smoothing (level + trend,
+    alpha=0.5 beta=0.3) per event type over the daily value series, with
+    a 3-day-ahead forecast (operators/drift.py:holt_linear). Completes
+    the forecasting trio: closed-form regression (forecast_revenue),
+    one-state EWMA (closed-form window), two-state Holt (the honest
+    Arrow fold — a 2x2 matrix chain no window expresses). Oracle =
+    recursive-CTE replay of the identical fold."""
+    from graph_db_spark.operators.drift import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    out = holt_linear(d, "event_type", "day", "x", alpha=0.5, beta=0.3, horizon=3)
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("n_obs").alias("n_days"),
+        r4(F.col("level")).alias("level"),
+        r4(F.col("trend")).alias("trend"),
+        r4(F.col("forecast")).alias("forecast"),
+    )
+
+
 @register(
     "prefix_filter_jaccard",
     oracle="""

@@ -138,6 +138,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "random_walk_sampling",
         "betweenness_landmarks",
         "prefix_filter_jaccard",
+        "holt_trend_forecast",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (

@@ -147,3 +147,30 @@ def test_global_shuffle_prefix_is_stable_and_dense(spark, sf_dir):
     for r in a:
         run += r["n_chars"]
         assert r["chars_through"] == run  # running budget is a true prefix sum
+
+
+def test_holt_linear_matches_reference_fold(spark):
+    """holt_linear == the pure-python reference fold per key, ordered by
+    the order column; single-point series keeps level=x, trend=0."""
+    from graph_db_spark.operators.drift import holt_fold, holt_linear
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 15.0), ("a", 4, 13.0),
+        ("b", 1, 5.0), ("b", 2, 5.0),
+        ("c", 1, 7.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {
+        r["key"]: (r["n_obs"], r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, "k", "t", "x", alpha=0.5, beta=0.3, horizon=2).collect()
+    }
+    series = {}
+    for k, t, x in sorted(rows, key=lambda r: (r[0], r[1])):
+        series.setdefault(k, []).append(x)
+    for k, xs in series.items():
+        lvl, tr = holt_fold(xs, 0.5, 0.3)
+        n, g_lvl, g_tr, g_fc = got[k]
+        assert n == len(xs)
+        assert g_lvl == lvl and g_tr == tr
+        assert g_fc == lvl + 2 * tr
+    assert got["c"] == (1, 7.5, 0.0, 7.5)
