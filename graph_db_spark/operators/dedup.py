@@ -636,28 +636,42 @@ def prefix_filter_jaccard(
     id_col: str = "doc_id",
     num: int = 7,
     den: int = 10,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join with PREFIX FILTERING (PPJoin /
-    AllPairs, Xiao et al. WWW'08): all document pairs whose word-set
+    AllPairs, Xiao et al. WWW'08): all document pairs whose element-set
     Jaccard >= num/den, found without the all-pairs product AND without
-    indexing full token sets.
+    indexing full element sets.
 
-    The filter: order each doc's distinct tokens by GLOBAL document
-    frequency (rarest first, token as tiebreak) and index only the first
-    m - ceil(t*m) + 1 of them. If J(A,B) >= t the two prefixes must
-    share a token (pigeonhole on the >= t/(1+t)*(|A|+|B|) overlap), so
-    candidate generation over prefix posting lists is COMPLETE; the
-    exact Jaccard verify then keeps true pairs only. Posting lists hold
-    each doc's rarest tokens — the hub tokens that explode plain
-    posting-list joins (dedup.guard_block_pairs territory) are exactly
-    the ones prefixes exclude for all but the shortest docs.
+    Elements are distinct words, or distinct word ``shingle_n``-grams
+    when set — the choice is a SCALE decision, not cosmetics: prefix
+    filtering prunes by indexing each doc's globally RAREST elements,
+    so element cardinality must be large enough that rare means rare.
+    On this fixture's small word vocabulary the unigram form degrades
+    to ~132M candidate pairs at sf0.1 while 3-gram shingles yield ~500k
+    (measured) — the same reason MinHash shingles n-grams, not words.
 
-    The threshold is the rational num/den and the verify compares
-    den*inter >= num*union in INTEGERS — no float boundary anywhere.
-    Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    ).localCheckpoint(eager=True)
+    Three classic filters, all completeness-preserving theorems:
+    prefix (index only the first m - ceil(t*m) + 1 df-ordered elements;
+    pigeonhole on the >= t/(1+t)*(ma+mb) overlap), length
+    (t*max <= min), and positional (shared tokens before the current
+    positions + this one + the shorter remainder bound the overlap).
+    The exact Jaccard verify then keeps true pairs only. The threshold
+    is the rational num/den and every comparison is INTEGER arithmetic
+    — no float boundary anywhere. Returns (doc_a, doc_b, inter, uni)
+    with doc_a < doc_b."""
+    from graph_db_spark.operators.text import word_ngrams
+
+    elems = (
+        word_ngrams(F.col(text_col), shingle_n)
+        if shingle_n
+        else F.array_distinct(tokens(F.col(text_col)))
+    )
+    toks = (
+        docs.select(F.col(id_col).alias("id"), elems.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=True)
+    )
     ex = toks.select("id", F.size("toks").alias("m"), F.explode("toks").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
@@ -671,13 +685,38 @@ def prefix_filter_jaccard(
         ex.join(dfreq, on="tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
-        .select("id", "tok")
+        .select("id", "tok", "pos", "m")
+    )
+    a = prefix.select(
+        F.col("tok"), F.col("id").alias("doc_a"), F.col("pos").alias("pa"),
+        F.col("m").alias("ma"),
+    )
+    b = prefix.select(
+        F.col("tok"), F.col("id").alias("doc_b"), F.col("pos").alias("pb"),
+        F.col("m").alias("mb"),
+    )
+    # overlap needed: alpha = ceil(t/(1+t) * (ma+mb))
+    alpha = F.floor(
+        (F.lit(num) * (F.col("ma") + F.col("mb")) + F.lit(num + den - 1))
+        / F.lit(num + den)
+    )
+    # upper bound on overlap through THIS shared token: tokens strictly
+    # before both positions + this token + the shorter remainder
+    ubound = (
+        F.least(F.col("pa"), F.col("pb")) - 1
+        + 1
+        + F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
     )
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), on="tok")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        a.join(b, on="tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: t * max <= min
+        .filter(
+            F.least(F.col("ma"), F.col("mb")) * den
+            >= F.greatest(F.col("ma"), F.col("mb")) * num
+        )
+        .filter(ubound >= alpha)
+        .select("doc_a", "doc_b")
         .distinct()
     )
     ta = toks.select(F.col("id").alias("doc_a"), F.col("toks").alias("ta"))

@@ -360,3 +360,23 @@ def portable_hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(*keys, F.round(est, 4).alias(estimate_col))
+
+
+def count_min_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min sketches built with
+    the SAME (depth, width, seed): |A ⋈_k B| = Σ_k cA(k)·cB(k) is
+    estimated by min_j Σ_bucket cntA_j·cntB_j — the classic CM inner
+    product (Cormode-Muthukrishnan §4.2). Estimate ≥ true always (each
+    row's product over-counts by colliding cross terms, never under),
+    ≤ true + ε·N_A·N_B w.p. 1−δ. The input sketches are depth×width
+    rows each — the estimate costs a sketch-sized join, NEVER touches
+    the base tables: the 100 TB join-planning probe (pick strategies /
+    pre-size shuffles from ingest-time sketches alone). Returns one row
+    ``(est)``."""
+    bb = b.select("j", "bucket", F.col("cnt").alias("_cnt_b"))
+    prod = (
+        a.join(bb, on=["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("_cnt_b")).alias("_p"))
+    )
+    return prod.agg(F.min("_p").cast("bigint").alias("est"))

@@ -251,3 +251,86 @@ def bpe_learn(
             "w", "wf", _merge_pair(F.col("syms"), p1, p2).alias("syms")
         ).localCheckpoint()
     return merges
+
+
+def wordpiece_vocab_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    vocab_size: int = 200,
+) -> DataFrame:
+    """WordPiece-style subword pipeline: induce a subword vocabulary
+    (top ``vocab_size`` substrings of length <= ``max_piece_len`` by
+    corpus-frequency-weighted occurrence count, ties to the
+    lexicographically smaller piece), then segment every distinct word
+    by GREEDY LONGEST-MATCH-FIRST (the WordPiece inference rule) —
+    unmatched positions emit ``<unk>`` and advance one char. Fully
+    deterministic and integer-only, so the oracle replays it exactly
+    (vs the likelihood-driven trainers whose float argmax would be
+    fragile cross-engine; the BPE trainer above covers the merge-rule
+    family).
+
+    Scale: candidate counting is one explode + groupBy over DISTINCT
+    words (corpus multiplicity arrives as a pre-aggregated freq weight,
+    the same collapse the BPE trainer uses); the vocab is a
+    vocab_size-row driver list (the sanctioned k-sized collect);
+    segmentation is mapInPandas over distinct words — zero shuffles,
+    vocab broadcast in the closure. Returns one row per (word, piece)
+    occurrence in segmentation order multiplicity."""
+    import pandas as pd
+
+    wf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    pieces = (
+        wf.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+        )
+        .select(
+            "word",
+            "freq",
+            "s",
+            F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("L"),
+        )
+        .filter(F.col("s") + F.col("L") - 1 <= F.length("word"))
+        .select(F.col("word").substr(F.col("s"), F.col("L")).alias("piece"), "freq")
+    )
+    vocab_rows = (
+        pieces.groupBy("piece")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.desc("weight"), "piece")
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = {r["piece"] for r in vocab_rows}
+
+    def seg(batches):
+        for pdf in batches:
+            out_w, out_p = [], []
+            for w in pdf["word"]:
+                pos, n = 0, len(w)
+                while pos < n:
+                    hit = None
+                    for L in range(max_piece_len, 0, -1):
+                        cand = w[pos : pos + L]
+                        if cand in vocab:
+                            hit = (cand, L)
+                            break
+                    if hit is None:
+                        out_w.append(w)
+                        out_p.append("<unk>")
+                        pos += 1
+                    else:
+                        out_w.append(w)
+                        out_p.append(hit[0])
+                        pos += hit[1]
+            yield pd.DataFrame({"word": out_w, "piece": out_p})
+
+    segmented = wf.select("word").mapInPandas(seg, schema="word string, piece string")
+    return segmented.join(wf, on="word")

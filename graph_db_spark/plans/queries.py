@@ -13040,6 +13040,267 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_sql(max_len: int = 4, vocab_size: int = 200, topk: int = 30) -> str:
+    """DuckDB replay of text.wordpiece_vocab_segment: substring explode
+    with the same clamped windows, same (weight DESC, piece) vocab cut,
+    and the greedy longest-match walk as a jump-table recursion — the
+    CASE checks window lengths in the same descending order, so the
+    clamped-window-overshoot behavior at word ends matches the Python
+    slice semantics exactly. Integer-only end to end."""
+    in_vocab = "IN (SELECT piece FROM vocab)"
+    case_jump = " ".join(
+        f"WHEN substr(word, pos, {L}) {in_vocab} THEN {L}"
+        for L in range(max_len, 0, -1)
+    )
+    case_piece = " ".join(
+        f"WHEN substr(word, pos, {L}) {in_vocab} THEN substr(word, pos, {L})"
+        for L in range(max_len, 0, -1)
+    )
+    return f"""
+    WITH RECURSIVE wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+      ) WHERE length(word) > 0 GROUP BY 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT substr(word, s, L) AS piece, freq
+      FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS s FROM wf)
+      CROSS JOIN (SELECT unnest(range(1, {max_len + 1})) AS L) ll
+      WHERE s + L - 1 <= length(word)
+    ),
+    vocab AS MATERIALIZED (
+      SELECT piece FROM (
+        SELECT piece, sum(freq) AS weight FROM cand GROUP BY 1
+      ) ORDER BY weight DESC, piece LIMIT {vocab_size}
+    ),
+    jt AS MATERIALIZED (
+      SELECT word, pos,
+             CASE {case_jump} ELSE 1 END AS jump,
+             CASE {case_piece} ELSE '<unk>' END AS piece
+      FROM (SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM wf)
+    ),
+    rec(word, pos) AS (
+      SELECT word, 1 FROM wf
+      UNION ALL
+      SELECT r.word, r.pos + j.jump
+      FROM rec r JOIN jt j ON j.word = r.word AND j.pos = r.pos
+      WHERE r.pos + j.jump <= length(r.word)
+    ),
+    seg AS (
+      SELECT j.word, j.piece FROM rec r
+      JOIN jt j ON j.word = r.word AND j.pos = r.pos
+    )
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+    FROM seg JOIN wf USING (word)
+    GROUP BY 1 ORDER BY usage DESC, piece LIMIT {topk}
+    """
+
+
+@register("wordpiece_vocab_segment", oracle=_wordpiece_sql())
+def wordpiece_vocab_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, WordPiece flavor
+    (operators/text.py:wordpiece_vocab_segment): induce a 200-piece
+    subword vocab from substring statistics, segment every distinct word
+    by greedy longest-match, report the top-30 pieces by
+    corpus-weighted usage. Completes the tokenizer-training family (BPE
+    merge rules, fertility, vocab coverage) with the inference-rule
+    side; deterministic integer pipeline — the float-likelihood EM
+    trainers (SentencePiece unigram) are out of scope by design (their
+    argmax ties are not replayable cross-engine)."""
+    from graph_db_spark.operators.text import wordpiece_vocab_segment as wps
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = wps(docs, "text", max_piece_len=4, vocab_size=200)
+    return (
+        seg.groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("usage"))
+        .orderBy(F.desc("usage"), "piece")
+        .limit(30)
+    )
+
+
+def _cms_join_size_sql(depth: int = 4, width: int = 256, seed: int = 41) -> str:
+    """DuckDB replay of sketches.count_min_inner_product over the
+    events.user_id ⋈ orders.o_custkey key overlap: same portable hash,
+    same LCG bucket maps, exact integer arithmetic end to end."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    vals = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(depth, seed=seed))
+    )
+    return f"""
+    WITH ca AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+                FROM events GROUP BY 1),
+    cb AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+           FROM orders GROUP BY 1),
+    exact AS (SELECT coalesce(sum(ca.c * cb.c), 0) AS v
+              FROM ca JOIN cb USING (k)),
+    ha AS (SELECT k, c, {_poly_sql('k')} AS hh FROM ca),
+    ra AS (SELECT j, ((a * hh + b) % {P}) % {width} AS bucket, c
+           FROM ha CROSS JOIN (VALUES {vals}) t(j, a, b)),
+    cmsa AS (SELECT j, bucket, sum(c) AS cnt FROM ra GROUP BY 1, 2),
+    hb AS (SELECT k, c, {_poly_sql('k')} AS hh FROM cb),
+    rb AS (SELECT j, ((a * hh + b) % {P}) % {width} AS bucket, c
+           FROM hb CROSS JOIN (VALUES {vals}) t(j, a, b)),
+    cmsb AS (SELECT j, bucket, sum(c) AS cnt FROM rb GROUP BY 1, 2),
+    prod AS (SELECT a.j, sum(a.cnt * b.cnt) AS p
+             FROM cmsa a JOIN cmsb b USING (j, bucket) GROUP BY 1),
+    est AS (SELECT min(p) AS v FROM prod)
+    SELECT CAST(exact.v AS BIGINT) AS exact_join_size,
+           CAST(est.v AS BIGINT) AS cms_estimate,
+           CAST(CASE WHEN est.v >= exact.v THEN 1 ELSE 0 END AS BIGINT)
+             AS estimate_ge_exact
+    FROM exact, est
+    """
+
+
+@register("cms_join_cardinality", oracle=_cms_join_size_sql())
+def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP for the optimizer: estimate |events ⋈ orders| on
+    user_id = o_custkey from two Count-Min sketches ALONE via the CM
+    inner product (sketches.py:count_min_inner_product) — min over rows
+    of the bucket-wise count product; the one-sided (≥ exact) guarantee
+    is emitted as a checked flag. At 100 TB this is how join strategies
+    and shuffle sizing get picked without scanning either table: the
+    depth×width sketches come from ingest, the probe is sketch-sized.
+    Exact size = Σ_k cA(k)·cB(k) (pure integers; driver-hash-immune)."""
+    from graph_db_spark.operators.sketches import (
+        count_min_inner_product,
+        count_min_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ca = ev.groupBy(F.col("user_id").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cb = o.groupBy(F.col("o_custkey").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        ca.join(cb.select(F.col("k"), F.col("c").alias("cb")), on="k")
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("cb")), F.lit(0)).alias("v"))
+    )
+    cms_a = count_min_table(ca, "k", "c")
+    cms_b = count_min_table(cb, "k", "c")
+    est = count_min_inner_product(cms_a, cms_b)
+    return exact.crossJoin(est).select(
+        F.col("v").cast("bigint").alias("exact_join_size"),
+        F.col("est").cast("bigint").alias("cms_estimate"),
+        F.when(F.col("est") >= F.col("v"), 1).otherwise(0).cast("bigint").alias(
+            "estimate_ge_exact"
+        ),
+    )
+
+
+@register(
+    "ivm_join_view",
+    oracle="""
+    WITH o_final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey <= 300 AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey <= 1200 AND o_orderkey % 97 <> 0
+    ),
+    c_final AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 500.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 4) + 0.0 AS o_totalprice,
+           c.c_mktsegment, round(c.c_acctbal, 4) + 0.0 AS c_acctbal
+    FROM o_final o JOIN c_final c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 = 0
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — incremental maintenance of a JOIN view (the delta
+    rules aggregates alone don't cover): a materialized
+    orders ⋈ customer view is bootstrapped once and then NEVER
+    recomputed — a fact merge (inserts + updates), a fact delete, and a
+    dim update each fold their CDC feed through
+    writers/snapshots.py:apply_fact_changes_to_join_view /
+    apply_dim_changes_to_join_view. The oracle replays the same DML
+    directly in SQL; the hash match proves the join-delta algebra
+    (including dim-update fan-out patching) reconstructs the direct
+    join exactly. Maintenance cost ∝ churn × fan-out; data volumes are
+    SF-independent (commit-overhead-bound, like the aggregate IVM)."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import (
+        SnapshotTable,
+        apply_dim_changes_to_join_view,
+        apply_fact_changes_to_join_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = _sf_tag(sf_dir)
+    po = os.path.join(tempfile.gettempdir(), f"graft_ivmj_o_{tag}")
+    pc = os.path.join(tempfile.gettempdir(), f"graft_ivmj_c_{tag}")
+    for p in (po, pc):
+        shutil.rmtree(p, ignore_errors=True)
+    t_o = SnapshotTable.create(
+        spark, po, orders.filter(F.col("o_orderkey") <= 800), ["o_orderkey"], n_buckets=8
+    )
+    t_c = SnapshotTable.create(spark, pc, cust, ["c_custkey"], n_buckets=8)
+    view = (
+        t_o.read().join(t_c.read(), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment", "c_acctbal")
+        .localCheckpoint()
+    )
+    # fact merge: new orders 800 < k <= 1200 plus doubled-price updates
+    v0 = t_o.latest_version()
+    t_o.merge(
+        orders.filter((F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1200))
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") <= 300) & (F.col("o_orderkey") % 7 == 0)
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+    )
+    view = apply_fact_changes_to_join_view(
+        view, t_o.changes(v0, include_old=True), "o_orderkey",
+        t_c.read().select("c_custkey", "c_mktsegment", "c_acctbal"), "c_custkey",
+        fact_fk="o_custkey",
+    ).localCheckpoint()
+    # fact delete
+    v1 = t_o.latest_version()
+    t_o.delete(orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"))
+    view = apply_fact_changes_to_join_view(
+        view, t_o.changes(v1, include_old=True), "o_orderkey",
+        t_c.read().select("c_custkey", "c_mktsegment", "c_acctbal"), "c_custkey",
+        fact_fk="o_custkey",
+    ).localCheckpoint()
+    # dim update: balance bump for custkey % 11
+    v2 = t_c.latest_version()
+    t_c.merge(
+        cust.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 500.0
+        )
+    )
+    view = apply_dim_changes_to_join_view(
+        view, t_c.changes(v2, include_old=True), "c_custkey", fact_fk="o_custkey"
+    ).localCheckpoint()
+    return view.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        r4(F.col("o_totalprice")).alias("o_totalprice"),
+        "c_mktsegment",
+        r4(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+
+
 def _holt_sql(alpha: float = 0.5, beta: float = 0.3, horizon: int = 3) -> str:
     """Recursive-CTE replay of drift.holt_fold over the per-type daily
     series (the CUSUM-oracle pattern): identical coefficient doubles
@@ -13099,33 +13360,42 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "prefix_filter_jaccard",
     oracle="""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id,
-             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents
+    ),
+    t AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+                           i -> array_to_string(w[i+1:i+3], ' '))) AS toks
+      FROM w
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
            CAST(len(a.toks) + len(b.toks)
                 - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
     FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.toks, b.toks)) * 10
+    WHERE len(a.toks) > 0 AND len(b.toks) > 0
+      AND len(list_intersect(a.toks, b.toks)) * 10
           >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 7
     """,
 )
 def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.7 document pairs via PPJoin prefix filtering
+    """Exact Jaccard >= 0.7 document pairs over word 3-gram shingle sets
+    via PPJoin prefix + length + positional filtering
     (operators/dedup.py:prefix_filter_jaccard) — the third exact-dedup
     scale path beside MinHash-LSH (probabilistic) and posting-list +
     stop-gram guards (exact but hub-exposed): index only each doc's
-    rarest m - ceil(t*m) + 1 tokens, provably complete for the
-    threshold. Oracle = the naive all-pairs verify, exact at checker
-    scale; output is pure integers (inter, uni) so the hash has no float
-    surface at all."""
+    rarest m - ceil(t*m) + 1 shingles, provably complete for the
+    threshold. Shingles (not unigrams) are the scale choice: measured at
+    sf0.1, unigram prefixes generate ~132M candidate pairs on this
+    small-vocab fixture vs ~500k for 3-grams. Oracle = the naive
+    all-pairs verify, exact at checker scale; output is pure integers
+    (inter, uni) so the hash has no float surface at all."""
     from graph_db_spark.operators.dedup import prefix_filter_jaccard as ppj
 
     docs = load_table(spark, sf_dir, "documents")
-    out = ppj(docs, "text", "doc_id", num=7, den=10)
+    out = ppj(docs, "text", "doc_id", num=7, den=10, shingle_n=3)
     return out.select(
         "doc_a", "doc_b",
         F.col("inter").cast("bigint").alias("inter"),

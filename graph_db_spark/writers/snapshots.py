@@ -1447,3 +1447,77 @@ def apply_changes_to_minmax(
         .select(*group_cols, "n", "min_v", "max_v")
     )
     return good.unionByName(rescanned)
+
+
+def apply_fact_changes_to_join_view(
+    view: DataFrame,
+    feed: DataFrame,
+    fact_key: str,
+    dim_current: DataFrame,
+    dim_key: str,
+    fact_fk: str | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a FACT ⋈ DIM (inner, FK equi-join)
+    materialized view, fact-side delta: drop the view rows at every
+    changed fact key, then re-derive exactly those keys from the feed's
+    new images joined against the CURRENT dim — the delta rule
+    V' = (V − V⋉ΔF) ∪ (ΔF_new ⋈ D). Maintenance cost ∝ fact churn
+    (the anti-join is key-only; the re-join touches |ΔF| rows), never
+    fact-table size. Requires FK integrity at each commit (a fact whose
+    dim row is missing is dropped, as the inner join defines).
+    ``fact_fk`` names the fact's FK column when it differs from
+    ``dim_key`` (e.g. o_custkey vs c_custkey)."""
+    fk = fact_fk or dim_key
+    changed = feed.select(fact_key).distinct()
+    kept = view.join(changed, on=fact_key, how="left_anti")
+    dim_cols = [c for c in dim_current.columns if c != dim_key]
+    fact_cols = [c for c in view.columns if c not in dim_cols]
+    new_facts = feed.filter(F.col("_change") != "delete").select(*fact_cols).alias("_f")
+    dim_a = dim_current.alias("_d")
+    added = new_facts.join(
+        dim_a, on=[F.col(f"_f.{fk}") == F.col(f"_d.{dim_key}")], how="inner"
+    ).select(
+        *[F.col(f"_f.{c}") for c in fact_cols],
+        *[F.col(f"_d.{c}") for c in dim_cols],
+    )
+    return kept.unionByName(added.select(*view.columns))
+
+
+def apply_dim_changes_to_join_view(
+    view: DataFrame,
+    feed: DataFrame,
+    dim_key: str,
+    fact_fk: str | None = None,
+) -> DataFrame:
+    """Dim-side delta for the same view: rows referencing a deleted dim
+    key leave the view (inner-join semantics); rows referencing an
+    updated key get the new dim image patched in via a join restricted
+    to the churned keys — V' = (V − V⋉ΔD_del) with ΔD_upd's new
+    attributes overwriting the affected rows. Dim INSERTS cannot create
+    view rows under FK integrity (no fact can reference a
+    not-yet-existing dim row through the fact-side fold's inner join).
+    Cost ∝ dim churn × their fan-out — the rows that must change."""
+    fk = fact_fk or dim_key
+    dim_cols = [
+        c.replace("_old_", "", 1) for c in feed.columns if c.startswith("_old_")
+    ]
+    fact_cols = [c for c in view.columns if c not in dim_cols]
+    deleted = feed.filter(F.col("_change") == "delete").select(
+        F.col(dim_key).alias("_delk")
+    )
+    kept = view.join(deleted, on=[F.col(fk) == F.col("_delk")], how="left_anti")
+    upd = feed.filter(F.col("_change") != "delete").select(
+        F.col(dim_key).alias("_updk"), *dim_cols
+    )
+    unaffected = kept.join(
+        upd.select("_updk"), on=[F.col(fk) == F.col("_updk")], how="left_anti"
+    )
+    base = kept.select(*fact_cols).alias("_v")
+    upd_a = upd.alias("_u")
+    patched = base.join(
+        upd_a, on=[F.col(f"_v.{fk}") == F.col("_u._updk")], how="inner"
+    ).select(
+        *[F.col(f"_v.{c}") for c in fact_cols],
+        *[F.col(f"_u.{c}") for c in dim_cols],
+    )
+    return unaffected.unionByName(patched.select(*view.columns))

@@ -965,3 +965,28 @@ def test_prefix_filter_jaccard_complete_vs_naive(spark):
                     expect.add((a, b, inter, uni))
     assert (0, 100) in {(a, b) for a, b, *_ in expect}
     assert got == expect
+
+
+def test_wordpiece_greedy_segmentation_rules(spark):
+    """Vocab induction picks the highest-weight substrings; greedy
+    longest-match segments with them; characters outside the vocab emit
+    <unk> and advance one position."""
+    from graph_db_spark.operators.text import wordpiece_vocab_segment
+
+    # 'abab' dominates; tiny vocab forces <unk> on rare chars
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab zq"), (2, "abab ab")], "doc_id long, text string"
+    )
+    seg = wordpiece_vocab_segment(docs, "text", max_piece_len=4, vocab_size=3)
+    rows = [(r["word"], r["piece"], r["freq"]) for r in seg.collect()]
+    by_word = {}
+    for w, p, f in rows:
+        by_word.setdefault(w, []).append(p)
+    # weights: 'a'/'b' 8 each (4 occurrences of abab*2 + ab), 'ab' 8+... compute:
+    # substrings weighted by word freq: abab(freq 4): a x2,b x2,ab x2,ba,bab,aba,abab
+    # ab(freq 1): a,b,ab ; zq(freq 1): z,q,zq
+    # weights: a=9, b=9, ab=9, ba=4, aba=4, bab=4, abab=4, z=1,q=1,zq=1
+    # vocab_size=3 -> top3 by (weight desc, piece asc): a(9), ab(9), b(9)
+    assert by_word["abab"] == ["ab", "ab"]
+    assert by_word["ab"] == ["ab"]
+    assert by_word["zq"] == ["<unk>", "<unk>"]

@@ -139,6 +139,9 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "betweenness_landmarks",
         "prefix_filter_jaccard",
         "holt_trend_forecast",
+        "ivm_join_view",
+        "cms_join_cardinality",
+        "wordpiece_vocab_segment",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (

@@ -770,3 +770,59 @@ def test_vacuum_reclaims_audit_rejected_stage(spark, tmp_path):
     assert removed  # ...and vacuum reclaims exactly them
     assert count_parquet() == before
     assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 10.0), (2, 20.0)}
+
+
+def test_join_view_delta_folds_match_direct_join(spark, tmp_path):
+    """Fact merge/delete + dim update folded through the join-view delta
+    rules == the direct join of the final table states."""
+    from graph_db_spark.writers.snapshots import (
+        SnapshotTable,
+        apply_dim_changes_to_join_view,
+        apply_fact_changes_to_join_view,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 6.0), (3, 20, 7.0), (4, 30, 8.0)],
+        "fk long, dk long, val double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "dk long, attr string"
+    )
+    tf = SnapshotTable.create(spark, str(tmp_path / "f"), fact, ["fk"], n_buckets=2)
+    td = SnapshotTable.create(spark, str(tmp_path / "d"), dim, ["dk"], n_buckets=2)
+    view = (
+        tf.read().join(td.read(), on="dk")
+        .select("fk", "dk", "val", "attr")
+        .localCheckpoint()
+    )
+    # fact commit: insert fk=5 (dk=20), update fk=1 val and MIGRATE to dk=30
+    v0 = tf.latest_version()
+    tf.merge(
+        spark.createDataFrame([(5, 20, 9.0), (1, 30, 50.0)], "fk long, dk long, val double")
+    )
+    view = apply_fact_changes_to_join_view(
+        view, tf.changes(v0, include_old=True), "fk", td.read(), "dk"
+    )
+    # fact delete fk=2
+    v1 = tf.latest_version()
+    tf.delete(spark.createDataFrame([(2,)], "fk long"))
+    view = apply_fact_changes_to_join_view(
+        view, tf.changes(v1, include_old=True), "fk", td.read(), "dk"
+    )
+    # dim commit: update dk=20 attr, delete dk=30 (drops fk=1 and fk=4)
+    v2 = td.latest_version()
+    td.merge(spark.createDataFrame([(20, "Y2")], "dk long, attr string"))
+    td.delete(spark.createDataFrame([(30,)], "dk long"))
+    view = apply_dim_changes_to_join_view(
+        view, td.changes(v2, include_old=True), "dk"
+    )
+    got = sorted(
+        (r["fk"], r["dk"], r["val"], r["attr"]) for r in view.collect()
+    )
+    direct = sorted(
+        (r["fk"], r["dk"], r["val"], r["attr"])
+        for r in tf.read().join(td.read(), on="dk")
+        .select("fk", "dk", "val", "attr").collect()
+    )
+    assert got == direct
+    assert got == [(3, 20, 7.0, "Y2"), (5, 20, 9.0, "Y2")]
