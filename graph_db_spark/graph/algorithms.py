@@ -1038,3 +1038,72 @@ def brandes_betweenness(
     for d in deltas[1:]:
         alld = alld.unionByName(d)
     return alld.groupBy("id").agg(F.sum("delta").alias("bc"))
+
+
+def luby_mis(edges: DataFrame, rounds: int = 6, n_partitions: int | None = None) -> DataFrame:
+    """Maximal independent set via Luby's algorithm with DETERMINISTIC
+    symmetry breaking: round r gives every active vertex the priority
+    key lpad(portable_hash(id || '#r')) || '|' || id (a total order —
+    the padded-string form is the cross-engine-comparable composite);
+    a vertex joins the MIS iff its key beats every ACTIVE neighbor's,
+    then winners and their neighborhoods deactivate. Independence and
+    maximality are the classic invariants; hash priorities make runs
+    replayable (no RNG state) while keeping the O(log n) expected round
+    count of the randomized original. Returns (id, round) for MIS
+    members plus (id, -1) for vertices still active after ``rounds``
+    (deterministic partial result — callers bound the oracle replay by
+    fixing ``rounds``; pass more for full convergence).
+
+    Scale: per round one equi-join of the (shrinking) active-priority
+    table against the once-partitioned edge list + one min-groupBy +
+    two anti-joins — frontier-sized shuffles against a static edge
+    side, the CC/PageRank discipline. ``edges`` must contain both
+    directions of each undirected edge."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = prepartition_for_rounds(
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        ),
+        nparts,
+        "src",
+    )
+    active = (
+        e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    out = []
+    for r in range(1, rounds + 1):
+        key = F.concat(
+            F.lpad(portable_hash(F.concat(F.col("id"), F.lit(f"#{r}"))).cast("string"), 10, "0"),
+            F.lit("|"),
+            F.col("id"),
+        )
+        pr = active.select("id", key.alias("k")).localCheckpoint(eager=True)
+        nmin = (
+            pr.join(e, pr["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("k").alias("nmin"))
+        )
+        joiners = (
+            pr.join(nmin, on="id", how="left")
+            .filter(F.col("nmin").isNull() | (F.col("k") < F.col("nmin")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        out.append(joiners.withColumn("round", F.lit(r).cast("bigint")))
+        nbrs = (
+            joiners.join(e, joiners["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        active = (
+            active.join(joiners, on="id", how="left_anti")
+            .join(nbrs, on="id", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+    res = out[0]
+    for j in out[1:]:
+        res = res.unionByName(j)
+    return res.unionByName(active.withColumn("round", F.lit(-1).cast("bigint")))

@@ -13040,6 +13040,199 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _luby_sql(rounds: int = 6) -> str:
+    """DuckDB replay of graph/algorithms.py:luby_mis on the
+    customer–supplier bipartite trade graph: identical padded-string
+    priority keys per round, identical active-neighborhood min and
+    deactivation steps, unrolled ``rounds`` times; per-round rows are
+    emitted unconditionally (count 0 + hash-sum 0 for an empty round)
+    so the shape never depends on convergence speed."""
+    parts = [
+        "WITH eb AS MATERIALIZED (SELECT DISTINCT"
+        " 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb"
+        " UNION ALL SELECT s, c FROM eb)",
+        "act0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        key = (
+            f"lpad(CAST(({_poly_sql(f'''id || '#{r}' ''')}) AS VARCHAR), 10, '0')"
+            f" || '|' || id"
+        )
+        parts.append(f"pr{r} AS MATERIALIZED (SELECT id, {key} AS k FROM act{r - 1})")
+        parts.append(
+            f"nmin{r} AS MATERIALIZED (SELECT e.dst AS id, min(p.k) AS nmin"
+            f" FROM e JOIN pr{r} p ON p.id = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"join{r} AS MATERIALIZED (SELECT p.id FROM pr{r} p"
+            f" LEFT JOIN nmin{r} n USING (id)"
+            f" WHERE n.nmin IS NULL OR p.k < n.nmin)"
+        )
+        parts.append(
+            f"act{r} AS MATERIALIZED (SELECT a.id FROM act{r - 1} a"
+            f" WHERE NOT EXISTS (SELECT 1 FROM join{r} j WHERE j.id = a.id)"
+            f" AND NOT EXISTS (SELECT 1 FROM e JOIN join{r} j ON j.id = e.src"
+            f" WHERE e.dst = a.id))"
+        )
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST(count(*) AS BIGINT) AS n_joined,"
+        f" CAST(coalesce(sum({_poly_sql('id')}), 0) AS BIGINT) AS id_hash_sum"
+        f" FROM join{r}"
+        for r in range(1, rounds + 1)
+    ]
+    sels.append(
+        f"SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),"
+        f" CAST(coalesce(sum({_poly_sql('id')}), 0) AS BIGINT) FROM act{rounds}"
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("maximal_independent_set", oracle=_luby_sql(6))
+def maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel symmetry breaking — Luby's maximal independent set with
+    deterministic hash priorities (graph/algorithms.py:luby_mis) over
+    the customer–supplier trade graph: per round, the joined count and
+    a portable-hash membership fingerprint (exact set identity without
+    emitting thousands of ids), plus the round -1 leftover row. MIS is
+    the primitive under parallel greedy coloring / scheduling /
+    correlation-clustering pivots; hash priorities keep the whp
+    O(log n) round bound while making every run (and the oracle replay)
+    bit-identical."""
+    from graph_db_spark.graph.algorithms import luby_mis
+    from graph_db_spark.operators.dedup import portable_hash
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    mis = luby_mis(e, rounds=6).localCheckpoint(eager=True)
+    rows = []
+    for r in list(range(1, 7)) + [-1]:
+        sub = mis.filter(F.col("round") == r)
+        rows.append(
+            sub.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_joined"),
+                F.coalesce(F.sum(portable_hash(F.col("id"))), F.lit(0))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+            ).select(
+                F.lit(r).cast("bigint").alias("round"), "n_joined", "id_hash_sum"
+            )
+        )
+    res = rows[0]
+    for fr in rows[1:]:
+        res = res.unionByName(fr)
+    return res
+
+
+@register(
+    "sampled_triangle_estimate",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    eall AS MATERIALIZED (SELECT DISTINCT a.p AS p1, b.p AS p2
+                          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    e AS MATERIALIZED (
+      SELECT p1, p2 FROM eall
+      WHERE ({_poly_sql("CAST(p1 AS VARCHAR) || '-' || CAST(p2 AS VARCHAR)")}) % 10 < 3
+    ),
+    deg AS MATERIALIZED (SELECT p, count(*) AS d FROM
+                         (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY p),
+    ore AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+             CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p2 ELSE e.p1 END AS v
+      FROM e JOIN deg da ON e.p1 = da.p JOIN deg db ON e.p2 = db.p
+    ),
+    rk AS MATERIALIZED (SELECT ore.u, ore.v, dv.d AS dv_ FROM ore JOIN deg dv ON ore.v = dv.p),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM rk e1
+      JOIN rk e2 ON e1.u = e2.u AND (e1.dv_, e1.v) < (e2.dv_, e2.v)
+      JOIN ore e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT n AS sampled_triangles,
+           round(n / 0.027, 4) + 0.0 AS estimated_triangles
+    FROM tri
+    """,
+)
+def sampled_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) sampled triangle counting:
+    keep each co-occurrence edge iff portable_hash(edge) mod 10 < 3
+    (p = 0.3, DETERMINISTIC — shard retries resample identically, and
+    the oracle replays the exact same subgraph), count triangles on the
+    sample with the same degree-ordered orientation as the exact query,
+    scale by 1/p³. At 100 TB this cuts wedge-join work by ~p³ ≈ 36×
+    (unbiased; variance bounds in the paper) — the exact
+    ``cooccurrence_triangles`` stays as this query's ground-truth
+    companion at verification scale."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    from graph_db_spark.operators.dedup import portable_hash
+
+    a, b = op.alias("a"), op.alias("b")
+    ekey = F.concat(
+        F.col("p1").cast("string"), F.lit("-"), F.col("p2").cast("string")
+    )
+    e = (
+        a.join(b, on=[F.col("a.o") == F.col("b.o"), F.col("a.p") < F.col("b.p")])
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+        .filter(portable_hash(ekey) % 10 < 3)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")))
+    db = F.broadcast(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")))
+    lower = F.struct("d1", "p1") < F.struct("d2", "p2")
+    ore = (
+        e.join(da, on="p1")
+        .join(db, on="p2")
+        .select(
+            F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dv = F.broadcast(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")))
+    rk = ore.join(dv, on="v").select("u", "v", "dv")
+    e1, e2 = rk.alias("e1"), rk.alias("e2")
+    wedges = e1.join(
+        e2,
+        on=[
+            F.col("e1.u") == F.col("e2.u"),
+            F.struct(F.col("e1.dv"), F.col("e1.v")) < F.struct(F.col("e2.dv"), F.col("e2.v")),
+        ],
+    ).select(F.col("e1.v").alias("wu"), F.col("e2.v").alias("wv"))
+    e3 = ore.select(F.col("u").alias("wu"), F.col("v").alias("wv"))
+    tri = wedges.join(e3, on=["wu", "wv"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return tri.select(
+        F.col("n").alias("sampled_triangles"),
+        r4(F.col("n") / F.lit(0.027)).alias("estimated_triangles"),
+    )
+
+
 def _wordpiece_sql(max_len: int = 4, vocab_size: int = 200, topk: int = 30) -> str:
     """DuckDB replay of text.wordpiece_vocab_segment: substring explode
     with the same clamped windows, same (weight DESC, piece) vocab cut,

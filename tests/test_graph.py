@@ -489,3 +489,52 @@ def test_brandes_betweenness_matches_textbook(spark):
     assert set(got) == {k for k in expect}
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_luby_mis_is_independent_and_maximal(spark):
+    """MIS invariants on a random graph: no two members adjacent, every
+    non-member (after convergence) has a member neighbor; matches the
+    pure-python replay with the same hash priorities."""
+    import hashlib
+    import random
+
+    from graph_db_spark.graph.algorithms import luby_mis
+
+    rng = random.Random(5)
+    nodes = [f"n{i}" for i in range(30)]
+    und = {
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(60)
+    }
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src string, dst string")
+    got = {r["id"]: r["round"] for r in luby_mis(e, rounds=10).collect()}
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    mis = {v for v, r in got.items() if r != -1}
+    assert not any(
+        b in mis for a in mis for b in adj[a]
+    ), "two adjacent MIS members"
+    assert all(got[v] == -1 or got[v] >= 1 for v in got)
+    leftovers = {v for v, r in got.items() if r == -1}
+    assert not leftovers, "graph should converge in 10 rounds"
+    assert all(v in mis or any(u in mis for u in adj[v]) for v in adj), "not maximal"
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % (2**31 - 1)
+
+    active = set(adj)
+    expect = {}
+    r = 0
+    while active and r < 10:
+        r += 1
+        key = {v: f"{phash(f'{v}#{r}'):010d}|{v}" for v in active}
+        join = {
+            v for v in active
+            if all(key[v] < key[u] for u in adj[v] if u in active)
+        }
+        for v in join:
+            expect[v] = r
+        active -= join | {u for v in join for u in adj[v]}
+    assert {v: r for v, r in got.items() if r != -1} == expect

@@ -142,6 +142,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "ivm_join_view",
         "cms_join_cardinality",
         "wordpiece_vocab_segment",
+        "sampled_triangle_estimate",
+        "maximal_independent_set",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
