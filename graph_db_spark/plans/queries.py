@@ -13040,6 +13040,122 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kaplan_meier_churn",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             min(ts) AS first_ts,
+             arg_min(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                     || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS cohort
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id, min(ts) AS conv_ts FROM events
+      WHERE event_type = 'purchase' AND value >= 95 GROUP BY 1
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    obs AS (
+      SELECT s.cohort,
+             CASE WHEN c.user_id IS NOT NULL
+                  THEN CAST(date_diff('day', s.first_ts, c.conv_ts) AS BIGINT)
+                  ELSE CAST(date_diff('day', s.first_ts, h) AS BIGINT) END AS t,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM span s LEFT JOIN conv c USING (user_id) CROSS JOIN horizon
+    ),
+    tot AS (SELECT cohort, count(*) AS n FROM obs GROUP BY 1),
+    dt AS (
+      SELECT cohort, t,
+             CAST(sum(death) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ended
+      FROM obs GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT cohort, t, d,
+             tot.n - coalesce(sum(ended) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM dt JOIN tot USING (cohort)
+    ),
+    km AS (
+      SELECT cohort, t, n_risk, d,
+             exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                 OVER (PARTITION BY cohort ORDER BY t)) AS s
+      FROM risk WHERE d > 0
+    )
+    SELECT cohort, t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+           round(s, 4) + 0.0 AS survival
+    FROM km
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis — Kaplan-Meier time-to-conversion curves with
+    right censoring: per cohort (the user's FIRST event type, ties
+    broken on event_id), duration = days from first activity to the
+    first high-value purchase (value >= 95); users who never convert
+    are CENSORED at the observation horizon (they leave the risk set
+    without counting as events — the estimator's whole point vs a naive
+    duration histogram; ~17% of users at sf0.01). S(t) = Π (1 − d/n)
+    over event times, computed as exp(Σ ln) in one window pass — no
+    sequential fold; the at-risk counts are a right-aligned cumulative.
+    All counts integer; the one float surface (the product) is
+    engine-replayed and rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    span = (
+        ev.withColumn("cohort", F.first("event_type").over(w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.first("cohort").alias("cohort"))
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 95))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    h = ev.agg(F.max("ts").alias("h"))
+    obs = (
+        span.join(conv, on="user_id", how="left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            "cohort",
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(F.col("conv_ts"), F.col("first_ts")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("first_ts")))
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("death"),
+        )
+    )
+    tot = obs.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    dt = obs.groupBy("cohort", "t").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ended"),
+    )
+    wprev = (
+        Window.partitionBy("cohort").orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = dt.join(tot, on="cohort").select(
+        "cohort", "t", "d",
+        (F.col("n") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))).alias("n_risk"),
+    )
+    wkm = Window.partitionBy("cohort").orderBy("t")
+    km = risk.filter(F.col("d") > 0).select(
+        "cohort", "t", "n_risk", "d",
+        F.exp(
+            F.sum(F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))).over(wkm)
+        ).alias("s"),
+    )
+    return km.select(
+        "cohort",
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        r4(F.col("s")).alias("survival"),
+    )
+
+
 def _luby_sql(rounds: int = 6) -> str:
     """DuckDB replay of graph/algorithms.py:luby_mis on the
     customer–supplier bipartite trade graph: identical padded-string
