@@ -412,3 +412,33 @@ def test_forecast_revenue_pushes_all_predicates(spark):
         assert col in pushed, (col, pushed)
     assert "Exchange" in plan  # only the final 1-row reduce shuffles
     assert "l_returnflag" not in plan  # column pruning held
+
+
+def test_grid_join_is_equi_join_not_cartesian(spark):
+    """The spatial radius join must plan as a hash/sort-merge EQUI join
+    on the cell key (the whole point of the grid) — never a
+    BroadcastNestedLoop/Cartesian on the distance predicate."""
+    plan = plan_of(spark, "geo_grid_distance_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wordpiece_segmentation_has_no_shuffle_after_vocab(spark):
+    """Segmentation is mapInPandas over distinct words with the vocab in
+    the closure: the plan downstream of the word-frequency table adds
+    python evals + one key join, no global sort."""
+    plan = plan_of(spark, "wordpiece_vocab_segment")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_join_cardinality_never_scans_base_twice(spark):
+    """The estimate path joins two depth*width sketch tables; the exact
+    path joins the two key-count tables — four scans total (one per
+    side per path), no base-table self-join."""
+    plan = plan_of(spark, "cms_join_cardinality")
+    assert "CartesianProduct" not in plan
+    # the only cross join is the 1-row exact x 1-row est scalar combine
+    # (formatted mode prints a node in the tree AND the detail section,
+    # so count the tree form, which carries the build annotation)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
