@@ -13041,6 +13041,85 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS qi_balband,
+             c_custkey
+      FROM customer
+    ),
+    eq AS (
+      SELECT qi_nation, qi_segment, qi_balband, count(*) AS class_size
+      FROM q GROUP BY 1, 2, 3
+    ),
+    div AS (
+      SELECT q.qi_nation, q.qi_segment, q.qi_balband,
+             count(DISTINCT o.o_orderpriority) AS l_div
+      FROM q LEFT JOIN orders o ON o.o_custkey = q.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(e.class_size) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN e.class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k5,
+           CAST(sum(CASE WHEN e.class_size < 5 THEN e.class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(min(d.l_div) AS BIGINT) AS min_l_diversity,
+           CAST(sum(CASE WHEN d.l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_l2
+    FROM eq e JOIN div d
+      ON e.qi_nation = d.qi_nation AND e.qi_segment = d.qi_segment
+     AND e.qi_balband = d.qi_balband
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy auditing for data release — k-anonymity + l-diversity over
+    the quasi-identifier tuple (nation, market segment, account-balance
+    band): equivalence-class sizes (classes below k=5 re-identify their
+    members) and the diversity of a sensitive attribute (order priority)
+    within each class (classes below l=2 leak it outright). The
+    PII-scrub op (quality.py) removes direct identifiers; this is the
+    companion audit for the indirect ones. Two groupBys + one key join
+    — linear, all integers; at 100 TB the QI groupBy is the same
+    shuffle as any cube cell count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    q = c.select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("qi_balband"),
+        "c_custkey",
+    )
+    keys = ["qi_nation", "qi_segment", "qi_balband"]
+    eq = q.groupBy(*keys).agg(F.count(F.lit(1)).alias("class_size"))
+    div = (
+        q.join(
+            o.select("o_custkey", "o_orderpriority"),
+            on=[F.col("c_custkey") == F.col("o_custkey")],
+            how="left",
+        )
+        .groupBy(*keys)
+        .agg(F.countDistinct("o_orderpriority").alias("l_div"))
+    )
+    joined = eq.join(div, on=keys)
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_k5"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_l2"),
+    )
+
+
+@register(
     "kaplan_meier_churn",
     oracle="""
     WITH span AS (

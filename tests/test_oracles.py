@@ -145,6 +145,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "sampled_triangle_estimate",
         "maximal_independent_set",
         "kaplan_meier_churn",
+        "k_anonymity_audit",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
