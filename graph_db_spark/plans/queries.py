@@ -9231,6 +9231,65 @@ _CURATED_ORACLE = f"""
 """.replace("{sw_en}", _SW_SQL["en"]).replace("{sw_es}", _SW_SQL["es"]).replace("{sw_de}", _SW_SQL["de"])
 
 
+_PROVENANCE_ORACLE = _CURATED_ORACLE[: _CURATED_ORACLE.index("    kept AS (")] + f"""    cls AS (
+      SELECT d.doc_id, d.source,
+             CASE
+               WHEN d.doc_id IN (SELECT id FROM drops) THEN 'near_dup'
+               WHEN q.quality < med.m THEN 'low_quality'
+               WHEN {_poly_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+               WHEN {_poly_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < 95 THEN 'valid'
+               ELSE 'test' END AS stage
+      FROM documents d
+      LEFT JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN med ON med.source = d.source
+    )
+    SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM cls GROUP BY 1, 2
+"""
+
+
+@register("curation_provenance", oracle=_PROVENANCE_ORACLE)
+def curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation lineage/debuggability: the same four-stage pipeline as
+    ``curated_training_corpus``, but instead of the survivors' report it
+    emits the FUNNEL — for every source, how many docs exited at each
+    stage ('near_dup', 'low_quality') and how the survivors split
+    (train/valid/test). At 100 TB this is the audit artifact a data team
+    ships with a corpus release: every document is attributed to exactly
+    one decision, and the counts reconcile to the input by construction
+    (Σ stages = |docs| per source). Shares every verified stage operator
+    with the capstone; the oracle shares its CTE prefix literally."""
+    from graph_db_spark.operators.dedup import near_dup_clusters, portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, "text", "doc_id", threshold=0.6)
+    drops = clusters.filter(~F.col("is_canonical")).select(
+        F.col("id").cast("bigint").alias("doc_id"), F.lit(1).alias("_dropped")
+    )
+    keep = docs.join(drops.select("doc_id"), on="doc_id", how="left_anti")
+    q = keep.select(
+        "doc_id", r4(TX.quality_score("text")).alias("quality"), "source"
+    )
+    med = q.groupBy("source").agg(PF.percentile(F.col("quality"), 0.5).alias("m"))
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    stage = (
+        F.when(F.col("_dropped").isNotNull(), "near_dup")
+        .when(F.col("quality") < F.col("m"), "low_quality")
+        .when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+    )
+    cls = (
+        docs.join(drops, on="doc_id", how="left")
+        .join(q.select("doc_id", "quality"), on="doc_id", how="left")
+        .join(F.broadcast(med), on="source", how="left")
+        .select("source", stage.alias("stage"))
+    )
+    return cls.groupBy("source", "stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
 @register("curated_training_corpus", oracle=_CURATED_ORACLE)
 def curated_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-data curation pipeline as ONE composed
