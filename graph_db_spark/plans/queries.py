@@ -13100,6 +13100,96 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sq8_quantization_bound",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, unnest(range(1, len(e) + 1)) AS pos, e FROM base
+    ),
+    vals AS (SELECT vec_id, pos, e[pos] AS v FROM flat),
+    dimstats AS (
+      SELECT pos, min(v) AS lo, max(v) AS hi,
+             (max(v) - min(v)) / 255.0 AS step
+      FROM vals GROUP BY 1
+    ),
+    coded AS (
+      SELECT v.vec_id, v.pos, v.v, d.lo, d.step,
+             CASE WHEN d.step > 0
+                  THEN floor((v.v - d.lo) / d.step + 0.5) ELSE 0.0 END AS code
+      FROM vals v JOIN dimstats d USING (pos)
+    ),
+    errs AS (
+      SELECT vec_id, pos,
+             CASE WHEN step > 0
+                  THEN abs(v - (lo + code * step)) / step ELSE 0.0 END AS es
+      FROM coded
+    )
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT pos) AS BIGINT) AS n_dims,
+           round(max(es), 4) + 0.0 AS max_step_err,
+           CAST(CASE WHEN max(es) <= 0.500001 THEN 1 ELSE 0 END AS BIGINT)
+             AS within_half_step
+    FROM errs
+    """,
+)
+def sq8_quantization_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression, scalar-quantization flavor (FAISS SQ8):
+    per-dimension global [min, max] ranges, 8-bit codes
+    code = floor((v−lo)/step + 0.5), and the reconstruction-error
+    contract — every value must decode within HALF a quantization step
+    (the definitional bound; emitted as a checked flag). Completes the
+    compression family beside PQ/IVF-PQ (which quantize jointly per
+    subspace): SQ8 is the 4x-memory-cut default when recall must stay
+    near-exact. Train = one narrow posexplode + 64-group min/max;
+    encode = one broadcast join — both linear, no shuffle beyond the
+    dim-stats agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    stats = vals.groupBy("pos").agg(
+        F.min("v").alias("lo"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("step"),
+    )
+    coded = vals.join(F.broadcast(stats), on="pos").select(
+        "vec_id",
+        "pos",
+        "v",
+        "lo",
+        "step",
+        F.when(
+            F.col("step") > 0,
+            F.floor((F.col("v") - F.col("lo")) / F.col("step") + 0.5).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("code"),
+    )
+    errs = coded.select(
+        "vec_id",
+        "pos",
+        F.when(
+            F.col("step") > 0,
+            F.abs(F.col("v") - (F.col("lo") + F.col("code") * F.col("step")))
+            / F.col("step"),
+        )
+        .otherwise(0.0)
+        .alias("es"),
+    )
+    return errs.agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+        F.countDistinct("pos").cast("bigint").alias("n_dims"),
+        r4(F.max("es")).alias("max_step_err"),
+        F.when(F.max("es") <= 0.500001, 1).otherwise(0).cast("bigint").alias(
+            "within_half_step"
+        ),
+    )
+
+
+@register(
     "k_anonymity_audit",
     oracle="""
     WITH q AS (
