@@ -4347,6 +4347,8 @@ _EXPENSIVE_LAST = [
     "snapshot_write_audit_publish", # ~9s (create + rejected merge + committed merge)
     "zorder_clustering_prune",      # ~11s (two clustered creates + footer stats; commit-overhead-bound)
     "snapshot_range_pruning",       # ~11s (clustered create + footer stats; commit-overhead-bound)
+    "curation_provenance",          # ~18s at sf0.01 (shares the capstone's LSH dedup + closure)
+    "ivm_join_view",                # ~19s (5 snapshot commits + CDC folds; SF-independent)
     "ivm_minmax_rescan",            # ~19s (3 commits + minmax folds + rescans; SF-independent)
     "incremental_view_maintenance", # ~12s at sf0.1 (3 commits + 3 CDC folds; SF-independent data)
     "snapshot_table_lifecycle",     # ~10s at sf0.1 (5 commits: COW/MOR/delete/compact — ~15 sequential jobs of driver-fixed overhead; data volume is SF-independent)
