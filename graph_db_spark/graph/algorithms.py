@@ -914,6 +914,8 @@ def deterministic_walks(edges: DataFrame, starts: DataFrame, length: int) -> Dat
     hub nodes never explode the candidate set; the ranked edge list is
     built once and reused every round. Walk count scales with |starts|,
     independent of |V|."""
+    if length < 1:
+        raise ValueError(f"walk length must be >= 1, got {length}")
     from graph_db_spark.operators.dedup import portable_hash
 
     w = Window.partitionBy("src").orderBy("dst")

@@ -360,6 +360,8 @@ def grid_distance_join(
     them like any other join. Right columns colliding with left names
     come back with an ``r_`` prefix.
     """
+    if not radius > 0:
+        raise ValueError(f"radius must be positive, got {radius}")
     lx, ly = left_xy
     rcols = {c: (c if c not in left.columns else f"r_{c}") for c in right.columns}
     rx, ry = (rcols[right_xy[0]], rcols[right_xy[1]])

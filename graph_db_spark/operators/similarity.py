@@ -775,10 +775,15 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8) -> Data
     TakeOrdered). The per-round 1-row collect is the sanctioned k-sized
     driver probe. Distances use the expanded-form squared L2 (_l2sq) so
     the DuckDB oracle replays bit-identical float folds."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     emb = df.select(
         F.col(id_col).cast("bigint").alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    seed = emb.orderBy("id").limit(1).collect()[0]
+    seed_rows = emb.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_select: empty input")
+    seed = seed_rows[0]
 
     def lit_vec(vals: list[float]) -> Column:
         return F.array(*[F.lit(float(x)) for x in vals])

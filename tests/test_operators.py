@@ -335,3 +335,27 @@ def test_ancestor_closure_and_subtree_rollup(spark):
     except RuntimeError:
         raised = True
     assert raised
+
+
+def test_new_operator_guards(spark):
+    """Contract guards: invalid radius / k / walk length raise loudly
+    instead of producing silently-wrong plans."""
+    import pytest as _pt
+
+    from graph_db_spark.graph.algorithms import deterministic_walks
+    from graph_db_spark.operators.joins import grid_distance_join
+    from graph_db_spark.operators.similarity import kcenter_select
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    with _pt.raises(ValueError):
+        grid_distance_join(pts, pts, ("x", "y"), ("x", "y"), 0.0)
+    emb = spark.createDataFrame([(1, [0.0, 1.0])], "vid long, e array<double>")
+    with _pt.raises(ValueError):
+        kcenter_select(emb, "e", "vid", k=0)
+    empty = emb.filter("vid < 0")
+    with _pt.raises(ValueError):
+        kcenter_select(empty, "e", "vid", k=2)
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    s = spark.createDataFrame([("a",)], "start string")
+    with _pt.raises(ValueError):
+        deterministic_walks(e, s, length=0)
