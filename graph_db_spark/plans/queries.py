@@ -13942,6 +13942,149 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _distoracle_sql(depth: int = 8) -> str:
+    """DuckDB replay of the landmark distance oracle: multi-source BFS
+    (both the 5 landmarks and the 8 sample endpoints as sources)
+    unrolled ``depth`` levels — the same settle-once frontier the Spark
+    shortest_paths loop runs, truncated identically — then the
+    triangle-inequality sandwich per sample pair."""
+    parts = [
+        "WITH eb AS MATERIALIZED (SELECT DISTINCT"
+        " 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb"
+        " UNION ALL SELECT s, c FROM eb)",
+        "lmk AS MATERIALIZED (SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS id"
+        " FROM customer WHERE c_custkey IN (20, 40)"
+        " UNION ALL SELECT 'S:' || CAST(s_suppkey AS VARCHAR)"
+        " FROM supplier WHERE s_suppkey IN (1, 5, 9))",
+        "smp AS MATERIALIZED (SELECT DISTINCT 'C:' || CAST(o_custkey AS VARCHAR) AS id"
+        " FROM orders WHERE o_custkey <= 8)",
+        "d0 AS MATERIALIZED (SELECT id AS landmark, id, 0 AS dist FROM lmk"
+        " UNION SELECT id, id, 0 FROM smp)",
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT c.landmark, c.id, {t} AS dist FROM ("
+            f"SELECT DISTINCT d.landmark, e.dst AS id"
+            f" FROM d{t - 1} d JOIN e ON e.src = d.id WHERE d.dist = {t - 1}) c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM d{t - 1} s"
+            f" WHERE s.landmark = c.landmark AND s.id = c.id))"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT * FROM d{t - 1}"
+            f" UNION ALL SELECT * FROM g{t})"
+        )
+    parts.append(
+        f"""pairs AS (
+      SELECT a.id AS u, b.id AS v FROM smp a JOIN smp b ON a.id < b.id
+    ),
+    bounds AS (
+      SELECT p.u, p.v,
+             min(du.dist + dv.dist) AS ub,
+             max(abs(du.dist - dv.dist)) AS lb
+      FROM pairs p
+      JOIN d{depth} du ON du.id = p.u JOIN lmk ON du.landmark = lmk.id
+      JOIN d{depth} dv ON dv.id = p.v AND dv.landmark = du.landmark
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT d.landmark AS u, d.id AS v, d.dist FROM d{depth} d
+      JOIN smp s1 ON d.landmark = s1.id JOIN smp s2 ON d.id = s2.id
+    )
+    SELECT b.u, b.v, CAST(x.dist AS BIGINT) AS exact_dist,
+           CAST(b.lb AS BIGINT) AS lower_bound, CAST(b.ub AS BIGINT) AS upper_bound,
+           CAST(CASE WHEN b.lb <= x.dist AND x.dist <= b.ub THEN 1 ELSE 0 END
+                AS BIGINT) AS sandwich_ok
+    FROM bounds b JOIN exact x ON x.u = b.u AND x.v = b.v"""
+    )
+    return ",\n".join(parts)
+
+
+@register("landmark_distance_oracle", oracle=_distoracle_sql(8))
+def landmark_distance_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance oracle (Bourgain-style landmark embedding): precompute
+    BFS distances from 5 landmarks, then answer ANY pairwise distance
+    query with the triangle-inequality sandwich
+    max_l |d(l,u)−d(l,v)| <= d(u,v) <= min_l d(l,u)+d(l,v) — O(k) per
+    query instead of a BFS, THE practical point-to-point distance
+    answerer on a 100 TB graph (the landmark table is the only state).
+    The sample endpoints double as BFS sources so the exact distance is
+    available for the sandwich check — emitted per pair as a flag.
+    Shares graph/algorithms.py:shortest_paths (one multi-source frontier
+    run, both landmark sets together)."""
+    from graph_db_spark.graph.algorithms import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    lmk = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isin(20, 40)
+    ).select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("id")
+    ).unionByName(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey").isin(1, 5, 9))
+        .select(F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias("id"))
+    )
+    smp = (
+        o.filter(F.col("o_custkey") <= 8)
+        .select(F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("id"))
+        .distinct()
+    )
+    dist = shortest_paths(
+        e, lmk.unionByName(smp), max_iter=8
+    ).localCheckpoint(eager=True)
+    pairs = (
+        smp.select(F.col("id").alias("u"))
+        .join(smp.select(F.col("id").alias("v")), on=[F.col("u") < F.col("v")])
+    )
+    du = dist.join(lmk.select(F.col("id").alias("landmark")), on="landmark").select(
+        F.col("landmark"), F.col("id").alias("u"), F.col("dist").alias("dl_u")
+    )
+    dv = dist.select(
+        F.col("landmark"), F.col("id").alias("v"), F.col("dist").alias("dl_v")
+    )
+    bounds = (
+        pairs.join(du, on="u")
+        .join(dv, on=["landmark", "v"])
+        .groupBy("u", "v")
+        .agg(
+            F.min(F.col("dl_u") + F.col("dl_v")).alias("ub"),
+            F.max(F.abs(F.col("dl_u") - F.col("dl_v"))).alias("lb"),
+        )
+    )
+    exact = dist.join(
+        smp.select(F.col("id").alias("landmark")), on="landmark"
+    ).select(
+        F.col("landmark").alias("u"), F.col("id").alias("v"), F.col("dist").alias("x")
+    )
+    return (
+        bounds.join(exact, on=["u", "v"])
+        .select(
+            "u", "v",
+            F.col("x").cast("bigint").alias("exact_dist"),
+            F.col("lb").cast("bigint").alias("lower_bound"),
+            F.col("ub").cast("bigint").alias("upper_bound"),
+            F.when((F.col("lb") <= F.col("x")) & (F.col("x") <= F.col("ub")), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("sandwich_ok"),
+        )
+    )
+
+
 def _brandes_sql(depth: int = 4) -> str:
     """DuckDB replay of graph/algorithms.py:brandes_betweenness on the
     customer–supplier bipartite trade graph, sources C:{1,7,13}: forward
