@@ -13942,6 +13942,134 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperanf_sql(p: int = 4, rounds: int = 3) -> str:
+    """DuckDB replay of the HyperANF register propagation: same 62-bit
+    portable hash → (idx, rho) initial registers, same per-round
+    (edge-join + max-merge), same per-node HLL estimator (identical
+    alpha literal via repr), rounded per node BEFORE the global sum so
+    fold-order ulps can't reach the emitted value."""
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1 + 1.079 / m)) * m * m
+    rho_max = 63 - p
+    parts = [
+        "WITH eb AS MATERIALIZED (SELECT DISTINCT"
+        " 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb"
+        " UNION ALL SELECT s, c FROM eb)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+        f"h AS MATERIALIZED (SELECT id,"
+        f" ({_poly_sql('id')} * 2147483648 + {_poly_sql('id', 131)}) AS h64"
+        f" FROM nodes)",
+        f"reg0 AS MATERIALIZED (SELECT id, h64 & {m - 1} AS idx,"
+        f" CASE WHEN (h64 >> {p}) = 0 THEN {rho_max}"
+        f" ELSE {rho_max} - length(bin(h64 >> {p})) END AS r FROM h)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"reg{t} AS MATERIALIZED (SELECT id, idx, max(r) AS r FROM ("
+            f"SELECT id, idx, r FROM reg{t - 1}"
+            f" UNION ALL"
+            f" SELECT e.dst AS id, g.idx, g.r FROM reg{t - 1} g"
+            f" JOIN e ON e.src = g.id) GROUP BY 1, 2)"
+        )
+    est = (
+        f"CASE WHEN {alpha_m2!r} / (({m} - c) + s) <= {2.5 * m!r} AND c < {m}"
+        f" THEN {float(m)!r} * ln({float(m)!r} / ({m} - c))"
+        f" ELSE {alpha_m2!r} / (({m} - c) + s) END"
+    )
+    sels = []
+    for t in range(rounds + 1):
+        sels.append(
+            f"SELECT CAST({t} AS BIGINT) AS t,"
+            f" round(sum(round({est}, 4)), 4) + 0.0 AS neighborhood_fn FROM ("
+            f"SELECT id, count(*) AS c, sum(power(0.5, r)) AS s"
+            f" FROM reg{t} GROUP BY 1)"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("hyperanf_neighborhood", oracle=_hyperanf_sql(4, 3))
+def hyperanf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (Boldi-Rosa-Vigna, WWW'11): the graph's neighborhood
+    function N(t) = Σ_v |ball(v, t)| estimated by propagating per-node
+    HLL registers along edges — each round is ONE edge join + ONE
+    (node, idx) max-merge, so the whole distance distribution (and the
+    effective diameter read off it) costs rounds × O(E·m) narrow rows
+    instead of all-pairs BFS: THE way ball sizes are measured on
+    100 TB graphs. Registers here are sketch ROWS (the portable-HLL
+    form, sketches.py:portable_hll_registers) so DuckDB replays them
+    exactly; m=16 keeps the fixture fan-out small (rsd ~26% — accuracy
+    is the paper's concern, the oracle checks the COMPUTATION)."""
+    from graph_db_spark.graph.algorithms import prepartition_for_rounds
+    from graph_db_spark.operators.dedup import portable_hash
+
+    p, rounds = 4, 3
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1 + 1.079 / m)) * m * m
+    rho_max = 63 - p
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = prepartition_for_rounds(
+        eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        ),
+        spark.sparkContext.defaultParallelism,
+        "src",
+    )
+    nodes = e.select(F.col("src").alias("id")).distinct()
+    h64 = portable_hash(F.col("id"), 31) * F.lit(2**31).cast("long") + portable_hash(
+        F.col("id"), 131
+    )
+    w = F.shiftright(h64, p)
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - F.length(F.bin(w)))
+    regs = nodes.select(
+        "id", h64.bitwiseAND(F.lit(m - 1)).alias("idx"), rho.alias("r")
+    ).localCheckpoint(eager=True)
+    per_round = [regs]
+    for _ in range(rounds):
+        prev = per_round[-1]
+        grown = (
+            prev.join(e, prev["id"] == e["src"])
+            .select(F.col("dst").alias("id"), "idx", "r")
+            .unionByName(prev.select("id", "idx", "r"))
+            .groupBy("id", "idx")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        per_round.append(grown)
+    zeros_c = F.lit(m) - F.col("c")
+    raw = F.lit(alpha_m2) / (zeros_c + F.col("s"))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("c") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros_c),
+    ).otherwise(raw)
+    out = []
+    for t, rg in enumerate(per_round):
+        per_node = rg.groupBy("id").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("s"),
+        )
+        out.append(
+            per_node.agg(
+                r4(F.sum(F.round(est, 4))).alias("neighborhood_fn")
+            ).select(F.lit(t).cast("bigint").alias("t"), "neighborhood_fn")
+        )
+    res = out[0]
+    for fr in out[1:]:
+        res = res.unionByName(fr)
+    return res
+
+
 def _distoracle_sql(depth: int = 8) -> str:
     """DuckDB replay of the landmark distance oracle: multi-source BFS
     (both the 5 landmarks and the 8 sample endpoints as sources)
