@@ -990,3 +990,28 @@ def test_wordpiece_greedy_segmentation_rules(spark):
     assert by_word["abab"] == ["ab", "ab"]
     assert by_word["ab"] == ["ab"]
     assert by_word["zq"] == ["<unk>", "<unk>"]
+
+
+def test_cms_inner_product_upper_bounds_true_join_size(spark):
+    """CM inner-product estimate >= the exact join size, and equals it
+    when the sketch is wide enough that no buckets collide."""
+    from graph_db_spark.operators.sketches import (
+        count_min_inner_product,
+        count_min_table,
+    )
+
+    a = spark.createDataFrame(
+        [("k1", 3), ("k2", 5), ("k3", 2), ("x9", 7)], "k string, c long"
+    )
+    b = spark.createDataFrame(
+        [("k1", 4), ("k3", 6), ("zz", 9)], "k string, c long"
+    )
+    exact = 3 * 4 + 2 * 6
+    cms_a = count_min_table(a, "k", "c", depth=4, width=256)
+    cms_b = count_min_table(b, "k", "c", depth=4, width=256)
+    est = count_min_inner_product(cms_a, cms_b).collect()[0]["est"]
+    assert est >= exact
+    # 5 distinct keys in 256 buckets x 4 rows: collisions would need two
+    # keys to share a bucket in EVERY row — astronomically unlikely and
+    # deterministically false for this fixed hash
+    assert est == exact
