@@ -13942,6 +13942,78 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coreness_sql(rounds: int = 8) -> str:
+    """DuckDB replay of graph/algorithms.py:core_decomposition: degree
+    init, ``rounds`` unrolled h-index contractions (rank-desc window +
+    max(least(rank, est))), the round -1 changed-count row proving the
+    fixpoint landed inside the truncation."""
+    parts = [
+        "WITH eb AS MATERIALIZED (SELECT DISTINCT"
+        " 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb"
+        " UNION ALL SELECT s, c FROM eb)",
+        "cor0 AS MATERIALIZED (SELECT dst AS id, count(*) AS cor,"
+        " FALSE AS chg FROM e GROUP BY 1)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"h{r} AS MATERIALIZED (SELECT id, max(least(rk, ncor)) AS h FROM ("
+            f"SELECT e.dst AS id, c.cor AS ncor,"
+            f" row_number() OVER (PARTITION BY e.dst ORDER BY c.cor DESC) AS rk"
+            f" FROM cor{r - 1} c JOIN e ON e.src = c.id) GROUP BY 1)"
+        )
+        parts.append(
+            f"cor{r} AS MATERIALIZED (SELECT c.id, least(c.cor, h.h) AS cor,"
+            f" least(c.cor, h.h) <> c.cor AS chg"
+            f" FROM cor{r - 1} c JOIN h{r} h USING (id))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(cor AS BIGINT) AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM cor{rounds} GROUP BY 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT)
+    FROM cor{rounds}"""
+    )
+
+
+@register("core_decomposition_histogram", oracle=_coreness_sql(8))
+def core_decomposition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL core decomposition — every vertex's coreness in one run
+    (graph/algorithms.py:core_decomposition, h-index propagation), vs
+    the fixed-k peel of ``k_core_4``: the coreness histogram of the
+    trade graph plus the round -1 changed-count row, which the oracle
+    pins to 0 — machine-checked proof the truncated propagation REACHED
+    the fixpoint, not an assumed convergence."""
+    from graph_db_spark.graph.algorithms import core_decomposition
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    cd = core_decomposition(e, rounds=8).localCheckpoint(eager=True)
+    hist = cd.groupBy(F.col("coreness").cast("bigint").alias("coreness")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    moved = cd.agg(
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("bigint").alias("n_nodes")
+    ).select(F.lit(-1).cast("bigint").alias("coreness"), "n_nodes")
+    return hist.unionByName(moved)
+
+
 def _hyperanf_sql(p: int = 4, rounds: int = 3) -> str:
     """DuckDB replay of the HyperANF register propagation: same 62-bit
     portable hash → (idx, rho) initial registers, same per-round

@@ -538,3 +538,40 @@ def test_luby_mis_is_independent_and_maximal(spark):
             expect[v] = r
         active -= join | {u for v in join for u in adj[v]}
     assert {v: r for v, r in got.items() if r != -1} == expect
+
+
+def test_core_decomposition_matches_exact_peel(spark):
+    """h-index propagation coreness == the textbook min-degree peel on a
+    small graph; changed flags all False once converged."""
+    from graph_db_spark.graph.algorithms import core_decomposition
+
+    und = [
+        # a 4-clique (coreness 3) + a tail path (coreness 1) + a triangle
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+        ("g", "h"), ("h", "i"), ("g", "i"), ("i", "a"),
+    ]
+    sym = und + [(y, x) for x, y in und]
+    e = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r["id"]: (r["coreness"], r["changed"])
+        for r in core_decomposition(e, rounds=10).collect()
+    }
+    # exact peel
+    adj = {}
+    for x, y in sym:
+        adj.setdefault(x, set()).add(y)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, live = {}, dict(deg)
+    k = 0
+    while live:
+        k = max(k, min(live.values()))
+        peel = [v for v, d in live.items() if d <= k]
+        for v in peel:
+            core[v] = k
+            del live[v]
+            for u in adj[v]:
+                if u in live:
+                    live[u] -= 1
+    assert {v: c for v, (c, _) in got.items()} == core
+    assert not any(chg for _, chg in got.values())
