@@ -13942,6 +13942,124 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitemporal_spans_sql(alias: str, where: str) -> str:
+    """One SCD2 span build (the scd2_user_state window chain) over
+    ``events {where}``, as a CTE named ``alias`` with RAW timestamps."""
+    return f"""{alias} AS MATERIALIZED (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY seg_id) AS vt
+      FROM (
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS state,
+               seg_id, min(ts) AS vf
+        FROM (
+          SELECT user_id, event_type, ts, event_id,
+                 CAST(count(CASE WHEN prev IS NULL OR prev <> event_type
+                                 THEN 1 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS BIGINT) AS seg_id
+          FROM (SELECT user_id, event_type, ts, event_id,
+                       lag(event_type)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events {where})
+        ) GROUP BY 1, 2, 3
+      ))"""
+
+
+def _bitemporal_sql() -> str:
+    probes = []
+    for era, alias, pt in [
+        (1, "s1", "2024-01-10"), (1, "s1", "2024-01-25"),
+        (2, "s2", "2024-01-10"), (2, "s2", "2024-01-25"),
+    ]:
+        probes.append(
+            f"SELECT CAST({era} AS BIGINT) AS era, '{pt}' AS probe_ts, state,"
+            f" CAST(count(*) AS BIGINT) AS n_users"
+            f" FROM {alias} WHERE vf <= TIMESTAMP '{pt}'"
+            f" AND (vt IS NULL OR vt > TIMESTAMP '{pt}') GROUP BY 3"
+        )
+    return (
+        "WITH "
+        + _bitemporal_spans_sql("s1", "WHERE ts < TIMESTAMP '2024-01-16'")
+        + ",\n"
+        + _bitemporal_spans_sql("s2", "")
+        + "\n"
+        + "\nUNION ALL\n".join(probes)
+    )
+
+
+@register("bitemporal_point_in_time", oracle=_bitemporal_sql())
+def bitemporal_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL queries — transaction time × valid time: an SCD2 state
+    dimension lives in a snapshot table (transaction time = commit
+    version; valid time = the spans). Era 1 commits the history known
+    mid-month; era 2 merges the full rebuild (the SCD2 prefix property
+    makes that a pure upsert). Each probe answers "what did we BELIEVE
+    at era E about the state at time T" — note era 1 still 'believes'
+    its open spans extend through 2024-01-25; era 2 has closed them.
+    That divergence (same valid-time question, different answers by
+    transaction time) is the bitemporal defining property, and the
+    oracle replays both table states + all four probes exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def spans(src: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("event_type").over(w)
+        marker = F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        seg = src.select(
+            "user_id", "event_type", "ts",
+            F.count(marker).over(w).cast("bigint").alias("seg_id"),
+        )
+        sp = seg.groupBy("user_id", "event_type", "seg_id").agg(
+            F.min("ts").alias("vf")
+        )
+        w2 = Window.partitionBy("user_id").orderBy("seg_id")
+        return sp.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_type").alias("state"),
+            "seg_id",
+            "vf",
+            F.lead("vf").over(w2).alias("vt"),
+        )
+
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    path = os.path.join(tempfile.gettempdir(), f"graft_bitemp_{_sf_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, spans(ev.filter(F.col("ts") < cutoff)),
+        ["user_id", "seg_id"], n_buckets=8,
+    )
+    v1 = t.latest_version()
+    t.merge(spans(ev))
+    v2 = t.latest_version()
+    frames = []
+    for era, v, pt in [(1, v1, "2024-01-10"), (1, v1, "2024-01-25"),
+                       (2, v2, "2024-01-10"), (2, v2, "2024-01-25")]:
+        tl = F.lit(pt).cast("timestamp")
+        active = t.read(version=v).filter(
+            (F.col("vf") <= tl) & (F.col("vt").isNull() | (F.col("vt") > tl))
+        )
+        frames.append(
+            active.groupBy("state")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(
+                F.lit(era).cast("bigint").alias("era"),
+                F.lit(pt).alias("probe_ts"),
+                "state",
+                "n_users",
+            )
+        )
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionByName(fr)
+    return res
+
+
 def _coreness_sql(rounds: int = 8) -> str:
     """DuckDB replay of graph/algorithms.py:core_decomposition: degree
     init, ``rounds`` unrolled h-index contractions (rank-desc window +
