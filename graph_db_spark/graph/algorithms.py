@@ -1170,3 +1170,77 @@ def core_decomposition(edges: DataFrame, rounds: int = 8, n_partitions: int | No
     return cur.join(changed, on="id").select(
         "id", F.col("cor").alias("coreness"), F.col("chg").alias("changed")
     )
+
+
+def boruvka_forest(
+    edges: DataFrame, rounds: int = 5, n_partitions: int | None = None
+):
+    """Minimum spanning forest by Borůvka rounds — THE distributed MST
+    (each round every component picks its minimum outgoing edge, then
+    touching components contract): deterministic via the total edge
+    order (w, src, dst). ``edges``: (src, dst, w) with BOTH directions
+    present. Returns (forest, labels): forest = (a, b, w, round) with
+    canonical a < b (an edge chosen by both endpoints' components
+    appears once), labels = (id, comp) after ``rounds``; components
+    count > connected-component count means the fixed rounds truncated
+    contraction (each round at least halves components, so log2|V|
+    always suffices; dense graphs contract in 3-4).
+
+    Scale: per round one contraction join (edges x current labels, the
+    pre-partitioned-static-side discipline) + a per-component min
+    window + a COMPONENT-sized min-label closure (the chosen edges form
+    a pseudo-forest over components — vanishingly small next to E), so
+    round cost is O(E) with log-bounded round count."""
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = prepartition_for_rounds(
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+            F.col("w").cast("long").alias("w"),
+        ),
+        nparts,
+        "src",
+    )
+    lab = (
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    wnd = Window.partitionBy("ca").orderBy("w", "src", "dst")
+    forest = None
+    for r in range(1, rounds + 1):
+        la = lab.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
+        lb = lab.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
+        ce = (
+            e.join(la, on="src")
+            .join(lb, on="dst")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        chosen = (
+            ce.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .select("ca", "cb", "src", "dst", "w")
+            .localCheckpoint(eager=True)
+        )
+        picked = (
+            chosen.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                "w",
+            )
+            .distinct()
+            .withColumn("round", F.lit(r).cast("bigint"))
+        )
+        forest = picked if forest is None else forest.unionByName(picked)
+        merge = chosen.select(
+            F.col("ca").alias("src"), F.col("cb").alias("dst")
+        )
+        cc = connected_components(merge, n_partitions=8).select(
+            F.col("id").alias("comp"), F.col("component").alias("newc")
+        )
+        lab = (
+            lab.join(cc, on="comp", how="left")
+            .select("id", F.coalesce(F.col("newc"), F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return forest.localCheckpoint(eager=True), lab

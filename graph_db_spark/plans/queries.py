@@ -13942,6 +13942,118 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boruvka_sql(rounds: int = 4) -> str:
+    """DuckDB replay of graph/algorithms.py:boruvka_forest on the
+    order-count-weighted trade graph: per round the contraction join,
+    the (w, src, dst)-ordered per-component argmin, the canonical edge
+    dedup, and a recursive min-label closure over the chosen
+    component pseudo-forest (string-lexicographic min — exactly the CC
+    label rule). Per-round rows emit unconditionally; round -1 carries
+    the final component count."""
+    parts = [
+        "eb AS MATERIALIZED (SELECT 'C:' || CAST(o_custkey AS VARCHAR) AS c,"
+        " 'S:' || CAST(l_suppkey AS VARCHAR) AS s,"
+        " CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT c AS src, s AS dst, w FROM eb"
+        " UNION ALL SELECT s, c, w FROM eb)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"ce{r} AS MATERIALIZED (SELECT e.src, e.dst, e.w,"
+            f" la.comp AS ca, lb.comp AS cb"
+            f" FROM e JOIN l{r - 1} la ON la.id = e.src"
+            f" JOIN l{r - 1} lb ON lb.id = e.dst WHERE la.comp <> lb.comp)"
+        )
+        parts.append(
+            f"ch{r} AS MATERIALIZED (SELECT ca, cb, src, dst, w FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY ca"
+            f" ORDER BY w, src, dst) AS rn FROM ce{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"pick{r} AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+            f" greatest(src, dst) AS b, w FROM ch{r})"
+        )
+        parts.append(
+            f"sym{r} AS MATERIALIZED (SELECT ca AS x, cb AS y FROM ch{r}"
+            f" UNION SELECT cb, ca FROM ch{r})"
+        )
+        parts.append(
+            f"rec{r}(c, rc) AS (SELECT x, x FROM sym{r}"
+            f" UNION SELECT r.c, s.y FROM rec{r} r JOIN sym{r} s ON s.x = r.rc)"
+        )
+        parts.append(
+            f"memb{r} AS MATERIALIZED (SELECT c, min(rc) AS newc"
+            f" FROM rec{r} GROUP BY 1)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT l.id, coalesce(m.newc, l.comp) AS comp"
+            f" FROM l{r - 1} l LEFT JOIN memb{r} m ON m.c = l.comp)"
+        )
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST(count(*) AS BIGINT) AS n_edges,"
+        f" CAST(coalesce(sum(w), 0) AS BIGINT) AS total_w FROM pick{r}"
+        for r in range(1, rounds + 1)
+    ]
+    sels.append(
+        f"SELECT CAST(-1 AS BIGINT), CAST(count(DISTINCT comp) AS BIGINT),"
+        f" CAST(0 AS BIGINT) FROM l{rounds}"
+    )
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("boruvka_spanning_forest", oracle=_boruvka_sql(4))
+def boruvka_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed minimum spanning forest — Borůvka rounds
+    (graph/algorithms.py:boruvka_forest) over the trade graph weighted
+    by distinct-order counts: per round, how many edges the forest
+    gained and their weight; round -1 is the surviving component count
+    (1 per connected component = fully contracted — each round at least
+    halves components, dense graphs finish in 2-3). MST is the
+    backbone/cost-rollout primitive the pointer-jumping CC family
+    doesn't cover; determinism comes from the (w, src, dst) total edge
+    order."""
+    from graph_db_spark.graph.algorithms import boruvka_forest
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .groupBy(
+            F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("w"))
+    )
+    e = eb.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").unionByName(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    rounds = 4
+    forest, lab = boruvka_forest(e, rounds=rounds)
+    frames = []
+    for r in range(1, rounds + 1):
+        sub = forest.filter(F.col("round") == r)
+        frames.append(
+            sub.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+                F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("total_w"),
+            ).select(F.lit(r).cast("bigint").alias("round"), "n_edges", "total_w")
+        )
+    frames.append(
+        lab.agg(F.countDistinct("comp").cast("bigint").alias("n_edges")).select(
+            F.lit(-1).cast("bigint").alias("round"),
+            "n_edges",
+            F.lit(0).cast("bigint").alias("total_w"),
+        )
+    )
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionByName(fr)
+    return res
+
+
 def _bitemporal_spans_sql(alias: str, where: str) -> str:
     """One SCD2 span build (the scd2_user_state window chain) over
     ``events {where}``, as a CTE named ``alias`` with RAW timestamps."""

@@ -575,3 +575,37 @@ def test_core_decomposition_matches_exact_peel(spark):
                     live[u] -= 1
     assert {v: c for v, (c, _) in got.items()} == core
     assert not any(chg for _, chg in got.values())
+
+
+def test_boruvka_forest_matches_kruskal(spark):
+    """Borůvka rounds == Kruskal's MST on distinct weights (unique MST);
+    labels fully contract to one component per graph component."""
+    from graph_db_spark.graph.algorithms import boruvka_forest
+
+    und = [
+        ("a", "b", 4), ("a", "c", 1), ("b", "c", 3), ("b", "d", 2),
+        ("c", "d", 5), ("d", "e", 7), ("c", "e", 6),
+        # second component
+        ("x", "y", 9), ("y", "z", 8), ("x", "z", 10),
+    ]
+    sym = und + [(b, a, w) for a, b, w in und]
+    e = spark.createDataFrame(sym, "src string, dst string, w long")
+    forest, lab = boruvka_forest(e, rounds=4)
+    got = {(r["a"], r["b"], r["w"]) for r in forest.collect()}
+
+    # Kruskal
+    parent = {}
+    def find(v):
+        while parent.setdefault(v, v) != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+    expect = set()
+    for a, b, w in sorted(und, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            expect.add((min(a, b), max(a, b), w))
+    assert got == expect
+    comps = {r["comp"] for r in lab.collect()}
+    assert len(comps) == 2

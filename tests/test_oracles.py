@@ -152,6 +152,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "hyperanf_neighborhood",
         "core_decomposition_histogram",
         "bitemporal_point_in_time",
+        "boruvka_spanning_forest",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
