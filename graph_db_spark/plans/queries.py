@@ -13308,9 +13308,16 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dt JOIN tot USING (cohort)
     ),
     km AS (
+      -- d = n_risk makes the factor 0 and every later S(t) exactly 0;
+      -- guard the ln argument (DuckDB ln(0) ERRORS, Spark NULLs) and
+      -- zero the output via the windowed min instead
       SELECT cohort, t, n_risk, d,
-             exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
-                 OVER (PARTITION BY cohort ORDER BY t)) AS s
+             CASE WHEN min(n_risk - d) OVER (PARTITION BY cohort ORDER BY t) = 0
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN n_risk > d
+                                       THEN (n_risk - d) * 1.0 / n_risk
+                                       ELSE 1.0 END))
+                           OVER (PARTITION BY cohort ORDER BY t)) END AS s
       FROM risk WHERE d > 0
     )
     SELECT cohort, t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
@@ -13371,11 +13378,17 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))).alias("n_risk"),
     )
     wkm = Window.partitionBy("cohort").orderBy("t")
+    # mirror the oracle's zero-factor guard: d = n_risk zeroes S(t) from
+    # that event time on; ln only ever sees strictly positive factors
+    safe = F.when(
+        F.col("n_risk") > F.col("d"),
+        (F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk"),
+    ).otherwise(F.lit(1.0))
     km = risk.filter(F.col("d") > 0).select(
         "cohort", "t", "n_risk", "d",
-        F.exp(
-            F.sum(F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))).over(wkm)
-        ).alias("s"),
+        F.when(F.min(F.col("n_risk") - F.col("d")).over(wkm) == 0, F.lit(0.0))
+        .otherwise(F.exp(F.sum(F.log(safe)).over(wkm)))
+        .alias("s"),
     )
     return km.select(
         "cohort",
