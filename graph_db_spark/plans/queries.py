@@ -13955,6 +13955,61 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "moments_rollup_variance",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(value) AS n, sum(value) AS s, sum(value * value) AS s2
+      FROM events GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT event_type, sum(n) AS n, sum(s) AS s, sum(s2) AS s2
+      FROM daily GROUP BY 1
+    ),
+    native AS (
+      SELECT event_type, var_samp(value) AS v FROM events GROUP BY 1
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           round((m.s2 - m.s * m.s / m.n) / (m.n - 1), 4) + 0.0 AS var_rollup,
+           CAST(CASE WHEN abs((m.s2 - m.s * m.s / m.n) / (m.n - 1) - nv.v)
+                          < 1e-6 THEN 1 ELSE 0 END AS BIGINT) AS matches_native
+    FROM merged m JOIN native nv ON nv.event_type = m.event_type
+    """,
+)
+def moments_rollup_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-moments statistics: per-(type, day) partial moments
+    (n, Σx, Σx²) roll up EXACTLY to the global sample variance — the
+    sketch-style pattern (cms_day_merge, hll day sketches) applied to
+    second moments, vs the naive average-of-daily-variances which is
+    simply wrong. The matches_native flag cross-checks the rollup
+    against the engine's own var_samp within 1e-6 — on BOTH engines, so
+    the contract itself is hash-checked. At 100 TB day-level moment
+    rows are what lands in the metrics store; any window rolls up
+    without touching raw data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
+    )
+    native = ev.groupBy("event_type").agg(F.var_samp("value").alias("v"))
+    vr = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return merged.join(native, on="event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        r4(vr).alias("var_rollup"),
+        F.when(F.abs(vr - F.col("v")) < 1e-6, 1).otherwise(0).cast("bigint").alias(
+            "matches_native"
+        ),
+    )
+
+
 def _boruvka_sql(rounds: int = 4) -> str:
     """DuckDB replay of graph/algorithms.py:boruvka_forest on the
     order-count-weighted trade graph: per round the contraction join,

@@ -153,6 +153,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "core_decomposition_histogram",
         "bitemporal_point_in_time",
         "boruvka_spanning_forest",
+        "moments_rollup_variance",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
