@@ -13956,6 +13956,81 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_funnel_levels",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    l1 AS (SELECT DISTINCT user_id FROM v),
+    l2 AS (
+      SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+      WHERE c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOURS
+    ),
+    l3 AS (
+      SELECT DISTINCT v.user_id FROM v
+      JOIN c ON c.user_id = v.user_id
+        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOURS
+      JOIN p ON p.user_id = v.user_id
+        AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 24 HOURS
+    ),
+    lev AS (
+      SELECT l1.user_id,
+             CASE WHEN l3.user_id IS NOT NULL THEN 3
+                  WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
+      FROM l1
+      LEFT JOIN l2 ON l2.user_id = l1.user_id
+      LEFT JOIN l3 ON l3.user_id = l1.user_id
+    )
+    SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_users
+    FROM lev GROUP BY 1
+    """,
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel semantics: per user, the deepest strictly
+    time-ordered view → click → purchase chain that fits inside a 24h
+    window anchored at the chain's FIRST event (funnel_conversion above
+    is the unwindowed variant). Level joins restrict per user — fan-out
+    is per-user event counts (bounded per key), never cross-user; the
+    DISTINCT collapses the chain enumeration before counting. Integer
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("tv"))
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("tc"))
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("tp"))
+    win = F.expr("INTERVAL 24 HOURS")
+    l1 = v.select("user_id").distinct()
+    l2 = (
+        v.join(c, on="user_id")
+        .filter((F.col("tc") > F.col("tv")) & (F.col("tc") <= F.col("tv") + win))
+        .select("user_id")
+        .distinct()
+        .withColumnRenamed("user_id", "u2")
+    )
+    l3 = (
+        v.join(c, on="user_id")
+        .filter((F.col("tc") > F.col("tv")) & (F.col("tc") <= F.col("tv") + win))
+        .join(p, on="user_id")
+        .filter((F.col("tp") > F.col("tc")) & (F.col("tp") <= F.col("tv") + win))
+        .select("user_id")
+        .distinct()
+        .withColumnRenamed("user_id", "u3")
+    )
+    lev = (
+        l1.join(l2, on=[F.col("user_id") == F.col("u2")], how="left")
+        .join(l3, on=[F.col("user_id") == F.col("u3")], how="left")
+        .select(
+            F.when(F.col("u3").isNotNull(), 3)
+            .when(F.col("u2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("level")
+        )
+    )
+    return lev.groupBy(F.col("level").cast("bigint").alias("level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@register(
     "moments_rollup_variance",
     oracle="""
     WITH daily AS (
