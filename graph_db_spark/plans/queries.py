@@ -13956,6 +13956,79 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_partition_balance",
+    oracle=f"""
+    WITH keys AS (SELECT o_totalprice AS k FROM orders),
+    smp AS (
+      SELECT o_totalprice AS k FROM orders
+      WHERE ({_poly_sql("CAST(o_orderkey AS VARCHAR)")}) % 20 = 0
+    ),
+    n AS (SELECT count(*) AS c FROM smp),
+    bounds AS (
+      SELECT q, max(k) AS b FROM (
+        SELECT k, CAST(floor((row_number() OVER (ORDER BY k) - 1) * 8
+                             / (SELECT c FROM n)) AS BIGINT) AS q
+        FROM smp
+      ) GROUP BY 1 HAVING q < 7
+    ),
+    assigned AS (
+      SELECT k, coalesce((SELECT count(*) FROM bounds WHERE b < k), 0) AS bucket
+      FROM keys
+    ),
+    per AS (
+      SELECT bucket, count(*) AS nr, min(k) AS lo, max(k) AS hi
+      FROM assigned GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(nr AS BIGINT) AS n_rows,
+           round(lo, 4) + 0.0 AS min_key, round(hi, 4) + 0.0 AS max_key,
+           round(nr * 8.0 / (SELECT count(*) FROM keys), 4) + 0.0 AS balance
+    FROM per
+    """,
+)
+def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE global-sort scale primitive, made visible: a deterministic
+    ~5% hash sample of the sort key (never rand() — retry-safe), 7
+    sampled-quantile boundaries, range assignment of EVERY row by
+    boundary counting, and the per-bucket balance ratio (n_rows x
+    buckets / total; 1.0 = perfectly even). This is what
+    RangePartitioner / total-order sorts do internally at 100 TB — the
+    sample and boundary table are driver-sized, the assignment is one
+    broadcast-compare per row, and the emitted balance quantifies skew
+    BEFORE committing to the shuffle. Boundary semantics: bucket =
+    count of boundaries strictly below the key."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_totalprice").alias("k"))
+    smp = o.filter(
+        portable_hash(F.col("o_orderkey").cast("string")) % 20 == 0
+    ).select(F.col("o_totalprice").alias("k"))
+    n = smp.count()  # driver-sized scalar probe (sample cardinality)
+    w = Window.orderBy("k")
+    bounds = (
+        smp.withColumn(
+            "q", F.floor((F.row_number().over(w) - 1) * 8 / F.lit(n)).cast("bigint")
+        )
+        .groupBy("q")
+        .agg(F.max("k").alias("b"))
+        .filter(F.col("q") < 7)
+    )
+    blist = sorted(r["b"] for r in bounds.collect())  # 7 boundaries — k-sized
+    bucket = sum(F.when(F.col("k") > F.lit(b), 1).otherwise(0) for b in blist)
+    per = keys.select(bucket.alias("bucket"), "k").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("nr"), F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    total = keys.count()
+    return per.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("nr").cast("bigint").alias("n_rows"),
+        r4(F.col("lo")).alias("min_key"),
+        r4(F.col("hi")).alias("max_key"),
+        r4(F.col("nr") * 8.0 / F.lit(float(total))).alias("balance"),
+    )
+
+
+@register(
     "window_funnel_levels",
     oracle="""
     WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
