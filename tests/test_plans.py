@@ -88,6 +88,11 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "rfm_customer_segments", "session_path_topk", "degree_powerlaw_mle",
         "conversion_latency_quantiles", "sql_api_region_revenue",
         "geo_grid_distance_join", "hierarchy_subtree_rollup",
+        # round-6 continuation, fifth/sixth batches (snapshot-commit and
+        # localCheckpoint-at-plan-build queries excluded as before)
+        "holt_trend_forecast", "kaplan_meier_churn", "k_anonymity_audit",
+        "sq8_quantization_bound", "moments_rollup_variance",
+        "window_funnel_levels",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
