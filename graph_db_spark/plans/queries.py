@@ -13956,6 +13956,63 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gee_distinct_estimate",
+    oracle=f"""
+    WITH smp AS (
+      SELECT event_type, user_id FROM events
+      WHERE ({_poly_sql("CAST(event_id AS VARCHAR)")}) % 20 = 0
+    ),
+    counts AS (
+      SELECT event_type, user_id, count(*) AS c FROM smp GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS d_s,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+      FROM counts GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS d
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, e.d AS exact_distinct,
+           round(sqrt(20.0) * s.f1 + (s.d_s - s.f1), 4) + 0.0 AS gee_estimate,
+           round((sqrt(20.0) * s.f1 + (s.d_s - s.f1)) / e.d, 4) + 0.0 AS ratio
+    FROM stats s JOIN exact e USING (event_type)
+    """,
+)
+def gee_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP from a SAMPLE (no full scan, unlike the HLL family which
+    needs one pass): the GEE distinct-count estimator
+    (Charikar-Chaudhuri-Motwani-Narasayya) D = sqrt(1/q)*f1 + (d_s −
+    f1) over a deterministic 5% hash sample — f1 (sample singletons)
+    carries the unseen mass, the sqrt is the worst-case-optimal
+    multiplier. Emitted beside the exact count and the ratio so the
+    estimator's bias on this distribution is visible. This is the
+    optimizer's NDV probe when even one pass is too expensive — the
+    sample is the only thing read."""
+    from graph_db_spark.operators.dedup import portable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    smp = ev.filter(portable_hash(F.col("event_id").cast("string")) % 20 == 0)
+    counts = smp.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_s"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("d")
+    )
+    gee = F.sqrt(F.lit(20.0)) * F.col("f1") + (F.col("d_s") - F.col("f1"))
+    return stats.join(exact, on="event_type").select(
+        "event_type",
+        F.col("d").alias("exact_distinct"),
+        r4(gee).alias("gee_estimate"),
+        r4(gee / F.col("d")).alias("ratio"),
+    )
+
+
+@register(
     "range_partition_balance",
     oracle=f"""
     WITH keys AS (SELECT o_totalprice AS k FROM orders),

@@ -156,6 +156,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "moments_rollup_variance",
         "window_funnel_levels",
         "range_partition_balance",
+        "gee_distinct_estimate",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
