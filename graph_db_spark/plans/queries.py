@@ -4381,9 +4381,16 @@ _EXPENSIVE_LAST = [
 # post-freeze registrations ("tz_zone_correct_offsets", "ann_pq_topk",
 # "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection",
 # "doc_token_entropy", "bm25_doc_ranking", and the later r6-continuation
-# registrations listed in tests/test_oracles.py `post_freeze`); fill the
-# rest with rotating re-checks of the oldest driver-green rows (r01
-# names first). Keep tests/test_oracles.py's `post_freeze` set in sync.
+# registrations listed in tests/test_oracles.py `post_freeze` — the
+# post-freeze pool now EXCEEDS one 50-slot window (73 names at r6
+# close), so r7 takes weighted_sample_docs + the 49 cheapest
+# post-freeze names (sf0.01 timings in tools/check_correctness.py
+# output; snapshot/streaming/iterative ones last) and r8 takes the
+# remainder before any re-check rotation starts. Keep
+# tests/test_oracles.py's `post_freeze` set in sync with EVERY new
+# registration — the r6-close additions are all individually
+# local-green at sf0.01 AND sf0.001 (both full-sweep records in
+# BASELINE.md).
 _GATE_WINDOW = [
     # §2-verifying scalar/set/window shapes (local-green since r3/r4)
     "iso_z_parse", "ineq_trimmed_float", "json_encode_props",
