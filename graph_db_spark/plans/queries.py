@@ -13963,6 +13963,114 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "median_order_statistic_ci",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n,
+             quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cuts AS (
+      SELECT event_type, n, med,
+             CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS lo_rk,
+             n - CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) + 1
+               AS hi_rk
+      FROM stats
+    )
+    SELECT c.event_type, CAST(c.n AS BIGINT) AS n,
+           round(c.med, 4) + 0.0 AS median,
+           round(lo.value, 4) + 0.0 AS ci_lo,
+           round(hi.value, 4) + 0.0 AS ci_hi
+    FROM cuts c
+    JOIN ranked lo ON lo.event_type = c.event_type AND lo.rk = c.lo_rk
+    JOIN ranked hi ON hi.event_type = c.event_type AND hi.rk = c.hi_rk
+    """,
+)
+def median_order_statistic_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the MEDIAN via order statistics
+    (binomial/sign-test bounds: ranks (n ± 1.96√n)/2) — the
+    no-assumptions companion to bootstrap_ci_mean: no resampling, no
+    normality, just two rank lookups after the per-group sort the
+    exact-percentile already pays. The value at a rank is
+    order-unambiguous even with ties (the sorted multiset is unique),
+    so no tiebreak column is needed."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    ).localCheckpoint(eager=True)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), PF.percentile(F.col("value"), 0.5).alias("med")
+    )
+    lo_rk = F.floor(
+        (F.col("n") - 1.96 * F.sqrt(F.col("n").cast("double"))) / 2
+    ).cast("bigint")
+    cuts = stats.select(
+        "event_type", "n", "med", lo_rk.alias("lo_rk"),
+        (F.col("n") - lo_rk + 1).alias("hi_rk"),
+    )
+    lo = ranked.select(
+        "event_type", F.col("rk").alias("lo_rk"), F.col("value").alias("lov")
+    )
+    hi = ranked.select(
+        "event_type", F.col("rk").alias("hi_rk"), F.col("value").alias("hiv")
+    )
+    return (
+        cuts.join(lo, on=["event_type", "lo_rk"])
+        .join(hi, on=["event_type", "hi_rk"])
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            r4(F.col("med")).alias("median"),
+            r4(F.col("lov")).alias("ci_lo"),
+            r4(F.col("hiv")).alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(value) AS n_rows, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_rows * sd) AS z FROM s)
+    SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+           round(sd, 4) + 0.0 AS sigma,
+           round(1000.0 * n_rows * sd / tot.z, 4) + 0.0 AS neyman_n
+    FROM s, tot
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-sampling design: Neyman-optimal allocation of a 1000-row
+    sample budget across strata (n_h ∝ N_h·σ_h) — the
+    variance-minimizing refinement of the proportional
+    ``stratified_sample``: high-variance strata earn more than their
+    share. One moments pass per stratum + a scalar total; the
+    allocation is what a 100 TB AQP layer feeds into the per-stratum
+    hash-sample thresholds."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_rows"), F.stddev_samp("value").alias("sd")
+    )
+    tot = s.agg(F.sum(F.col("n_rows") * F.col("sd")).alias("z"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        r4(F.col("sd")).alias("sigma"),
+        r4(F.lit(1000.0) * F.col("n_rows") * F.col("sd") / F.col("z")).alias(
+            "neyman_n"
+        ),
+    )
+
+
+@register(
     "gee_distinct_estimate",
     oracle=f"""
     WITH smp AS (

@@ -157,6 +157,8 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "window_funnel_levels",
         "range_partition_balance",
         "gee_distinct_estimate",
+        "median_order_statistic_ci",
+        "neyman_allocation",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
