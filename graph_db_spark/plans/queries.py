@@ -13963,6 +13963,79 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_robust_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT event_type, day, x,
+             list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+      FROM d
+    ),
+    med AS (
+      SELECT event_type, day, x, vals,
+             (vals[(len(vals) + 1) // 2] + vals[len(vals) // 2 + 1]) / 2.0 AS m
+      FROM fr
+    ),
+    mad AS (
+      SELECT event_type, day, x, m, devs,
+             (devs[(len(devs) + 1) // 2] + devs[len(devs) // 2 + 1]) / 2.0 AS md
+      FROM (SELECT *, list_sort(list_transform(vals, v -> abs(v - m))) AS devs
+            FROM med)
+    )
+    SELECT event_type, day, round(x, 4) + 0.0 AS x,
+           round(m, 4) + 0.0 AS rolling_median,
+           round(md, 4) + 0.0 AS rolling_mad,
+           round(CASE WHEN md > 0 THEN abs(x - m) / (1.4826 * md)
+                      ELSE 0.0 END, 4) + 0.0 AS robust_z
+    FROM mad
+    """,
+)
+def rolling_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling anomaly scoring — the median/MAD twin of
+    ``rolling_anomaly_flags``'s mean/stddev z-score (one outlier day
+    poisons a 7-day mean AND its stddev; the breakdown point of the
+    median/MAD pair is 50%). The 7-row frame is materialized as a
+    sorted list per row (collect_list over the ROWS frame — frame size
+    is a constant, so the per-row list is O(7), not a scale concern)
+    and both medians come from order statistics with midpoint
+    interpolation — pure Column expressions, identically replayed."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    fr = d.withColumn("vals", F.array_sort(F.collect_list("x").over(w)))
+    n = F.size("vals")
+    lo = F.element_at(F.col("vals"), F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(F.col("vals"), (F.floor(n / 2) + 1).cast("int"))
+    med = fr.withColumn("m", (lo + hi) / 2.0)
+    devs = F.array_sort(
+        F.transform(F.col("vals"), lambda v: F.abs(v - F.col("m")))
+    )
+    md_frame = med.withColumn("devs", devs)
+    nd = F.size("devs")
+    dlo = F.element_at(F.col("devs"), F.floor((nd + 1) / 2).cast("int"))
+    dhi = F.element_at(F.col("devs"), (F.floor(nd / 2) + 1).cast("int"))
+    mad = md_frame.withColumn("md", (dlo + dhi) / 2.0)
+    rz = F.when(
+        F.col("md") > 0, F.abs(F.col("x") - F.col("m")) / (1.4826 * F.col("md"))
+    ).otherwise(F.lit(0.0))
+    return mad.select(
+        "event_type", "day",
+        r4(F.col("x")).alias("x"),
+        r4(F.col("m")).alias("rolling_median"),
+        r4(F.col("md")).alias("rolling_mad"),
+        r4(rz).alias("robust_z"),
+    )
+
+
+@register(
     "median_order_statistic_ci",
     oracle="""
     WITH ranked AS (
