@@ -13962,6 +13962,61 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_noise_sql(n_centroids: int = 16, lloyd_iters: int = 3) -> str:
+    parts = _ivf_training_sql(n_centroids, lloyd_iters, 64)
+    # parts[0] already carries the WITH keyword (shared-helper contract)
+    return (
+        ",\n".join(parts)
+        + """,
+    lab AS (SELECT a.neighbor_id AS id, a.cluster, e.label
+            FROM casg a JOIN embeddings e ON e.vec_id = a.neighbor_id),
+    clc AS (SELECT cluster, label, count(*) AS cl_n FROM lab GROUP BY 1, 2),
+    cls AS (SELECT cluster, count(*) AS c_n FROM lab GROUP BY 1)
+    SELECT l.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN c_n > 1 AND (cl_n - 1) * 5 < (c_n - 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(avg(CASE WHEN c_n > 1 THEN (cl_n - 1) * 1.0 / (c_n - 1)
+                          ELSE 1.0 END), 4) + 0.0 AS avg_agreement
+    FROM lab l JOIN clc USING (cluster, label) JOIN cls USING (cluster)
+    GROUP BY 1
+    """
+    )
+
+
+@register("label_noise_screen", oracle=_label_noise_sql())
+def label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error screening (Confident-Learning-lite): IVF-cluster the
+    embeddings (the shared deterministic spherical k-means), then score
+    each vector by its cluster's label agreement
+    (same-label-neighbors / cluster-peers) — vectors whose agreement
+    falls below 20% (an INTEGER cross-multiplied compare, no float
+    boundary) are flagged as probable label noise. Per label: vector
+    count, flagged count, mean agreement. The screening pass a
+    training-data pipeline runs before trusting its classification
+    labels; cluster-bounded, no pair join — the SemDeDup cost shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, "embedding", "vec_id", n_centroids=16, lloyd_iters=3)
+    asg = SIM.ivf_assign(emb, cents).select("id", "cluster")
+    lab = asg.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), on="id"
+    )
+    clc = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("cl_n"))
+    cls = lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_n"))
+    j = lab.join(clc, on=["cluster", "label"]).join(cls, on="cluster")
+    flagged = F.when(
+        (F.col("c_n") > 1) & ((F.col("cl_n") - 1) * 5 < (F.col("c_n") - 1)), 1
+    ).otherwise(0)
+    agree = F.when(
+        F.col("c_n") > 1,
+        (F.col("cl_n") - 1) * 1.0 / (F.col("c_n") - 1),
+    ).otherwise(F.lit(1.0))
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(flagged).cast("bigint").alias("n_flagged"),
+        r4(F.avg(agree)).alias("avg_agreement"),
+    )
+
+
 @register(
     "rolling_robust_anomaly",
     oracle="""

@@ -160,6 +160,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "median_order_statistic_ci",
         "neyman_allocation",
         "rolling_robust_anomaly",
+        "label_noise_screen",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
