@@ -13962,6 +13962,48 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edit_distance_blocked_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    w AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS w FROM names),
+    cand AS (
+      SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+      FROM w a JOIN w b ON a.w = b.w AND a.p_name < b.p_name
+    )
+    SELECT na AS name_a, nb AS name_b,
+           CAST(levenshtein(na, nb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(na, nb) <= 4
+    """,
+)
+def edit_distance_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join for entity resolution: pairs of DISTINCT
+    part names that share a word (the blocking key — standard ER
+    practice, part of the join's declared semantics) AND sit within
+    Levenshtein distance 4. The expensive O(len²) distance runs only on
+    blocked candidates; both engines' levenshtein is the same integer
+    DP, so the output is float-free. Dedup to distinct names first: the
+    quadratic space is vocabulary-sized, never row-count-sized — the
+    same collapse the tokenizer trainers use."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    words = names.select("p_name", F.explode(F.split("p_name", " ")).alias("w"))
+    a = words.select(F.col("p_name").alias("na"), "w")
+    b = words.select(F.col("p_name").alias("nb"), "w")
+    cand = (
+        a.join(b, on="w")
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb")
+        .distinct()
+    )
+    d = F.levenshtein(F.col("na"), F.col("nb"))
+    return cand.filter(d <= 4).select(
+        F.col("na").alias("name_a"),
+        F.col("nb").alias("name_b"),
+        d.cast("bigint").alias("dist"),
+    )
+
+
 def _label_noise_sql(n_centroids: int = 16, lloyd_iters: int = 3) -> str:
     parts = _ivf_training_sql(n_centroids, lloyd_iters, 64)
     # parts[0] already carries the WITH keyword (shared-helper contract)

@@ -161,6 +161,7 @@ def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
         "neyman_allocation",
         "rolling_robust_anomaly",
         "label_noise_screen",
+        "edit_distance_blocked_join",
     }
     never = {n for n in queries() if n not in seen} - post_freeze
     assert set(_GATE_WINDOW) == never, (
