@@ -4392,29 +4392,43 @@ _EXPENSIVE_LAST = [
 # local-green at sf0.01 AND sf0.001 (both full-sweep records in
 # BASELINE.md).
 _GATE_WINDOW = [
-    # §2-verifying scalar/set/window shapes (local-green since r3/r4)
-    "iso_z_parse", "ineq_trimmed_float", "json_encode_props",
-    "area_normalized_sum", "capped_label_sample", "longest_label_pick",
-    "intersect_types", "except_types", "fallback_selection",
-    "data_field_discovery", "wide_melt_roundtrip", "constraint_violations",
-    "dangling_edge_check", "conditional_edge_join", "window_widened_scan",
-    "dynamic_measurement_pivot", "asof_bucketed_line",
-    # sub-second analytics battery
-    "source_dup_rate", "rolling_anomaly_flags", "forecast_revenue",
-    "dow_seasonality", "funnel_conversion", "promo_revenue_share",
-    "percentile_sketch_bound", "gap_fill_forward", "top_supplier_revenue",
-    "range_band_join", "parts_supplier_counts", "event_transition_matrix",
-    "customer_order_distribution", "important_parts_share",
-    "heavy_part_suppliers", "nation_volume_shipping",
-    "last_touch_attribution", "local_supplier_volume", "product_type_profit",
-    "session_overlap_pairs", "late_shipment_priority", "nation_market_share",
-    # sketch (rows-only) + heavier analytics
-    "hll_user_reach", "local_clustering_coeff", "order_value_deciles",
-    "motif_props_projection",
-    # round-5 flagships, cheapest-first at sf0.01
-    "k_truss_cooccurrence", "snapshot_range_pruning",
-    "streaming_left_outer_attribution", "shortest_path_routes",
-    "truss_communities", "curated_training_corpus", "ivm_minmax_rescan",
+    # r7 window: weighted_sample_docs re-queued FIRST (r5 hash-red from
+    # the -0.0 round divergence, fixed via `+ 0.0` normalization on both
+    # sides), then 49 of the 78 never-driver-checked post-freeze names,
+    # cheapest-first at sf0.01. The 29 deferred (heavier snapshot /
+    # streaming / landmark-graph / iterative ops: betweenness_landmarks,
+    # bitemporal_point_in_time, boruvka_spanning_forest,
+    # core_decomposition_histogram, curation_provenance,
+    # edit_distance_blocked_join, geo_grid_distance_join,
+    # harmonic_centrality_landmarks, hierarchy_subtree_rollup,
+    # hyperanf_neighborhood, ivm_join_view, kaplan_meier_churn,
+    # kcenter_coreset, landmark_distance_oracle, landmark_eccentricity,
+    # maximal_independent_set, random_walk_sampling, scc_trade_partners,
+    # snapshot_bloom_point_skip, snapshot_rebucket_evolution,
+    # snapshot_schema_evolution, snapshot_tag_travel,
+    # snapshot_write_audit_publish, streaming_full_outer_attribution,
+    # streaming_scd2_enrichment, streaming_sliding_counts,
+    # streaming_watermark_dedup, wordpiece_vocab_segment,
+    # zorder_clustering_prune) plus every r7 registration form the r8
+    # window. Keep tests/test_oracles.py `post_freeze` in sync with
+    # every new registration.
+    "weighted_sample_docs", "tz_zone_correct_offsets", "ann_pq_topk",
+    "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection",
+    "doc_token_entropy", "bm25_doc_ranking", "hybrid_retrieval_rerank",
+    "degree_assortativity", "hard_negative_mining", "rrf_fusion_ranking",
+    "sample_sum_estimate_bound", "market_basket_lift", "ewma_smoothing",
+    "autocorrelation_lags", "theil_sen_trend", "lineitem_correlations",
+    "zipf_law_fit", "modularity_communities", "jaccard_link_prediction",
+    "ngram_containment_pairs", "embedding_eval_contamination", "bootstrap_ci_mean",
+    "trimmed_mean_stats", "psi_distribution_drift", "ks_two_sample",
+    "ab_test_proportions", "mannwhitney_u_test", "trade_graph_transitivity",
+    "spearman_rank_correlation", "rfm_customer_segments", "session_path_topk",
+    "degree_powerlaw_mle", "conversion_latency_quantiles", "sql_api_region_revenue",
+    "prefix_filter_jaccard", "holt_trend_forecast", "cms_join_cardinality",
+    "sampled_triangle_estimate", "k_anonymity_audit", "sq8_quantization_bound",
+    "moments_rollup_variance", "window_funnel_levels", "range_partition_balance",
+    "gee_distinct_estimate", "median_order_statistic_ci", "neyman_allocation",
+    "rolling_robust_anomaly", "label_noise_screen",
 ]
 assert len(_GATE_WINDOW) == 50
 

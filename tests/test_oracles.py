@@ -62,111 +62,52 @@ def test_gate_window_and_expensive_tail_ordering():
     assert q[-len(tail):] == tail
 
 
-def test_r6_gate_window_is_exactly_the_never_driver_checked_pool():
-    """The r6 rotation's whole point (r5 verdict #1): the window must be
-    EXACTLY the 50 names absent from every CORRECTNESS_r0{1..5}.json, so
-    one green round completes full-inventory driver verification
-    (201/202 — weighted_sample_docs has an r5 row, hash-red, re-queued
-    first in the r7 window)."""
+def test_r7_gate_window_covers_the_never_driver_green_pool():
+    """r7 rotation contract: the never-driver-green pool (absent from every
+    CORRECTNESS_r0{1..6}.json, plus weighted_sample_docs whose r5 row was
+    hash-red) must be exactly _GATE_WINDOW + the documented r8 queue
+    (29 deferred heavies + every post-r7-freeze registration). A name in
+    neither list would stay unverified forever — that is the failure this
+    test exists to catch."""
     import glob
     import json
     import os
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-5].json")))
-    if len(files) < 5:
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-6].json")))
+    if len(files) < 6:
         pytest.skip("driver correctness files absent")
     seen = set()
     for f in files:
         with open(f) as fh:
             seen |= set(json.load(fh))
-    # queries registered AFTER the r6 window froze queue for r7 (behind
-    # weighted_sample_docs, whose r5 row was hash-red)
-    post_freeze = {
-        "tz_zone_correct_offsets",
-        "ann_pq_topk",
-        "ann_pq_distortion_bound",
-        "ann_ivf_pq_topk",
-        "dsir_selection",
-        "doc_token_entropy",
-        "bm25_doc_ranking",
-        "zorder_clustering_prune",
-        "harmonic_centrality_landmarks",
-        "hybrid_retrieval_rerank",
-        "degree_assortativity",
-        "hard_negative_mining",
-        "snapshot_schema_evolution",
-        "rrf_fusion_ranking",
-        "streaming_watermark_dedup",
-        "sample_sum_estimate_bound",
-        "scc_trade_partners",
-        "snapshot_write_audit_publish",
-        "landmark_eccentricity",
-        "market_basket_lift",
-        "ewma_smoothing",
-        "autocorrelation_lags",
-        "theil_sen_trend",
-        "lineitem_correlations",
-        "zipf_law_fit",
-        "modularity_communities",
-        "jaccard_link_prediction",
-        "ngram_containment_pairs",
-        "embedding_eval_contamination",
-        "streaming_sliding_counts",
-        "snapshot_tag_travel",
-        "bootstrap_ci_mean",
-        "trimmed_mean_stats",
-        "psi_distribution_drift",
-        "ks_two_sample",
-        "streaming_full_outer_attribution",
-        "snapshot_bloom_point_skip",
-        "ab_test_proportions",
-        "mannwhitney_u_test",
-        "trade_graph_transitivity",
-        "spearman_rank_correlation",
-        "snapshot_rebucket_evolution",
-        "rfm_customer_segments",
-        "session_path_topk",
-        "degree_powerlaw_mle",
-        "conversion_latency_quantiles",
-        "sql_api_region_revenue",
-        "streaming_scd2_enrichment",
-        "geo_grid_distance_join",
-        "kcenter_coreset",
-        "hierarchy_subtree_rollup",
-        "random_walk_sampling",
-        "betweenness_landmarks",
-        "prefix_filter_jaccard",
-        "holt_trend_forecast",
-        "ivm_join_view",
-        "cms_join_cardinality",
-        "wordpiece_vocab_segment",
-        "sampled_triangle_estimate",
-        "maximal_independent_set",
-        "kaplan_meier_churn",
-        "k_anonymity_audit",
-        "curation_provenance",
-        "sq8_quantization_bound",
-        "landmark_distance_oracle",
-        "hyperanf_neighborhood",
-        "core_decomposition_histogram",
-        "bitemporal_point_in_time",
-        "boruvka_spanning_forest",
-        "moments_rollup_variance",
-        "window_funnel_levels",
-        "range_partition_balance",
-        "gee_distinct_estimate",
-        "median_order_statistic_ci",
-        "neyman_allocation",
-        "rolling_robust_anomaly",
-        "label_noise_screen",
-        "edit_distance_blocked_join",
+    # hash-red in r5; fixed, re-queued first in the r7 window
+    seen.discard("weighted_sample_docs")
+    r8_deferred = {
+        "betweenness_landmarks", "bitemporal_point_in_time",
+        "boruvka_spanning_forest", "core_decomposition_histogram",
+        "curation_provenance", "edit_distance_blocked_join",
+        "geo_grid_distance_join", "harmonic_centrality_landmarks",
+        "hierarchy_subtree_rollup", "hyperanf_neighborhood",
+        "ivm_join_view", "kaplan_meier_churn", "kcenter_coreset",
+        "landmark_distance_oracle", "landmark_eccentricity",
+        "maximal_independent_set", "random_walk_sampling",
+        "scc_trade_partners", "snapshot_bloom_point_skip",
+        "snapshot_rebucket_evolution", "snapshot_schema_evolution",
+        "snapshot_tag_travel", "snapshot_write_audit_publish",
+        "streaming_full_outer_attribution", "streaming_scd2_enrichment",
+        "streaming_sliding_counts", "streaming_watermark_dedup",
+        "wordpiece_vocab_segment", "zorder_clustering_prune",
     }
-    never = {n for n in queries() if n not in seen} - post_freeze
-    assert set(_GATE_WINDOW) == never, (
-        set(_GATE_WINDOW) ^ never
+    # queries registered AFTER the r7 window froze (r8/r9 queue): add
+    # EVERY new registration here — this test fails otherwise.
+    post_freeze_r7 = set()
+    never = {n for n in queries() if n not in seen}
+    assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
+        never ^ (set(_GATE_WINDOW) | r8_deferred | post_freeze_r7)
     )
+    assert not (set(_GATE_WINDOW) & (r8_deferred | post_freeze_r7))
 
 
 def test_rounded_emissions_cannot_produce_negative_zero(spark, sf_dir):
