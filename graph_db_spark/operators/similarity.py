@@ -795,7 +795,14 @@ def kcenter_select(df: DataFrame, vec_col: str, id_col: str, k: int = 8) -> Data
     for t in range(1, k + 1):
         # md > 0 drops exact duplicates of chosen centers from the argmax
         # (mirrors the oracle's WHERE md > 0); ties break to smaller id
-        top = cur.filter(F.col("md") > 0).orderBy(F.desc("md"), F.asc("id")).limit(1).collect()[0]
+        top_rows = (
+            cur.filter(F.col("md") > 0).orderBy(F.desc("md"), F.asc("id")).limit(1).collect()
+        )
+        if not top_rows:
+            # fewer than k+1 distinct vectors: every remaining point is an
+            # exact duplicate of a chosen center — the selection is complete
+            break
+        top = top_rows[0]
         rows.append((t, top["id"], top["md"]))
         cur = cur.withColumn(
             "md", F.least(F.col("md"), _l2sq(F.col("v"), lit_vec(top["v"])))

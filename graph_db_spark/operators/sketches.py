@@ -379,4 +379,13 @@ def count_min_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("j")
         .agg(F.sum(F.col("cnt") * F.col("_cnt_b")).alias("_p"))
     )
-    return prod.agg(F.min("_p").cast("bigint").alias("est"))
+    # a depth row whose buckets share no mass with b contributes a TRUE
+    # row product of 0 — it must participate in the min (otherwise the
+    # estimate is over-stated, and fully disjoint sketches would return
+    # an empty result instead of est=0): left-join the full j spine and
+    # coalesce the missing sums
+    spine = a.select("j").union(b.select("j")).distinct()
+    full = spine.join(prod, on="j", how="left").select(
+        F.coalesce(F.col("_p"), F.lit(0)).alias("_p")
+    )
+    return full.agg(F.coalesce(F.min("_p"), F.lit(0)).cast("bigint").alias("est"))

@@ -13720,7 +13720,9 @@ def _cms_join_size_sql(depth: int = 4, width: int = 256, seed: int = 41) -> str:
     cmsb AS (SELECT j, bucket, sum(c) AS cnt FROM rb GROUP BY 1, 2),
     prod AS (SELECT a.j, sum(a.cnt * b.cnt) AS p
              FROM cmsa a JOIN cmsb b USING (j, bucket) GROUP BY 1),
-    est AS (SELECT min(p) AS v FROM prod)
+    spine AS (SELECT DISTINCT j FROM cmsa UNION SELECT DISTINCT j FROM cmsb),
+    est AS (SELECT coalesce(min(coalesce(p, 0)), 0) AS v
+            FROM spine LEFT JOIN prod USING (j))
     SELECT CAST(exact.v AS BIGINT) AS exact_join_size,
            CAST(est.v AS BIGINT) AS cms_estimate,
            CAST(CASE WHEN est.v >= exact.v THEN 1 ELSE 0 END AS BIGINT)
@@ -15394,6 +15396,430 @@ def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("s_suppkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_within"),
         r4(F.min("dist")).alias("nearest_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 statistics battery — concentration / digit-law / association /
+# variance-decomposition / rank tests / frequency-moment sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, c.c_custkey AS cust,
+             sum(o.o_totalprice) AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation ORDER BY x, cust) AS i
+      FROM rev
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 4) + 0.0 AS gini,
+           round(sum(x * x) / (sum(x) * sum(x)), 4) + 0.0 AS hhi
+    FROM rk GROUP BY 1
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — revenue-concentration audit per nation: the Gini
+    coefficient in its sorted-rank closed form G = 2·Σi·x_i/(n·Σx) −
+    (n+1)/n plus the Herfindahl-Hirschman index Σ share². The rank is a
+    per-nation window over per-customer revenue (ties broken by custkey;
+    permuting equal x leaves Σi·x_i unchanged, so the tiebreak is for
+    determinism, not semantics). One narrow join + one window + one agg
+    — at 100 TB the window partitions by nation so no global sort ever
+    happens, and the fact scan reduces to two pushed columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), F.col("c_custkey").alias("cust")
+        )
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("nation").orderBy("x", "cust")
+    rk = rev.select("nation", "x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return rk.groupBy("nation").agg(
+        n.cast("bigint").alias("n_customers"),
+        r4(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n
+        ).alias("gini"),
+        r4(F.sum(F.col("x") * F.col("x")) / (F.sum("x") * F.sum("x"))).alias("hhi"),
+    ).select(F.col("nation").cast("bigint").alias("nation"), "n_customers", "gini", "hhi")
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT count(*) AS n FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / tot.n, 4) + 0.0 AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 4) + 0.0 AS benford_share,
+           round(tot.n * power(count(*) * 1.0 / tot.n
+                               - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 4) + 0.0 AS chi2_term
+    FROM d, tot GROUP BY digit, tot.n
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Benford's-law conformance screen on order totals:
+    first significant digit d = ⌊p/10^⌊log10 p⌋⌋ vs the log10(1+1/d)
+    expectation, one χ² term per digit (fraud/data-entry anomaly
+    screening over financial columns). Digit extraction stays numeric —
+    never a double→string format, which is NOT engine-portable. One
+    pushed-projection scan + a 9-group agg; the scalar total arrives via
+    a broadcast cross join, so the plan is two stages at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    share = F.count(F.lit(1)) * 1.0 / F.first("n_tot")
+    exp = F.log(10.0, 1.0 + 1.0 / F.col("digit"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(share).alias("obs_share"),
+            r4(exp).alias("benford_share"),
+            r4(F.first("n_tot") * F.pow(share - exp, 2) / exp).alias("chi2_term"),
+        )
+    )
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH ct AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             count(*) AS obs
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT seg, pri, obs,
+             sum(obs) OVER (PARTITION BY seg) AS rt,
+             sum(obs) OVER (PARTITION BY pri) AS col_t,
+             sum(obs) OVER () AS n
+      FROM ct
+    ),
+    chi AS (
+      SELECT max(n) AS n,
+             count(DISTINCT seg) AS r, count(DISTINCT pri) AS c,
+             sum(power(obs - rt * col_t * 1.0 / n, 2) / (rt * col_t * 1.0 / n))
+               AS chi2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+           round(chi2, 4) + 0.0 AS chi2,
+           round(sqrt(chi2 / (n * (least(r, c) - 1))), 4) + 0.0 AS cramers_v
+    FROM chi
+    """,
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Cramér's V association between market segment and
+    order priority: χ² over the full contingency table with windowed
+    marginals (no second scan), then V = √(χ²/(n·(min(r,c)−1))). The
+    contingency table is 5×5 — the windows and the final agg run on 25
+    rows regardless of fact-table scale, so the whole test costs one
+    groupBy shuffle of the join output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ct = (
+        o.join(c.select("c_custkey", "c_mktsegment"), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    m = ct.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("seg")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("pri")).alias("col_t"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("col_t") * 1.0 / F.col("n")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("seg").alias("r"),
+        F.countDistinct("pri").alias("c"),
+        F.sum(F.pow(F.col("obs") - e, 2) / e).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("df"),
+        r4(F.col("chi2")).alias("chi2"),
+        r4(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1)))
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "anova_f_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS seg, count(*) AS ng,
+             sum(c_acctbal) AS s, sum(c_acctbal * c_acctbal) AS ss
+      FROM customer GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(ng) AS n, sum(s) AS st, sum(ss) AS sst,
+             sum(s * s / ng) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(st / n, 4) + 0.0 AS grand_mean,
+           round(((sb - st * st / n) / (k - 1))
+                 / ((sst - sb) / (n - k)), 4) + 0.0 AS f_stat,
+           round((sb - st * st / n) / (sst - st * st / n), 4) + 0.0 AS eta_sq
+    FROM tot
+    """,
+)
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — one-way ANOVA of account balance across market
+    segments: F = (SSB/(k−1))/(SSW/(n−k)) from the Σx/Σx² sufficient
+    statistics (one map-side-combinable agg — no per-row mean join, no
+    second pass), plus η² effect size. Emitted values are ratios/means,
+    whose cross-engine float drift is relative (~1e−12), never the raw
+    sums-of-squares whose ABSOLUTE drift would break 4-decimal hashing."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c_acctbal").alias("s"),
+        F.sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(F.col("s") * F.col("s") / F.col("ng")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("st") * F.col("st") / F.col("n")
+    sst_c = F.col("sst") - F.col("st") * F.col("st") / F.col("n")
+    ssw = F.col("sst") - F.col("sb")
+    return tot.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("st") / F.col("n")).alias("grand_mean"),
+        r4((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))).alias(
+            "f_stat"
+        ),
+        r4(ssb / sst_c).alias("eta_sq"),
+    )
+
+
+@register(
+    "kruskal_wallis_test",
+    oracle="""
+    WITH li AS (SELECT l_returnflag AS flag, l_quantity AS q FROM lineitem),
+    rq AS (
+      SELECT q, count(*) AS t,
+             sum(count(*)) OVER (ORDER BY q) - count(*)
+               + (count(*) + 1) / 2.0 AS r
+      FROM li GROUP BY q
+    ),
+    ranked AS (SELECT li.flag, rq.r, rq.t FROM li JOIN rq ON li.q = rq.q),
+    n_tot AS (SELECT count(*) AS n FROM li),
+    grp AS (
+      SELECT flag, count(*) AS ng, avg(r) AS mr FROM ranked GROUP BY 1
+    ),
+    ties AS (SELECT sum(t * t * t - t) AS tsum FROM rq),
+    h AS (
+      SELECT n_tot.n AS n, count(*) AS k,
+             12.0 / (n_tot.n * (n_tot.n + 1.0))
+               * sum(ng * power(mr - (n_tot.n + 1.0) / 2.0, 2)) AS h_raw,
+             1.0 - ties.tsum / (power(n_tot.n, 3) - n_tot.n) AS c
+      FROM grp, n_tot, ties GROUP BY n_tot.n, ties.tsum
+    ),
+    final AS (
+      SELECT n, k, h_raw / c AS hc FROM h
+    )
+    SELECT g.flag, CAST(g.ng AS BIGINT) AS n,
+           round(g.mr, 4) + 0.0 AS mean_rank,
+           CAST(f.k - 1 AS BIGINT) AS df,
+           round(f.hc, 4) + 0.0 AS h_corrected
+    FROM grp g, final f
+    """,
+)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Kruskal-Wallis H across return flags on quantity,
+    the k-group rank ANOVA with full tie correction (quantity has ~50
+    distinct values over the whole fact table — the 6Σd² textbook form
+    is unusable). Midranks come from ONE cumsum window over the
+    DISTINCT-value table (the spearman_rank_correlation trick at
+    queries.py:spearman_rank_correlation): every midrank is an exact
+    multiple of 0.5, and sums of half-integers are EXACT in double —
+    the emitted H is bit-identical across engines, not merely close."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q")
+    )
+    g = li.groupBy("q").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("q")
+    rq = g.select(
+        "q",
+        "t",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias("r"),
+    )
+    ranked = li.join(F.broadcast(rq), on="q")
+    grp = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("ng"), F.avg("r").alias("mr")
+    )
+    n_tot = li.agg(F.count(F.lit(1)).alias("n"))
+    ties = rq.agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"))
+    h = (
+        grp.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(ties))
+        .groupBy("n", "tsum")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            (
+                12.0
+                / (F.col("n") * (F.col("n") + 1.0))
+                * F.sum(
+                    F.col("ng")
+                    * F.pow(F.col("mr") - (F.col("n") + 1.0) / 2.0, 2)
+                )
+            ).alias("h_raw"),
+        )
+        .select(
+            "n",
+            "k",
+            (
+                F.col("h_raw")
+                / (1.0 - F.col("tsum") / (F.pow(F.col("n"), 3) - F.col("n")))
+            ).alias("hc"),
+        )
+    )
+    return grp.crossJoin(F.broadcast(h)).select(
+        "flag",
+        F.col("ng").cast("bigint").alias("n"),
+        r4(F.col("mr")).alias("mean_rank"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        r4(F.col("hc")).alias("h_corrected"),
+    )
+
+
+def _ams_f2_sql(n_est: int = 32, per_group: int = 8, seed: int = 17) -> str:
+    """DuckDB replay of the AMS F2 (second frequency moment) sketch:
+    ±1 four-wise-style signs from the portable hash + the LCG affine
+    family (dedup.py:minhash_params, emitted as integer literals),
+    median-of-means over ``n_est`` estimators in groups of
+    ``per_group``. Every intermediate is integer or an exact
+    power-of-two division, so the estimate is bit-identical."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    vals = ", ".join(
+        f"({i}, {i // per_group}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_params(n_est, seed=seed))
+    )
+    n_groups = n_est // per_group
+    lo, hi = n_groups // 2, n_groups // 2 + 1
+    return f"""
+    WITH f AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+               FROM events GROUP BY 1),
+    h AS (SELECT k, c, {_poly_sql('k')} AS hh FROM f),
+    s AS (SELECT t.i, t.g,
+                 sum(CASE WHEN ((t.a * hh + t.b) % {P}) % 2 = 0
+                          THEN c ELSE -c END) AS sk
+          FROM h CROSS JOIN (VALUES {vals}) t(i, g, a, b) GROUP BY 1, 2),
+    means AS (SELECT g, sum(sk * sk) / {per_group}.0 AS m FROM s GROUP BY 1),
+    med AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means),
+    ams AS (SELECT avg(m) AS v FROM med WHERE rn IN ({lo}, {hi})),
+    exact AS (SELECT sum(c * c) AS v FROM f)
+    SELECT CAST(exact.v AS BIGINT) AS exact_f2,
+           round(ams.v, 4) + 0.0 AS ams_estimate,
+           round((ams.v - exact.v) / exact.v, 4) + 0.0 AS rel_error
+    FROM exact, ams
+    """
+
+
+@register("ams_f2_moment", oracle=_ams_f2_sql())
+def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches — AMS second frequency moment (Alon-Matias-Szegedy
+    tug-of-war) of the events user_id stream: 32 ±1-signed counters,
+    median of 4 means of 8 squared estimators, vs the exact
+    F2 = Σf² self-join size. F2 IS the self-join/skew planning number
+    — at 100 TB the 32 counters come from one map-side-combined agg
+    over the (already tiny) per-key frequency table, no shuffle wider
+    than 32 rows; pair it with cms_join_cardinality for two-sided join
+    sizing. Signs/means/median are integer or power-of-two exact —
+    the estimate hashes bit-identically (see _ams_f2_sql)."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params, portable_hash
+
+    n_est, per_group, seed = 32, 8, 17
+    f = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("c", portable_hash(F.col("k")).alias("hh"))
+    )
+    params = spark.createDataFrame(
+        [
+            (i, i // per_group, a, b)
+            for i, (a, b) in enumerate(minhash_params(n_est, seed=seed))
+        ],
+        "i int, g int, a long, b long",
+    )
+    sk = (
+        f.crossJoin(F.broadcast(params))
+        .groupBy("i", "g")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("a") * F.col("hh") + F.col("b")) % P) % 2 == 0,
+                    F.col("c"),
+                ).otherwise(-F.col("c"))
+            ).alias("sk")
+        )
+    )
+    means = sk.groupBy("g").agg(
+        (F.sum(F.col("sk") * F.col("sk")) / float(per_group)).alias("m")
+    )
+    n_groups = n_est // per_group
+    lo, hi = n_groups // 2, n_groups // 2 + 1
+    med = means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rn")
+    ).filter(F.col("rn").isin(lo, hi))
+    ams = med.agg(F.avg("m").alias("v"))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("ex"))
+    )
+    return exact.crossJoin(ams).select(
+        F.col("ex").cast("bigint").alias("exact_f2"),
+        r4(F.col("v")).alias("ams_estimate"),
+        r4((F.col("v") - F.col("ex")) / F.col("ex")).alias("rel_error"),
     )
 
 

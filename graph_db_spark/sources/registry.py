@@ -34,6 +34,24 @@ BATCH_FORMATS = ("parquet", "csv", "json", "orc", "text", "binaryFile", "avro")
 #   bare ClassNotFoundException mid-plan.
 
 
+def _load_with_avro_hint(reader, path: str) -> DataFrame:
+    """``reader.load(path)`` with the avro classpath failure translated:
+    spark-avro ships as an external module, and a bare classpath yields an
+    opaque "Failed to find data source" AnalysisException — convert it to
+    the actionable deploy instruction (Scala suffix varies per build, so
+    the hint names the placeholder, not one hardcoded artifact)."""
+    try:
+        return reader.load(path)
+    except Exception as e:  # noqa: BLE001 — AnalysisException subclass set varies
+        if "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "avro support needs the spark-avro package on the "
+                "classpath (spark.jars.packages="
+                "org.apache.spark:spark-avro_<scala-version>:<spark-version>)"
+            ) from e
+        raise
+
+
 def read_source(
     spark: SparkSession,
     fmt: str,
@@ -74,19 +92,7 @@ def read_source(
     for k, v in options.items():
         reader = reader.option(k, v)
     if fmt == "avro":
-        # avro ships as an external module: a bare classpath yields an
-        # opaque "Failed to find data source" AnalysisException — convert
-        # it to the actionable deploy instruction
-        try:
-            return reader.load(path)
-        except Exception as e:  # noqa: BLE001 — AnalysisException subclass set varies
-            if "Failed to find data source" in str(e):
-                raise RuntimeError(
-                    "avro support needs the spark-avro package on the "
-                    "classpath (spark.jars.packages="
-                    "org.apache.spark:spark-avro_2.13:<spark-version>)"
-                ) from e
-            raise
+        return _load_with_avro_hint(reader, path)
     return reader.load(path)
 
 
@@ -151,17 +157,5 @@ def stream_file_source(
     for k, v in options.items():
         reader = reader.option(k, v)
     if fmt == "avro":
-        # avro ships as an external module: a bare classpath yields an
-        # opaque "Failed to find data source" AnalysisException — convert
-        # it to the actionable deploy instruction
-        try:
-            return reader.load(path)
-        except Exception as e:  # noqa: BLE001 — AnalysisException subclass set varies
-            if "Failed to find data source" in str(e):
-                raise RuntimeError(
-                    "avro support needs the spark-avro package on the "
-                    "classpath (spark.jars.packages="
-                    "org.apache.spark:spark-avro_2.13:<spark-version>)"
-                ) from e
-            raise
+        return _load_with_avro_hint(reader, path)
     return reader.load(path)

@@ -18,6 +18,8 @@ same Catalyst plans as the batch versions — one definition, two runners.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,7 +87,7 @@ def stream_sessions(
 def stream_sliding_counts(
     events: DataFrame,
     ts_col: str = "ts",
-    key_cols: list[str] = ("event_type",),
+    key_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
     window: str = "6 hours",
     slide: str = "2 hours",

@@ -1015,3 +1015,23 @@ def test_cms_inner_product_upper_bounds_true_join_size(spark):
     # keys to share a bucket in EVERY row — astronomically unlikely and
     # deterministically false for this fixed hash
     assert est == exact
+
+
+def test_cms_inner_product_disjoint_sketches_is_zero(spark):
+    """r6 ADVICE regression: depth rows sharing no non-zero bucket must
+    contribute a true row product of 0 to the min — fully disjoint
+    sketches return est=0 (one row), not an empty/NULL result."""
+    from graph_db_spark.operators.sketches import (
+        count_min_inner_product,
+        count_min_table,
+    )
+
+    a = spark.createDataFrame([("a1", 3), ("a2", 5)], "k string, c long")
+    b = spark.createDataFrame([("b1", 4), ("b2", 6)], "k string, c long")
+    # width large enough that the two key sets share no buckets in at
+    # least one depth row (deterministic for this fixed hash family)
+    cms_a = count_min_table(a, "k", "c", depth=4, width=4096)
+    cms_b = count_min_table(b, "k", "c", depth=4, width=4096)
+    rows = count_min_inner_product(cms_a, cms_b).collect()
+    assert len(rows) == 1
+    assert rows[0]["est"] == 0

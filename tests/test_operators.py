@@ -359,3 +359,18 @@ def test_new_operator_guards(spark):
     s = spark.createDataFrame([("a",)], "start string")
     with _pt.raises(ValueError):
         deterministic_walks(e, s, length=0)
+
+
+def test_kcenter_select_exhausts_distinct_vectors_gracefully(spark):
+    """r6 ADVICE regression: with fewer than k+1 DISTINCT vectors the
+    greedy loop must stop after exhausting them (returning the selected
+    centers) instead of crashing on an empty argmax collect."""
+    from graph_db_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0]), (4, [1.0, 0.0])],
+        "vid long, emb array<double>",
+    )
+    got = kcenter_select(df, "emb", "vid", k=5).orderBy("round").collect()
+    # 2 distinct vectors -> seed + 1 selection, then clean stop
+    assert [(r["round"], r["id"]) for r in got] == [(0, 1), (1, 2)]

@@ -102,7 +102,10 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
     }
     # queries registered AFTER the r7 window froze (r8/r9 queue): add
     # EVERY new registration here — this test fails otherwise.
-    post_freeze_r7 = set()
+    post_freeze_r7 = {
+        "gini_concentration", "benford_first_digit", "cramers_v_association",
+        "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
+    }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
         never ^ (set(_GATE_WINDOW) | r8_deferred | post_freeze_r7)
