@@ -15823,4 +15823,170 @@ def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 time-series battery — classical decomposition / forecast-accuracy
+# scaling / lead-lag cross-correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stl_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT day, y,
+             CASE WHEN count(*) OVER w = 7 THEN avg(y) OVER w END AS trend
+      FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING)
+    ),
+    d AS (SELECT day, y, trend, dayofweek(day) AS dow, y - trend AS detr
+          FROM t),
+    s AS (SELECT dow, avg(detr) AS sd FROM d GROUP BY 1),
+    sc AS (SELECT dow, sd - (SELECT avg(sd) FROM s) AS seas FROM s)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           round(d.y, 4) + 0.0 AS revenue,
+           round(d.trend, 4) + 0.0 AS trend,
+           round(sc.seas, 4) + 0.0 AS seasonal,
+           round(d.y - d.trend - sc.seas, 4) + 0.0 AS remainder
+    FROM d JOIN sc ON d.dow = sc.dow
+    """,
+)
+def stl_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — classical additive decomposition of daily revenue
+    (the moving-average core of STL): trend = centered 7-day MA (NULL at
+    the edges where the window is partial — no fabricated trend),
+    seasonal = day-of-week mean of the detrended series re-centered to
+    sum 0, remainder = the rest. The fact scan collapses to a daily
+    aggregate before any window runs, so the windows order a
+    calendar-sized table — at 100 TB the only full-data pass is the
+    map-side-combined groupBy. DOW uses DuckDB's 0-6 Sunday-first
+    convention (dow_seasonality precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "y",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("y").over(w)).alias("trend"),
+    )
+    d = t.select(
+        "day",
+        "y",
+        "trend",
+        (F.dayofweek("day") - 1).alias("dow"),
+        (F.col("y") - F.col("trend")).alias("detr"),
+    )
+    s = d.groupBy("dow").agg(F.avg("detr").alias("sd"))
+    grand = s.agg(F.avg("sd").alias("g"))
+    sc = s.crossJoin(F.broadcast(grand)).select(
+        "dow", (F.col("sd") - F.col("g")).alias("seas")
+    )
+    return d.join(F.broadcast(sc), on="dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        r4(F.col("y")).alias("revenue"),
+        r4(F.col("trend")).alias("trend"),
+        r4(F.col("seas")).alias("seasonal"),
+        r4(F.col("y") - F.col("trend") - F.col("seas")).alias("remainder"),
+    )
+
+
+@register(
+    "mase_forecast_accuracy",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT et, v,
+             lag(v, 1) OVER (PARTITION BY et ORDER BY day) AS l1,
+             lag(v, 7) OVER (PARTITION BY et ORDER BY day) AS l7
+      FROM daily
+    )
+    SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(v - l1)), 4) + 0.0 AS mae_naive,
+           round(avg(abs(v - l7)), 4) + 0.0 AS mae_seasonal,
+           round(avg(abs(v - l7)) / avg(abs(v - l1)), 4) + 0.0 AS mase
+    FROM lagged GROUP BY 1
+    """,
+)
+def mase_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — MASE (mean absolute scaled error, Hyndman-Koehler)
+    per event type: the seasonal-naive (t−7) forecast's MAE scaled by
+    the one-step-naive MAE, the standard scale-free way to compare
+    forecast baselines across series of different magnitude (< 1 means
+    weekly seasonality carries real signal). avg() skips the NULL
+    warm-up rows on both engines — that shared semantic IS the
+    contract. Windows run per-type on the daily rollup, so state is
+    calendar-bounded at any fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("et").orderBy("day")
+    lagged = daily.select(
+        "et",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 7).over(w).alias("l7"),
+    )
+    mae1 = F.avg(F.abs(F.col("v") - F.col("l1")))
+    mae7 = F.avg(F.abs(F.col("v") - F.col("l7")))
+    return lagged.groupBy(F.col("et").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        r4(mae1).alias("mae_naive"),
+        r4(mae7).alias("mae_seasonal"),
+        r4(mae7 / mae1).alias("mase"),
+    )
+
+
+@register(
+    "cross_correlation_lead_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) * 1.0 AS c, avg(o_totalprice) AS p
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT range AS lag FROM range(-7, 8)),
+    pairs AS (
+      SELECT l.lag, a.c, b.p
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.day = a.day + CAST(l.lag || ' days' AS INTERVAL)
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(c, p), 4) + 0.0 AS ccf
+    FROM pairs GROUP BY 1
+    """,
+)
+def cross_correlation_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — cross-correlation function between daily order
+    count and daily mean ticket at lags −7..+7: does volume LEAD price
+    or follow it? The join key is day+lag over the daily rollup, so the
+    15-lag fan-out multiplies a calendar-sized table, never the fact
+    stream; corr() is the one co-moment agg per lag. Scale: one groupBy
+    shuffle over ≤ 15·|days| rows regardless of order volume."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("c"), F.avg("o_totalprice").alias("p")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("day").alias("bday"), "p")
+    pairs = (
+        daily.select("day", "c")
+        .crossJoin(F.broadcast(lags))
+        .join(b, F.expr("bday = date_add(day, lag)"))
+    )
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        r4(F.corr("c", "p")).alias("ccf"),
+    ).select(F.col("lag").cast("bigint").alias("lag"), "n_days", "ccf")
+
+
 _reorder_for_gate()

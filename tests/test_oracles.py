@@ -105,6 +105,8 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
     post_freeze_r7 = {
         "gini_concentration", "benford_first_digit", "cramers_v_association",
         "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
+        "stl_seasonal_decompose", "mase_forecast_accuracy",
+        "cross_correlation_lead_lag",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
