@@ -15989,4 +15989,420 @@ def cross_correlation_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("lag").cast("bigint").alias("lag"), "n_days", "ccf")
 
 
+# ---------------------------------------------------------------------------
+# r7 ML battery — closed-form OLS / multinomial NB token screen /
+# leave-one-out 1-NN eval / reciprocal-NN pairs / centroid drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_normal_equations",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+             sum(l_quantity * l_quantity) AS s11,
+             sum(l_quantity * l_discount) AS s12,
+             sum(l_discount * l_discount) AS s22,
+             sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_extendedprice) AS s1y,
+             sum(l_discount * l_extendedprice) AS s2y,
+             sum(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem
+    ),
+    d AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - sx1 * (sx1 * s22 - s12 * sx2)
+             + sx2 * (sx1 * s12 - s11 * sx2) AS det
+      FROM s
+    ),
+    beta AS (
+      SELECT n, sy, s1y, s2y, syy,
+             (sy  * (s11 * s22 - s12 * s12)
+              - sx1 * (s1y * s22 - s12 * s2y)
+              + sx2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+             (n   * (s1y * s22 - s12 * s2y)
+              - sy * (sx1 * s22 - s12 * sx2)
+              + sx2 * (sx1 * s2y - s1y * sx2)) / det AS b1,
+             (n   * (s11 * s2y - s1y * s12)
+              - sx1 * (sx1 * s2y - s1y * sx2)
+              + sy * (sx1 * s12 - s11 * sx2)) / det AS b2
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 4) + 0.0 AS intercept,
+           round(b1, 4) + 0.0 AS beta_quantity,
+           round(b2, 4) + 0.0 AS beta_discount,
+           round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                       / (syy - sy * sy / n), 4) + 0.0 AS r2
+    FROM beta
+    """,
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — closed-form multiple linear regression (extendedprice ~
+    quantity + discount) via the 3×3 normal equations solved with
+    Cramer's rule: ONE map-side-combinable aggregate collects the ten
+    sufficient statistics, the solve is scalar arithmetic on a 1-row
+    frame. SSE uses the normal-equation identity yᵀy − βᵀXᵀy, so R²
+    needs no second pass. This is the 100 TB regression recipe: no
+    gradient loop, no driver matrix library, shuffle width = 10
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    s = li.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    ) / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    return s.select(
+        n.cast("bigint").alias("n"),
+        r4(b0).alias("intercept"),
+        r4(b1).alias("beta_quantity"),
+        r4(b2).alias("beta_discount"),
+        r4(1.0 - sse / sst).alias("r2"),
+    )
+
+
+@register(
+    "naive_bayes_token_screen",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS y,
+             lower(trim(text)) AS t
+      FROM documents
+    ),
+    toks AS (SELECT y, unnest(string_split_regex(t, '\\s+')) AS tok FROM lab),
+    cnt AS (
+      SELECT tok,
+             sum(CASE WHEN y = 'long' THEN 1 ELSE 0 END) AS cl,
+             sum(CASE WHEN y = 'short' THEN 1 ELSE 0 END) AS cs
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(cl) AS tl, sum(cs) AS ts, count(*) AS v FROM cnt
+    ),
+    llr AS (
+      SELECT tok, CAST(cl AS BIGINT) AS count_long,
+             CAST(cs AS BIGINT) AS count_short,
+             ln((cl + 1.0) / (tot.tl + tot.v))
+               - ln((cs + 1.0) / (tot.ts + tot.v)) AS w
+      FROM cnt, tot WHERE cl + cs >= 5
+    ),
+    ranked AS (
+      SELECT tok, count_long, count_short, w,
+             row_number() OVER (ORDER BY w DESC, tok) AS rl,
+             row_number() OVER (ORDER BY w ASC, tok) AS rs
+      FROM llr
+    )
+    SELECT tok AS token, count_long, count_short,
+           round(w, 4) + 0.0 AS log_likelihood_ratio,
+           CASE WHEN rl <= 10 THEN 'long' ELSE 'short' END AS indicates
+    FROM ranked WHERE rl <= 10 OR rs <= 10
+    """,
+)
+def naive_bayes_token_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — multinomial naive-Bayes feature screen: Laplace-smoothed
+    per-token log-likelihood ratios between long (≥300 chars) and short
+    documents, top-10 indicators each way. Training IS one token-count
+    aggregate (the classic MapReduce NB); the class totals + vocabulary
+    size ride in on a broadcast scalar row. The ≥5-occurrence floor
+    keeps the screen out of hapax noise. Counts are integers and the
+    weights single ln() calls — no float-sum drift anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("y"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("y") == "long", 1).otherwise(0)).alias("cl"),
+        F.sum(F.when(F.col("y") == "short", 1).otherwise(0)).alias("cs"),
+    )
+    tot = cnt.agg(
+        F.sum("cl").alias("tl"), F.sum("cs").alias("ts"), F.count(F.lit(1)).alias("v")
+    )
+    llr = (
+        cnt.filter(F.col("cl") + F.col("cs") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("cl").cast("bigint").alias("count_long"),
+            F.col("cs").cast("bigint").alias("count_short"),
+            (
+                F.log((F.col("cl") + 1.0) / (F.col("tl") + F.col("v")))
+                - F.log((F.col("cs") + 1.0) / (F.col("ts") + F.col("v")))
+            ).alias("w"),
+        )
+    )
+    ranked = llr.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("w"), "tok")).alias("rl"),
+        F.row_number().over(Window.orderBy(F.asc("w"), "tok")).alias("rs"),
+    )
+    return ranked.filter((F.col("rl") <= 10) | (F.col("rs") <= 10)).select(
+        F.col("tok").alias("token"),
+        "count_long",
+        "count_short",
+        r4(F.col("w")).alias("log_likelihood_ratio"),
+        F.when(F.col("rl") <= 10, "long").otherwise("short").alias("indicates"),
+    )
+
+
+@register(
+    "knn_loo_label_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nn AS (
+      SELECT vec_id, label, nlabel FROM (
+        SELECT a.vec_id, a.label, b.label AS nlabel,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v))) DESC,
+                          b.vec_id
+               ) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) + 0.0 AS accuracy
+    FROM nn GROUP BY 1
+    """,
+)
+def knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — leave-one-out 1-NN label agreement per class: for every
+    vector, does its cosine-nearest OTHER vector carry the same label?
+    The standard embedding-quality probe (high accuracy = labels are
+    cosine-separable = the embedding is usable for retrieval branching).
+    Brute-force all-pairs — the exact baseline mirroring
+    embedding_cosine_topk's fold discipline (left-fold dot products are
+    bit-identical cross-engine); the ANN-bucketed variants are the
+    100 TB path, this is their recall referee."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ) * F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("nv"), F.col("nv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = e.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
+        "vec_id", "label", "nlabel", (dot / norm).alias("sim"), "nid"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
+    nn = pairs.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    agree = F.sum(F.when(F.col("nlabel") == F.col("label"), 1).otherwise(0))
+    return nn.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        agree.cast("bigint").alias("n_correct"),
+        r4(agree * 1.0 / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@register(
+    "mutual_nearest_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nn AS (
+      SELECT vec_id, label, nid, sim FROM (
+        SELECT a.vec_id, a.label, b.vec_id AS nid,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v))) DESC,
+                          b.vec_id
+               ) AS rn
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(a.sim, 4) + 0.0 AS cosine_sim
+    FROM nn a JOIN nn b
+      ON a.nid = b.vec_id AND b.nid = a.vec_id AND a.vec_id < b.vec_id
+    """,
+)
+def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — reciprocal (mutual) nearest-neighbor pairs within each label
+    class: (a,b) where each is the other's cosine-1-NN — the
+    high-precision seed pairs entity resolution and contrastive-pair
+    mining start from (RBM matching). Partitioning the all-pairs by
+    label divides the quadratic work by the class count — the same
+    blocking idea the dedup family uses; the reciprocal join then runs
+    on the |V|-sized NN table. Tie-break and fold order mirror
+    embedding_cosine_topk."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
+    )
+    b = e.select(
+        F.col("label").alias("nlabel2"),
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("nv"), F.col("nv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = e.join(
+        b,
+        (F.col("label") == F.col("nlabel2")) & (F.col("vec_id") != F.col("nid")),
+    ).select("vec_id", "label", "nid", (dot / (na * nb)).alias("sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
+    nn = pairs.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    nn2 = nn.select(
+        F.col("vec_id").alias("b_vec"), F.col("nid").alias("b_nid")
+    )
+    return (
+        nn.join(
+            nn2,
+            (F.col("nid") == F.col("b_vec"))
+            & (F.col("b_nid") == F.col("vec_id"))
+            & (F.col("vec_id") < F.col("b_vec")),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("vec_id").alias("id_a"),
+            F.col("b_vec").alias("id_b"),
+            r4(F.col("sim")).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT label, t.pos, v[t.pos] AS x
+      FROM e CROSS JOIN range(1, 65) t(pos)
+    ),
+    lc AS (SELECT label, pos, avg(x) AS m FROM dims GROUP BY 1, 2),
+    gc AS (SELECT pos, avg(x) AS g FROM dims GROUP BY 1),
+    agg AS (
+      SELECT lc.label, sum(lc.m * gc.g) AS dp,
+             sum(lc.m * lc.m) AS l2, sum(gc.g * gc.g) AS g2
+      FROM lc JOIN gc USING (pos) GROUP BY 1
+    ),
+    n AS (SELECT label, count(*) AS nv FROM e GROUP BY 1)
+    SELECT CAST(agg.label AS BIGINT) AS label,
+           CAST(n.nv AS BIGINT) AS n_vecs,
+           round(dp / (sqrt(l2) * sqrt(g2)), 4) + 0.0 AS cos_to_global,
+           round(sqrt(l2), 4) + 0.0 AS centroid_norm
+    FROM agg JOIN n ON agg.label = n.label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — per-class centroid drift: cosine between each label's mean
+    embedding and the corpus mean (low cosine = the class occupies its
+    own region; near-1 = the class is not linearly separated from the
+    bulk), plus the centroid norm (near-0 = the class averages itself
+    away — an isotropy warning). Dimension explode → one
+    map-side-combinable avg per (label, dim): the shuffle carries
+    |labels|·64 rows however many vectors exist — the canonical
+    distributed-centroid plan."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
+    )
+    dims = e.select("label", F.posexplode("v").alias("pos0", "x")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "x"
+    )
+    lc = dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    gc = dims.groupBy("pos").agg(F.avg("x").alias("g"))
+    agg = lc.join(F.broadcast(gc), on="pos").groupBy("label").agg(
+        F.sum(F.col("m") * F.col("g")).alias("dp"),
+        F.sum(F.col("m") * F.col("m")).alias("l2"),
+        F.sum(F.col("g") * F.col("g")).alias("g2"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("nv"))
+    return agg.join(n, on="label").select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("nv").cast("bigint").alias("n_vecs"),
+        r4(F.col("dp") / (F.sqrt("l2") * F.sqrt("g2"))).alias("cos_to_global"),
+        r4(F.sqrt("l2")).alias("centroid_norm"),
+    )
+
+
 _reorder_for_gate()

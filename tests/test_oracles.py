@@ -106,7 +106,9 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "gini_concentration", "benford_first_digit", "cramers_v_association",
         "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
         "stl_seasonal_decompose", "mase_forecast_accuracy",
-        "cross_correlation_lead_lag",
+        "cross_correlation_lead_lag", "ols_normal_equations",
+        "naive_bayes_token_screen", "knn_loo_label_eval",
+        "mutual_nearest_pairs", "embedding_centroid_drift",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
