@@ -16405,4 +16405,300 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 pipeline battery — DP release / source-similarity matrix /
+# curriculum phases / cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def _dp_noisy_counts_sql(eps: float = 1.0) -> str:
+    """DuckDB replay of the deterministic-Laplace DP release: uniform
+    u ∈ (0,1) from the portable hash of the group key, inverse-CDF
+    Laplace noise at sensitivity 1. Same hash, same ln — the 'noise' is
+    a pure function of the key, so both engines emit identical rows."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+
+    return f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    u AS (SELECT source, n,
+                 ({_poly_sql('source')} + 1.0) / {P + 1}.0 AS u
+          FROM c)
+    SELECT source, CAST(n AS BIGINT) AS true_count,
+           round(n - (1.0 / {eps}) * sign(u - 0.5)
+                     * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0.0
+             AS noisy_count,
+           round(CAST({eps} AS DOUBLE), 4) + 0.0 AS epsilon
+    FROM u
+    """
+
+
+@register("dp_noisy_source_counts", oracle=_dp_noisy_counts_sql())
+def dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy — ε-differentially-private count release per source:
+    Laplace(1/ε) noise via the inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|)
+    over a uniform DERIVED FROM THE PORTABLE KEY HASH, not an RNG — the
+    distributional shape of real DP noise with reproducible, oracle-
+    checkable draws (the same seeded-noise trick the weighted sampler
+    uses). Complements k_anonymity_audit: that one suppresses, this one
+    perturbs. u ∈ (0,1) by construction ((h+1)/(P+1)), so the ln
+    argument never hits 0. One aggregate + scalar math — shuffle is
+    |groups| rows at any scale."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import portable_hash
+
+    eps = 1.0
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = (portable_hash(F.col("source")) + 1.0) / float(P + 1)
+    noise = (1.0 / eps) * F.signum(u - 0.5) * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return c.select(
+        "source",
+        F.col("n").cast("bigint").alias("true_count"),
+        r4(F.col("n") - noise).alias("noisy_count"),
+        r4(F.lit(eps)).alias("epsilon"),
+    )
+
+
+@register(
+    "source_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT source, token, count(*) * 1.0 AS cnt
+          FROM toks GROUP BY 1, 2),
+    t AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY 1),
+    p AS (SELECT c.source, c.token, c.cnt / t.tot AS p
+          FROM c JOIN t USING (source)),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_terms,
+             sum(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2.0))
+                 + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2.0))) AS jsd_shared,
+             sum(a.p) AS pa_shared, sum(b.p) AS pb_shared
+      FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(shared_terms AS BIGINT) AS shared_terms,
+           round(jsd_shared
+                 + 0.5 * ln(2.0) * (1.0 - pa_shared)
+                 + 0.5 * ln(2.0) * (1.0 - pb_shared), 4) + 0.0
+             AS js_divergence
+    FROM shared
+    """,
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — the source-similarity matrix mixture design reads:
+    Jensen-Shannon divergence between source unigram distributions
+    (symmetric, bounded [0, ln 2], defined even when supports differ —
+    unlike raw KL). Near-zero JSD → redundant sources to merge or
+    down-weight in mixture_weights; high JSD → genuine diversity.
+    Complements psi_distribution_drift (PSI watches ONE source over
+    time; this compares sources pairwise). Tokens present on only one
+    side contribute exactly 0.5·p·ln2 each, and Σp = 1, so the
+    one-sided mass folds into the closed form 0.5·ln2·(1 − Σp_shared)
+    per side — the pairwise work stays an INNER join on the
+    (source, token) aggregate: |sources|²·|vocab| however many
+    documents exist."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    c = toks.groupBy("source", "token").agg((F.count(F.lit(1)) * 1.0).alias("cnt"))
+    t = c.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    p = c.join(t, on="source").select(
+        "source", "token", (F.col("cnt") / F.col("tot")).alias("p")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
+    )
+    m = (F.col("p") + F.col("pb")) / 2.0
+    term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("pb") * F.log(
+        F.col("pb") / m
+    )
+    shared = (
+        p.join(b, on="token")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_terms"),
+            F.sum(term).alias("jsd_shared"),
+            F.sum("p").alias("pa_shared"),
+            F.sum("pb").alias("pb_shared"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return shared.select(
+        "source_a",
+        "source_b",
+        "shared_terms",
+        r4(
+            F.col("jsd_shared")
+            + 0.5 * ln2 * (1.0 - F.col("pa_shared"))
+            + 0.5 * ln2 * (1.0 - F.col("pb_shared"))
+        ).alias("js_divergence"),
+    )
+
+
+@register(
+    "curriculum_phase_assign",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    t AS (SELECT count(*) AS n FROM toks),
+    diff AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             avg(-ln(cnt * 1.0 / n)) AS difficulty
+      FROM toks JOIN c USING (token) CROSS JOIN t GROUP BY 1
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+             count(*) OVER () AS nd
+      FROM diff
+    ),
+    ph AS (
+      SELECT *, CAST(least(3, floor((rn - 1) * 4.0 / nd)) AS BIGINT) AS phase
+      FROM rk
+    )
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(difficulty), 4) + 0.0 AS min_difficulty,
+           round(avg(difficulty), 4) + 0.0 AS avg_difficulty,
+           round(max(difficulty), 4) + 0.0 AS max_difficulty
+    FROM ph GROUP BY 1
+    """,
+)
+def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — curriculum ordering: rank documents by unigram
+    difficulty (mean −ln p under the corpus's own distribution — the
+    unigram_logperplexity signal) and cut into 4 equal phases
+    (easy→hard), emitting per-phase token budgets for scheduler
+    consumption. The explicit ⌊(rn−1)·4/n⌋ bucket replaces ntile() —
+    engines disagree on ntile's remainder placement, floor arithmetic
+    they cannot. Ranking runs on the per-doc aggregate, so the global
+    sort is |docs|-sized, not token-sized."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    t = toks.agg(F.count(F.lit(1)).alias("n"))
+    diff = (
+        toks.join(c, on="token")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log(F.col("cnt") * 1.0 / F.col("n"))).alias("difficulty"),
+        )
+    )
+    rk = diff.select(
+        "*",
+        F.row_number().over(Window.orderBy("difficulty", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    ph = rk.select(
+        "*",
+        F.least(F.lit(3), F.floor((F.col("rn") - 1) * 4.0 / F.col("nd")))
+        .cast("bigint")
+        .alias("phase"),
+    )
+    return ph.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        r4(F.min("difficulty")).alias("min_difficulty"),
+        r4(F.avg("difficulty")).alias("avg_difficulty"),
+        r4(F.max("difficulty")).alias("max_difficulty"),
+    )
+
+
+@register(
+    "quantile_normalize_lengths",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gi,
+             count(*) OVER () AS gn
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN ns = 1 THEN 1
+                  ELSE CAST(floor((rn - 1.0) / (ns - 1.0) * (
+                         (SELECT max(gn) FROM g) - 1) + 0.5) + 1 AS BIGINT)
+             END AS gidx
+      FROM s
+    )
+    SELECT m.doc_id, m.source, CAST(m.n_chars AS BIGINT) AS n_chars,
+           CAST(g.v AS BIGINT) AS n_chars_normalized
+    FROM m JOIN g ON g.gi = m.gidx
+    """,
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — cross-source quantile normalization (the batch-effect
+    correction borrowed from bioinformatics): each document's length is
+    replaced by the GLOBAL length at its within-source percentile, so
+    every source's length distribution becomes the corpus distribution
+    — the pre-mixing step that stops a long-doc source from dominating
+    a token budget. Index math is ⌊x+0.5⌋ (explicit half-up: engines
+    disagree on round-half semantics, never on floor). Two rank windows
+    + one index equi-join; the global sort is per-column, not per-row,
+    at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("n_chars").alias("v"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gi"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("gn"),
+    )
+    s = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+    )
+    gn = g.agg(F.max("gn").alias("gn"))
+    m = s.crossJoin(F.broadcast(gn)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("ns") == 1, F.lit(1))
+        .otherwise(
+            (
+                F.floor(
+                    (F.col("rn") - 1.0)
+                    / (F.col("ns") - 1.0)
+                    * (F.col("gn") - 1)
+                    + 0.5
+                )
+                + 1
+            ).cast("bigint")
+        )
+        .alias("gidx"),
+    )
+    return m.join(g.select("gi", "v"), m.gidx == F.col("gi")).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("v").cast("bigint").alias("n_chars_normalized"),
+    )
+
+
 _reorder_for_gate()

@@ -109,6 +109,8 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "cross_correlation_lead_lag", "ols_normal_equations",
         "naive_bayes_token_screen", "knn_loo_label_eval",
         "mutual_nearest_pairs", "embedding_centroid_drift",
+        "dp_noisy_source_counts", "source_js_divergence",
+        "curriculum_phase_assign", "quantile_normalize_lengths",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
