@@ -4314,6 +4314,7 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXPENSIVE_LAST = [
+    "katz_walk_centrality",         # ~2.3s at sf0.01 (4 walk-count rounds)
     "link_prediction_adamic_adar",  # ~2.4s at sf0.01 (wedge join)
     "label_propagation",            # ~2.7s (3 sync rounds)
     "streaming_decontamination",    # ~3s at sf0.01 (stream machinery)
@@ -16698,6 +16699,401 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("v").cast("bigint").alias("n_chars_normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 batch 5 — Welch t / Brown-Forsythe / SPRT / Katz walks /
+# nominal assortativity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_t_test",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'low' END AS grp,
+             count(*) * 1.0 AS n, sum(o_totalprice) AS s,
+             sum(o_totalprice * o_totalprice) AS ss
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT grp, n, s / n AS mean, (ss - s * s / n) / (n - 1) AS var
+      FROM g
+    ),
+    w AS (
+      SELECT a.n AS n1, b.n AS n2, a.mean - b.mean AS diff,
+             a.var / a.n + b.var / b.n AS se2,
+             a.var / a.n AS v1, b.var / b.n AS v2
+      FROM m a JOIN m b ON a.grp = 'urgent' AND b.grp = 'low'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+           round(diff, 4) + 0.0 AS mean_diff,
+           round(diff / sqrt(se2), 4) + 0.0 AS t_stat,
+           round(se2 * se2 / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 4)
+             + 0.0 AS df_welch
+    FROM w
+    """,
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Welch's unequal-variance t-test (urgent vs low
+    priority order totals) with the Welch-Satterthwaite effective df:
+    the robust default two-sample test (pooled-variance Student's t is
+    wrong under heteroscedasticity). Sufficient statistics only — one
+    filtered aggregate, a 2-row self-join, scalar math; emissions are
+    ratios/means so float drift stays relative."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = o.groupBy(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .otherwise("low")
+        .alias("grp")
+    ).agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    )
+    m = g.select(
+        "grp",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    b = m.select(
+        F.col("grp").alias("grp2"), F.col("n").alias("n2"),
+        F.col("mean").alias("mean2"), F.col("var").alias("var2"),
+    )
+    w = m.join(b, (F.col("grp") == "urgent") & (F.col("grp2") == "low"))
+    v1, v2 = F.col("var") / F.col("n"), F.col("var2") / F.col("n2")
+    se2 = v1 + v2
+    return w.select(
+        F.col("n").cast("bigint").alias("n_urgent"),
+        F.col("n2").cast("bigint").alias("n_low"),
+        r4(F.col("mean") - F.col("mean2")).alias("mean_diff"),
+        r4((F.col("mean") - F.col("mean2")) / F.sqrt(se2)).alias("t_stat"),
+        r4(
+            se2 * se2
+            / (v1 * v1 / (F.col("n") - 1) + v2 * v2 / (F.col("n2") - 1))
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "levene_variance_test",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag AS flag, quantile_cont(l_quantity, 0.5) AS md
+      FROM lineitem GROUP BY 1
+    ),
+    z AS (
+      SELECT li.l_returnflag AS flag,
+             abs(li.l_quantity - med.md) AS z
+      FROM lineitem li JOIN med ON li.l_returnflag = med.flag
+    ),
+    g AS (
+      SELECT flag, count(*) * 1.0 AS ng, sum(z) AS s, sum(z * z) AS ss
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(ng) AS n, sum(s) AS st, sum(ss) AS sst,
+             sum(s * s / ng) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(((n - k) / (k - 1.0))
+                 * (sb - st * st / n) / (sst - sb), 4) + 0.0 AS w_stat
+    FROM tot
+    """,
+)
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Brown-Forsythe (median-centered Levene) test for
+    variance homogeneity of quantity across return flags: the
+    precondition check for pooled-variance ANOVA (anova_f_oneway), and
+    robust to non-normality where mean-centered Levene is not. Group
+    medians via the interpolating percentile (cross-engine parity
+    established by quality_quantile_filter), then a one-way ANOVA on
+    |x − med| from sufficient statistics — two aggregates total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("md")
+    )
+    z = li.join(
+        F.broadcast(med), li.l_returnflag == F.col("flag")
+    ).select("flag", F.abs(F.col("l_quantity") - F.col("md")).alias("z"))
+    g = z.groupBy("flag").agg(
+        (F.count(F.lit(1)) * 1.0).alias("ng"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(F.col("s") * F.col("s") / F.col("ng")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("st") * F.col("st") / F.col("n")
+    ssw = F.col("sst") - F.col("sb")
+    return tot.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        r4(
+            ((F.col("n") - F.col("k")) / (F.col("k") - 1.0)) * ssb / ssw
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "sprt_sequential_decision",
+    oracle="""
+    WITH trials AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+             ts, event_id
+      FROM events
+    ),
+    cum AS (
+      SELECT x,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             sum(CASE WHEN x = 1 THEN CAST(0.20067069546215124 AS DOUBLE) ELSE CAST(-0.050010420574661305 AS DOUBLE) END)
+               OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+      FROM trials
+    ),
+    cross_pt AS (
+      SELECT min(rn) AS rn_cross FROM cum
+      WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
+    ),
+    at_cross AS (
+      SELECT c.rn, c.llr FROM cum c, cross_pt WHERE c.rn = cross_pt.rn_cross
+    ),
+    fin AS (
+      SELECT count(*) AS n, sum(x) AS s, max(CASE WHEN rn = (SELECT count(*) FROM cum) THEN llr END) AS llr_final
+      FROM cum
+    )
+    SELECT CAST(fin.n AS BIGINT) AS n_trials,
+           CAST(fin.s AS BIGINT) AS n_success,
+           CAST(at_cross.rn AS BIGINT) AS decision_at,
+           CASE WHEN at_cross.llr >= 2.9444389791664403 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           round(at_cross.llr, 4) + 0.0 AS llr_at_decision,
+           round(fin.llr_final, 4) + 0.0 AS llr_final
+    FROM fin LEFT JOIN at_cross ON true
+    """,
+)
+def sprt_sequential_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Wald's SPRT over the event stream as Bernoulli
+    trials (purchase vs not, H0: p=0.18 vs H1: p=0.22, α=β=0.05): the
+    cumulative log-likelihood ratio walk and the FIRST boundary
+    crossing (±ln 19) — the sequential A/B stopping rule that ends
+    experiments at the earliest defensible moment instead of a fixed
+    horizon (ab_test_proportions is the fixed-horizon twin). The
+    per-trial increments are shared double literals, and an ordered
+    windowed cumsum accumulates left-to-right identically in both
+    engines — bit-identical walk, same crossing row. The global order
+    is the test's semantics (one experiment = one sequence; a real
+    deployment partitions by experiment key)."""
+    ev = load_table(spark, sf_dir, "events")
+    trials = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        "ts",
+        "event_id",
+    )
+    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = trials.select(
+        "x",
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("rn"),
+        F.sum(
+            F.when(F.col("x") == 1, F.lit(0.20067069546215124)).otherwise(F.lit(-0.050010420574661305))
+        ).over(w).alias("llr"),
+    )
+    cross_pt = cum.filter(
+        (F.col("llr") >= 2.9444389791664403) | (F.col("llr") <= -2.9444389791664403)
+    ).agg(F.min("rn").alias("rn_cross"))
+    at_cross = cum.join(
+        F.broadcast(cross_pt), F.col("rn") == F.col("rn_cross")
+    ).select(F.col("rn").alias("rn_at"), F.col("llr").alias("llr_at"))
+    n_tot = cum.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    fin = cum.crossJoin(F.broadcast(n_tot)).filter(F.col("rn") == F.col("n")).select(
+        "n", "s", F.col("llr").alias("llr_final")
+    )
+    return fin.join(at_cross, how="left", on=F.lit(True)).select(
+        F.col("n").cast("bigint").alias("n_trials"),
+        F.col("s").cast("bigint").alias("n_success"),
+        F.col("rn_at").cast("bigint").alias("decision_at"),
+        F.when(F.col("llr_at") >= 2.9444389791664403, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        r4(F.col("llr_at")).alias("llr_at_decision"),
+        r4(F.col("llr_final")).alias("llr_final"),
+    )
+
+
+def _katz_oracle_sql() -> str:
+    """Truncated-series Katz oracle: integer walk counts w_k (k ≤ 4) by
+    repeated edge joins, combined with the SAME python-emitted α^k
+    double literals the Spark side uses, in the same fixed summation
+    order — per-label masses round(,4) far above summation noise."""
+    return f"""
+    WITH edges AS MATERIALIZED ({{edges}}),
+    verts AS MATERIALIZED (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    w1 AS MATERIALIZED (SELECT dst AS id, count(*) AS w FROM edges GROUP BY 1),
+    w2 AS MATERIALIZED (SELECT e.dst AS id, sum(w1.w) AS w
+                        FROM edges e JOIN w1 ON e.src = w1.id GROUP BY 1),
+    w3 AS MATERIALIZED (SELECT e.dst AS id, sum(w2.w) AS w
+                        FROM edges e JOIN w2 ON e.src = w2.id GROUP BY 1),
+    w4 AS MATERIALIZED (SELECT e.dst AS id, sum(w3.w) AS w
+                        FROM edges e JOIN w3 ON e.src = w3.id GROUP BY 1),
+    katz AS (
+      SELECT v.id,
+             CAST(0.1 AS DOUBLE) * coalesce(w1.w, 0)
+             + CAST(0.010000000000000002 AS DOUBLE) * coalesce(w2.w, 0)
+             + CAST(0.0010000000000000002 AS DOUBLE) * coalesce(w3.w, 0)
+             + CAST(0.00010000000000000002 AS DOUBLE) * coalesce(w4.w, 0) AS c
+      FROM verts v
+      LEFT JOIN w1 ON v.id = w1.id
+      LEFT JOIN w2 ON v.id = w2.id
+      LEFT JOIN w3 ON v.id = w3.id
+      LEFT JOIN w4 ON v.id = w4.id
+    )
+    SELECT substr(id, 1, 1) AS label, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c), 4) + 0.0 AS katz_mass,
+           round(max(c), 4) + 0.0 AS max_katz
+    FROM katz GROUP BY 1
+    """
+
+
+@register("katz_walk_centrality", oracle=_katz_oracle_sql().format(edges=edges_sql()))
+def katz_walk_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — truncated-series Katz centrality (α=0.1, 4 terms):
+    c(v) = Σ α^k · #walks_k→v with INTEGER walk counts, so unlike the
+    power-iteration family every intermediate is exact and the only
+    float surface is the final 4-term fixed-order combination (shared
+    α^k literals). Completes the centrality family: degree (local),
+    PageRank (stationary), HITS (mutual), harmonic/betweenness
+    (distance) — Katz weighs ALL walks, damped by length. Spark plan:
+    the edge table prepartitions ONCE on src (prepartition_for_rounds),
+    each of the 4 rounds shuffles only the |V|-sized walk-count table —
+    the standard iterative-join discipline of this engine at 100 TB."""
+    from graph_db_spark.graph.algorithms import (
+        checkpoint_keep_partitioning,
+        prepartition_for_rounds,
+    )
+    from graph_db_spark.graph.build import build_graph
+
+    g = build_graph(spark, sf_dir)
+    nparts = spark.sparkContext.defaultParallelism
+    e = prepartition_for_rounds(
+        g.edges.select(F.col("src").alias("id"), "dst"), nparts, "id"
+    )
+    verts = checkpoint_keep_partitioning(
+        e.select("id").union(e.select(F.col("dst").alias("id"))).distinct()
+    )
+    w_cur = verts.select("id", F.lit(1).cast("long").alias("w"))
+    walks = []
+    for _k in range(4):
+        w_cur = checkpoint_keep_partitioning(
+            e.join(w_cur, on="id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("w"))
+        )
+        walks.append(w_cur)
+    katz = verts
+    for i, wk in enumerate(walks, 1):
+        katz = katz.join(
+            wk.select("id", F.col("w").alias(f"w{i}".format(i=i))), on="id", how="left"
+        )
+    c = (
+        F.lit(0.1) * F.coalesce("w1", F.lit(0))
+        + F.lit(0.010000000000000002) * F.coalesce("w2", F.lit(0))
+        + F.lit(0.0010000000000000002) * F.coalesce("w3", F.lit(0))
+        + F.lit(0.00010000000000000002) * F.coalesce("w4", F.lit(0))
+    )
+    return katz.select(F.substring("id", 1, 1).alias("label"), c.alias("c")).groupBy(
+        "label"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.sum("c")).alias("katz_mass"),
+        r4(F.max("c")).alias("max_katz"),
+    )
+
+
+@register(
+    "region_trade_assortativity",
+    oracle="""
+    WITH e AS (
+      SELECT ns.n_regionkey AS r_sup, nc.n_regionkey AS r_cust,
+             count(*) * 1.0 AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(w) AS m FROM e),
+    marg AS (
+      SELECT sum(CASE WHEN r_sup = r_cust THEN w ELSE 0 END) / tot.m AS same,
+             sum(w) AS allw
+      FROM e, tot GROUP BY tot.m
+    ),
+    ab AS (
+      SELECT sum(a.sw * b.cw) AS expct FROM
+        (SELECT r_sup, sum(w) / (SELECT m FROM tot) AS sw FROM e GROUP BY 1) a
+        JOIN
+        (SELECT r_cust, sum(w) / (SELECT m FROM tot) AS cw FROM e GROUP BY 1) b
+        ON a.r_sup = b.r_cust
+    )
+    SELECT CAST((SELECT m FROM tot) AS BIGINT) AS n_edges,
+           round(marg.same, 4) + 0.0 AS frac_same_region,
+           round(ab.expct, 4) + 0.0 AS expected_same,
+           round((marg.same - ab.expct) / (1.0 - ab.expct), 4) + 0.0
+             AS assortativity
+    FROM marg, ab
+    """,
+)
+def region_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — nominal (categorical) assortativity of the trade graph
+    by REGION: Newman's r = (Σe_ii − Σa_i·b_i)/(1 − Σa_i·b_i) over
+    supplier-region → customer-region edge mass (each lineitem one
+    weighted edge). Positive = regional trade blocs, ~0 = geography-
+    blind trade (degree_assortativity is the numeric-attribute twin;
+    this is the attribute-mixing form). The fact join collapses to a
+    |regions|² mixing matrix before any ratio — broadcast-joined
+    dimensions, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_regionkey").alias("r_sup"))), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("r_cust"))), F.col("c_nationkey") == F.col("cnk"))
+        .groupBy("r_sup", "r_cust")
+        .agg((F.count(F.lit(1)) * 1.0).alias("w"))
+    )
+    tot = e.agg(F.sum("w").alias("m"))
+    et = e.crossJoin(F.broadcast(tot))
+    marg = et.agg(
+        (F.sum(F.when(F.col("r_sup") == F.col("r_cust"), F.col("w")).otherwise(0.0)) / F.first("m")).alias("same"),
+        F.first("m").alias("m"),
+    )
+    a = et.groupBy("r_sup").agg((F.sum("w") / F.first("m")).alias("sw"))
+    b = et.groupBy("r_cust").agg((F.sum("w") / F.first("m")).alias("cw"))
+    ab = a.join(b, F.col("r_sup") == F.col("r_cust")).agg(
+        F.sum(F.col("sw") * F.col("cw")).alias("expct")
+    )
+    return marg.crossJoin(ab).select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        r4(F.col("same")).alias("frac_same_region"),
+        r4(F.col("expct")).alias("expected_same"),
+        r4((F.col("same") - F.col("expct")) / (1.0 - F.col("expct"))).alias("assortativity"),
     )
 
 
