@@ -4314,6 +4314,8 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXPENSIVE_LAST = [
+    "markov_absorption_conversion", # ~13s at sf0.01 (8 tiny rounds, job overhead)
+    "pca_power_iteration",          # ~14s at sf0.01 (covariance + 6 rounds)
     "katz_walk_centrality",         # ~2.3s at sf0.01 (4 walk-count rounds)
     "link_prediction_adamic_adar",  # ~2.4s at sf0.01 (wedge join)
     "label_propagation",            # ~2.7s (3 sync rounds)
@@ -16356,7 +16358,7 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, label,
                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    dims AS (
+    dims AS MATERIALIZED (
       SELECT label, t.pos, v[t.pos] AS x
       FROM e CROSS JOIN range(1, 65) t(pos)
     ),
@@ -17094,6 +17096,417 @@ def region_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("same")).alias("frac_same_region"),
         r4(F.col("expct")).alias("expected_same"),
         r4((F.col("same") - F.col("expct")) / (1.0 - F.col("expct"))).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 batch 6 — Apriori triples / item-item CF / absorbing Markov /
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "association_rule_triples",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT count(DISTINCT basket) AS n FROM b),
+    i1 AS (SELECT item, count(*) AS n1 FROM b GROUP BY 1),
+    i2 AS (
+      SELECT a.item AS ia, c.item AS ib, count(*) AS n2
+      FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2
+    ),
+    i3 AS (
+      SELECT a.item AS ia, c.item AS ib, d.item AS ic, count(*) AS n3
+      FROM b a
+      JOIN b c ON a.basket = c.basket AND a.item < c.item
+      JOIN b d ON a.basket = d.basket AND c.item < d.item
+      GROUP BY 1, 2, 3
+    ),
+    rules AS (
+      SELECT i3.ia, i3.ib, i3.ic, i3.n3, i2.n2,
+             i3.n3 * 1.0 / i2.n2 AS conf,
+             (i3.n3 * 1.0 / i2.n2) / (i1.n1 * 1.0 / nb.n) AS lift
+      FROM i3 JOIN i2 ON i3.ia = i2.ia AND i3.ib = i2.ib
+              JOIN i1 ON i3.ic = i1.item
+              CROSS JOIN nb
+      WHERE i3.n3 >= 5
+    )
+    SELECT ia AS antecedent_a, ib AS antecedent_b, ic AS consequent,
+           CAST(n3 AS BIGINT) AS support_abc,
+           CAST(n2 AS BIGINT) AS support_ab,
+           round(conf, 4) + 0.0 AS confidence,
+           round(lift, 4) + 0.0 AS lift
+    FROM rules
+    ORDER BY lift DESC, conf DESC, ia, ib, ic
+    LIMIT 15
+    """,
+)
+def association_rule_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining — 3-item association rules {A,B}→C over order baskets at
+    brand granularity: the Apriori step beyond market_basket_lift's
+    pairs (a pair-lift can be confounded by a third item; the triple
+    rule surfaces it). Two self-joins on the DISTINCT (basket, item)
+    projection with lexicographic item ordering — the candidate space
+    is bounded by per-basket item count squared, not catalog size, and
+    the ≥5-support floor prunes before the rule join. Counts integer;
+    confidence/lift are single divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = b.agg(F.countDistinct("basket").alias("n"))
+    i1 = b.groupBy("item").agg(F.count(F.lit(1)).alias("n1"))
+    b2 = b.select(F.col("basket"), F.col("item").alias("item2"))
+    i2 = (
+        b.join(b2, on="basket")
+        .filter(F.col("item") < F.col("item2"))
+        .groupBy(F.col("item").alias("ia"), F.col("item2").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    b3 = b.select(F.col("basket"), F.col("item").alias("item3"))
+    i3 = (
+        b.join(b2, on="basket")
+        .filter(F.col("item") < F.col("item2"))
+        .join(b3, on="basket")
+        .filter(F.col("item2") < F.col("item3"))
+        .groupBy(
+            F.col("item").alias("ia"),
+            F.col("item2").alias("ib"),
+            F.col("item3").alias("ic"),
+        )
+        .agg(F.count(F.lit(1)).alias("n3"))
+        .filter(F.col("n3") >= 5)
+    )
+    rules = (
+        i3.join(i2, on=["ia", "ib"])
+        .join(i1.select(F.col("item").alias("ic"), "n1"), on="ic")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ia", "ib", "ic", "n3", "n2",
+            (F.col("n3") * 1.0 / F.col("n2")).alias("conf"),
+            (
+                (F.col("n3") * 1.0 / F.col("n2"))
+                / (F.col("n1") * 1.0 / F.col("n"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        rules.orderBy(F.desc("lift"), F.desc("conf"), "ia", "ib", "ic")
+        .limit(15)
+        .select(
+            F.col("ia").alias("antecedent_a"),
+            F.col("ib").alias("antecedent_b"),
+            F.col("ic").alias("consequent"),
+            F.col("n3").cast("bigint").alias("support_abc"),
+            F.col("n2").cast("bigint").alias("support_ab"),
+            r4(F.col("conf")).alias("confidence"),
+            r4(F.col("lift")).alias("lift"),
+        )
+    )
+
+
+@register(
+    "item_item_collaborative_topk",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cnt AS (SELECT item, count(*) AS n FROM b GROUP BY 1),
+    co AS (
+      SELECT a.item AS ia, c.item AS ib, count(*) AS nab
+      FROM b a JOIN b c ON a.cust = c.cust AND a.item <> c.item
+      WHERE a.item < 10
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT co.ia, co.ib, co.nab,
+             co.nab / (sqrt(na.n) * sqrt(nc.n)) AS cos,
+             row_number() OVER (
+               PARTITION BY co.ia
+               ORDER BY co.nab / (sqrt(na.n) * sqrt(nc.n)) DESC, co.ib
+             ) AS rnk
+      FROM co JOIN cnt na ON co.ia = na.item
+              JOIN cnt nc ON co.ib = nc.item
+    )
+    SELECT ia AS item, ib AS neighbor, CAST(nab AS BIGINT) AS n_co_buyers,
+           round(cos, 4) + 0.0 AS cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM sim WHERE rnk <= 3
+    """,
+)
+def item_item_collaborative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender — item-item collaborative filtering (Sarwar et al.):
+    cosine over binary customer-purchase vectors, n_ab/√(n_a·n_b),
+    top-3 neighbors for the probe items (partkey < 10). The co-buyer
+    join runs customer-partitioned, so its cost is Σ per-customer
+    basket², independent of catalog size, and only the probe side of
+    the pair space materializes (predicate pushed below the self-join).
+    Counts integer; one sqrt ratio per pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    b = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    cnt = b.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    probe = b.filter(F.col("item") < 10).select(
+        "cust", F.col("item").alias("ia")
+    )
+    co = (
+        probe.join(b.select("cust", F.col("item").alias("ib")), on="cust")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    na = cnt.select(F.col("item").alias("ia"), F.col("n").alias("na"))
+    nc = cnt.select(F.col("item").alias("ib"), F.col("n").alias("nb"))
+    sim = (
+        co.join(F.broadcast(na), on="ia")
+        .join(F.broadcast(nc), on="ib")
+        .select(
+            "ia", "ib", "nab",
+            (F.col("nab") / (F.sqrt("na") * F.sqrt("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("cos"), "ib")
+    return (
+        sim.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("neighbor"),
+            F.col("nab").cast("bigint").alias("n_co_buyers"),
+            r4(F.col("cos")).alias("cosine_sim"),
+            F.col("rnk").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
+    "markov_absorption_conversion",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    emp AS (
+      SELECT prev, event_type AS next, count(*) * 1.0 AS n
+      FROM seq WHERE prev IS NOT NULL AND prev <> 'purchase'
+      GROUP BY 1, 2
+    ),
+    m AS MATERIALIZED (
+      SELECT prev, next, n / sum(n) OVER (PARTITION BY prev) AS p FROM emp
+      UNION ALL
+      SELECT 'purchase', 'purchase', CAST(1.0 AS DOUBLE)
+    ),
+    states AS (SELECT DISTINCT prev AS s FROM m),
+    v0 AS (SELECT s, CASE WHEN s = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS v
+           FROM states),
+    v1 AS (
+      SELECT m.prev AS s, sum(m.p * v0.v) AS v
+      FROM m JOIN v0 ON m.next = v0.s GROUP BY 1
+    ),
+    v2 AS (
+      SELECT m.prev AS s, sum(m.p * v1.v) AS v
+      FROM m JOIN v1 ON m.next = v1.s GROUP BY 1
+    ),
+    v3 AS (
+      SELECT m.prev AS s, sum(m.p * v2.v) AS v
+      FROM m JOIN v2 ON m.next = v2.s GROUP BY 1
+    ),
+    v4 AS (
+      SELECT m.prev AS s, sum(m.p * v3.v) AS v
+      FROM m JOIN v3 ON m.next = v3.s GROUP BY 1
+    ),
+    v5 AS (
+      SELECT m.prev AS s, sum(m.p * v4.v) AS v
+      FROM m JOIN v4 ON m.next = v4.s GROUP BY 1
+    ),
+    v6 AS (
+      SELECT m.prev AS s, sum(m.p * v5.v) AS v
+      FROM m JOIN v5 ON m.next = v5.s GROUP BY 1
+    ),
+    v7 AS (
+      SELECT m.prev AS s, sum(m.p * v6.v) AS v
+      FROM m JOIN v6 ON m.next = v6.s GROUP BY 1
+    ),
+    v8 AS (
+      SELECT m.prev AS s, sum(m.p * v7.v) AS v
+      FROM m JOIN v7 ON m.next = v7.s GROUP BY 1
+    )
+    SELECT s AS start_state, round(v, 4) + 0.0 AS p_absorb_8
+    FROM v8
+    """,
+)
+def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamics — absorbing-Markov-chain conversion probability: the
+    empirical event-transition matrix (event_transition_matrix) with
+    'purchase' made absorbing, powered 8 steps — P(convert within 8
+    events | current state), the attribution number last-touch models
+    fake. 8 unrolled matrix-vector rounds over a |states|² matrix: the
+    heavy part is ONE lag-window pass over the fact stream; everything
+    after is constant-sized regardless of scale. The same contract as
+    the other fixed-round iteratives: both engines run the identical
+    truncation, so the emission is comparable, not merely close."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull() & (F.col("prev") != "purchase"))
+    emp = seq.groupBy(
+        F.col("prev"), F.col("event_type").alias("next")
+    ).agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    m = emp.select(
+        "prev",
+        "next",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("prev"))).alias("p"),
+    ).unionByName(
+        ev.sparkSession.createDataFrame(
+            [("purchase", "purchase", 1.0)], "prev string, next string, p double"
+        )
+    )
+    # the matrix is reused by all 8 rounds: checkpoint once so the
+    # lag-window subtree executes once, then broadcast the 26-row result
+    m = F.broadcast(m.localCheckpoint(eager=True))
+    states = m.select(F.col("prev").alias("s")).distinct()
+    v = states.select(
+        "s",
+        F.when(F.col("s") == "purchase", 1.0).otherwise(0.0).alias("v"),
+    )
+    for _ in range(8):
+        v = (
+            m.join(v, m.next == v.s)
+            .groupBy(F.col("prev").alias("s2"))
+            .agg(F.sum(F.col("p") * F.col("v")).alias("v"))
+            .select(F.col("s2").alias("s"), "v")
+        )
+    return v.select(F.col("s").alias("start_state"), r4(F.col("v")).alias("p_absorb_8"))
+
+
+def _pca_power_sql(dim: int = 64, rounds: int = 6) -> str:
+    """Unrolled power iteration on the embedding covariance matrix: the
+    (i,j) entries are avg(xi·xj) − mi·mj from one dimension-pair
+    aggregate; v0 = e1; each round is a matrix-vector product plus an
+    L2 normalize. All folds are grouped sums whose cross-engine drift
+    is relative (~1e−14) and the Rayleigh quotient is a ratio — r4-safe."""
+    parts = [f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS MATERIALIZED (
+      SELECT t.pos AS i, e.v[t.pos] AS x, rowid
+      FROM (SELECT v, row_number() OVER () AS rowid FROM e) e
+      CROSS JOIN range(1, {dim + 1}) t(pos)
+    ),
+    mu AS MATERIALIZED (SELECT i, avg(x) AS m FROM dims GROUP BY 1),
+    cov AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+      FROM dims a JOIN dims b ON a.rowid = b.rowid
+      GROUP BY 1, 2
+    ),
+    c AS MATERIALIZED (
+      SELECT cov.i, cov.j, cov.exy - ma.m * mb.m AS c
+      FROM cov JOIN mu ma ON cov.i = ma.i JOIN mu mb ON cov.j = mb.i
+    ),
+    v0 AS (SELECT i, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS v
+           FROM (SELECT DISTINCT i FROM mu))"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    w{k} AS MATERIALIZED (SELECT c.i, sum(c.c * v{k-1}.v) AS w
+             FROM c JOIN v{k-1} ON c.j = v{k-1}.i GROUP BY 1),
+    n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT i, w / n{k}.nrm AS v FROM w{k}, n{k})""")
+    last = f"v{rounds}"
+    parts.append(f"""
+    ray AS (
+      SELECT sum(t.w * {last}.v) AS lambda1 FROM
+        (SELECT c.i, sum(c.c * {last}.v) AS w
+         FROM c JOIN {last} ON c.j = {last}.i GROUP BY 1) t
+        JOIN {last} ON t.i = {last}.i
+    ),
+    tr AS (SELECT sum(c) AS trace FROM c WHERE i = j)
+    SELECT CAST({dim} AS BIGINT) AS dim,
+           round(ray.lambda1, 4) + 0.0 AS lambda1,
+           round(ray.lambda1 / tr.trace, 4) + 0.0 AS explained_ratio,
+           round(tr.trace, 4) + 0.0 AS total_variance
+    FROM ray, tr""")
+    return ",".join(parts[:-1]) + "," + parts[-1]
+
+
+@register("pca_power_iteration", oracle=_pca_power_sql())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — dominant principal component of the embedding cloud by
+    power iteration (6 rounds, e1 start) on the 64×64 covariance
+    matrix: emits the top eigenvalue, the explained-variance ratio
+    (anisotropy diagnostic — a high ratio says the embedding collapses
+    toward one direction and cosine similarities degrade), and total
+    variance. The ONLY data-sized pass is the dimension-pair covariance
+    aggregate (map-side combinable, 64² output rows); iteration then
+    runs on the constant-size matrix. The 100 TB plan is therefore one
+    shuffle of 4096 partial sums — the classic scalable-PCA shape
+    (covariance first, eigen after)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        SIM._as_double(F.col("embedding")).alias("v"),
+        F.col("vec_id").alias("rowid"),
+    )
+    dims = e.select(
+        "rowid", F.posexplode("v").alias("pos0", "x")
+    ).select("rowid", (F.col("pos0") + 1).alias("i"), "x")
+    mu = dims.groupBy("i").agg(F.avg("x").alias("m"))
+    b = dims.select(F.col("rowid"), F.col("i").alias("j"), F.col("x").alias("y"))
+    cov = (
+        dims.join(b, on="rowid")
+        .groupBy("i", "j")
+        .agg(F.avg(F.col("x") * F.col("y")).alias("exy"))
+    )
+    c = (
+        cov.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("ma"))), on="i")
+        .join(
+            F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))),
+            on="j",
+        )
+        .select("i", "j", (F.col("exy") - F.col("ma") * F.col("mb")).alias("c"))
+    )
+    # the 64x64 matrix feeds all 6 rounds + the Rayleigh step: checkpoint
+    # so the data-sized covariance aggregate executes exactly once
+    c = F.broadcast(c.localCheckpoint(eager=True))
+    v = mu.select(
+        F.col("i").alias("vi"),
+        F.when(F.col("i") == 1, 1.0).otherwise(0.0).alias("vv"),
+    )
+    for _ in range(6):
+        w = (
+            c.join(v, F.col("j") == F.col("vi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("vi"), (F.col("w") / F.col("nrm")).alias("vv")
+        )
+    wl = (
+        c.join(v, F.col("j") == F.col("vi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
+    )
+    ray = wl.join(v, F.col("i") == F.col("vi")).agg(
+        F.sum(F.col("w") * F.col("vv")).alias("lambda1")
+    )
+    tr = c.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    return ray.crossJoin(tr).select(
+        F.lit(64).cast("bigint").alias("dim"),
+        r4(F.col("lambda1")).alias("lambda1"),
+        r4(F.col("lambda1") / F.col("trace")).alias("explained_ratio"),
+        r4(F.col("trace")).alias("total_variance"),
     )
 
 

@@ -113,6 +113,8 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "curriculum_phase_assign", "quantile_normalize_lengths",
         "welch_t_test", "levene_variance_test", "sprt_sequential_decision",
         "katz_walk_centrality", "region_trade_assortativity",
+        "association_rule_triples", "item_item_collaborative_topk",
+        "markov_absorption_conversion", "pca_power_iteration",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
