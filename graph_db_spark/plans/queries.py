@@ -16877,7 +16877,8 @@ def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(fin.n AS BIGINT) AS n_trials,
            CAST(fin.s AS BIGINT) AS n_success,
            CAST(at_cross.rn AS BIGINT) AS decision_at,
-           CASE WHEN at_cross.llr >= 2.9444389791664403 THEN 'accept_h1'
+           CASE WHEN at_cross.llr IS NULL THEN 'continue'
+                WHEN at_cross.llr >= 2.9444389791664403 THEN 'accept_h1'
                 ELSE 'accept_h0' END AS decision,
            round(at_cross.llr, 4) + 0.0 AS llr_at_decision,
            round(fin.llr_final, 4) + 0.0 AS llr_final
@@ -16924,7 +16925,8 @@ def sprt_sequential_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_trials"),
         F.col("s").cast("bigint").alias("n_success"),
         F.col("rn_at").cast("bigint").alias("decision_at"),
-        F.when(F.col("llr_at") >= 2.9444389791664403, "accept_h1")
+        F.when(F.col("llr_at").isNull(), "continue")
+        .when(F.col("llr_at") >= 2.9444389791664403, "accept_h1")
         .otherwise("accept_h0")
         .alias("decision"),
         r4(F.col("llr_at")).alias("llr_at_decision"),
@@ -17507,6 +17509,518 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("lambda1")).alias("lambda1"),
         r4(F.col("lambda1") / F.col("trace")).alias("explained_ratio"),
         r4(F.col("trace")).alias("total_variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 batch 7 — capture-recapture / Good-Turing / Heaps' law /
+# Poisson rates / dispersion / McNemar / Markov entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "capture_recapture_estimate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE value <= 0.6),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE value > 0.6 AND value <= 1.3),
+    m AS (SELECT count(*) AS m FROM a JOIN b USING (user_id)),
+    n AS (SELECT count(DISTINCT user_id) AS n_true FROM events)
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_capture_1,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_capture_2,
+           CAST(m.m AS BIGINT) AS n_recaptured,
+           CAST(n.n_true AS BIGINT) AS n_true_population,
+           round(CASE WHEN m.m > 0 THEN (SELECT count(*) FROM a) * 1.0
+                 * (SELECT count(*) FROM b) / m.m END, 4) + 0.0
+             AS lincoln_petersen,
+           round(((SELECT count(*) FROM a) + 1.0)
+                 * ((SELECT count(*) FROM b) + 1.0) / (m.m + 1.0) - 1.0, 4)
+             + 0.0 AS chapman
+    FROM m, n
+    """,
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation — Lincoln-Petersen / Chapman capture-recapture on the
+    user population from two quasi-independent 'captures' (users ever
+    sighted in two DISJOINT rare value windows, ≤0.6 and (0.6, 1.3] —
+    tail sightings, so neither capture saturates): N̂ = n₁n₂/m
+    (m=0 guarded to NULL). The coverage question a crawl pipeline
+    asks — how big is the TRUE population given two overlapping
+    samples — answered from three distinct-count aggregates; the exact
+    population rides along as the referee. All inputs integer; the
+    estimators are single divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") <= 0.6).select("user_id").distinct()
+    b = ev.filter(
+        (F.col("value") > 0.6) & (F.col("value") <= 1.3)
+    ).select("user_id").distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n1"))
+    nb = b.agg(F.count(F.lit(1)).alias("n2"))
+    m = a.join(b, on="user_id").agg(F.count(F.lit(1)).alias("m"))
+    n = ev.agg(F.countDistinct("user_id").alias("n_true"))
+    return (
+        na.crossJoin(nb).crossJoin(m).crossJoin(n)
+        .select(
+            F.col("n1").cast("bigint").alias("n_capture_1"),
+            F.col("n2").cast("bigint").alias("n_capture_2"),
+            F.col("m").cast("bigint").alias("n_recaptured"),
+            F.col("n_true").cast("bigint").alias("n_true_population"),
+            r4(
+                F.when(
+                    F.col("m") > 0, F.col("n1") * 1.0 * F.col("n2") / F.col("m")
+                )
+            ).alias("lincoln_petersen"),
+            r4(
+                (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0)
+                - 1.0
+            ).alias("chapman"),
+        )
+    )
+
+
+@register(
+    "good_turing_unseen_mass",
+    oracle="""
+    WITH w AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ),
+    toks AS (
+      SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS token
+      FROM w CROSS JOIN range(1, 600) t(i) WHERE i + 2 <= len(w)
+    ),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    ff AS (SELECT cnt, count(*) AS f FROM c GROUP BY 1),
+    s AS (
+      SELECT sum(cnt * f) AS n, sum(f) AS vocab,
+             coalesce(sum(CASE WHEN cnt = 1 THEN f END), 0) AS f1,
+             coalesce(sum(CASE WHEN cnt = 2 THEN f END), 0) AS f2
+      FROM ff
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+           CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+           round(f1 * 1.0 / n, 4) + 0.0 AS unseen_mass,
+           round(CASE WHEN f1 > 0 THEN 2.0 * f2 / f1 END, 4) + 0.0
+             AS gt_adjusted_r1
+    FROM s
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics — Good-Turing unseen-probability mass at
+    TRIGRAM granularity: p₀ = f₁/N from the frequency-of-frequencies
+    table (the share of the NEXT sample expected to be never-seen
+    trigrams — how 'open' the phrase space still is, the number that
+    decides whether more crawling buys new content), plus the
+    GT-smoothed count for singletons r* = 2f₂/f₁. Trigrams, not
+    unigrams: the fixture vocabulary is closed (~31 words, f₁ = 0),
+    while its trigram space is genuinely sparse — mirroring real
+    corpora where n-gram novelty is the live signal. Two nested count
+    aggregates; everything integer until two final divisions."""
+    w = load_table(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    toks = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
+            )
+        ).alias("token")
+    )
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ff = c.groupBy("cnt").agg(F.count(F.lit(1)).alias("f"))
+    s = ff.agg(
+        F.sum(F.col("cnt") * F.col("f")).alias("n"),
+        F.sum("f").alias("vocab"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 1, F.col("f"))), F.lit(0)
+        ).alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 2, F.col("f"))), F.lit(0)
+        ).alias("f2"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        r4(F.col("f1") * 1.0 / F.col("n")).alias("unseen_mass"),
+        r4(
+            F.when(F.col("f1") > 0, 2.0 * F.col("f2") / F.col("f1"))
+        ).alias("gt_adjusted_r1"),
+    )
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, dense_rank() OVER (ORDER BY doc_id) AS r,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT r, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS token
+      FROM d CROSS JOIN range(1, 600) t(i) WHERE i + 2 <= len(w)
+    ),
+    firsts AS (SELECT token, min(r) AS fr FROM toks GROUP BY 1),
+    newc AS (SELECT fr AS r, count(*) AS nv FROM firsts GROUP BY 1),
+    perdoc AS (SELECT r, count(*) AS nt FROM toks GROUP BY 1),
+    cum AS (
+      SELECT p.r,
+             sum(p.nt) OVER (ORDER BY p.r) AS cn,
+             sum(coalesce(nc.nv, 0)) OVER (ORDER BY p.r) AS cv
+      FROM perdoc p LEFT JOIN newc nc ON p.r = nc.r
+    ),
+    lg AS (SELECT ln(cn) AS x, ln(cv) AS y FROM cum),
+    fit AS (
+      SELECT count(*) AS d_docs,
+             (sum(x * y) - sum(x) * sum(y) / count(*))
+             / (sum(x * x) - sum(x) * sum(x) / count(*)) AS beta,
+             sum(y) / count(*) AS my, sum(x) / count(*) AS mx,
+             (sum(x * y) - sum(x) * sum(y) / count(*))
+             / sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
+                    * (sum(y * y) - sum(y) * sum(y) / count(*))) AS rho
+      FROM lg
+    )
+    SELECT CAST(d_docs AS BIGINT) AS n_docs,
+           round(beta, 4) + 0.0 AS heaps_beta,
+           round(exp(my - beta * mx), 4) + 0.0 AS heaps_k,
+           round(rho * rho, 4) + 0.0 AS r2
+    FROM fit
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics — Heaps' law V = k·N^β fit over the corpus's
+    own growth curve at TRIGRAM granularity (the fixture's unigram
+    vocabulary closes after a handful of documents; its trigram space
+    grows like a real corpus): distinct-trigram count vs cumulative
+    trigram count at every doc-rank prefix (first-occurrence flags give V(r) as a
+    cumsum — no quadratic re-scan), then the log-log OLS slope. β and
+    k predict vocabulary at 100 TB from a sample — tokenizer sizing
+    and dedup-rate forecasting read straight off this fit. Companion
+    to zipf_law_fit (the two laws are duals). Cumulatives are exact
+    integers; the fit is one sufficient-statistics aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.dense_rank().over(Window.orderBy("doc_id")).alias("r"),
+        F.split(F.lower(F.trim("text")), r"\s+").alias("w"),
+    )
+    toks = d.select(
+        "r",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
+            )
+        ).alias("token"),
+    )
+    firsts = toks.groupBy("token").agg(F.min("r").alias("fr"))
+    newc = firsts.groupBy(F.col("fr").alias("r")).agg(F.count(F.lit(1)).alias("nv"))
+    perdoc = toks.groupBy("r").agg(F.count(F.lit(1)).alias("nt"))
+    wcum = Window.orderBy("r")
+    cum = (
+        perdoc.join(newc, on="r", how="left")
+        .select(
+            "r",
+            F.sum("nt").over(wcum).alias("cn"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(wcum).alias("cv"),
+        )
+    )
+    lg = cum.select(F.log("cn").alias("x"), F.log("cv").alias("y"))
+    n = F.count(F.lit(1))
+    sxy = F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n
+    sxx = F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / n
+    syy = F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / n
+    fit = lg.agg(
+        n.alias("d_docs"),
+        (sxy / sxx).alias("beta"),
+        (F.sum("y") / n).alias("my"),
+        (F.sum("x") / n).alias("mx"),
+        (sxy / F.sqrt(sxx * syy)).alias("rho"),
+    )
+    return fit.select(
+        F.col("d_docs").cast("bigint").alias("n_docs"),
+        r4(F.col("beta")).alias("heaps_beta"),
+        r4(F.exp(F.col("my") - F.col("beta") * F.col("mx"))).alias("heaps_k"),
+        r4(F.col("rho") * F.col("rho")).alias("r2"),
+    )
+
+
+@register(
+    "poisson_rate_ratio",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                  ELSE 'weekday' END AS kind
+      FROM events
+    ),
+    g AS (
+      SELECT kind, count(*) AS k, count(DISTINCT day) AS days
+      FROM d GROUP BY 1
+    ),
+    w AS (
+      SELECT a.k AS k1, a.days AS d1, b.k AS k2, b.days AS d2
+      FROM g a JOIN g b ON a.kind = 'weekend' AND b.kind = 'weekday'
+    )
+    SELECT CAST(k1 AS BIGINT) AS n_weekend, CAST(d1 AS BIGINT) AS days_weekend,
+           CAST(k2 AS BIGINT) AS n_weekday, CAST(d2 AS BIGINT) AS days_weekday,
+           round(k1 * 1.0 / d1, 4) + 0.0 AS rate_weekend,
+           round(k2 * 1.0 / d2, 4) + 0.0 AS rate_weekday,
+           round((k1 * 1.0 / d1) / (k2 * 1.0 / d2), 4) + 0.0 AS rate_ratio,
+           round(ln((k1 * 1.0 / d1) / (k2 * 1.0 / d2))
+                 / sqrt(1.0 / k1 + 1.0 / k2), 4) + 0.0 AS wald_z
+    FROM w
+    """,
+)
+def poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Poisson rate-ratio test (weekend vs weekday event
+    intensity): per-exposure-day rates, their ratio, and the Wald z on
+    the log ratio (1/k₁ + 1/k₂ variance) — the count-data inference
+    the proportion tests (ab_test_proportions) cannot express because
+    exposure differs between arms. Integer counts + four scalar ops;
+    DOW uses the DuckDB 0-6 Sunday-first convention."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.to_date("ts").alias("day"),
+        F.when((F.dayofweek("ts") - 1).isin(0, 6), "weekend")
+        .otherwise("weekday")
+        .alias("kind"),
+    )
+    g = d.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("k"), F.countDistinct("day").alias("days")
+    )
+    b = g.select(
+        F.col("kind").alias("kind2"), F.col("k").alias("k2"),
+        F.col("days").alias("d2"),
+    )
+    w = g.join(b, (F.col("kind") == "weekend") & (F.col("kind2") == "weekday"))
+    r1 = F.col("k") * 1.0 / F.col("days")
+    r2c = F.col("k2") * 1.0 / F.col("d2")
+    return w.select(
+        F.col("k").cast("bigint").alias("n_weekend"),
+        F.col("days").cast("bigint").alias("days_weekend"),
+        F.col("k2").cast("bigint").alias("n_weekday"),
+        F.col("d2").cast("bigint").alias("days_weekday"),
+        r4(r1).alias("rate_weekend"),
+        r4(r2c).alias("rate_weekday"),
+        r4(r1 / r2c).alias("rate_ratio"),
+        r4(
+            F.log(r1 / r2c) / F.sqrt(1.0 / F.col("k") + 1.0 / F.col("k2"))
+        ).alias("wald_z"),
+    )
+
+
+@register(
+    "dispersion_index_check",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1.0 AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(s / n, 4) + 0.0 AS mean_daily,
+           round((ss - s * s / n) / (n - 1), 4) + 0.0 AS var_daily,
+           round(((ss - s * s / n) / (n - 1)) / (s / n), 4) + 0.0
+             AS dispersion_index,
+           CAST(CASE WHEN ((ss - s * s / n) / (n - 1)) / (s / n) > 1.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+    FROM g
+    """,
+)
+def dispersion_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — dispersion index (variance-to-mean ratio of daily
+    counts) per event type: the Poisson-adequacy screen that decides
+    whether rate models (poisson_rate_ratio) are trustworthy or a
+    negative-binomial/burst model is needed (D > 1 = overdispersed =
+    bursty traffic). One daily rollup + one sufficient-statistics
+    aggregate; the flag is an integer compare."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("c")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        r4(mean).alias("mean_daily"),
+        r4(var).alias("var_daily"),
+        r4(var / mean).alias("dispersion_index"),
+        F.when(var / mean > 1.0, 1).otherwise(0).cast("bigint").alias("overdispersed"),
+    )
+
+
+@register(
+    "mcnemar_paired_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' AND value >= 90
+                      THEN 1 ELSE 0 END) AS clicked,
+             max(CASE WHEN event_type = 'purchase' AND value >= 90
+                      THEN 1 ELSE 0 END) AS purchased
+      FROM events GROUP BY 1
+    ),
+    ct AS (
+      SELECT sum(CASE WHEN clicked = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN clicked = 1 AND purchased = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN clicked = 0 AND purchased = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN clicked = 0 AND purchased = 0 THEN 1 ELSE 0 END) AS d
+      FROM u
+    )
+    SELECT CAST(a AS BIGINT) AS both_actions, CAST(b AS BIGINT) AS click_only,
+           CAST(c AS BIGINT) AS purchase_only, CAST(d AS BIGINT) AS neither,
+           round(CASE WHEN b + c > 0
+                      THEN (b - c) * (b - c) * 1.0 / (b + c) END, 4) + 0.0
+             AS mcnemar_chi2,
+           round(CASE WHEN b + c > 0
+                      THEN (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)
+                 END, 4) + 0.0 AS mcnemar_corrected
+    FROM ct
+    """,
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — McNemar's test on the paired design 'did the user
+    ever emit a high-value (≥90) click' vs '…purchase': each user
+    contributes BOTH binary outcomes, so the independent-
+    samples proportion test (ab_test_proportions) is invalid — only the
+    discordant cells b, c carry information: χ² = (b−c)²/(b+c), with
+    the Edwards continuity correction beside it. One per-user pivot
+    aggregate + one 2×2 fold; all integers until two divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("value") >= 90), 1)
+            .otherwise(0)
+        ).alias("clicked"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 90), 1
+            ).otherwise(0)
+        ).alias("purchased"),
+    )
+    ct = u.agg(
+        F.sum(
+            F.when((F.col("clicked") == 1) & (F.col("purchased") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("clicked") == 1) & (F.col("purchased") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("clicked") == 0) & (F.col("purchased") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("clicked") == 0) & (F.col("purchased") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    bc = F.col("b") + F.col("c")
+    return ct.select(
+        F.col("a").cast("bigint").alias("both_actions"),
+        F.col("b").cast("bigint").alias("click_only"),
+        F.col("c").cast("bigint").alias("purchase_only"),
+        F.col("d").cast("bigint").alias("neither"),
+        r4(
+            F.when(bc > 0, (F.col("b") - F.col("c")) * (F.col("b") - F.col("c")) * 1.0 / bc)
+        ).alias("mcnemar_chi2"),
+        r4(
+            F.when(
+                bc > 0,
+                (F.abs(F.col("b") - F.col("c")) - 1.0)
+                * (F.abs(F.col("b") - F.col("c")) - 1.0)
+                / bc,
+            )
+        ).alias("mcnemar_corrected"),
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, event_type AS next, count(*) * 1.0 AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS nn FROM pairs),
+    cond AS (
+      SELECT prev, next, n,
+             n / sum(n) OVER (PARTITION BY prev) AS p_cond,
+             sum(n) OVER (PARTITION BY prev) / tot.nn AS p_state
+      FROM pairs, tot
+    ),
+    h AS (
+      SELECT sum(p_state * p_cond * -ln(p_cond)) AS h_rate,
+             count(DISTINCT prev) AS k
+      FROM cond
+    ),
+    marg AS (
+      SELECT sum(p * -ln(p)) AS h0 FROM (
+        SELECT sum(n) / (SELECT nn FROM tot) AS p
+        FROM pairs GROUP BY next
+      )
+    )
+    SELECT CAST(h.k AS BIGINT) AS n_states,
+           round(marg.h0, 4) + 0.0 AS marginal_entropy,
+           round(h.h_rate, 4) + 0.0 AS entropy_rate,
+           round(marg.h0 - h.h_rate, 4) + 0.0 AS information_gain
+    FROM h, marg
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information theory — entropy rate of the event-type sequence
+    under the empirical first-order Markov model: H = −Σₛ p(s) Σₜ
+    p(t|s) ln p(t|s), against the marginal (order-0) entropy; the gap
+    is the information one step of history buys — the model-order
+    signal sequence models (trigram_lm_topk, session_path_topk) build
+    on. One lag window + constant-size probability algebra; p(s) is the
+    plug-in visit frequency."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("n")
+    )
+    tot = pairs.agg(F.sum("n").alias("nn"))
+    wp = Window.partitionBy("prev")
+    cond = pairs.crossJoin(F.broadcast(tot)).select(
+        "prev",
+        "next",
+        "n",
+        (F.col("n") / F.sum("n").over(wp)).alias("p_cond"),
+        (F.sum("n").over(wp) / F.col("nn")).alias("p_state"),
+    )
+    h = cond.agg(
+        F.sum(F.col("p_state") * F.col("p_cond") * -F.log("p_cond")).alias("h_rate"),
+        F.countDistinct("prev").alias("k"),
+    )
+    marg = (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("next")
+        .agg((F.sum("n") / F.first("nn")).alias("p"))
+        .agg(F.sum(F.col("p") * -F.log("p")).alias("h0"))
+    )
+    return h.crossJoin(marg).select(
+        F.col("k").cast("bigint").alias("n_states"),
+        r4(F.col("h0")).alias("marginal_entropy"),
+        r4(F.col("h_rate")).alias("entropy_rate"),
+        r4(F.col("h0") - F.col("h_rate")).alias("information_gain"),
     )
 
 
