@@ -115,6 +115,9 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "katz_walk_centrality", "region_trade_assortativity",
         "association_rule_triples", "item_item_collaborative_topk",
         "markov_absorption_conversion", "pca_power_iteration",
+        "capture_recapture_estimate", "good_turing_unseen_mass",
+        "heaps_law_fit", "poisson_rate_ratio", "dispersion_index_check",
+        "mcnemar_paired_test", "markov_entropy_rate",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
