@@ -16189,19 +16189,20 @@ def naive_bayes_token_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_loo_label_eval",
     oracle="""
-    WITH e AS (SELECT vec_id, label,
-                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
     nn AS (
       SELECT vec_id, label, nlabel FROM (
         SELECT a.vec_id, a.label, b.label AS nlabel,
                row_number() OVER (
                  PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, b.v)
-                          / (sqrt(list_dot_product(a.v, a.v))
-                             * sqrt(list_dot_product(b.v, b.v))) DESC,
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
                           b.vec_id
                ) AS rn
-        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        FROM q a JOIN e b ON a.vec_id <> b.vec_id
       ) WHERE rn = 1
     )
     SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
@@ -16213,42 +16214,42 @@ def naive_bayes_token_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ML — leave-one-out 1-NN label agreement per class: for every
-    vector, does its cosine-nearest OTHER vector carry the same label?
+    """ML — leave-one-out 1-NN label agreement per class on a
+    deterministic 1-in-5 query sample (vec_id % 5 == 0; candidates stay
+    the FULL corpus, so neighbors are exact): does each sampled
+    vector's cosine-nearest OTHER vector carry the same label?
     The standard embedding-quality probe (high accuracy = labels are
     cosine-separable = the embedding is usable for retrieval branching).
-    Brute-force all-pairs — the exact baseline mirroring
+    Brute-force sample×corpus — the exact baseline mirroring
     embedding_cosine_topk's fold discipline (left-fold dot products are
-    bit-identical cross-engine); the ANN-bucketed variants are the
-    100 TB path, this is their recall referee."""
+    bit-identical cross-engine); per-vector norms are computed ONCE,
+    never per pair. The ANN-bucketed variants are the 100 TB path,
+    this is their recall referee."""
+    sqn = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
-    )
+    ).select("vec_id", "label", "v", sqn.alias("nrm"))
+    q = e.filter(F.col("vec_id") % 5 == 0)
     b = e.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    ) * F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("nv"), F.col("nv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    pairs = e.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
-        "vec_id", "label", "nlabel", (dot / norm).alias("sim"), "nid"
+    pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
+        "vec_id", "label", "nlabel",
+        (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"), "nid",
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
     nn = pairs.select("*", F.row_number().over(w).alias("rn")).filter(
@@ -16265,19 +16266,17 @@ def knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mutual_nearest_pairs",
     oracle="""
-    WITH e AS (SELECT vec_id, label,
-                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings),
     nn AS (
       SELECT vec_id, label, nid, sim FROM (
         SELECT a.vec_id, a.label, b.vec_id AS nid,
-               list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))) AS sim,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim,
                row_number() OVER (
                  PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, b.v)
-                          / (sqrt(list_dot_product(a.v, a.v))
-                             * sqrt(list_dot_product(b.v, b.v))) DESC,
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
                           b.vec_id
                ) AS rn
         FROM e a JOIN e b
@@ -16299,37 +16298,34 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking idea the dedup family uses; the reciprocal join then runs
     on the |V|-sized NN table. Tie-break and fold order mirror
     embedding_cosine_topk."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
-    )
-    b = e.select(
-        F.col("label").alias("nlabel2"),
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("nv"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
+    sqn = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("nv"), F.col("nv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "label", "v", sqn.alias("nrm"))
+    b = e.select(
+        F.col("label").alias("nlabel2"),
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = e.join(
         b,
         (F.col("label") == F.col("nlabel2")) & (F.col("vec_id") != F.col("nid")),
-    ).select("vec_id", "label", "nid", (dot / (na * nb)).alias("sim"))
+    ).select(
+        "vec_id", "label", "nid",
+        (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"),
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
     nn = pairs.select("*", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") == 1
