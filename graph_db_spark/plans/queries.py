@@ -18020,4 +18020,356 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 batch 8 — changepoint / weighted median / positional phrase search /
+# energy distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binary_segmentation_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, y,
+             row_number() OVER (ORDER BY day) AS i,
+             sum(y) OVER (ORDER BY day) AS cs,
+             sum(y * y) OVER (ORDER BY day) AS css,
+             count(*) OVER () AS n,
+             sum(y) OVER () AS st,
+             sum(y * y) OVER () AS sst
+      FROM daily
+    ),
+    gains AS (
+      SELECT day, i, n,
+             (sst - st * st / n)
+             - ((css - cs * cs / i)
+                + ((sst - css) - (st - cs) * (st - cs) / (n - i))) AS gain,
+             cs / i AS mean_left, (st - cs) / (n - i) AS mean_right
+      FROM pre WHERE i >= 7 AND i <= n - 7
+    ),
+    best AS (
+      SELECT * FROM gains
+      ORDER BY gain DESC, day LIMIT 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(i AS BIGINT) AS split_index, CAST(n AS BIGINT) AS n_days,
+           round(mean_left, 4) + 0.0 AS mean_before,
+           round(mean_right, 4) + 0.0 AS mean_after,
+           round(gain / (SELECT sst - st * st / n FROM pre LIMIT 1), 4) + 0.0
+             AS variance_explained
+    FROM best
+    """,
+)
+def binary_segmentation_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — single-split binary segmentation changepoint on
+    daily revenue: the split day maximizing the SSE reduction
+    SSE_total − (SSE_left + SSE_right), every candidate scored from
+    PREFIX sums in one window pass (O(n), not the textbook O(n²)
+    re-scan), with a 7-day margin at each edge. The structural-break
+    complement of cusum_drift (which detects drift online; this
+    localizes the break offline). Emits the explained-variance ratio —
+    a ratio, so float drift stays relative."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        "y",
+        F.row_number().over(wo).alias("i"),
+        F.sum("y").over(wo).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(wo).alias("css"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("y").over(wall).alias("st"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("sst"),
+    )
+    sse_tot = F.col("sst") - F.col("st") * F.col("st") / F.col("n")
+    sse_l = F.col("css") - F.col("cs") * F.col("cs") / F.col("i")
+    sse_r = (F.col("sst") - F.col("css")) - (F.col("st") - F.col("cs")) * (
+        F.col("st") - F.col("cs")
+    ) / (F.col("n") - F.col("i"))
+    gains = pre.filter(
+        (F.col("i") >= 7) & (F.col("i") <= F.col("n") - 7)
+    ).select(
+        "day",
+        "i",
+        "n",
+        (sse_tot - (sse_l + sse_r)).alias("gain"),
+        (F.col("cs") / F.col("i")).alias("mean_left"),
+        ((F.col("st") - F.col("cs")) / (F.col("n") - F.col("i"))).alias(
+            "mean_right"
+        ),
+        sse_tot.alias("sse_tot"),
+    )
+    best = gains.orderBy(F.desc("gain"), "day").limit(1)
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("i").cast("bigint").alias("split_index"),
+        F.col("n").cast("bigint").alias("n_days"),
+        r4(F.col("mean_left")).alias("mean_before"),
+        r4(F.col("mean_right")).alias("mean_after"),
+        r4(F.col("gain") / F.col("sse_tot")).alias("variance_explained"),
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS p, l_quantity AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, p, wt,
+             sum(wt) OVER (PARTITION BY flag ORDER BY p, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    ),
+    med AS (
+      SELECT flag, min(p) AS wmedian FROM cum
+      WHERE cw >= tw / 2.0 GROUP BY 1
+    ),
+    plain AS (
+      SELECT flag, quantile_cont(p, 0.5) AS median_unweighted,
+             CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY 1
+    )
+    SELECT m.flag, plain.n,
+           round(m.wmedian, 4) + 0.0 AS weighted_median,
+           round(plain.median_unweighted, 4) + 0.0 AS unweighted_median
+    FROM med m JOIN plain ON m.flag = plain.flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — quantity-weighted median price per return flag: the
+    smallest price whose cumulative weight reaches half the total (the
+    lower weighted median — deterministic, no interpolation dialect to
+    disagree on), beside the plain median for the gap reading. One
+    ordered cumsum window per group; weights are integral quantities so
+    the cumulative is exact and the threshold compare is
+    drift-free."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("p", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = li.select(
+        "flag",
+        "p",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    med = (
+        cum.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("flag")
+        .agg(F.min("p").alias("wmedian"))
+    )
+    plain = li.groupBy("flag").agg(
+        F.expr("percentile(p, 0.5)").alias("median_unweighted"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return med.join(plain, on="flag").select(
+        "flag",
+        "n",
+        r4(F.col("wmedian")).alias("weighted_median"),
+        r4(F.col("median_unweighted")).alias("unweighted_median"),
+    )
+
+
+@register(
+    "positional_phrase_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, i AS pos, w[i] AS token
+      FROM w CROSS JOIN range(1, 600) t(i) WHERE i <= len(w)
+    ),
+    tri AS (
+      SELECT a.token AS t1, b.token AS t2, c.token AS t3, count(*) AS n
+      FROM idx a
+      JOIN idx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN idx c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      GROUP BY 1, 2, 3
+    ),
+    phrase AS (
+      SELECT t1, t2, t3 FROM tri ORDER BY n DESC, t1, t2, t3 LIMIT 1
+    ),
+    hits AS (
+      SELECT a.doc_id, min(a.pos) AS first_pos, count(*) AS n_occurrences
+      FROM idx a
+      JOIN idx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN idx c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      JOIN phrase p ON a.token = p.t1 AND b.token = p.t2 AND c.token = p.t3
+      GROUP BY 1
+    )
+    SELECT h.doc_id, p.t1 || ' ' || p.t2 || ' ' || p.t3 AS phrase,
+           CAST(h.first_pos AS BIGINT) AS first_pos,
+           CAST(h.n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits h, phrase p
+    """,
+)
+def positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search — positional-index phrase query: build the (doc, pos,
+    token) inverted index, pick the corpus's most frequent trigram as
+    the probe phrase (deterministic tie-break), and find every document
+    containing it with first position and occurrence count — the
+    search-engine primitive (adjacency via pos+1 joins on the index,
+    exactly how Lucene phrase queries execute) that substring LIKE
+    scans cannot do at scale. The index is posexplode once; the phrase
+    probe is a broadcast of one row."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    idx = w.select(
+        "doc_id", F.posexplode("w").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    b = idx.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
+        F.col("token").alias("t2c"),
+    )
+    c = idx.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("p3"),
+        F.col("token").alias("t3c"),
+    )
+    tri_rows = (
+        idx.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("pos") + 1))
+        .join(c, (F.col("doc_id") == F.col("d3")) & (F.col("p3") == F.col("pos") + 2))
+    )
+    tri = tri_rows.groupBy(
+        F.col("token").alias("t1"), F.col("t2c").alias("t2"),
+        F.col("t3c").alias("t3"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    phrase = tri.orderBy(F.desc("n"), "t1", "t2", "t3").limit(1).drop("n")
+    hits = (
+        tri_rows.join(
+            F.broadcast(phrase),
+            (F.col("token") == F.col("t1"))
+            & (F.col("t2c") == F.col("t2"))
+            & (F.col("t3c") == F.col("t3")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("pos").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    return hits.crossJoin(F.broadcast(phrase)).select(
+        "doc_id",
+        F.concat_ws(" ", "t1", "t2", "t3").alias("phrase"),
+        F.col("first_pos").cast("bigint").alias("first_pos"),
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+    )
+
+
+@register(
+    "energy_distance_groups",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label IN (0, 1) AND vec_id % 3 = 0
+    ),
+    x AS (SELECT vec_id, v FROM e WHERE label = 0),
+    y AS (SELECT vec_id, v FROM e WHERE label = 1),
+    exy AS (
+      SELECT avg(sqrt(list_dot_product(x.v, x.v)
+                      - 2 * list_dot_product(x.v, y.v)
+                      + list_dot_product(y.v, y.v))) AS d
+      FROM x CROSS JOIN y
+    ),
+    exx AS (
+      SELECT avg(sqrt(list_dot_product(a.v, a.v)
+                      - 2 * list_dot_product(a.v, b.v)
+                      + list_dot_product(b.v, b.v))) AS d
+      FROM x a JOIN x b ON a.vec_id < b.vec_id
+    ),
+    eyy AS (
+      SELECT avg(sqrt(list_dot_product(a.v, a.v)
+                      - 2 * list_dot_product(a.v, b.v)
+                      + list_dot_product(b.v, b.v))) AS d
+      FROM y a JOIN y b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST((SELECT count(*) FROM x) AS BIGINT) AS n_x,
+           CAST((SELECT count(*) FROM y) AS BIGINT) AS n_y,
+           round(exy.d, 4) + 0.0 AS mean_cross_dist,
+           round(exx.d, 4) + 0.0 AS mean_within_x,
+           round(eyy.d, 4) + 0.0 AS mean_within_y,
+           round(2 * exy.d - exx.d - eyy.d, 4) + 0.0 AS energy_distance
+    FROM exy, exx, eyy
+    """,
+)
+def energy_distance_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — energy distance 2E|X−Y| − E|X−X'| − E|Y−Y'| between
+    two label classes in embedding space (Székely-Rizzo): the
+    multivariate two-sample test ks_two_sample cannot express (KS is
+    univariate). ≥ 0 always, 0 iff the distributions coincide — the
+    honest answer to 'did the embedding distribution shift between
+    slices'. A deterministic 1-in-3 subsample bounds the pair space;
+    distances use the expanded-form L2 (left-fold dots — bit-identical
+    engines) so the means differ only by summation order, which r4
+    absorbs."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(0, 1) & (F.col("vec_id") % 3 == 0)
+    ).select("vec_id", "label", SIM._as_double(F.col("embedding")).alias("v"))
+    x = e.filter(F.col("label") == 0).select("vec_id", "v")
+    y = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("yid"), F.col("v").alias("yv")
+    )
+
+    def dot(a, bcol):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(bcol), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    dist_xy = F.sqrt(dot("v", "v") - 2 * dot("v", "yv") + dot("yv", "yv"))
+    exy = x.crossJoin(F.broadcast(y)).agg(F.avg(dist_xy).alias("d"))
+    x2 = x.select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
+    dist_xx = F.sqrt(dot("v", "v") - 2 * dot("v", "bv") + dot("bv", "bv"))
+    exx = (
+        x.join(F.broadcast(x2), F.col("vec_id") < F.col("bid"))
+        .agg(F.avg(dist_xx).alias("d"))
+    )
+    y1 = y.select(F.col("yid").alias("vec_id"), F.col("yv").alias("v"))
+    y2 = y1.select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
+    eyy = (
+        y1.join(F.broadcast(y2), F.col("vec_id") < F.col("bid"))
+        .agg(F.avg(dist_xx).alias("d"))
+    )
+    nx = x.agg(F.count(F.lit(1)).alias("n_x"))
+    ny = y.agg(F.count(F.lit(1)).alias("n_y"))
+    return (
+        nx.crossJoin(ny)
+        .crossJoin(exy.select(F.col("d").alias("dxy")))
+        .crossJoin(exx.select(F.col("d").alias("dxx")))
+        .crossJoin(eyy.select(F.col("d").alias("dyy")))
+        .select(
+            F.col("n_x").cast("bigint").alias("n_x"),
+            F.col("n_y").cast("bigint").alias("n_y"),
+            r4(F.col("dxy")).alias("mean_cross_dist"),
+            r4(F.col("dxx")).alias("mean_within_x"),
+            r4(F.col("dyy")).alias("mean_within_y"),
+            r4(2 * F.col("dxy") - F.col("dxx") - F.col("dyy")).alias(
+                "energy_distance"
+            ),
+        )
+    )
+
+
 _reorder_for_gate()

@@ -118,6 +118,8 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "capture_recapture_estimate", "good_turing_unseen_mass",
         "heaps_law_fit", "poisson_rate_ratio", "dispersion_index_check",
         "mcnemar_paired_test", "markov_entropy_rate",
+        "binary_segmentation_changepoint", "weighted_median_price",
+        "positional_phrase_search", "energy_distance_groups",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
