@@ -93,6 +93,24 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "holt_trend_forecast", "kaplan_meier_churn", "k_anonymity_audit",
         "sq8_quantization_bound", "moments_rollup_variance",
         "window_funnel_levels",
+        # round-7 batteries (checkpoint-at-plan-build queries — katz,
+        # markov absorption, pca — excluded as before)
+        "gini_concentration", "benford_first_digit",
+        "cramers_v_association", "anova_f_oneway", "kruskal_wallis_test",
+        "ams_f2_moment", "stl_seasonal_decompose", "mase_forecast_accuracy",
+        "cross_correlation_lead_lag", "ols_normal_equations",
+        "naive_bayes_token_screen", "knn_loo_label_eval",
+        "mutual_nearest_pairs", "embedding_centroid_drift",
+        "dp_noisy_source_counts", "source_js_divergence",
+        "curriculum_phase_assign", "quantile_normalize_lengths",
+        "welch_t_test", "levene_variance_test", "sprt_sequential_decision",
+        "region_trade_assortativity", "association_rule_triples",
+        "item_item_collaborative_topk", "capture_recapture_estimate",
+        "good_turing_unseen_mass", "heaps_law_fit", "poisson_rate_ratio",
+        "dispersion_index_check", "mcnemar_paired_test",
+        "markov_entropy_rate", "binary_segmentation_changepoint",
+        "weighted_median_price", "positional_phrase_search",
+        "energy_distance_groups",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
@@ -447,3 +465,20 @@ def test_cms_join_cardinality_never_scans_base_twice(spark):
     # (formatted mode prints a node in the tree AND the detail section,
     # so count the tree form, which carries the build annotation)
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_item_cf_broadcasts_count_dims(spark):
+    """item_item_collaborative_topk: the per-item count tables join the
+    pair frame as broadcasts — the pair-space shuffle is the only wide
+    exchange in the plan."""
+    plan = plan_of(spark, "item_item_collaborative_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_filter_reaches_scan(spark):
+    """benford_first_digit: the o_totalprice > 0 filter is pushed into
+    the parquet scan, and only the one needed column is read."""
+    plan = plan_of(spark, "benford_first_digit")
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
