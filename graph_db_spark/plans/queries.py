@@ -18372,4 +18372,346 @@ def energy_distance_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 batch 9 — reciprocity / rich club / PMI collocations /
+# diversity indices / interval-stabbing backlog
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trade_reciprocity",
+    oracle="""
+    WITH e AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT e.u, e.v, e.w, coalesce(b.w, 0) AS wrev
+      FROM e LEFT JOIN e b ON e.u = b.v AND e.v = b.u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           CAST(sum(CASE WHEN wrev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reciprocated,
+           round(sum(CASE WHEN wrev > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             + 0.0 AS edge_reciprocity,
+           round(sum(least(w, wrev)) * 1.0 / sum(w), 4) + 0.0
+             AS weighted_reciprocity
+    FROM r
+    """,
+)
+def trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — reciprocity of the directed nation→nation trade graph:
+    the share of supplier→customer flows with a reverse flow (edge
+    reciprocity) and the Garlaschelli-Loffredo weighted form
+    Σ min(w_uv, w_vu)/Σ w_uv — trade-balance symmetry in one number.
+    The fact join collapses to the |nations|² flow matrix first; the
+    reciprocity join is a self-join on that constant-size table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    b = e.select(
+        F.col("u").alias("bu"), F.col("v").alias("bv"), F.col("w").alias("wrev")
+    )
+    r = e.join(
+        F.broadcast(b), (F.col("u") == F.col("bv")) & (F.col("v") == F.col("bu")), "left"
+    ).select("u", "v", "w", F.coalesce("wrev", F.lit(0)).alias("wrev"))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+        F.sum(F.when(F.col("wrev") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        r4(
+            F.sum(F.when(F.col("wrev") > 0, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1))
+        ).alias("edge_reciprocity"),
+        r4(F.sum(F.least("w", "wrev")) * 1.0 / F.sum("w")).alias(
+            "weighted_reciprocity"
+        ),
+    )
+
+
+@register(
+    "rich_club_coefficient",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({{edges}}) WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (
+      SELECT id, count(*) AS d FROM (
+        SELECT a AS id FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY 1
+    ),
+    ks AS (SELECT k FROM (VALUES (2), (4), (8), (16)) t(k)),
+    club AS (
+      SELECT ks.k, deg.id FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    nk AS (SELECT k, count(*) AS n FROM club GROUP BY 1),
+    ek AS (
+      SELECT c1.k, count(*) AS e
+      FROM edges
+      JOIN club c1 ON edges.a = c1.id
+      JOIN club c2 ON edges.b = c2.id AND c2.k = c1.k
+      GROUP BY 1
+    )
+    SELECT nk.k AS degree_threshold, CAST(nk.n AS BIGINT) AS n_club_nodes,
+           CAST(coalesce(ek.e, 0) AS BIGINT) AS n_club_edges,
+           round(CASE WHEN nk.n >= 2
+                      THEN coalesce(ek.e, 0) * 2.0 / (nk.n * (nk.n - 1.0))
+                 END, 4) + 0.0 AS rich_club_phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    """.format(edges=edges_sql()),
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — rich-club coefficient φ(k) = 2E_k/(N_k(N_k−1)) of the
+    undirected property graph at degree thresholds 2/4/8/16: do the
+    hubs preferentially wire to each other? (The hub-interconnection
+    reading degree_histogram and assortativity only hint at.) Club
+    membership is a degree-table filter; induced-subgraph edges come
+    from two semi-join-shaped hash joins of the edge list against the
+    (small) club tables — never an N² scan."""
+    from graph_db_spark.graph.build import build_graph
+
+    g = build_graph(spark, sf_dir)
+    edges = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k int")
+    club = F.broadcast(ks).join(deg, deg.d > F.col("k")).select("k", "id")
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    c1 = club.select(F.col("k"), F.col("id").alias("ida"))
+    c2 = club.select(F.col("k").alias("k2"), F.col("id").alias("idb"))
+    ek = (
+        edges.join(c1, F.col("a") == F.col("ida"))
+        .join(c2, (F.col("b") == F.col("idb")) & (F.col("k2") == F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    out = nk.join(ek, on="k", how="left").select(
+        F.col("k").cast("bigint").alias("degree_threshold"),
+        F.col("n").cast("bigint").alias("n_club_nodes"),
+        F.coalesce("e", F.lit(0)).cast("bigint").alias("n_club_edges"),
+        r4(
+            F.when(
+                F.col("n") >= 2,
+                F.coalesce("e", F.lit(0)) * 2.0 / (F.col("n") * (F.col("n") - 1.0)),
+            )
+        ).alias("rich_club_phi"),
+    )
+    return out
+
+
+@register(
+    "token_pmi_collocations",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    nd AS (SELECT count(*) * 1.0 AS n FROM d),
+    occ AS (SELECT doc_id, unnest(t) AS token FROM d),
+    uni AS (SELECT token, count(*) AS c FROM occ GROUP BY 1),
+    pair AS (
+      SELECT a.token AS ta, b.token AS tb, count(*) AS cab
+      FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    ),
+    pmi AS (
+      SELECT ta, tb, cab,
+             ln((pair.cab / nd.n)
+                / ((ua.c / nd.n) * (ub.c / nd.n))) AS pmi
+      FROM pair JOIN uni ua ON pair.ta = ua.token
+                JOIN uni ub ON pair.tb = ub.token
+                CROSS JOIN nd
+      WHERE pair.cab >= 10
+    )
+    SELECT ta AS token_a, tb AS token_b, CAST(cab AS BIGINT) AS n_docs_both,
+           round(pmi, 4) + 0.0 AS pmi
+    FROM pmi
+    ORDER BY pmi DESC, ta, tb LIMIT 15
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text mining — document-level pointwise mutual information
+    collocations: PMI = ln(p(a,b)/(p(a)p(b))) over distinct-token
+    co-occurrence, top-15 with a ≥10-doc support floor (PMI without a
+    floor surfaces hapax noise — the standard failure). The co-occur
+    join is per-document over DISTINCT tokens, so cost is Σ per-doc
+    vocab², not corpus²; the unigram tables broadcast. Integer counts;
+    one ln per surviving pair."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    nd = d.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    occ = d.select("doc_id", F.explode("t").alias("token"))
+    uni = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    b = occ.select(F.col("doc_id"), F.col("token").alias("tb"))
+    pair = (
+        occ.join(b, on="doc_id")
+        .filter(F.col("token") < F.col("tb"))
+        .groupBy(F.col("token").alias("ta"), "tb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 10)
+    )
+    ua = uni.select(F.col("token").alias("ta"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("token").alias("tb"), F.col("c").alias("cb"))
+    pmi = (
+        pair.join(F.broadcast(ua), on="ta")
+        .join(F.broadcast(ub), on="tb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "ta", "tb", "cab",
+            F.log(
+                (F.col("cab") / F.col("n"))
+                / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+            ).alias("pmi"),
+        )
+    )
+    return (
+        pmi.orderBy(F.desc("pmi"), "ta", "tb")
+        .limit(15)
+        .select(
+            F.col("ta").alias("token_a"),
+            F.col("tb").alias("token_b"),
+            F.col("cab").cast("bigint").alias("n_docs_both"),
+            r4(F.col("pmi")).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "corpus_diversity_indices",
+    oracle="""
+    WITH g AS (
+      SELECT source, count(*) * 1.0 AS n FROM documents GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS tot, count(*) AS k FROM g),
+    p AS (SELECT n / t.tot AS p, t.k FROM g, t)
+    SELECT CAST(max(k) AS BIGINT) AS n_sources,
+           round(-sum(p * ln(p)), 4) + 0.0 AS shannon_entropy,
+           round(exp(-sum(p * ln(p))), 4) + 0.0 AS effective_sources,
+           round(1.0 - sum(p * p), 4) + 0.0 AS simpson_diversity,
+           round(-sum(p * ln(p)) / ln(max(k)), 4) + 0.0 AS evenness
+    FROM p
+    """,
+)
+def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline — corpus-mix diversity indices over sources: Shannon
+    entropy, its exponential (the effective number of sources — the
+    honest 'how many sources do we REALLY have' that raw counts
+    overstate under skew), Simpson's 1−Σp², and Pielou evenness.
+    The mixture-design dashboard row that mixture_weights (which
+    prescribes weights) and source_js_divergence (which compares
+    content) read against. One aggregate over the |sources| row
+    table."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    t = g.agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k"))
+    p = g.crossJoin(F.broadcast(t)).select((F.col("n") / F.col("tot")).alias("p"), "k")
+    h = -F.sum(F.col("p") * F.log("p"))
+    return p.agg(
+        F.max("k").cast("bigint").alias("n_sources"),
+        r4(h).alias("shannon_entropy"),
+        r4(F.exp(h)).alias("effective_sources"),
+        r4(1.0 - F.sum(F.col("p") * F.col("p"))).alias("simpson_diversity"),
+        r4(h / F.log(F.max("k"))).alias("evenness"),
+    )
+
+
+@register(
+    "open_order_backlog",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+             CAST(l.l_shipdate AS DATE) AS end_d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    ev AS (
+      SELECT start_d AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT end_d, -1 FROM iv
+    ),
+    daily AS (SELECT day, sum(delta) AS d FROM ev GROUP BY 1),
+    cum AS (
+      SELECT day, sum(d) OVER (ORDER BY day) AS open_lines
+      FROM daily
+    ),
+    mo AS (
+      SELECT strftime(day, '%Y-%m') AS month,
+             max(open_lines) AS peak, min(open_lines) AS trough,
+             avg(open_lines * 1.0) AS avg_open
+      FROM cum GROUP BY 1
+    )
+    SELECT month, CAST(peak AS BIGINT) AS peak_open,
+           CAST(trough AS BIGINT) AS trough_open,
+           round(avg_open, 4) + 0.0 AS avg_open
+    FROM mo
+    """,
+)
+def open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operations — open-lineitem backlog (work-in-progress) over time
+    by SWEEP LINE: each (orderdate, shipdate] interval becomes a +1/−1
+    event, one cumsum over the daily event rollup yields the count of
+    intervals stabbing every day — O(n) where the naive per-day
+    interval-containment join is O(days·n). Monthly peak/trough/mean
+    of the curve. The interval-stabbing primitive under capacity and
+    concurrency questions at any scale; all counts integer until the
+    final mean."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.to_date("o_orderdate").alias("start_d"),
+            F.to_date("l_shipdate").alias("end_d"),
+        )
+    )
+    ev = iv.select(F.col("start_d").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("end_d").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("day").agg(F.sum("delta").alias("d"))
+    cum = daily.select(
+        "day", F.sum("d").over(Window.orderBy("day")).alias("open_lines")
+    )
+    mo = cum.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.max("open_lines").cast("bigint").alias("peak_open"),
+        F.min("open_lines").cast("bigint").alias("trough_open"),
+        r4(F.avg(F.col("open_lines") * 1.0)).alias("avg_open"),
+    )
+    return mo
+
+
 _reorder_for_gate()

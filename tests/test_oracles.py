@@ -120,6 +120,9 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "mcnemar_paired_test", "markov_entropy_rate",
         "binary_segmentation_changepoint", "weighted_median_price",
         "positional_phrase_search", "energy_distance_groups",
+        "trade_reciprocity", "rich_club_coefficient",
+        "token_pmi_collocations", "corpus_diversity_indices",
+        "open_order_backlog",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
