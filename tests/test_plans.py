@@ -111,6 +111,9 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "markov_entropy_rate", "binary_segmentation_changepoint",
         "weighted_median_price", "positional_phrase_search",
         "energy_distance_groups",
+        "trade_reciprocity", "rich_club_coefficient",
+        "token_pmi_collocations", "corpus_diversity_indices",
+        "open_order_backlog",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
