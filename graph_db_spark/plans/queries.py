@@ -18714,4 +18714,332 @@ def open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo
 
 
+# ---------------------------------------------------------------------------
+# r7 batch 10 — Kendall tau-b / Theil decomposition / NDCG retrieval eval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_b",
+    oracle="""
+    WITH ct AS (
+      SELECT l_quantity AS x, l_discount AS y, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.n * b.n AS w,
+             CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN a.n * b.n ELSE 0 END AS c,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN a.n * b.n ELSE 0 END AS d
+      FROM ct a JOIN ct b
+        ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+    ),
+    s AS (
+      SELECT sum(c) AS nc, sum(d) AS nd FROM pairs
+    ),
+    t AS (
+      SELECT sum(n) AS n,
+             sum(n) * (sum(n) - 1) / 2 AS n0
+      FROM ct
+    ),
+    tx AS (
+      SELECT sum(g * (g - 1) / 2) AS t1 FROM
+        (SELECT sum(n) AS g FROM ct GROUP BY x)
+    ),
+    ty AS (
+      SELECT sum(g * (g - 1) / 2) AS t2 FROM
+        (SELECT sum(n) AS g FROM ct GROUP BY y)
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(s.nc AS BIGINT) AS concordant,
+           CAST(s.nd AS BIGINT) AS discordant,
+           round((s.nc - s.nd)
+                 / (sqrt((t.n0 - tx.t1) * 1.0) * sqrt((t.n0 - ty.t2) * 1.0)),
+                 4) + 0.0 AS kendall_tau_b
+    FROM s, t, tx, ty
+    """,
+)
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Kendall's τ-b (quantity vs discount) via the
+    CONTINGENCY-TABLE identity: concordant/discordant pair counts come
+    from the |X|×|Y| distinct-value grid (50×11 cells → ~150k cell
+    pairs), never the O(n²) row-pair space — the same collapse trick
+    as the midrank family. Completes the correlation battery: Pearson
+    (lineitem_correlations), Spearman (midranks), τ-b (pair
+    concordance, the most tie-robust of the three). Everything integer
+    until the final normalized division."""
+    ct = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").alias("x"), F.col("l_discount").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = ct.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    pairs = ct.join(
+        F.broadcast(b),
+        (F.col("x") < F.col("bx"))
+        | ((F.col("x") == F.col("bx")) & (F.col("y") < F.col("by"))),
+    )
+    conc = (
+        ((F.col("x") < F.col("bx")) & (F.col("y") < F.col("by")))
+        | ((F.col("x") > F.col("bx")) & (F.col("y") > F.col("by")))
+    )
+    disc = (
+        ((F.col("x") < F.col("bx")) & (F.col("y") > F.col("by")))
+        | ((F.col("x") > F.col("bx")) & (F.col("y") < F.col("by")))
+    )
+    s = pairs.agg(
+        F.sum(F.when(conc, F.col("n") * F.col("bn")).otherwise(0)).alias("nc"),
+        F.sum(F.when(disc, F.col("n") * F.col("bn")).otherwise(0)).alias("nd"),
+    )
+    t = ct.agg(
+        F.sum("n").alias("ntot"),
+        (F.sum("n") * (F.sum("n") - 1) / 2).alias("n0"),
+    )
+    tx = (
+        ct.groupBy("x").agg(F.sum("n").alias("g"))
+        .agg(F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("t1"))
+    )
+    ty = (
+        ct.groupBy("y").agg(F.sum("n").alias("g"))
+        .agg(F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("t2"))
+    )
+    return (
+        s.crossJoin(t).crossJoin(tx).crossJoin(ty)
+        .select(
+            F.col("ntot").cast("bigint").alias("n"),
+            F.col("nc").cast("bigint").alias("concordant"),
+            F.col("nd").cast("bigint").alias("discordant"),
+            r4(
+                (F.col("nc") - F.col("nd"))
+                / (
+                    F.sqrt((F.col("n0") - F.col("t1")) * 1.0)
+                    * F.sqrt((F.col("n0") - F.col("t2")) * 1.0)
+                )
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+@register(
+    "theil_index_decomposition",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+             sum(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS sx FROM rev),
+    overall AS (
+      SELECT sum((x / tot.sx) * ln((x / tot.sx) * tot.n)) AS t_total
+      FROM rev, tot
+    ),
+    pre AS (
+      SELECT nation, x,
+             sum(x) OVER (PARTITION BY nation) AS sg,
+             count(*) OVER (PARTITION BY nation) AS ng
+      FROM rev
+    ),
+    grp2 AS (
+      SELECT nation, max(ng) AS ng, max(sg) AS sg,
+             sum((x / sg) * ln((x / sg) * ng)) AS tg
+      FROM pre GROUP BY 1
+    ),
+    within AS (
+      SELECT sum((grp2.sg / tot.sx) * grp2.tg) AS t_within FROM grp2, tot
+    ),
+    between_g AS (
+      SELECT sum((grp2.sg / tot.sx)
+                 * ln((grp2.sg / tot.sx) / (grp2.ng * 1.0 / tot.n)))
+               AS t_between
+      FROM grp2, tot
+    )
+    SELECT round(overall.t_total, 4) + 0.0 AS theil_total,
+           round(within.t_within, 4) + 0.0 AS theil_within,
+           round(between_g.t_between, 4) + 0.0 AS theil_between,
+           round(between_g.t_between / overall.t_total, 4) + 0.0
+             AS between_share
+    FROM overall, within, between_g
+    """,
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Theil T inequality index of customer revenue with
+    its EXACT decomposition T = T_within + Σ s_g·ln(s_g/p_g): how much
+    revenue inequality lives inside nations vs between them — the
+    additively-decomposable question Gini (gini_concentration) cannot
+    answer. One join + windowed group sums (windows in one pass,
+    aggregation in the next — engines agree once the two are not
+    nested); emissions are share-weighted ln ratios, drift-relative."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), F.col("o_custkey").alias("cust")
+        )
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    tot = rev.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    rt = rev.crossJoin(F.broadcast(tot))
+    overall = rt.agg(
+        F.sum(
+            (F.col("x") / F.col("sx")) * F.log((F.col("x") / F.col("sx")) * F.col("n"))
+        ).alias("t_total")
+    )
+    wn = Window.partitionBy("nation")
+    grp = rev.select(
+        "nation",
+        "x",
+        F.sum("x").over(wn).alias("sg"),
+        F.count(F.lit(1)).over(wn).alias("ng"),
+    ).select(
+        "nation",
+        "sg",
+        "ng",
+        (
+            (F.col("x") / F.col("sg"))
+            * F.log((F.col("x") / F.col("sg")) * F.col("ng"))
+        ).alias("tgi"),
+    )
+    grp2 = grp.groupBy("nation").agg(
+        F.max("sg").alias("sg"), F.max("ng").alias("ng"), F.sum("tgi").alias("tg")
+    )
+    g2t = grp2.crossJoin(F.broadcast(tot))
+    within = g2t.agg(
+        F.sum((F.col("sg") / F.col("sx")) * F.col("tg")).alias("t_within")
+    )
+    between = g2t.agg(
+        F.sum(
+            (F.col("sg") / F.col("sx"))
+            * F.log(
+                (F.col("sg") / F.col("sx")) / (F.col("ng") * 1.0 / F.col("n"))
+            )
+        ).alias("t_between")
+    )
+    return (
+        overall.crossJoin(within).crossJoin(between)
+        .select(
+            r4(F.col("t_total")).alias("theil_total"),
+            r4(F.col("t_within")).alias("theil_within"),
+            r4(F.col("t_between")).alias("theil_between"),
+            r4(F.col("t_between") / F.col("t_total")).alias("between_share"),
+        )
+    )
+
+
+@register(
+    "ndcg_label_retrieval",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+    top5 AS (
+      SELECT vec_id, label, rn,
+             CASE WHEN nlabel = label THEN 1.0 ELSE 0.0 END AS rel
+      FROM (
+        SELECT a.vec_id, a.label, b.label AS nlabel,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                          b.vec_id
+               ) AS rn
+        FROM q a JOIN e b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= 5
+    ),
+    dcg AS (
+      SELECT vec_id, label,
+             sum(rel / (ln(rn + 1.0) / ln(2.0))) AS dcg,
+             sum(rel) AS n_rel
+      FROM top5 GROUP BY 1, 2
+    ),
+    ideal AS (
+      SELECT vec_id, label, dcg, n_rel,
+             CASE WHEN n_rel > 0 THEN (
+               SELECT sum(1.0 / (ln(t.i + 1.0) / ln(2.0)))
+               FROM range(1, 6) t(i) WHERE t.i <= n_rel
+             ) END AS idcg
+      FROM dcg
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(coalesce(dcg / idcg, 0.0)), 4) + 0.0 AS mean_ndcg_5,
+           round(avg(n_rel) / 5.0, 4) + 0.0 AS mean_precision_5
+    FROM ideal GROUP BY 1
+    """,
+)
+def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval — NDCG@5 and precision@5 of brute-force cosine
+    retrieval with same-label as the binary relevance judgment, per
+    class on the 1-in-5 query sample: the graded-position metric the
+    recall bounds (ann_*_recall_bound) don't measure — not just 'did a
+    relevant doc appear' but WHERE it ranked. Ideal DCG is the
+    closed-form prefix sum over min(n_rel, 5) positions; queries with
+    zero relevant neighbors score 0 (coalesce, not dropped). Same fold
+    discipline and sample as knn_loo_label_eval."""
+    sqn = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "label", "v", sqn.alias("nrm"))
+    q = e.filter(F.col("vec_id") % 5 == 0)
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
+        "vec_id", "label", "nlabel",
+        (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"), "nid",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
+    top5 = pairs.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 5
+    ).select(
+        "vec_id",
+        "label",
+        "rn",
+        F.when(F.col("nlabel") == F.col("label"), 1.0).otherwise(0.0).alias("rel"),
+    )
+    import math as _m
+
+    ln2 = float(_m.log(2.0))
+    dcg = top5.groupBy("vec_id", "label").agg(
+        F.sum(F.col("rel") / (F.log(F.col("rn") + 1.0) / ln2)).alias("dcg"),
+        F.sum("rel").alias("n_rel"),
+    )
+    # closed-form ideal DCG over min(n_rel, 5) unit gains
+    idcg = F.when(
+        F.col("n_rel") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / (F.log(i + 1.0) / ln2),
+        ),
+    )
+    ideal = dcg.select("vec_id", "label", "dcg", "n_rel", idcg.alias("idcg"))
+    return ideal.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        r4(F.avg(F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)))).alias(
+            "mean_ndcg_5"
+        ),
+        r4(F.avg("n_rel") / 5.0).alias("mean_precision_5"),
+    )
+
+
 _reorder_for_gate()

@@ -122,7 +122,8 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "positional_phrase_search", "energy_distance_groups",
         "trade_reciprocity", "rich_club_coefficient",
         "token_pmi_collocations", "corpus_diversity_indices",
-        "open_order_backlog",
+        "open_order_backlog", "kendall_tau_b",
+        "theil_index_decomposition", "ndcg_label_retrieval",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (

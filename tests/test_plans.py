@@ -113,7 +113,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "energy_distance_groups",
         "trade_reciprocity", "rich_club_coefficient",
         "token_pmi_collocations", "corpus_diversity_indices",
-        "open_order_backlog",
+        "open_order_backlog", "kendall_tau_b",
+        "theil_index_decomposition", "ndcg_label_retrieval",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
