@@ -19042,4 +19042,340 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 batch 11 — Cohen's kappa / Gumbel EVT / runs test / Bland-Altman /
+# Ljung-Box
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohens_kappa_raters",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS gold,
+             CASE WHEN len(list_distinct(list_intersect(
+                    list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                    {{sw_en}}))) >= 2 THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    ct AS (
+      SELECT sum(CASE WHEN gold = 1 AND pred = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN gold = 1 AND pred = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN gold = 0 AND pred = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN gold = 0 AND pred = 0 THEN 1 ELSE 0 END) AS d,
+             count(*) * 1.0 AS n
+      FROM r
+    )
+    SELECT CAST(a AS BIGINT) AS both_en, CAST(b AS BIGINT) AS gold_only,
+           CAST(c AS BIGINT) AS pred_only, CAST(d AS BIGINT) AS neither,
+           round((a + d) / n, 4) + 0.0 AS observed_agreement,
+           round(((a + b) * (a + c) + (c + d) * (b + d)) / (n * n), 4) + 0.0
+             AS expected_agreement,
+           round(((a + d) / n - ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n))
+                 / (1.0 - ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)),
+                 4) + 0.0 AS cohens_kappa
+    FROM ct
+    """.format(sw_en=_SW_SQL["en"]),
+)
+def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation QA — Cohen's κ between the gold language label and the
+    stopword-overlap English detector (≥2 distinct EN stopwords):
+    chance-corrected agreement, the metric that exposes how much of a
+    labeler's 'accuracy' is base-rate (raw agreement flatters any
+    majority-class rater — κ does not). The 2×2 table is one aggregate;
+    κ is scalar algebra on its margins. The labeling-pipeline QA row
+    beside k_anonymity_audit and label_noise_screen."""
+    from graph_db_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = [F.lit(w) for w in TX.STOPWORDS["en"]]
+    pred = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")),
+                F.array(*sw),
+            )
+        )
+        >= 2
+    )
+    r = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("gold"),
+        F.when(pred, 1).otherwise(0).alias("pred"),
+    )
+    ct = r.agg(
+        F.sum(F.when((F.col("gold") == 1) & (F.col("pred") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("gold") == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("gold") == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("gold") == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("d"),
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+    )
+    po = (F.col("a") + F.col("d")) / F.col("n")
+    pe = (
+        (F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))
+    ) / (F.col("n") * F.col("n"))
+    return ct.select(
+        F.col("a").cast("bigint").alias("both_en"),
+        F.col("b").cast("bigint").alias("gold_only"),
+        F.col("c").cast("bigint").alias("pred_only"),
+        F.col("d").cast("bigint").alias("neither"),
+        r4(po).alias("observed_agreement"),
+        r4(pe).alias("expected_agreement"),
+        r4((po - pe) / (1.0 - pe)).alias("cohens_kappa"),
+    )
+
+
+@register(
+    "gumbel_extreme_value_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, max(value) AS mx
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(mx) AS m,
+             sqrt((sum(mx * mx) - sum(mx) * sum(mx) / count(*))
+                  / (count(*) - 1)) AS sd
+      FROM daily
+    ),
+    fit AS (
+      SELECT n, m, sd,
+             sd * sqrt(6.0) / pi() AS beta,
+             m - CAST(0.5772156649015329 AS DOUBLE) * (sd * sqrt(6.0) / pi())
+               AS mu
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(mu, 4) + 0.0 AS gumbel_mu,
+           round(beta, 4) + 0.0 AS gumbel_beta,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 4) + 0.0
+             AS return_level_30d,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 365.0)), 4) + 0.0
+             AS return_level_365d
+    FROM fit
+    """,
+)
+def gumbel_extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value theory — Gumbel fit to daily maxima of the event
+    value stream by method of moments (β = σ√6/π, μ = x̄ − γβ), with
+    30-day and 365-day return levels μ − β·ln(−ln(1−1/T)): 'how big a
+    spike should we provision for' — the tail question quantiles of the
+    raw distribution systematically underestimate (block maxima, not
+    raw values, converge to Gumbel). One daily-max rollup + sufficient
+    statistics; Euler-Mascheroni is a shared CAST-AS-DOUBLE literal,
+    π via each engine's correctly-rounded pi()."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.max("value").alias("mx"))
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("mx").alias("m"),
+        F.sqrt(
+            (F.sum(F.col("mx") * F.col("mx")) - F.sum("mx") * F.sum("mx") / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    import math as _m
+
+    beta = F.col("sd") * float(_m.sqrt(6.0)) / float(_m.pi)
+    mu = F.col("m") - 0.5772156649015329 * beta
+    rl = lambda t: mu - beta * float(_m.log(-_m.log(1.0 - 1.0 / t)))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        r4(mu).alias("gumbel_mu"),
+        r4(beta).alias("gumbel_beta"),
+        r4(rl(30.0)).alias("return_level_30d"),
+        r4(rl(365.0)).alias("return_level_365d"),
+    )
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT day, y - lag(y) OVER (ORDER BY day) AS diff FROM daily
+    ),
+    sgn AS (
+      SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+      FROM d WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    runs AS (
+      SELECT s, CASE WHEN s <> lag(s) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg
+      FROM sgn
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) * 1.0 AS n1,
+             sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) * 1.0 AS n2,
+             sum(coalesce(chg, 0)) + 1 AS r
+      FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1.0, 4) + 0.0 AS expected_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4) + 0.0
+             AS runs_z
+    FROM agg
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics — Wald-Wolfowitz runs test on the signs of daily
+    revenue changes: too FEW runs = momentum/trending, too MANY =
+    mean-reversion — the serial-independence check that corr-based ACF
+    misses for nonlinear dependence. Runs are counted as sign-change
+    events in one lag window (no sequential fold); the z uses the exact
+    two-type runs moments. Zero diffs are dropped (tie handling stated,
+    not implicit)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    wo = Window.orderBy("day")
+    d = daily.select("day", (F.col("y") - F.lag("y").over(wo)).alias("diff"))
+    sgn = d.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("s")
+    )
+    runs = sgn.select(
+        "s",
+        F.when(F.col("s") != F.lag("s").over(wo), 1).otherwise(0).alias("chg"),
+    )
+    agg = runs.agg(
+        (F.sum(F.when(F.col("s") == 1, 1).otherwise(0)) * 1.0).alias("n1"),
+        (F.sum(F.when(F.col("s") == -1, 1).otherwise(0)) * 1.0).alias("n2"),
+        (F.sum(F.coalesce("chg", F.lit(0))) + 1).alias("r"),
+    )
+    n1, n2, rr = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        rr.cast("bigint").alias("n_runs"),
+        r4(er).alias("expected_runs"),
+        r4((rr - er) / F.sqrt(vr)).alias("runs_z"),
+    )
+
+
+@register(
+    "bland_altman_agreement",
+    oracle="""
+    WITH m AS (
+      SELECT l.l_extendedprice AS a, p.p_retailprice * l.l_quantity AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(a - b) AS bias,
+             sqrt((sum((a - b) * (a - b))
+                   - sum(a - b) * sum(a - b) / count(*))
+                  / (count(*) - 1)) AS sd,
+             corr(a, b) AS r
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(bias, 4) + 0.0 AS mean_bias,
+           round(bias - 1.96 * sd, 4) + 0.0 AS loa_lower,
+           round(bias + 1.96 * sd, 4) + 0.0 AS loa_upper,
+           round(r, 4) + 0.0 AS pearson_r
+    FROM s
+    """,
+)
+def bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measurement QA — Bland-Altman agreement between two price
+    'instruments' (billed extendedprice vs catalog retailprice ×
+    quantity): mean bias and 95% limits of agreement, the method-
+    comparison analysis correlation alone cannot do (two measures can
+    correlate 0.99 and still disagree by a systematic offset — BA
+    shows it, r hides it). One broadcast-joined aggregate of
+    sufficient statistics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    m = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_extendedprice").alias("a"),
+        (F.col("p_retailprice") * F.col("l_quantity")).alias("b"),
+    )
+    diff = F.col("a") - F.col("b")
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(diff).alias("bias"),
+        F.sqrt(
+            (F.sum(diff * diff) - F.sum(diff) * F.sum(diff) / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+        F.corr("a", "b").alias("r"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("bias")).alias("mean_bias"),
+        r4(F.col("bias") - 1.96 * F.col("sd")).alias("loa_lower"),
+        r4(F.col("bias") + 1.96 * F.col("sd")).alias("loa_upper"),
+        r4(F.col("r")).alias("pearson_r"),
+    )
+
+
+def _ljung_box_sql(max_lag: int = 10) -> str:
+    """Ljung-Box on the daily revenue series using the pairwise-corr ACF
+    variant (matching autocorrelation_lags): lag columns from one
+    window sort, one corr() per lag, Q = n(n+2)·Σ r_k²/(n−k)."""
+    lags = ",\n             ".join(
+        f"lag(y, {k}) OVER (ORDER BY day) AS y{k}" for k in range(1, max_lag + 1)
+    )
+    corrs = ", ".join(f"corr(y, y{k}) AS c{k}" for k in range(1, max_lag + 1))
+    qsum = " + ".join(f"c{k} * c{k} / (n - {k})" for k in range(1, max_lag + 1))
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT day, y,
+             {lags}
+      FROM daily
+    ),
+    a AS (SELECT count(*) * 1.0 AS n, {corrs} FROM l)
+    SELECT CAST(n AS BIGINT) AS n_days, CAST({max_lag} AS BIGINT) AS df,
+           round(n * (n + 2.0) * ({qsum}), 4) + 0.0 AS ljung_box_q
+    FROM a
+    """
+
+
+@register("ljung_box_q", oracle=_ljung_box_sql())
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series — Ljung-Box portmanteau statistic Q = n(n+2)·Σ
+    r_k²/(n−k) over lags 1..10 of daily revenue: the single-number
+    'is there ANY residual autocorrelation' test that reads the whole
+    ACF head at once (autocorrelation_lags shows the individual r_k;
+    this is their calibrated sum — the standard residual-whiteness
+    check after fitting holt/theil-sen trends). ACF via the same
+    pairwise-corr lag-column pattern: one window sort, ten corr
+    aggregates, no self-joins."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    wo = Window.orderBy("day")
+    cols = ["day", "y"] + [
+        F.lag("y", k).over(wo).alias(f"y{k}") for k in range(1, 11)
+    ]
+    l = daily.select(*cols)
+    aggs = [(F.count(F.lit(1)) * 1.0).alias("n")] + [
+        F.corr("y", f"y{k}").alias(f"c{k}") for k in range(1, 11)
+    ]
+    a = l.agg(*aggs)
+    q = F.col("n") * (F.col("n") + 2.0) * sum(
+        F.col(f"c{k}") * F.col(f"c{k}") / (F.col("n") - k) for k in range(1, 11)
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.lit(10).cast("bigint").alias("df"),
+        r4(q).alias("ljung_box_q"),
+    )
+
+
 _reorder_for_gate()

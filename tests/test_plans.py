@@ -115,6 +115,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "token_pmi_collocations", "corpus_diversity_indices",
         "open_order_backlog", "kendall_tau_b",
         "theil_index_decomposition", "ndcg_label_retrieval",
+        "cohens_kappa_raters", "gumbel_extreme_value_fit",
+        "runs_test_randomness", "bland_altman_agreement", "ljung_box_q",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
