@@ -19378,4 +19378,229 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 batch 12 — SPC individuals chart / growth accounting / VaR-CVaR
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spc_individuals_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+      FROM events GROUP BY 1
+    ),
+    mr AS (
+      SELECT day, x, abs(x - lag(x) OVER (ORDER BY day)) AS r
+      FROM daily
+    ),
+    lim AS (
+      SELECT avg(x) AS cl, avg(r) AS mrbar FROM mr
+    )
+    SELECT strftime(mr.day, '%Y-%m-%d') AS day_date,
+           round(mr.x, 4) + 0.0 AS x,
+           round(lim.cl, 4) + 0.0 AS center,
+           round(lim.cl + 2.66 * lim.mrbar, 4) + 0.0 AS ucl,
+           round(lim.cl - 2.66 * lim.mrbar, 4) + 0.0 AS lcl,
+           CAST(CASE WHEN mr.x > lim.cl + 2.66 * lim.mrbar
+                       OR mr.x < lim.cl - 2.66 * lim.mrbar
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM mr, lim
+    """,
+)
+def spc_individuals_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality engineering — Shewhart individuals (X-MR) control chart
+    on daily mean event value: control limits CL ± 2.66·M̄R from the
+    average moving range (the d2-based short-term sigma estimate — NOT
+    the overall stddev, which long-term drift inflates and which would
+    hide exactly the shifts the chart exists to catch), with per-day
+    out-of-control flags. One daily rollup + one lag window + a
+    broadcast scalar row of limits."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    wo = Window.orderBy("day")
+    mr = daily.select(
+        "day", "x", F.abs(F.col("x") - F.lag("x").over(wo)).alias("r")
+    )
+    lim = mr.agg(F.avg("x").alias("cl"), F.avg("r").alias("mrbar"))
+    j = mr.crossJoin(F.broadcast(lim))
+    ucl = F.col("cl") + 2.66 * F.col("mrbar")
+    lcl = F.col("cl") - 2.66 * F.col("mrbar")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_date"),
+        r4(F.col("x")).alias("x"),
+        r4(F.col("cl")).alias("center"),
+        r4(ucl).alias("ucl"),
+        r4(lcl).alias("lcl"),
+        F.when((F.col("x") > ucl) | (F.col("x") < lcl), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("out_of_control"),
+    )
+
+
+@register(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+      FROM events WHERE event_type = 'purchase' AND value >= 60
+    ),
+    firsts AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+    flags AS (
+      SELECT uw.user_id, uw.wk, firsts.first_wk,
+             lag(uw.wk) OVER (PARTITION BY uw.user_id ORDER BY uw.wk) AS prev_wk
+      FROM uw JOIN firsts USING (user_id)
+    ),
+    cls AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM flags
+    ),
+    act AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS active,
+             CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+             CAST(sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resurrected
+      FROM cls GROUP BY 1
+    ),
+    churn AS (
+      SELECT a.wk + INTERVAL 7 DAY AS wk, count(*) AS c FROM uw a
+      LEFT JOIN uw b ON a.user_id = b.user_id
+                    AND b.wk = a.wk + INTERVAL 7 DAY
+      WHERE b.user_id IS NULL
+      GROUP BY 1
+    )
+    SELECT strftime(act.wk, '%Y-%m-%d') AS week_start, act.active,
+           act.new_users, act.retained, act.resurrected,
+           CAST(coalesce(churn.c, 0) AS BIGINT) AS churned_into_week
+    FROM act LEFT JOIN churn ON act.wk = churn.wk
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product analytics — weekly growth accounting over a
+    non-saturating activity definition (a high-value purchase that
+    week — raw any-event activity is ~100% weekly on this fixture and
+    would flatten the decomposition): every active user classified
+    new / retained / resurrected (first week, consecutive week,
+    gap-return), plus how many of last week's actives churned
+    into this week — the decomposition behind 'are we growing or just
+    churning', which the raw active count (streaming_daily_stats) and
+    diagonal retention (cohort_retention) don't isolate. One distinct
+    user-week rollup, one per-user lag window, one anti-join for
+    churn."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 60)
+    )
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    flags = uw.join(firsts, on="user_id").select(
+        "user_id", "wk", "first_wk", F.lag("wk").over(wlag).alias("prev_wk")
+    )
+    cls = flags.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    act = cls.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active"),
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    nxt = uw.select(
+        F.col("user_id").alias("bu"), F.col("wk").alias("bwk")
+    )
+    churn = (
+        uw.join(
+            nxt,
+            (F.col("user_id") == F.col("bu"))
+            & (F.col("bwk") == F.date_add("wk", 7)),
+            "left",
+        )
+        .filter(F.col("bu").isNull())
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return act.join(churn, on="wk", how="left").select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "active",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("churned_into_week"),
+    )
+
+
+@register(
+    "revenue_var_cvar",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT y - lag(y) OVER (ORDER BY day) AS chg FROM daily
+    ),
+    v AS (
+      SELECT count(*) AS n, quantile_cont(chg, 0.05) AS var95
+      FROM d WHERE chg IS NOT NULL
+    ),
+    es AS (
+      SELECT avg(chg) AS cvar95, count(*) AS n_tail
+      FROM d, v WHERE chg IS NOT NULL AND chg <= v.var95
+    )
+    SELECT CAST(v.n AS BIGINT) AS n_days,
+           round(v.var95, 4) + 0.0 AS var_95,
+           round(es.cvar95, 4) + 0.0 AS cvar_95,
+           CAST(es.n_tail AS BIGINT) AS n_tail_days
+    FROM v, es
+    """,
+)
+def revenue_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk — 95% value-at-risk and conditional VaR (expected
+    shortfall) of day-over-day revenue changes: the 5th-percentile
+    drawdown and the MEAN of everything at or beyond it — CVaR is the
+    coherent tail measure VaR alone is not (VaR says where the tail
+    starts, CVaR how bad it is inside). Interpolating percentile
+    (established cross-engine parity) + one filtered tail
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    d = daily.select(
+        (F.col("y") - F.lag("y").over(Window.orderBy("day"))).alias("chg")
+    ).filter(F.col("chg").isNotNull())
+    v = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(chg, 0.05)").alias("var95"),
+    )
+    es = d.crossJoin(F.broadcast(v)).filter(F.col("chg") <= F.col("var95")).agg(
+        F.avg("chg").alias("cvar95"), F.count(F.lit(1)).alias("n_tail")
+    )
+    return v.crossJoin(es).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        r4(F.col("var95")).alias("var_95"),
+        r4(F.col("cvar95")).alias("cvar_95"),
+        F.col("n_tail").cast("bigint").alias("n_tail_days"),
+    )
+
+
 _reorder_for_gate()

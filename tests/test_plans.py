@@ -117,6 +117,8 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "theil_index_decomposition", "ndcg_label_retrieval",
         "cohens_kappa_raters", "gumbel_extreme_value_fit",
         "runs_test_randomness", "bland_altman_agreement", "ljung_box_q",
+        "spc_individuals_chart", "growth_accounting_weekly",
+        "revenue_var_cvar",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
