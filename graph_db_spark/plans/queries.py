@@ -19603,4 +19603,138 @@ def revenue_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7 batch 13 — difference-in-differences / grouped regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "diff_in_diff_uplift",
+    oracle="""
+    WITH cut AS (
+      SELECT quantile_cont(date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)), 0.5) AS c
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_totalprice AS y,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+             CASE WHEN date_diff('day', DATE '1970-01-01',
+                                 CAST(o.o_orderdate AS DATE)) >= cut.c
+                  THEN 1 ELSE 0 END AS post
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey, cut
+    ),
+    g AS (
+      SELECT treat, post, count(*) AS n, avg(y) AS m FROM j GROUP BY 1, 2
+    )
+    SELECT
+      CAST((SELECT n FROM g WHERE treat = 1 AND post = 0) AS BIGINT) AS n_treat_pre,
+      CAST((SELECT n FROM g WHERE treat = 1 AND post = 1) AS BIGINT) AS n_treat_post,
+      round((SELECT m FROM g WHERE treat = 1 AND post = 0), 4) + 0.0 AS treat_pre,
+      round((SELECT m FROM g WHERE treat = 1 AND post = 1), 4) + 0.0 AS treat_post,
+      round((SELECT m FROM g WHERE treat = 0 AND post = 0), 4) + 0.0 AS control_pre,
+      round((SELECT m FROM g WHERE treat = 0 AND post = 1), 4) + 0.0 AS control_post,
+      round(((SELECT m FROM g WHERE treat = 1 AND post = 1)
+             - (SELECT m FROM g WHERE treat = 1 AND post = 0))
+            - ((SELECT m FROM g WHERE treat = 0 AND post = 1)
+               - (SELECT m FROM g WHERE treat = 0 AND post = 0)), 4) + 0.0
+        AS did_estimate
+    """,
+)
+def diff_in_diff_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal inference — difference-in-differences on order value:
+    BUILDING-segment customers as the treated group, the median order
+    date (integer day number — no timezone surface) as the policy
+    cutoff, DiD = (T_post − T_pre) − (C_post −
+    C_pre) — the parallel-trends estimator that subtracts out both the
+    group baseline and the common time shock, which the raw post-mean
+    comparison (welch_t_test) conflates. One join + one 2×2 group
+    aggregate; the cutoff is a broadcast scalar quantile."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    cut = o.agg(
+        F.expr(
+            "percentile(datediff(to_date(o_orderdate), date'1970-01-01'), 0.5)"
+        ).alias("cut")
+    )
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("o_totalprice").alias("y"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treat"),
+            F.when(days >= F.col("cut"), 1).otherwise(0).alias("post"),
+        )
+    )
+    g = j.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("y").alias("m")
+    )
+    g2 = g.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("n"))).alias("n_tp"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("n"))).alias("n_tq"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("m"))).alias("tp"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("m"))).alias("tq"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), F.col("m"))).alias("cp"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), F.col("m"))).alias("cq"),
+    )
+    return g2.select(
+        F.col("n_tp").cast("bigint").alias("n_treat_pre"),
+        F.col("n_tq").cast("bigint").alias("n_treat_post"),
+        r4(F.col("tp")).alias("treat_pre"),
+        r4(F.col("tq")).alias("treat_post"),
+        r4(F.col("cp")).alias("control_pre"),
+        r4(F.col("cq")).alias("control_post"),
+        r4(
+            (F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp"))
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "brand_price_elasticity",
+    oracle="""
+    WITH pp AS (
+      SELECT p.p_brand AS brand, l.l_partkey,
+             ln(avg(l.l_extendedprice / l.l_quantity)) AS ln_p,
+             ln(sum(l.l_quantity)) AS ln_q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+           round(regr_slope(ln_q, ln_p), 4) + 0.0 AS elasticity,
+           round(regr_intercept(ln_q, ln_p), 4) + 0.0 AS intercept,
+           round(regr_r2(ln_q, ln_p), 4) + 0.0 AS r2
+    FROM pp GROUP BY 1
+    """,
+)
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Econometrics — log-log price elasticity per brand via the
+    BUILT-IN regression aggregates (regr_slope/intercept/r2 — the
+    one-pass co-moment machines both engines ship): across a brand's
+    parts, how does log demand respond to log unit price? Showcases
+    grouped closed-form regression (ols_normal_equations is the
+    multi-feature hand-rolled form; this is the per-group built-in
+    form a 100 TB pipeline reaches for first — one shuffle, no
+    driver math)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
+        .agg(
+            F.log(F.avg(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+                "ln_p"
+            ),
+            F.log(F.sum("l_quantity")).alias("ln_q"),
+        )
+    )
+    return pp.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        r4(F.expr("regr_slope(ln_q, ln_p)")).alias("elasticity"),
+        r4(F.expr("regr_intercept(ln_q, ln_p)")).alias("intercept"),
+        r4(F.expr("regr_r2(ln_q, ln_p)")).alias("r2"),
+    )
+
+
 _reorder_for_gate()

@@ -127,7 +127,7 @@ def test_r7_gate_window_covers_the_never_driver_green_pool():
         "cohens_kappa_raters", "gumbel_extreme_value_fit",
         "runs_test_randomness", "bland_altman_agreement", "ljung_box_q",
         "spc_individuals_chart", "growth_accounting_weekly",
-        "revenue_var_cvar",
+        "revenue_var_cvar", "diff_in_diff_uplift", "brand_price_elasticity",
     }
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (

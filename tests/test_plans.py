@@ -118,7 +118,7 @@ def test_grouped_agg_has_partial_aggregation(spark):
         "cohens_kappa_raters", "gumbel_extreme_value_fit",
         "runs_test_randomness", "bland_altman_agreement", "ljung_box_q",
         "spc_individuals_chart", "growth_accounting_weekly",
-        "revenue_var_cvar",
+        "revenue_var_cvar", "diff_in_diff_uplift", "brand_price_elasticity",
     ],
 )
 def test_no_accidental_cartesian(spark, name):
