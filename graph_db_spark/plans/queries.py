@@ -12460,14 +12460,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer segmentation, the marketing-analytics standard: one grouped
     pass builds the per-customer RFM triple, three global ntile(5)
     windows score it, and a rule CASE maps scores to named segments
-    (champion / recent / loyal_lapsing / at_risk / regular). Scale
-    honesty: the ntile windows are GLOBAL sorts — but over the
-    per-customer AGGREGATE table (|customers| rows, ~1.5% of lineitem),
-    which is the scale-safe global-ranking posture order_value_deciles
-    pinned; ties break on custkey so both engines assign identical
-    quintiles. The curated_training_corpus of the analytics surface:
-    every stage is an already-verified shape (grouped agg, ntile,
-    CASE routing, grouped report)."""
+    (champion / recent / loyal_lapsing / at_risk / regular). NO global
+    window (r7 verdict fix): each of the three quintile scores comes
+    from the two-level prefix-sum global rank (``with_global_rank`` —
+    range partition + pid-local row_number + broadcast offsets) plus
+    the closed-form exact-ANSI tile arithmetic (``ntile_of``) — the
+    order_value_deciles pattern ×3. A billion customers rank as
+    3 × #partitions parallel sorts; ties break on custkey so both
+    engines assign identical quintiles."""
+    from graph_db_spark.operators.aggregates import ntile_of, with_global_rank
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -12476,18 +12478,47 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit(mx), F.max("o_orderdate")).alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
+    ).localCheckpoint()  # three rankings + the count scalar share one materialization
+    n_total = rfm.agg(F.count(F.lit(1)).alias("_n"))
+    # ONE ranking pass serves all three quintiles: stack the three
+    # (dimension, sort-value) projections dim-tagged into a 3n-row
+    # frame and rank it globally by (dim, v, c) — the per-dimension
+    # rank is then global_rank − dim·n (each dim block is contiguous
+    # in the total order). Negating recency turns its DESC order into
+    # the shared ASC one; int/bigint sort values are exact in double.
+    stacked = rfm.select(
+        "c",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("dim"),
+                    (-F.col("recency")).cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("dim"), F.col("frequency").cast("double").alias("v")
+                ),
+                F.struct(
+                    F.lit(2).alias("dim"), F.col("monetary").cast("double").alias("v")
+                ),
+            )
+        ).alias("e"),
+    ).select("c", F.col("e.dim").alias("dim"), F.col("e.v").alias("v"))
+    ranked = with_global_rank(
+        stacked, [F.asc("dim"), F.asc("v"), F.asc("c")], rank_col="_gr"
     )
-    scored = (
-        rfm.withColumn(
-            "r_score", F.ntile(5).over(Window.orderBy(F.desc("recency"), F.col("c")))
-        )
-        .withColumn(
-            "f_score", F.ntile(5).over(Window.orderBy("frequency", "c"))
-        )
-        .withColumn(
-            "m_score", F.ntile(5).over(Window.orderBy("monetary", "c"))
-        )
+    tiles = ranked.crossJoin(F.broadcast(n_total)).select(  # 1-row scalar attach
+        "c",
+        "dim",
+        ntile_of(
+            F.col("_gr") - F.col("dim").cast("bigint") * F.col("_n"), F.col("_n"), 5
+        ).alias("tile"),
     )
+    scores = tiles.groupBy("c").agg(
+        F.max(F.when(F.col("dim") == 0, F.col("tile"))).alias("r_score"),
+        F.max(F.when(F.col("dim") == 1, F.col("tile"))).alias("f_score"),
+        F.max(F.when(F.col("dim") == 2, F.col("tile"))).alias("m_score"),
+    )
+    scored = rfm.join(scores, on="c")
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
         .when(F.col("r_score") >= 4, "recent")
@@ -15465,9 +15496,10 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_first_digit",
     oracle="""
     WITH d AS (
-      SELECT CAST(floor(o_totalprice
-                        / power(10, floor(log10(o_totalprice)))) AS BIGINT)
-               AS digit
+      SELECT least(greatest(
+               CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice)))) AS BIGINT),
+               1), 9) AS digit
       FROM orders WHERE o_totalprice > 0
     ),
     tot AS (SELECT count(*) AS n FROM d)
@@ -15485,17 +15517,25 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     first significant digit d = ⌊p/10^⌊log10 p⌋⌋ vs the log10(1+1/d)
     expectation, one χ² term per digit (fraud/data-entry anomaly
     screening over financial columns). Digit extraction stays numeric —
-    never a double→string format, which is NOT engine-portable. One
-    pushed-projection scan + a 9-group agg; the scalar total arrives via
-    a broadcast cross join, so the plan is two stages at any scale."""
+    never a double→string format, which is NOT engine-portable — and the
+    digit is clamped into [1,9] on BOTH sides (r7 advice): on an exact
+    power of 10, an engine's independently-rounded log10 can land 1 ulp
+    under the integer and yield digit 10 in one engine and 1 in the
+    other; the clamp pins that boundary. One pushed-projection scan + a
+    9-group agg; the scalar total arrives via a broadcast cross join, so
+    the plan is two stages at any scale."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     d = o.select(
-        F.floor(
-            F.col("o_totalprice")
-            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-        )
-        .cast("bigint")
-        .alias("digit")
+        F.least(
+            F.greatest(
+                F.floor(
+                    F.col("o_totalprice")
+                    / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+                ).cast("bigint"),
+                F.lit(1),
+            ),
+            F.lit(9),
+        ).alias("digit")
     )
     tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
     share = F.count(F.lit(1)) * 1.0 / F.first("n_tot")
@@ -15679,7 +15719,15 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT-value table (the spearman_rank_correlation trick at
     queries.py:spearman_rank_correlation): every midrank is an exact
     multiple of 0.5, and sums of half-integers are EXACT in double —
-    the emitted H is bit-identical across engines, not merely close."""
+    the emitted H is bit-identical across engines, not merely close.
+    CARDINALITY ASSUMPTION (r7 verdict): the global cumsum window runs
+    over the distinct-VALUE grid, which is bounded (~50 rows) for the
+    integer-valued quantity column this test targets but grows O(n)
+    for a continuous measure — on such a column, swap the window for
+    ``with_global_rank(cumsum_cols=...)`` (aggregates.py), the
+    two-level prefix sum heaps_law_fit/sprt use; midranks stay exact
+    .5 multiples under any partition split because integer cumsums
+    are associative."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q")
     )
@@ -16146,7 +16194,12 @@ def naive_bayes_token_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the classic MapReduce NB); the class totals + vocabulary
     size ride in on a broadcast scalar row. The ≥5-occurrence floor
     keeps the screen out of hapax noise. Counts are integers and the
-    weights single ln() calls — no float-sum drift anywhere."""
+    weights single ln() calls — no float-sum drift anywhere. NO global
+    window (r7 verdict fix): the vocabulary grows ~O(corpus^β), so each
+    top-10 is a TakeOrdered (``orderBy().limit``) — per-partition top-k
+    + a k-row driver merge, the bm25_doc_ranking pattern — and the
+    overlap case (vocab ≤ 20) resolves 'long'-wins via a 10-row
+    anti-join, matching the oracle's OR semantics exactly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("y"),
@@ -16172,18 +16225,23 @@ def naive_bayes_token_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    ranked = llr.select(
-        "*",
-        F.row_number().over(Window.orderBy(F.desc("w"), "tok")).alias("rl"),
-        F.row_number().over(Window.orderBy(F.asc("w"), "tok")).alias("rs"),
+    llr = llr.localCheckpoint()  # both top-k scans share one materialization
+    long_top = llr.orderBy(F.desc("w"), F.asc("tok")).limit(10)
+    short_top = llr.orderBy(F.asc("w"), F.asc("tok")).limit(10)
+
+    def emit(df: DataFrame, indicates: str) -> DataFrame:
+        return df.select(
+            F.col("tok").alias("token"),
+            "count_long",
+            "count_short",
+            r4(F.col("w")).alias("log_likelihood_ratio"),
+            F.lit(indicates).alias("indicates"),
+        )
+
+    short_only = short_top.join(
+        F.broadcast(long_top.select("tok")), on="tok", how="left_anti"
     )
-    return ranked.filter((F.col("rl") <= 10) | (F.col("rs") <= 10)).select(
-        F.col("tok").alias("token"),
-        "count_long",
-        "count_short",
-        r4(F.col("w")).alias("log_likelihood_ratio"),
-        F.when(F.col("rl") <= 10, "long").otherwise("short").alias("indicates"),
-    )
+    return emit(long_top, "long").unionByName(emit(short_only, "short"))
 
 
 @register(
@@ -16888,25 +16946,35 @@ def sprt_sequential_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing (±ln 19) — the sequential A/B stopping rule that ends
     experiments at the earliest defensible moment instead of a fixed
     horizon (ab_test_proportions is the fixed-horizon twin). The
-    per-trial increments are shared double literals, and an ordered
-    windowed cumsum accumulates left-to-right identically in both
-    engines — bit-identical walk, same crossing row. The global order
-    is the test's semantics (one experiment = one sequence; a real
-    deployment partitions by experiment key)."""
+    per-trial increments are shared double literals. NO global window
+    (r7 verdict fix): the cumulative walk comes from the two-level
+    prefix sum (``with_global_rank(cumsum_cols=...)`` — range partition
+    on (ts, event_id), pid-local ordered cumsum, broadcast per-partition
+    offsets) so a billion-trial experiment walks as #partitions parallel
+    cumsums. The increments (±0.2, ±0.05 scale) keep accumulated FP
+    noise ~1e-12 — far inside the round(,4) guard and never within
+    boundary-crossing distance of ±ln 19 on the fixtures. The global
+    order is the test's semantics (one experiment = one sequence; a
+    real deployment partitions by experiment key)."""
+    from graph_db_spark.operators.aggregates import with_global_rank
+
     ev = load_table(spark, sf_dir, "events")
     trials = ev.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
         "ts",
         "event_id",
+    ).withColumn(
+        "z",
+        F.when(F.col("x") == 1, F.lit(0.20067069546215124)).otherwise(
+            F.lit(-0.050010420574661305)
+        ),
     )
-    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = trials.select(
-        "x",
-        F.row_number().over(Window.orderBy("ts", "event_id")).alias("rn"),
-        F.sum(
-            F.when(F.col("x") == 1, F.lit(0.20067069546215124)).otherwise(F.lit(-0.050010420574661305))
-        ).over(w).alias("llr"),
-    )
+    cum = with_global_rank(
+        trials,
+        [F.asc("ts"), F.asc("event_id")],
+        rank_col="rn",
+        cumsum_cols={"llr": "z"},
+    ).select("x", "rn", "llr")
     cross_pt = cum.filter(
         (F.col("llr") >= 2.9444389791664403) | (F.col("llr") <= -2.9444389791664403)
     ).agg(F.min("rn").alias("rn_cross"))
@@ -17582,7 +17650,8 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (
       SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS token
-      FROM w CROSS JOIN range(1, 600) t(i) WHERE i + 2 <= len(w)
+      FROM (SELECT w, generate_subscripts(w, 1) AS i FROM w)
+      WHERE i + 2 <= len(w)
     ),
     c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
     ff AS (SELECT cnt, count(*) AS f FROM c GROUP BY 1),
@@ -17656,7 +17725,8 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (
       SELECT r, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS token
-      FROM d CROSS JOIN range(1, 600) t(i) WHERE i + 2 <= len(w)
+      FROM (SELECT r, w, generate_subscripts(w, 1) AS i FROM d)
+      WHERE i + 2 <= len(w)
     ),
     firsts AS (SELECT token, min(r) AS fr FROM toks GROUP BY 1),
     newc AS (SELECT fr AS r, count(*) AS nv FROM firsts GROUP BY 1),
@@ -17695,12 +17765,19 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k predict vocabulary at 100 TB from a sample — tokenizer sizing
     and dedup-rate forecasting read straight off this fit. Companion
     to zipf_law_fit (the two laws are duals). Cumulatives are exact
-    integers; the fit is one sufficient-statistics aggregate."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.dense_rank().over(Window.orderBy("doc_id")).alias("r"),
-        F.split(F.lower(F.trim("text")), r"\s+").alias("w"),
+    integers; the fit is one sufficient-statistics aggregate. NO global
+    window (r7 verdict fix): doc_id is unique so the doc rank is the
+    two-level prefix-sum global row_number (``with_global_rank``, ==
+    dense_rank here), and both growth-curve cumulatives ride the same
+    helper's ``cumsum_cols`` — a billion-doc corpus ranks and
+    accumulates as #partitions parallel sorts, and integer cumsums stay
+    exact under any partition split."""
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     )
+    d = with_global_rank(docs, [F.asc("doc_id")], rank_col="r")
     toks = d.select(
         "r",
         F.explode(
@@ -17713,14 +17790,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = toks.groupBy("token").agg(F.min("r").alias("fr"))
     newc = firsts.groupBy(F.col("fr").alias("r")).agg(F.count(F.lit(1)).alias("nv"))
     perdoc = toks.groupBy("r").agg(F.count(F.lit(1)).alias("nt"))
-    wcum = Window.orderBy("r")
-    cum = (
-        perdoc.join(newc, on="r", how="left")
-        .select(
-            "r",
-            F.sum("nt").over(wcum).alias("cn"),
-            F.sum(F.coalesce("nv", F.lit(0))).over(wcum).alias("cv"),
-        )
+    joined = perdoc.join(newc, on="r", how="left").withColumn(
+        "nv0", F.coalesce("nv", F.lit(0))
+    )
+    cum = with_global_rank(
+        joined, [F.asc("r")], rank_col="_rn", cumsum_cols={"cn": "nt", "cv": "nv0"}
     )
     lg = cum.select(F.log("cn").alias("x"), F.log("cv").alias("y"))
     n = F.count(F.lit(1))
@@ -18198,7 +18272,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     idx AS (
       SELECT doc_id, i AS pos, w[i] AS token
-      FROM w CROSS JOIN range(1, 600) t(i) WHERE i <= len(w)
+      FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM w)
     ),
     tri AS (
       SELECT a.token AS t1, b.token AS t2, c.token AS t3, count(*) AS n
@@ -19125,9 +19199,14 @@ def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GUMBEL_K = __import__("math").sqrt(6.0) / __import__("math").pi
+_GUMBEL_F30 = __import__("math").log(-__import__("math").log(1.0 - 1.0 / 30.0))
+_GUMBEL_F365 = __import__("math").log(-__import__("math").log(1.0 - 1.0 / 365.0))
+
+
 @register(
     "gumbel_extreme_value_fit",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, max(value) AS mx
       FROM events GROUP BY 1
@@ -19140,17 +19219,17 @@ def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
       SELECT n, m, sd,
-             sd * sqrt(6.0) / pi() AS beta,
-             m - CAST(0.5772156649015329 AS DOUBLE) * (sd * sqrt(6.0) / pi())
-               AS mu
+             sd * CAST({_GUMBEL_K!r} AS DOUBLE) AS beta,
+             m - CAST(0.5772156649015329 AS DOUBLE)
+               * (sd * CAST({_GUMBEL_K!r} AS DOUBLE)) AS mu
       FROM s
     )
     SELECT CAST(n AS BIGINT) AS n_days,
            round(mu, 4) + 0.0 AS gumbel_mu,
            round(beta, 4) + 0.0 AS gumbel_beta,
-           round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 4) + 0.0
+           round(mu - beta * CAST({_GUMBEL_F30!r} AS DOUBLE), 4) + 0.0
              AS return_level_30d,
-           round(mu - beta * ln(-ln(1.0 - 1.0 / 365.0)), 4) + 0.0
+           round(mu - beta * CAST({_GUMBEL_F365!r} AS DOUBLE), 4) + 0.0
              AS return_level_365d
     FROM fit
     """,
@@ -19162,8 +19241,11 @@ def gumbel_extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spike should we provision for' — the tail question quantiles of the
     raw distribution systematically underestimate (block maxima, not
     raw values, converge to Gumbel). One daily-max rollup + sufficient
-    statistics; Euler-Mascheroni is a shared CAST-AS-DOUBLE literal,
-    π via each engine's correctly-rounded pi()."""
+    statistics; Euler-Mascheroni, √6/π, and the two ln(−ln(1−1/T))
+    return-level factors are all Python-computed shared CAST-AS-DOUBLE
+    literals emitted into BOTH engines (r7 advice — the katz/sprt
+    convention; a 1-ulp libm difference in either factor times β can
+    land on a round(,4) half-way boundary)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.max("value").alias("mx"))
     s = daily.agg(
@@ -19174,17 +19256,14 @@ def gumbel_extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) - 1)
         ).alias("sd"),
     )
-    import math as _m
-
-    beta = F.col("sd") * float(_m.sqrt(6.0)) / float(_m.pi)
+    beta = F.col("sd") * F.lit(_GUMBEL_K)
     mu = F.col("m") - 0.5772156649015329 * beta
-    rl = lambda t: mu - beta * float(_m.log(-_m.log(1.0 - 1.0 / t)))
     return s.select(
         F.col("n").cast("bigint").alias("n_days"),
         r4(mu).alias("gumbel_mu"),
         r4(beta).alias("gumbel_beta"),
-        r4(rl(30.0)).alias("return_level_30d"),
-        r4(rl(365.0)).alias("return_level_365d"),
+        r4(mu - beta * F.lit(_GUMBEL_F30)).alias("return_level_30d"),
+        r4(mu - beta * F.lit(_GUMBEL_F365)).alias("return_level_365d"),
     )
 
 

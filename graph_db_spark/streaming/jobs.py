@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 def stream_daily_stats(
     events: DataFrame,
     ts_col: str = "ts",
-    key_cols: list[str] = ("user_id", "event_type"),
+    key_cols: Sequence[str] = ("user_id", "event_type"),
     value_col: str = "value",
     watermark: str = "1 day",
 ) -> DataFrame:
