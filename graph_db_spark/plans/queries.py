@@ -4378,60 +4378,53 @@ _EXPENSIVE_LAST = [
 # sf0.01 measurements) so a wall-clock cut drops as few verdicts as
 # possible (tools/check_correctness.py sf0.01).
 #
-# r07 window: pin "weighted_sample_docs" FIRST (its r5 driver row was
-# hash_match=false from the -0.0 round() divergence, fixed this round
-# via the `+ 0.0` normalization in r4 and its oracle), then the r6
-# post-freeze registrations ("tz_zone_correct_offsets", "ann_pq_topk",
-# "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection",
-# "doc_token_entropy", "bm25_doc_ranking", and the later r6-continuation
-# registrations listed in tests/test_oracles.py `post_freeze` — the
-# post-freeze pool now EXCEEDS one 50-slot window (73 names at r6
-# close), so r7 takes weighted_sample_docs + the 49 cheapest
-# post-freeze names (sf0.01 timings in tools/check_correctness.py
-# output; snapshot/streaming/iterative ones last) and r8 takes the
-# remainder before any re-check rotation starts. Keep
-# tests/test_oracles.py's `post_freeze` set in sync with EVERY new
-# registration — the r6-close additions are all individually
-# local-green at sf0.01 AND sf0.001 (both full-sweep records in
-# BASELINE.md).
+# r08 window: drain the driver-verification debt (r7 verdict item 1).
+# The never-driver-checked pool at r8 open is 85 names (registered ∖
+# union of CORRECTNESS_r01-r07 keys): the 29 heavies deferred from the
+# r7 rotation + the 56 post-freeze-r7 registrations. This window takes
+# all 29 deferred + 21 post-freeze; the other 35 spill to r9 and new
+# registration stays FROZEN until the pool is ≤ one window.
 _GATE_WINDOW = [
-    # r7 window: weighted_sample_docs re-queued FIRST (r5 hash-red from
-    # the -0.0 round divergence, fixed via `+ 0.0` normalization on both
-    # sides), then 49 of the 78 never-driver-checked post-freeze names,
-    # cheapest-first at sf0.01. The 29 deferred (heavier snapshot /
-    # streaming / landmark-graph / iterative ops: betweenness_landmarks,
-    # bitemporal_point_in_time, boruvka_spanning_forest,
-    # core_decomposition_histogram, curation_provenance,
-    # edit_distance_blocked_join, geo_grid_distance_join,
-    # harmonic_centrality_landmarks, hierarchy_subtree_rollup,
-    # hyperanf_neighborhood, ivm_join_view, kaplan_meier_churn,
-    # kcenter_coreset, landmark_distance_oracle, landmark_eccentricity,
-    # maximal_independent_set, random_walk_sampling, scc_trade_partners,
-    # snapshot_bloom_point_skip, snapshot_rebucket_evolution,
-    # snapshot_schema_evolution, snapshot_tag_travel,
-    # snapshot_write_audit_publish, streaming_full_outer_attribution,
-    # streaming_scd2_enrichment, streaming_sliding_counts,
-    # streaming_watermark_dedup, wordpiece_vocab_segment,
-    # zorder_clustering_prune) plus every r7 registration form the r8
-    # window. Keep tests/test_oracles.py `post_freeze` in sync with
-    # every new registration.
-    "weighted_sample_docs", "tz_zone_correct_offsets", "ann_pq_topk",
-    "ann_pq_distortion_bound", "ann_ivf_pq_topk", "dsir_selection",
-    "doc_token_entropy", "bm25_doc_ranking", "hybrid_retrieval_rerank",
-    "degree_assortativity", "hard_negative_mining", "rrf_fusion_ranking",
-    "sample_sum_estimate_bound", "market_basket_lift", "ewma_smoothing",
-    "autocorrelation_lags", "theil_sen_trend", "lineitem_correlations",
-    "zipf_law_fit", "modularity_communities", "jaccard_link_prediction",
-    "ngram_containment_pairs", "embedding_eval_contamination", "bootstrap_ci_mean",
-    "trimmed_mean_stats", "psi_distribution_drift", "ks_two_sample",
-    "ab_test_proportions", "mannwhitney_u_test", "trade_graph_transitivity",
-    "spearman_rank_correlation", "rfm_customer_segments", "session_path_topk",
-    "degree_powerlaw_mle", "conversion_latency_quantiles", "sql_api_region_revenue",
-    "prefix_filter_jaccard", "holt_trend_forecast", "cms_join_cardinality",
-    "sampled_triangle_estimate", "k_anonymity_audit", "sq8_quantization_bound",
-    "moments_rollup_variance", "window_funnel_levels", "range_partition_balance",
-    "gee_distinct_estimate", "median_order_statistic_ci", "neyman_allocation",
-    "rolling_robust_anomaly", "label_noise_screen",
+    # r8 window, exactly as the r7 close staged it: the 29 deferred
+    # heavies (snapshot / streaming / landmark-graph / iterative ops,
+    # never driver-checked since their r6-late/r7 registration) + 21
+    # post-freeze-r7 names — the 18 cheapest at sf0.01 (timed this
+    # round: 0.4-0.9s each in one 56-name checker sweep, ALL GREEN)
+    # plus the THREE post-freeze queries whose Spark side was REWRITTEN
+    # for the r7-verdict global-window fix (sprt_sequential_decision,
+    # heaps_law_fit, naive_bayes_token_screen — rewritten code needs
+    # fresh driver evidence more than a cheap untouched name does).
+    # The remaining 35 post-freeze-r7 names spill to the r9 window
+    # (tests/test_oracles.py `post_freeze_r7_r9_queue`); registration
+    # is FROZEN until the never-checked pool is back under one window.
+    # Deferred heavies first is also cheapest-risk: if the driver cuts
+    # on wall-clock it drops re-verifications of sub-second shapes, not
+    # the snapshot/streaming verdicts that have waited two rounds.
+    "betweenness_landmarks", "bitemporal_point_in_time",
+    "boruvka_spanning_forest", "core_decomposition_histogram",
+    "curation_provenance", "edit_distance_blocked_join",
+    "geo_grid_distance_join", "harmonic_centrality_landmarks",
+    "hierarchy_subtree_rollup", "hyperanf_neighborhood",
+    "ivm_join_view", "kaplan_meier_churn", "kcenter_coreset",
+    "landmark_distance_oracle", "landmark_eccentricity",
+    "maximal_independent_set", "random_walk_sampling",
+    "scc_trade_partners", "snapshot_bloom_point_skip",
+    "snapshot_rebucket_evolution", "snapshot_schema_evolution",
+    "snapshot_tag_travel", "snapshot_write_audit_publish",
+    "streaming_full_outer_attribution", "streaming_scd2_enrichment",
+    "streaming_sliding_counts", "streaming_watermark_dedup",
+    "wordpiece_vocab_segment", "zorder_clustering_prune",
+    "dp_noisy_source_counts", "cohens_kappa_raters",
+    "gumbel_extreme_value_fit", "dispersion_index_check",
+    "corpus_diversity_indices", "runs_test_randomness",
+    "bland_altman_agreement", "spc_individuals_chart",
+    "mcnemar_paired_test", "quantile_normalize_lengths",
+    "welch_t_test", "poisson_rate_ratio",
+    "binary_segmentation_changepoint", "revenue_var_cvar",
+    "brand_price_elasticity", "mase_forecast_accuracy",
+    "ols_normal_equations", "capture_recapture_estimate",
+    "sprt_sequential_decision", "heaps_law_fit",
+    "naive_bayes_token_screen",
 ]
 assert len(_GATE_WINDOW) == 50
 

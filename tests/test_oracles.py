@@ -62,78 +62,53 @@ def test_gate_window_and_expensive_tail_ordering():
     assert q[-len(tail):] == tail
 
 
-def test_r7_gate_window_covers_the_never_driver_green_pool():
-    """r7 rotation contract: the never-driver-green pool (absent from every
-    CORRECTNESS_r0{1..6}.json, plus weighted_sample_docs whose r5 row was
-    hash-red) must be exactly _GATE_WINDOW + the documented r8 queue
-    (29 deferred heavies + every post-r7-freeze registration). A name in
-    neither list would stay unverified forever — that is the failure this
-    test exists to catch."""
+def test_r8_gate_window_covers_the_never_driver_green_pool():
+    """r8 rotation contract: the never-driver-green pool (absent from every
+    CORRECTNESS_r0{1..7}.json) must be exactly _GATE_WINDOW (the 29 heavies
+    deferred from r7 + 21 post-freeze-r7 names: the 18 cheapest at sf0.01
+    and the 3 whose Spark side was rewritten for the r7-verdict
+    global-window fix) + the documented r9 queue (the other 35
+    post-freeze-r7 names). Registration is FROZEN until the pool fits one
+    window — any NEW name lands in the r9 queue below or this test fails,
+    which is the point: a name in neither list would stay unverified
+    forever."""
     import glob
     import json
     import os
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-6].json")))
-    if len(files) < 6:
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-7].json")))
+    if len(files) < 7:
         pytest.skip("driver correctness files absent")
     seen = set()
     for f in files:
         with open(f) as fh:
             seen |= set(json.load(fh))
-    # hash-red in r5; fixed, re-queued first in the r7 window
-    seen.discard("weighted_sample_docs")
-    r8_deferred = {
-        "betweenness_landmarks", "bitemporal_point_in_time",
-        "boruvka_spanning_forest", "core_decomposition_histogram",
-        "curation_provenance", "edit_distance_blocked_join",
-        "geo_grid_distance_join", "harmonic_centrality_landmarks",
-        "hierarchy_subtree_rollup", "hyperanf_neighborhood",
-        "ivm_join_view", "kaplan_meier_churn", "kcenter_coreset",
-        "landmark_distance_oracle", "landmark_eccentricity",
-        "maximal_independent_set", "random_walk_sampling",
-        "scc_trade_partners", "snapshot_bloom_point_skip",
-        "snapshot_rebucket_evolution", "snapshot_schema_evolution",
-        "snapshot_tag_travel", "snapshot_write_audit_publish",
-        "streaming_full_outer_attribution", "streaming_scd2_enrichment",
-        "streaming_sliding_counts", "streaming_watermark_dedup",
-        "wordpiece_vocab_segment", "zorder_clustering_prune",
-    }
-    # queries registered AFTER the r7 window froze (r8/r9 queue): add
-    # EVERY new registration here — this test fails otherwise.
-    post_freeze_r7 = {
+    post_freeze_r7_r9_queue = {
         "gini_concentration", "benford_first_digit", "cramers_v_association",
         "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
-        "stl_seasonal_decompose", "mase_forecast_accuracy",
-        "cross_correlation_lead_lag", "ols_normal_equations",
-        "naive_bayes_token_screen", "knn_loo_label_eval",
-        "mutual_nearest_pairs", "embedding_centroid_drift",
-        "dp_noisy_source_counts", "source_js_divergence",
-        "curriculum_phase_assign", "quantile_normalize_lengths",
-        "welch_t_test", "levene_variance_test", "sprt_sequential_decision",
+        "stl_seasonal_decompose", "cross_correlation_lead_lag",
+        "knn_loo_label_eval", "mutual_nearest_pairs",
+        "embedding_centroid_drift", "source_js_divergence",
+        "curriculum_phase_assign", "levene_variance_test",
         "katz_walk_centrality", "region_trade_assortativity",
         "association_rule_triples", "item_item_collaborative_topk",
         "markov_absorption_conversion", "pca_power_iteration",
-        "capture_recapture_estimate", "good_turing_unseen_mass",
-        "heaps_law_fit", "poisson_rate_ratio", "dispersion_index_check",
-        "mcnemar_paired_test", "markov_entropy_rate",
-        "binary_segmentation_changepoint", "weighted_median_price",
-        "positional_phrase_search", "energy_distance_groups",
-        "trade_reciprocity", "rich_club_coefficient",
-        "token_pmi_collocations", "corpus_diversity_indices",
+        "good_turing_unseen_mass", "markov_entropy_rate",
+        "weighted_median_price", "positional_phrase_search",
+        "energy_distance_groups", "trade_reciprocity",
+        "rich_club_coefficient", "token_pmi_collocations",
         "open_order_backlog", "kendall_tau_b",
         "theil_index_decomposition", "ndcg_label_retrieval",
-        "cohens_kappa_raters", "gumbel_extreme_value_fit",
-        "runs_test_randomness", "bland_altman_agreement", "ljung_box_q",
-        "spc_individuals_chart", "growth_accounting_weekly",
-        "revenue_var_cvar", "diff_in_diff_uplift", "brand_price_elasticity",
+        "ljung_box_q", "growth_accounting_weekly", "diff_in_diff_uplift",
     }
+    assert len(post_freeze_r7_r9_queue) == 35
     never = {n for n in queries() if n not in seen}
-    assert never == set(_GATE_WINDOW) | r8_deferred | post_freeze_r7, (
-        never ^ (set(_GATE_WINDOW) | r8_deferred | post_freeze_r7)
+    assert never == set(_GATE_WINDOW) | post_freeze_r7_r9_queue, (
+        never ^ (set(_GATE_WINDOW) | post_freeze_r7_r9_queue)
     )
-    assert not (set(_GATE_WINDOW) & (r8_deferred | post_freeze_r7))
+    assert not (set(_GATE_WINDOW) & post_freeze_r7_r9_queue)
 
 
 def test_rounded_emissions_cannot_produce_negative_zero(spark, sf_dir):
