@@ -4382,8 +4382,11 @@ _EXPENSIVE_LAST = [
 # The never-driver-checked pool at r8 open is 85 names (registered ∖
 # union of CORRECTNESS_r01-r07 keys): the 29 heavies deferred from the
 # r7 rotation + the 56 post-freeze-r7 registrations. This window takes
-# all 29 deferred + 21 post-freeze; the other 35 spill to r9 and new
-# registration stays FROZEN until the pool is ≤ one window.
+# all 29 deferred + 20 post-freeze + rfm_customer_segments RE-QUEUED
+# (its r7-green row predates the r8 global-window rewrite — the
+# weighted_sample_docs re-queue precedent); the remaining 36
+# post-freeze names spill to r9 and new registration stays FROZEN
+# until the pool is ≤ one window.
 _GATE_WINDOW = [
     # r8 window, exactly as the r7 close staged it: the 29 deferred
     # heavies (snapshot / streaming / landmark-graph / iterative ops,
@@ -4422,7 +4425,7 @@ _GATE_WINDOW = [
     "welch_t_test", "poisson_rate_ratio",
     "binary_segmentation_changepoint", "revenue_var_cvar",
     "brand_price_elasticity", "mase_forecast_accuracy",
-    "ols_normal_equations", "capture_recapture_estimate",
+    "ols_normal_equations", "rfm_customer_segments",
     "sprt_sequential_decision", "heaps_law_fit",
     "naive_bayes_token_screen",
 ]
@@ -16633,8 +16636,12 @@ def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (easy→hard), emitting per-phase token budgets for scheduler
     consumption. The explicit ⌊(rn−1)·4/n⌋ bucket replaces ntile() —
     engines disagree on ntile's remainder placement, floor arithmetic
-    they cannot. Ranking runs on the per-doc aggregate, so the global
-    sort is |docs|-sized, not token-sized."""
+    they cannot. NO global window (r8 plan sweep): the |docs|-sized
+    difficulty ranking rides the two-level prefix sum
+    (``with_global_rank``) and the doc count arrives as a 1-row
+    broadcast — a billion-doc curriculum ranks as #partitions parallel
+    sorts."""
+    from graph_db_spark.operators.aggregates import with_global_rank
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
@@ -16650,11 +16657,11 @@ def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(-F.log(F.col("cnt") * 1.0 / F.col("n"))).alias("difficulty"),
         )
     )
-    rk = diff.select(
-        "*",
-        F.row_number().over(Window.orderBy("difficulty", "doc_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
-    )
+    diff = diff.localCheckpoint()  # ranking + the count scalar share one pass
+    nd = diff.agg(F.count(F.lit(1)).alias("nd"))
+    rk = with_global_rank(
+        diff, [F.asc("difficulty"), F.asc("doc_id")], rank_col="rn"
+    ).crossJoin(F.broadcast(nd))  # 1-row scalar attach
     ph = rk.select(
         "*",
         F.least(F.lit(3), F.floor((F.col("rn") - 1) * 4.0 / F.col("nd")))
@@ -16706,15 +16713,19 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     every source's length distribution becomes the corpus distribution
     — the pre-mixing step that stops a long-doc source from dominating
     a token budget. Index math is ⌊x+0.5⌋ (explicit half-up: engines
-    disagree on round-half semantics, never on floor). Two rank windows
-    + one index equi-join; the global sort is per-column, not per-row,
-    at scale."""
+    disagree on round-half semantics, never on floor). NO global window
+    (r8 plan sweep): the corpus-wide length ranking is the two-level
+    prefix sum (``with_global_rank``) and the corpus count a 1-row
+    broadcast; only the per-SOURCE rank windows remain, and those are
+    key-partitioned. One prefix-sum ranking + one index equi-join."""
+    from graph_db_spark.operators.aggregates import with_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        F.col("n_chars").alias("v"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gi"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("gn"),
-    )
+    g = with_global_rank(
+        docs.select(F.col("n_chars").alias("v"), "doc_id"),
+        [F.asc("v"), F.asc("doc_id")],
+        rank_col="gi",
+    ).select("v", "gi")
     s = docs.select(
         "doc_id",
         "source",
@@ -16724,7 +16735,7 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
     )
-    gn = g.agg(F.max("gn").alias("gn"))
+    gn = docs.agg(F.count(F.lit(1)).alias("gn"))
     m = s.crossJoin(F.broadcast(gn)).select(
         "doc_id",
         "source",

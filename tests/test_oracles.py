@@ -65,10 +65,11 @@ def test_gate_window_and_expensive_tail_ordering():
 def test_r8_gate_window_covers_the_never_driver_green_pool():
     """r8 rotation contract: the never-driver-green pool (absent from every
     CORRECTNESS_r0{1..7}.json) must be exactly _GATE_WINDOW (the 29 heavies
-    deferred from r7 + 21 post-freeze-r7 names: the 18 cheapest at sf0.01
-    and the 3 whose Spark side was rewritten for the r7-verdict
-    global-window fix) + the documented r9 queue (the other 35
-    post-freeze-r7 names). Registration is FROZEN until the pool fits one
+    deferred from r7 + 21 post-freeze-r7 names: 17 cheapest at sf0.01,
+    the 3 whose Spark side was rewritten for the r7-verdict
+    global-window fix, and rfm_customer_segments re-queued because its
+    r7-green row predates its rewrite) + the documented r9 queue (36
+    names). Registration is FROZEN until the pool fits one
     window — any NEW name lands in the r9 queue below or this test fails,
     which is the point: a name in neither list would stay unverified
     forever."""
@@ -85,6 +86,9 @@ def test_r8_gate_window_covers_the_never_driver_green_pool():
     for f in files:
         with open(f) as fh:
             seen |= set(json.load(fh))
+    # r7-green row predates the r8 global-window rewrite; re-queued in
+    # the r8 window (the weighted_sample_docs precedent from r5→r7)
+    seen.discard("rfm_customer_segments")
     post_freeze_r7_r9_queue = {
         "gini_concentration", "benford_first_digit", "cramers_v_association",
         "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
@@ -102,8 +106,9 @@ def test_r8_gate_window_covers_the_never_driver_green_pool():
         "open_order_backlog", "kendall_tau_b",
         "theil_index_decomposition", "ndcg_label_retrieval",
         "ljung_box_q", "growth_accounting_weekly", "diff_in_diff_uplift",
+        "capture_recapture_estimate",
     }
-    assert len(post_freeze_r7_r9_queue) == 35
+    assert len(post_freeze_r7_r9_queue) == 36
     never = {n for n in queries() if n not in seen}
     assert never == set(_GATE_WINDOW) | post_freeze_r7_r9_queue, (
         never ^ (set(_GATE_WINDOW) | post_freeze_r7_r9_queue)

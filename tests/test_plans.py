@@ -490,3 +490,101 @@ def test_benford_filter_reaches_scan(spark):
     plan = plan_of(spark, "benford_first_digit")
     assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
     assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
+
+
+# ---------------------------------------------------------------------------
+# Inventory-wide single-partition-window sweep (r7 verdict item 3)
+# ---------------------------------------------------------------------------
+
+# Queries allowed to carry a globally-ORDERED (partition-free) Window,
+# each with the boundedness argument for why the windowed frame does NOT
+# grow with the corpus (SCALE.md §26 policy). Everything else in the
+# inventory must keep every ordered Window partitioned — the two-level
+# prefix sum (`with_global_rank`), closed-form `ntile_of`, or TakeOrdered
+# replace the global forms (the r7-verdict rewrites: rfm, sprt, heaps,
+# naive-bayes; r8 sweep additions: curriculum, quantile-normalize).
+GLOBAL_WINDOW_ALLOWLIST = {
+    "ams_f2_moment": "median-of-means rank over the sketch's counter "
+    "estimates — row count fixed by sketch config, not by data",
+    "binary_segmentation_changepoint": "calendar-bounded daily series",
+    "kruskal_wallis_test": "distinct-value grid of the integer-valued "
+    "quantity column (~50 rows; cardinality assumption documented in the "
+    "query docstring with the with_global_rank escape hatch)",
+    "ljung_box_q": "calendar-bounded daily series",
+    "open_order_backlog": "calendar-bounded daily series",
+    "revenue_var_cvar": "calendar-bounded daily return series",
+    "runs_test_randomness": "calendar-bounded daily series",
+    "spc_individuals_chart": "calendar-bounded daily series",
+    "stl_seasonal_decompose": "calendar-bounded daily series",
+    "rrf_fusion_ranking": "rank assignment over post-TakeOrdered 100-row "
+    "candidate lists — k-sized by construction",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split a formatted-plan Arguments line into its top-level [...]
+    groups. Regex bracket-matching miscounts here: the window-function
+    spec group itself contains brackets/parens, so only a depth counter
+    is reliable."""
+    groups, depth, cur = [], 0, None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def global_windows_in(plan: str) -> list[str]:
+    """Window nodes whose spec is single-partition. Formatted-mode
+    `Arguments:` carries [functions], [partition], [order] — but the
+    partition group is OMITTED (not emitted empty) when absent, so:
+    two groups whose last carries sort tokens = global ORDERED window
+    (single-partition sort); any empty partition group = global
+    unordered window (Window.partitionBy()); two groups without sort
+    tokens = partition-only window (key-partitioned, scale-safe)."""
+    import re
+
+    bad = []
+    for m in re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: (.*)", plan):
+        g = _top_level_bracket_groups(m.group(1))
+        ordered_last = g and ("ASC NULLS" in g[-1] or "DESC NULLS" in g[-1])
+        if (len(g) == 2 and ordered_last) or any(
+            not grp.strip() for grp in g[1:]
+        ):
+            bad.append(m.group(1)[:160])
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_inventory_no_global_window_outside_allowlist(spark, name):
+    """Every queries() entry: no single-partition Window unless the
+    windowed frame is bounded by construction and documented in
+    GLOBAL_WINDOW_ALLOWLIST. This is the inventory-wide generalization
+    of test_two_level_rank_queries_have_no_global_window — it would
+    have caught all four r7-verdict global-window findings at commit
+    time, and goes red if any of those fixes is reverted."""
+    bad = global_windows_in(plan_of(spark, name))
+    if name in GLOBAL_WINDOW_ALLOWLIST:
+        assert bad, (
+            f"{name} is allowlisted for a global window but its plan has "
+            "none — remove the stale allowlist entry"
+        )
+        return
+    assert not bad, (
+        f"{name}: single-partition Window over a frame not on the bounded "
+        f"allowlist: {bad}"
+    )
+
+
+def test_global_window_allowlist_entries_are_registered():
+    assert set(GLOBAL_WINDOW_ALLOWLIST) <= set(QUERIES)
