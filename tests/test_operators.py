@@ -374,3 +374,87 @@ def test_kcenter_select_exhausts_distinct_vectors_gracefully(spark):
     got = kcenter_select(df, "emb", "vid", k=5).orderBy("round").collect()
     # 2 distinct vectors -> seed + 1 selection, then clean stop
     assert [(r["round"], r["id"]) for r in got] == [(0, 1), (1, 2)]
+
+
+def test_with_global_rank_cumsum_matches_window_cumsum(spark):
+    """The two-level prefix sum's running totals (pid-local ordered cumsum
+    + broadcast partition offsets) must equal the single-partition window
+    cumsum: EXACTLY for integer columns (associative), and to fp rounding
+    for doubles (the offset adds an unordered partition total, so the
+    summation tree differs — sprt/heaps emit through round(,4) which this
+    bound dominates)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(-3, 9), rng.uniform(-1.0, 1.0)) for i in range(157)]
+    df = spark.createDataFrame(rows, "id long, k long, x double")
+    order = [F.asc("k"), F.asc("id")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["id"]: (r["ck"], r["cx"])
+        for r in df.select(
+            "id", F.sum("k").over(w).alias("ck"), F.sum("x").over(w).alias("cx")
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["ck"], r["cx"])
+        for r in with_global_rank(
+            df, order, cumsum_cols={"ck": "k", "cx": "x"}, n_partitions=8
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for i, (ck, cx) in expect.items():
+        gck, gcx = got[i]
+        assert gck == ck, (i, gck, ck)  # integer cumsum: bit-exact
+        assert abs(gcx - cx) <= 1e-9 * max(1.0, abs(cx)), (i, gcx, cx)
+
+
+def test_stacked_multi_ranking_identity(spark):
+    """The rfm trick: rank a dim-tagged union ONCE by (dim, v, key) and
+    recover each dimension's rank as global_rank - dim*n — must equal
+    each per-order row_number, including heavy ties broken by key."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.randint(0, 4), rng.randint(0, 99), rng.uniform(0, 10))
+        for i in range(83)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c double")
+    n = len(rows)
+    dims = [("a", False), ("b", True), ("c", True)]  # a ranked DESC
+    expect = {}
+    for d, (colname, asc) in enumerate(dims):
+        order = [F.asc(colname) if asc else F.desc(colname), F.asc("id")]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rk")
+        ).collect():
+            expect[(r["id"], d)] = r["rk"]
+    stacked = df.select(
+        "id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dim"), (-F.col("a")).cast("double").alias("v")),
+                F.struct(F.lit(1).alias("dim"), F.col("b").cast("double").alias("v")),
+                F.struct(F.lit(2).alias("dim"), F.col("c").alias("v")),
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.dim").alias("dim"), F.col("e.v").alias("v"))
+    got = {
+        (r["id"], r["dim"]): r["gr"] - r["dim"] * n
+        for r in with_global_rank(
+            stacked, [F.asc("dim"), F.asc("v"), F.asc("id")], rank_col="gr",
+            n_partitions=8,
+        ).collect()
+    }
+    assert got == expect
