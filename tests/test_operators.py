@@ -458,3 +458,29 @@ def test_stacked_multi_ranking_identity(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_with_global_rank_degenerate_inputs(spark):
+    """Edge cases the range partitioner can mishandle: empty frame (no
+    partitions in totals → empty output, no error), single row (rank 1,
+    cumsum = value), and all-equal sort keys with a unique tiebreak
+    (ranks still a permutation of 1..n)."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    empty = spark.createDataFrame([], "id long, x double")
+    assert (
+        with_global_rank(empty, [F.asc("id")], cumsum_cols={"cx": "x"}).count() == 0
+    )
+
+    one = spark.createDataFrame([(7, 2.5)], "id long, x double")
+    row = with_global_rank(one, [F.asc("id")], cumsum_cols={"cx": "x"}).collect()[0]
+    assert row["rank"] == 1 and row["cx"] == 2.5
+
+    ties = spark.createDataFrame([(i, 42) for i in range(20)], "id long, v long")
+    ranks = sorted(
+        r["rank"]
+        for r in with_global_rank(ties, [F.asc("v"), F.asc("id")]).collect()
+    )
+    assert ranks == list(range(1, 21))
