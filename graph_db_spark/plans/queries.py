@@ -5684,7 +5684,7 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
       ) GROUP BY 1
     )
-    SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS log2_degree_bin,
+    SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS log2_degree_bin,
            CAST(count(*) AS BIGINT) AS n_vertices,
            CAST(min(d) AS BIGINT) AS min_degree,
            CAST(max(d) AS BIGINT) AS max_degree
@@ -5695,10 +5695,15 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log₂-binned degree distribution of the graph — the first plot of
     any graph audit (power-law tail ⇒ expect skew in every per-vertex
     join). One degree aggregation + one bounded histogram groupBy; the
-    bin count is log(max degree), independent of graph size."""
+    bin count is log(max degree), independent of graph size. The bin is
+    ⌊log2 d⌋ computed as bit_length(d) − 1 (binary-string length on both
+    engines) — NEVER floor(ln d / ln 2): an integer emission has no
+    round(,4) cushion, and at d = an exact power of two a 1-ulp libm
+    difference flips the whole bin (the benford digit-clamp lesson,
+    applied to the integer-exact alternative)."""
     g = build_graph(spark, sf_dir)
     deg = g.degrees()
-    bin_ = F.floor(F.log(F.col("degree").cast("double")) / F.log(F.lit(2.0)))
+    bin_ = F.length(F.conv(F.col("degree"), 10, 2)) - 1
     return deg.groupBy(bin_.cast("bigint").alias("log2_degree_bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
         F.min("degree").cast("bigint").alias("min_degree"),
@@ -16539,8 +16544,9 @@ def dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source_a, source_b, CAST(shared_terms AS BIGINT) AS shared_terms,
            round(jsd_shared
-                 + 0.5 * ln(2.0) * (1.0 - pa_shared)
-                 + 0.5 * ln(2.0) * (1.0 - pb_shared), 4) + 0.0
+                 + 0.5 * CAST(0.6931471805599453 AS DOUBLE) * (1.0 - pa_shared)
+                 + 0.5 * CAST(0.6931471805599453 AS DOUBLE) * (1.0 - pb_shared),
+                 4) + 0.0
              AS js_divergence
     FROM shared
     """,
@@ -19008,9 +19014,16 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCG_DISC = [
+    1.0 / (__import__("math").log(r + 1.0) / __import__("math").log(2.0))
+    for r in range(1, 6)
+]
+_NDCG_IDCG = [sum(_NDCG_DISC[: k + 1]) for k in range(5)]
+
+
 @register(
     "ndcg_label_retrieval",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                             CAST(embedding AS DOUBLE[]))) AS nrm
@@ -19031,16 +19044,23 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dcg AS (
       SELECT vec_id, label,
-             sum(rel / (ln(rn + 1.0) / ln(2.0))) AS dcg,
+             sum(rel * CASE rn
+                 WHEN 1 THEN CAST({_NDCG_DISC[0]!r} AS DOUBLE)
+                 WHEN 2 THEN CAST({_NDCG_DISC[1]!r} AS DOUBLE)
+                 WHEN 3 THEN CAST({_NDCG_DISC[2]!r} AS DOUBLE)
+                 WHEN 4 THEN CAST({_NDCG_DISC[3]!r} AS DOUBLE)
+                 WHEN 5 THEN CAST({_NDCG_DISC[4]!r} AS DOUBLE) END) AS dcg,
              sum(rel) AS n_rel
       FROM top5 GROUP BY 1, 2
     ),
     ideal AS (
       SELECT vec_id, label, dcg, n_rel,
-             CASE WHEN n_rel > 0 THEN (
-               SELECT sum(1.0 / (ln(t.i + 1.0) / ln(2.0)))
-               FROM range(1, 6) t(i) WHERE t.i <= n_rel
-             ) END AS idcg
+             CASE CAST(n_rel AS INTEGER)
+                 WHEN 1 THEN CAST({_NDCG_IDCG[0]!r} AS DOUBLE)
+                 WHEN 2 THEN CAST({_NDCG_IDCG[1]!r} AS DOUBLE)
+                 WHEN 3 THEN CAST({_NDCG_IDCG[2]!r} AS DOUBLE)
+                 WHEN 4 THEN CAST({_NDCG_IDCG[3]!r} AS DOUBLE)
+                 WHEN 5 THEN CAST({_NDCG_IDCG[4]!r} AS DOUBLE) END AS idcg
       FROM dcg
     )
     SELECT CAST(label AS BIGINT) AS label,
@@ -19058,7 +19078,11 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevant doc appear' but WHERE it ranked. Ideal DCG is the
     closed-form prefix sum over min(n_rel, 5) positions; queries with
     zero relevant neighbors score 0 (coalesce, not dropped). Same fold
-    discipline and sample as knn_loo_label_eval."""
+    discipline and sample as knn_loo_label_eval. The five rank
+    discounts 1/log2(r+1) and their IDCG prefix sums are Python-
+    computed shared literals emitted into BOTH engines (the gumbel/
+    katz convention — each engine's own ln(2) is an independent 1-ulp
+    surface under round(,4))."""
     sqn = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
@@ -19094,20 +19118,18 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.when(F.col("nlabel") == F.col("label"), 1.0).otherwise(0.0).alias("rel"),
     )
-    import math as _m
-
-    ln2 = float(_m.log(2.0))
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rn").cast("int")
+    )
     dcg = top5.groupBy("vec_id", "label").agg(
-        F.sum(F.col("rel") / (F.log(F.col("rn") + 1.0) / ln2)).alias("dcg"),
+        F.sum(F.col("rel") * disc).alias("dcg"),
         F.sum("rel").alias("n_rel"),
     )
-    # closed-form ideal DCG over min(n_rel, 5) unit gains
+    # closed-form ideal DCG over min(n_rel, 5) unit gains — shared literals
     idcg = F.when(
         F.col("n_rel") > 0,
-        F.aggregate(
-            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
-            F.lit(0.0),
-            lambda acc, i: acc + 1.0 / (F.log(i + 1.0) / ln2),
+        F.element_at(
+            F.array(*[F.lit(d) for d in _NDCG_IDCG]), F.col("n_rel").cast("int")
         ),
     )
     ideal = dcg.select("vec_id", "label", "dcg", "n_rel", idcg.alias("idcg"))
