@@ -12486,20 +12486,26 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame and rank it globally by (dim, v, c) — the per-dimension
     # rank is then global_rank − dim·n (each dim block is contiguous
     # in the total order). Negating recency turns its DESC order into
-    # the shared ASC one; int/bigint sort values are exact in double.
+    # the shared ASC one. The shared sort key is DECIMAL(38,0), never
+    # double (r8 advice): monetary is a DECIMAL(.,2) sum whose ordering
+    # a double cast can collapse once cents exceed 2^53, so it rides as
+    # an exact integer cent count; recency/frequency are ints, exact in
+    # any integral decimal.
     stacked = rfm.select(
         "c",
         F.explode(
             F.array(
                 F.struct(
                     F.lit(0).alias("dim"),
-                    (-F.col("recency")).cast("double").alias("v"),
+                    (-F.col("recency")).cast("decimal(38,0)").alias("v"),
                 ),
                 F.struct(
-                    F.lit(1).alias("dim"), F.col("frequency").cast("double").alias("v")
+                    F.lit(1).alias("dim"),
+                    F.col("frequency").cast("decimal(38,0)").alias("v"),
                 ),
                 F.struct(
-                    F.lit(2).alias("dim"), F.col("monetary").cast("double").alias("v")
+                    F.lit(2).alias("dim"),
+                    (F.col("monetary") * 100).cast("decimal(38,0)").alias("v"),
                 ),
             )
         ).alias("e"),
@@ -15496,12 +15502,13 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "benford_first_digit",
     oracle="""
-    WITH d AS (
-      SELECT least(greatest(
-               CAST(floor(o_totalprice
-                          / power(10, floor(log10(o_totalprice)))) AS BIGINT),
-               1), 9) AS digit
+    WITH raw AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS BIGINT) AS rd
       FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CASE WHEN rd >= 10 THEN 1 ELSE greatest(rd, 1) END AS digit FROM raw
     ),
     tot AS (SELECT count(*) AS n FROM d)
     SELECT digit, CAST(count(*) AS BIGINT) AS n,
@@ -15519,24 +15526,22 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation, one χ² term per digit (fraud/data-entry anomaly
     screening over financial columns). Digit extraction stays numeric —
     never a double→string format, which is NOT engine-portable — and the
-    digit is clamped into [1,9] on BOTH sides (r7 advice): on an exact
-    power of 10, an engine's independently-rounded log10 can land 1 ulp
-    under the integer and yield digit 10 in one engine and 1 in the
-    other; the clamp pins that boundary. One pushed-projection scan + a
+    1-ulp log10 boundary is pinned IDENTICALLY on both sides (r8 advice):
+    on an exact power of 10, an engine's independently-rounded log10 can
+    land 1 ulp under the integer and yield raw digit 10; the TRUE first
+    digit there is 1, so raw>=10 maps to 1 (not a clamp to 9, which would
+    encode the wrong boundary value). One pushed-projection scan + a
     9-group agg; the scalar total arrives via a broadcast cross join, so
     the plan is two stages at any scale."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    raw = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
     d = o.select(
-        F.least(
-            F.greatest(
-                F.floor(
-                    F.col("o_totalprice")
-                    / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-                ).cast("bigint"),
-                F.lit(1),
-            ),
-            F.lit(9),
-        ).alias("digit")
+        F.when(raw >= 10, F.lit(1).cast("bigint"))
+        .otherwise(F.greatest(raw, F.lit(1).cast("bigint")))
+        .alias("digit")
     )
     tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
     share = F.count(F.lit(1)) * 1.0 / F.first("n_tot")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from graph_db_spark.operators import aggregates as A
@@ -412,6 +413,40 @@ def test_with_global_rank_cumsum_matches_window_cumsum(spark):
         gck, gcx = got[i]
         assert gck == ck, (i, gck, ck)  # integer cumsum: bit-exact
         assert abs(gcx - cx) <= 1e-9 * max(1.0, abs(cx)), (i, gcx, cx)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_sprt_fixture_keeps_llr_walk_clear_of_boundaries(spark, sf):
+    """r8 ADVICE guard: sprt_sequential_decision's two-level prefix sum
+    carries ~1e-12 partition-order FP noise, so its boundary comparison
+    (llr vs ±ln 19) is only deterministic while NO point of the walk
+    lands within that noise of a boundary. Assert the fixtures keep the
+    whole walk >> 1e-9 away from both thresholds (exact sequential walk
+    via a single-partition window — ground truth, test-only), so a
+    future fixture regeneration that lands near the boundary fails
+    loudly here instead of flaking in the gate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.tables import load_table
+
+    ev = load_table(spark, f"/root/testdata/{sf}", "events")
+    z = F.when(F.col("event_type") == "purchase", F.lit(0.20067069546215124)).otherwise(
+        F.lit(-0.050010420574661305)
+    )
+    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    thr = 2.9444389791664403
+    gap = (
+        ev.select(F.sum(z).over(w).alias("llr"))
+        .select(
+            F.least(
+                F.abs(F.col("llr") - F.lit(thr)), F.abs(F.col("llr") + F.lit(thr))
+            ).alias("g")
+        )
+        .agg(F.min("g").alias("min_gap"))
+        .collect()[0]["min_gap"]
+    )
+    assert gap > 1e-6, f"{sf}: llr walk approaches ±ln19 within {gap}"
 
 
 def test_stacked_multi_ranking_identity(spark):
