@@ -4378,56 +4378,47 @@ _EXPENSIVE_LAST = [
 # sf0.01 measurements) so a wall-clock cut drops as few verdicts as
 # possible (tools/check_correctness.py sf0.01).
 #
-# r08 window: drain the driver-verification debt (r7 verdict item 1).
-# The never-driver-checked pool at r8 open is 85 names (registered ∖
-# union of CORRECTNESS_r01-r07 keys): the 29 heavies deferred from the
-# r7 rotation + the 56 post-freeze-r7 registrations. This window takes
-# all 29 deferred + 20 post-freeze + rfm_customer_segments RE-QUEUED
-# (its r7-green row predates the r8 global-window rewrite — the
-# weighted_sample_docs re-queue precedent); the remaining 36
-# post-freeze names spill to r9 and new registration stays FROZEN
-# until the pool is ≤ one window.
+# r09 window: close the verification debt. The never-driver-checked
+# pool at r9 open is exactly the 36 post-freeze-r7 names the r8
+# rotation documented as its spill queue — under one window for the
+# first time since r6, so the registration freeze LIFTS: 13 new
+# queries land this round and ALL of them take the remaining window
+# slots (a new name that skipped the window would stay unverified
+# forever — the contract test enforces the partition).
 _GATE_WINDOW = [
-    # r8 window, exactly as the r7 close staged it: the 29 deferred
-    # heavies (snapshot / streaming / landmark-graph / iterative ops,
-    # never driver-checked since their r6-late/r7 registration) + 21
-    # post-freeze-r7 names — the 18 cheapest at sf0.01 (timed this
-    # round: 0.4-0.9s each in one 56-name checker sweep, ALL GREEN)
-    # plus the THREE post-freeze queries whose Spark side was REWRITTEN
-    # for the r7-verdict global-window fix (sprt_sequential_decision,
-    # heaps_law_fit, naive_bayes_token_screen — rewritten code needs
-    # fresh driver evidence more than a cheap untouched name does).
-    # The remaining 35 post-freeze-r7 names spill to the r9 window
-    # (tests/test_oracles.py `post_freeze_r7_r9_queue`); registration
-    # is FROZEN until the never-checked pool is back under one window.
-    # Deferred heavies first is also cheapest-risk: if the driver cuts
-    # on wall-clock it drops re-verifications of sub-second shapes, not
-    # the snapshot/streaming verdicts that have waited two rounds.
-    "betweenness_landmarks", "bitemporal_point_in_time",
-    "boruvka_spanning_forest", "core_decomposition_histogram",
-    "curation_provenance", "edit_distance_blocked_join",
-    "geo_grid_distance_join", "harmonic_centrality_landmarks",
-    "hierarchy_subtree_rollup", "hyperanf_neighborhood",
-    "ivm_join_view", "kaplan_meier_churn", "kcenter_coreset",
-    "landmark_distance_oracle", "landmark_eccentricity",
-    "maximal_independent_set", "random_walk_sampling",
-    "scc_trade_partners", "snapshot_bloom_point_skip",
-    "snapshot_rebucket_evolution", "snapshot_schema_evolution",
-    "snapshot_tag_travel", "snapshot_write_audit_publish",
-    "streaming_full_outer_attribution", "streaming_scd2_enrichment",
-    "streaming_sliding_counts", "streaming_watermark_dedup",
-    "wordpiece_vocab_segment", "zorder_clustering_prune",
-    "dp_noisy_source_counts", "cohens_kappa_raters",
-    "gumbel_extreme_value_fit", "dispersion_index_check",
-    "corpus_diversity_indices", "runs_test_randomness",
-    "bland_altman_agreement", "spc_individuals_chart",
-    "mcnemar_paired_test", "quantile_normalize_lengths",
-    "welch_t_test", "poisson_rate_ratio",
-    "binary_segmentation_changepoint", "revenue_var_cvar",
-    "brand_price_elasticity", "mase_forecast_accuracy",
-    "ols_normal_equations", "rfm_customer_segments",
-    "sprt_sequential_decision", "heaps_law_fit",
-    "naive_bayes_token_screen",
+    # r9 window = the 36-name r8 spill queue (verbatim from
+    # tests/test_oracles.py `post_freeze_r7_r9_queue`, longest-waiting
+    # first so a wall-clock cut drops the freshest evidence, not the
+    # oldest debt) + rfm_customer_segments RE-QUEUED a second time
+    # (its r8-green row predates the r9 exact-cent ranking rewrite —
+    # the weighted_sample_docs precedent) + the 13 r9 registrations.
+    # After this window drains, the never-checked pool is EMPTY and
+    # the r10 rotation can start re-checking stale early-round rows.
+    "gini_concentration", "benford_first_digit", "cramers_v_association",
+    "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
+    "stl_seasonal_decompose", "cross_correlation_lead_lag",
+    "knn_loo_label_eval", "mutual_nearest_pairs",
+    "embedding_centroid_drift", "source_js_divergence",
+    "curriculum_phase_assign", "levene_variance_test",
+    "katz_walk_centrality", "region_trade_assortativity",
+    "association_rule_triples", "item_item_collaborative_topk",
+    "markov_absorption_conversion", "pca_power_iteration",
+    "good_turing_unseen_mass", "markov_entropy_rate",
+    "weighted_median_price", "positional_phrase_search",
+    "energy_distance_groups", "trade_reciprocity",
+    "rich_club_coefficient", "token_pmi_collocations",
+    "open_order_backlog", "kendall_tau_b",
+    "theil_index_decomposition", "ndcg_label_retrieval",
+    "ljung_box_q", "growth_accounting_weekly", "diff_in_diff_uplift",
+    "capture_recapture_estimate",
+    "rfm_customer_segments",
+    "nelson_aalen_hazard", "simpson_paradox_check",
+    "jackknife_ratio_variance", "brier_calibration_decomposition",
+    "kneser_ney_bigram", "information_gain_split",
+    "filter_cascade_attrition", "cumulative_gains_deciles",
+    "regression_stump_split", "position_based_attribution",
+    "abc_inventory_classes", "benjamini_hochberg_fdr",
+    "quantile_treatment_effect",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -12435,7 +12426,8 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c, recency, frequency, monetary,
              ntile(5) OVER (ORDER BY recency DESC, c) AS r_score,
              ntile(5) OVER (ORDER BY frequency, c) AS f_score,
-             ntile(5) OVER (ORDER BY monetary, c) AS m_score
+             ntile(5) OVER (ORDER BY CAST(round(monetary * 100) AS BIGINT), c)
+               AS m_score
       FROM rfm
     ),
     seg AS (
@@ -12487,10 +12479,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank is then global_rank − dim·n (each dim block is contiguous
     # in the total order). Negating recency turns its DESC order into
     # the shared ASC one. The shared sort key is DECIMAL(38,0), never
-    # double (r8 advice): monetary is a DECIMAL(.,2) sum whose ordering
-    # a double cast can collapse once cents exceed 2^53, so it rides as
-    # an exact integer cent count; recency/frequency are ints, exact in
-    # any integral decimal.
+    # raw double (r8 advice): monetary rides as an integer CENT count,
+    # rounded to cents IDENTICALLY on both sides (half-up; the oracle
+    # ranks CAST(round(monetary*100) AS BIGINT)), so sub-cent FP noise
+    # in either engine's double sum can never reorder the quintile sort
+    # — noise-distinct values collapse to a tie and break on custkey on
+    # BOTH sides; recency/frequency are ints, exact in any integral
+    # decimal. (The cent count itself is exact while the double sum is,
+    # i.e. below 2^53 cents ≈ $9e13 per customer.)
     stacked = rfm.select(
         "c",
         F.explode(
@@ -19844,6 +19840,1349 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.expr("regr_slope(ln_q, ln_p)")).alias("elasticity"),
         r4(F.expr("regr_intercept(ln_q, ln_p)")).alias("intercept"),
         r4(F.expr("regr_r2(ln_q, ln_p)")).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r9 additions — registration freeze lifted (never-driver-checked pool back
+# under one window at r9 open). 13 new queries: survival (Nelson-Aalen),
+# LM smoothing (Kneser-Ney), ML screening (information gain, regression
+# stump), calibration (Brier decomposition), marketing science (cumulative
+# gains, position-based attribution), resampling (jackknife), multiple
+# testing (Benjamini-Hochberg), BI classification (ABC), LLM-data curation
+# (filter cascade), data-analysis audit (Simpson's paradox), and causal
+# inference (quantile treatment effects). Every name is in the r9
+# _GATE_WINDOW (tests/test_oracles.py pins the partition).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             min(ts) AS first_ts,
+             arg_min(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                     || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS cohort
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id, min(ts) AS conv_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    obs AS (
+      SELECT s.cohort,
+             CASE WHEN c.user_id IS NOT NULL
+                  THEN CAST(date_diff('day', s.first_ts, c.conv_ts) AS BIGINT)
+                  ELSE CAST(date_diff('day', s.first_ts, h) AS BIGINT) END AS t,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM span s LEFT JOIN conv c USING (user_id) CROSS JOIN horizon
+    ),
+    tot AS (SELECT cohort, count(*) AS n FROM obs GROUP BY 1),
+    dt AS (
+      SELECT cohort, t,
+             CAST(sum(death) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ended
+      FROM obs GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT cohort, t, d,
+             tot.n - coalesce(sum(ended) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM dt JOIN tot USING (cohort)
+    ),
+    na AS (
+      SELECT cohort, t, n_risk, d,
+             sum(d * 1.0 / n_risk) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+             sum(d * 1.0 / (n_risk * n_risk)) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM risk WHERE d > 0
+    )
+    SELECT cohort, t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+           round(h, 4) + 0.0 AS cum_hazard,
+           round(sqrt(v), 4) + 0.0 AS hazard_se
+    FROM na
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis — Nelson-Aalen cumulative-hazard estimator,
+    Kaplan-Meier's additive sibling (H(t) = Σ d_i/n_i with variance
+    Σ d_i/n_i², vs KM's multiplicative S(t)): per cohort (the user's
+    first event type), time to FIRST purchase of any value, censored at
+    the observation horizon. The preferred estimator when hazards are
+    the modeling target (Cox baselines, hazard-ratio sanity checks) and
+    small risk sets make KM's product unstable. Same distributed shape
+    as kaplan_meier_churn: everything reduces to per-(cohort, day)
+    integer counts, the at-risk counts are a right-aligned cumulative
+    over the bounded per-cohort day grid, and the hazard sums are
+    ordered windows over those — each d/n term is an integer ratio, so
+    both engines walk bit-identical partial sums."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    span = (
+        ev.withColumn("cohort", F.first("event_type").over(w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.first("cohort").alias("cohort"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    h = ev.agg(F.max("ts").alias("h"))
+    obs = (
+        span.join(conv, on="user_id", how="left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            "cohort",
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(F.col("conv_ts"), F.col("first_ts")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("first_ts")))
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("death"),
+        )
+    )
+    tot = obs.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    dt = obs.groupBy("cohort", "t").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ended"),
+    )
+    wprev = (
+        Window.partitionBy("cohort").orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = dt.join(tot, on="cohort").select(
+        "cohort", "t", "d",
+        (F.col("n") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))).alias("n_risk"),
+    )
+    wna = (
+        Window.partitionBy("cohort").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    na = risk.filter(F.col("d") > 0).select(
+        "cohort", "t", "n_risk", "d",
+        F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(wna).alias("h_cum"),
+        F.sum(F.col("d") * 1.0 / (F.col("n_risk") * F.col("n_risk")))
+        .over(wna)
+        .alias("v_cum"),
+    )
+    return na.select(
+        "cohort",
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        r4(F.col("h_cum")).alias("cum_hazard"),
+        r4(F.sqrt(F.col("v_cum"))).alias("hazard_se"),
+    )
+
+
+@register(
+    "simpson_paradox_check",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN l_discount >= CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END AS hi,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ),
+    strat AS (
+      SELECT seg AS stratum, count(*) AS n,
+             sum(hi) AS n_hi, sum(hi * ret) AS r_hi,
+             sum(1 - hi) AS n_lo, sum((1 - hi) * ret) AS r_lo
+      FROM base GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', count(*), sum(hi), sum(hi * ret),
+             sum(1 - hi), sum((1 - hi) * ret)
+      FROM base
+    ),
+    rates AS (
+      SELECT stratum, n,
+             r_hi * 1.0 / n_hi AS rate_hi, r_lo * 1.0 / n_lo AS rate_lo,
+             r_hi * 1.0 / n_hi - r_lo * 1.0 / n_lo AS gap
+      FROM strat
+    ),
+    agg AS (SELECT CASE WHEN gap > 0 THEN 1 WHEN gap < 0 THEN -1 ELSE 0 END AS s
+            FROM rates WHERE stratum = 'ALL')
+    SELECT stratum, CAST(n AS BIGINT) AS n,
+           round(rate_hi, 4) + 0.0 AS rate_high,
+           round(rate_lo, 4) + 0.0 AS rate_low,
+           round(gap, 4) + 0.0 AS gap,
+           CAST(CASE WHEN gap > 0 THEN 1 WHEN gap < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS direction,
+           CAST(CASE WHEN stratum = 'ALL' THEN 0
+                     WHEN (CASE WHEN gap > 0 THEN 1 WHEN gap < 0 THEN -1
+                           ELSE 0 END) * agg.s < 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS reversed
+    FROM rates CROSS JOIN agg
+    """,
+)
+def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-analysis audit — Simpson's-paradox screen: the association
+    between high discounting (>= 0.05) and return rate, measured on the
+    AGGREGATE and within each market-segment stratum, flagging strata
+    whose association direction REVERSES the aggregate's (the classic
+    confounding trap every metrics dashboard should run before shipping
+    a 'discounts cause returns' conclusion). Pure grouped counting —
+    rates are integer ratios so both engines compute identical doubles
+    and the direction sign is deterministic, no rounding involved in
+    the flag. One fact scan, one broadcast dimension chain, a 6-row
+    result at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        )
+        .localCheckpoint()  # stratum + aggregate passes share one materialization
+    )
+
+    def _rates(df: DataFrame, label_col: Column) -> DataFrame:
+        return df.groupBy(label_col.alias("stratum")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hi").alias("n_hi"),
+            F.sum(F.col("hi") * F.col("ret")).alias("r_hi"),
+            F.sum(1 - F.col("hi")).alias("n_lo"),
+            F.sum((1 - F.col("hi")) * F.col("ret")).alias("r_lo"),
+        )
+
+    strat = _rates(base, F.col("seg")).unionByName(_rates(base, F.lit("ALL")))
+    gap = F.col("r_hi") * 1.0 / F.col("n_hi") - F.col("r_lo") * 1.0 / F.col("n_lo")
+    sgn = F.when(gap > 0, 1).when(gap < 0, -1).otherwise(0)
+    rates = strat.select(
+        "stratum",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("r_hi") * 1.0 / F.col("n_hi")).alias("rate_hi"),
+        (F.col("r_lo") * 1.0 / F.col("n_lo")).alias("rate_lo"),
+        gap.alias("gap"),
+        sgn.cast("bigint").alias("direction"),
+    )
+    agg_s = rates.filter(F.col("stratum") == "ALL").select(
+        F.col("direction").alias("_aggs")
+    )
+    return rates.crossJoin(F.broadcast(agg_s)).select(  # 1-row scalar attach
+        "stratum",
+        "n",
+        r4(F.col("rate_hi")).alias("rate_high"),
+        r4(F.col("rate_lo")).alias("rate_low"),
+        r4(F.col("gap")).alias("gap"),
+        "direction",
+        F.when(F.col("stratum") == "ALL", 0)
+        .when(F.col("direction") * F.col("_aggs") < 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("reversed"),
+    )
+
+
+@register(
+    "jackknife_ratio_variance",
+    oracle="""
+    WITH pv AS MATERIALIZED (
+      SELECT c_nationkey AS nat,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS a,
+             sum(l_extendedprice * (1 - l_discount)) AS b
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS g FROM pv),
+    ps AS (
+      SELECT g, ta, tb, (ta - a) / (tb - b) AS r
+      FROM pv CROSS JOIN tot
+    ),
+    st AS (
+      SELECT g, ta, tb, avg(r) AS rbar,
+             sum(r * r) - count(*) * avg(r) * avg(r) AS ssq
+      FROM ps GROUP BY 1, 2, 3
+    )
+    SELECT CAST(g AS BIGINT) AS n_groups,
+           round(ta / tb, 4) + 0.0 AS ratio,
+           round(rbar, 4) + 0.0 AS jackknife_mean,
+           round((g - 1) * (rbar - ta / tb), 4) + 0.0 AS jackknife_bias,
+           round(sqrt((g - 1) * 1.0 / g * ssq), 4) + 0.0 AS jackknife_se
+    FROM st
+    """,
+)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling statistics — delete-one-group jackknife for a RATIO
+    estimator (returned revenue / total revenue, groups = customer
+    nations): the standard error survey statistics attaches to any
+    nonlinear estimator whose closed-form variance doesn't exist. The
+    whole resample is algebra over per-group totals — delete-group
+    pseudovalues R₍ᵢ₎ = (A−aᵢ)/(B−bᵢ) come from ONE grouped pass plus a
+    broadcast of the grand totals, never a second scan per replicate,
+    so 10⁹ rows jackknife as one shuffle + a 25-row reduction (the
+    at-scale answer to 'bootstrap needs 1000 passes'). Σ(r−r̄)² uses the
+    same one-pass Σr²−g·r̄² form on both sides; all emissions rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)).alias("a"),
+            F.sum(rev).alias("b"),
+        )
+    )
+    tot = pv.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb"), F.count(F.lit(1)).alias("g")
+    )
+    ps = pv.crossJoin(F.broadcast(tot)).select(  # 1-row scalar attach
+        "g", "ta", "tb",
+        ((F.col("ta") - F.col("a")) / (F.col("tb") - F.col("b"))).alias("r"),
+    )
+    st = ps.groupBy("g", "ta", "tb").agg(
+        F.avg("r").alias("rbar"),
+        (
+            F.sum(F.col("r") * F.col("r"))
+            - F.count(F.lit(1)) * F.avg("r") * F.avg("r")
+        ).alias("ssq"),
+    )
+    return st.select(
+        F.col("g").cast("bigint").alias("n_groups"),
+        r4(F.col("ta") / F.col("tb")).alias("ratio"),
+        r4(F.col("rbar")).alias("jackknife_mean"),
+        r4((F.col("g") - 1) * (F.col("rbar") - F.col("ta") / F.col("tb"))).alias(
+            "jackknife_bias"
+        ),
+        r4(
+            F.sqrt((F.col("g") - 1) * F.lit(1.0) / F.col("g") * F.col("ssq"))
+        ).alias("jackknife_se"),
+    )
+
+
+@register(
+    "brier_calibration_decomposition",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT l_discount * CAST(5 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS p,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (SELECT count(*) AS n, sum(y) AS d,
+                 sum((p - y) * (p - y)) AS se FROM base),
+    bins AS (
+      SELECT p, count(*) AS nk, sum(y) AS dk FROM base GROUP BY 1
+    ),
+    dec AS (
+      SELECT g.n, g.d, g.se,
+             sum(nk * (p - dk * 1.0 / nk) * (p - dk * 1.0 / nk)) AS rel_num,
+             sum(nk * (dk * 1.0 / nk - g.d * 1.0 / g.n)
+                    * (dk * 1.0 / nk - g.d * 1.0 / g.n)) AS res_num
+      FROM bins CROSS JOIN g GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(se / n, 4) + 0.0 AS brier,
+           round(rel_num / n, 4) + 0.0 AS reliability,
+           round(res_num / n, 4) + 0.0 AS resolution,
+           round(d * 1.0 / n * (1 - d * 1.0 / n), 4) + 0.0 AS uncertainty,
+           round(rel_num / n - res_num / n + d * 1.0 / n * (1 - d * 1.0 / n), 4)
+             + 0.0 AS decomposition_check
+    FROM dec
+    """,
+)
+def brier_calibration_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration — Murphy's decomposition of the Brier score
+    (Brier = reliability − resolution + uncertainty) for a deterministic
+    probability score (p̂ = 5·discount + 0.2, 11 exact bins from the
+    discount grid) predicting returns: the reliability-diagram math that
+    separates 'the probabilities are miscalibrated' (reliability) from
+    'the model can't discriminate' (low resolution). Binning is EXACT
+    group-by on the discrete score — no float bucket edges — so per-bin
+    means are integer ratios and both engines agree bit-for-bit before
+    the final rounded emission; the check column replays the identity.
+    One scan, one 11-group agg, one broadcast of the global scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_discount") * 5.0 + 0.2).alias("p"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).localCheckpoint()  # global scalars + bin table share one materialization
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("d"),
+        F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("se"),
+    )
+    bins = base.groupBy("p").agg(
+        F.count(F.lit(1)).alias("nk"), F.sum("y").alias("dk")
+    )
+    ybark = F.col("dk") * 1.0 / F.col("nk")
+    ybar = F.col("d") * 1.0 / F.col("n")
+    dec = (
+        bins.crossJoin(F.broadcast(g))  # 1-row scalar attach
+        .groupBy("n", "d", "se")
+        .agg(
+            F.sum(F.col("nk") * (F.col("p") - ybark) * (F.col("p") - ybark)).alias(
+                "rel_num"
+            ),
+            F.sum(F.col("nk") * (ybark - ybar) * (ybark - ybar)).alias("res_num"),
+        )
+    )
+    return dec.select(
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("se") / F.col("n")).alias("brier"),
+        r4(F.col("rel_num") / F.col("n")).alias("reliability"),
+        r4(F.col("res_num") / F.col("n")).alias("resolution"),
+        r4(ybar * (1 - ybar)).alias("uncertainty"),
+        r4(
+            F.col("rel_num") / F.col("n") - F.col("res_num") / F.col("n")
+            + ybar * (1 - ybar)
+        ).alias("decomposition_check"),
+    )
+
+
+@register(
+    "kneser_ney_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    tc AS MATERIALIZED (
+      SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    fw AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n_fw FROM tc GROUP BY 1),
+    bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_bw FROM tc GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM tc)
+    SELECT tc.w1, tc.w2, c,
+           round(c * 1.0 / c1, 4) + 0.0 AS p_mle,
+           round(greatest(c - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1
+                 + CAST(0.75 AS DOUBLE) * n_fw / c1 * (n_bw * 1.0 / n_types),
+                 4) + 0.0 AS p_kn
+    FROM tc JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN tot
+    ORDER BY c DESC, tc.w1, tc.w2 LIMIT 30
+    """,
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM smoothing — interpolated Kneser-Ney bigram probabilities over
+    the corpus (absolute discount D = 0.75): P(w2|w1) = max(c-D,0)/c(w1.)
+    + D*N1+(w1.)/c(w1.) * N1+(.w2)/N1+(..) — the continuation-count
+    smoothing every production n-gram LM uses ('how many contexts does
+    w2 complete' instead of raw frequency, the fix for 'Francisco' being
+    frequent but only after 'San'). Top-30 bigrams by raw count with
+    MLE vs KN side by side. The corpus tokenizes and shuffles ONCE into
+    (w1,w2) type counts; forward totals, continuation counts, and the
+    type total all RE-AGGREGATE that counts table (mergeable across
+    shards — the 100 TB shape), and the top-k is TakeOrdered, never a
+    global sort. Every probability input is an integer count plus the
+    shared D literal -> bit-identical doubles both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    tc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    fw = tc.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fw"),
+    )
+    bw = tc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_bw"))
+    tot = tc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("c") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + F.lit(0.75) * F.col("n_fw") / F.col("c1")
+        * (F.col("n_bw") * 1.0 / F.col("n_types"))
+    )
+    return (
+        tc.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar attach
+        .select(
+            "w1", "w2", "c",
+            r4(F.col("c") * 1.0 / F.col("c1")).alias("p_mle"),
+            r4(p_kn).alias("p_kn"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "information_gain_split",
+    oracle="""
+    WITH j AS MATERIALIZED (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             l_linestatus, o_orderpriority,
+             CASE WHEN l_quantity <= 10 THEN 'q01_10'
+                  WHEN l_quantity <= 25 THEN 'q11_25'
+                  WHEN l_quantity <= 40 THEN 'q26_40'
+                  ELSE 'q41_50' END AS qb,
+             CASE WHEN l_discount < CAST(0.03 AS DOUBLE) THEN 'low'
+                  WHEN l_discount < CAST(0.07 AS DOUBLE) THEN 'mid'
+                  ELSE 'high' END AS db
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    s AS MATERIALIZED (
+      SELECT 'linestatus' AS feature, l_linestatus AS v, y FROM j
+      UNION ALL SELECT 'orderpriority', o_orderpriority, y FROM j
+      UNION ALL SELECT 'quantity_band', qb, y FROM j
+      UNION ALL SELECT 'discount_band', db, y FROM j
+    ),
+    cnt AS (SELECT feature, v, y, count(*) AS c FROM s GROUP BY 1, 2, 3),
+    cv AS (SELECT feature, v, sum(c) AS n_v FROM cnt GROUP BY 1, 2),
+    hv AS (
+      SELECT cnt.feature, cnt.v, n_v,
+             -sum(c * 1.0 / n_v * log2(c * 1.0 / n_v)) AS h_v
+      FROM cnt JOIN cv USING (feature, v) GROUP BY 1, 2, 3
+    ),
+    ft AS (SELECT feature, sum(n_v) AS n FROM hv GROUP BY 1),
+    hc AS (
+      SELECT hv.feature, count(*) AS n_values,
+             sum(n_v * 1.0 / n * h_v) AS h_cond
+      FROM hv JOIN ft USING (feature) GROUP BY 1
+    ),
+    yc AS (SELECT feature, y, count(*) AS cy FROM s GROUP BY 1, 2),
+    hy AS (
+      SELECT yc.feature, -sum(cy * 1.0 / n * log2(cy * 1.0 / n)) AS h_y
+      FROM yc JOIN ft USING (feature) GROUP BY 1
+    )
+    SELECT ft.feature, CAST(n AS BIGINT) AS n,
+           CAST(n_values AS BIGINT) AS n_values,
+           round(h_y, 4) + 0.0 AS target_entropy,
+           round(h_cond, 4) + 0.0 AS conditional_entropy,
+           round(h_y - h_cond, 4) + 0.0 AS info_gain
+    FROM ft JOIN hc USING (feature) JOIN hy USING (feature)
+    """,
+)
+def information_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature screening — information gain (mutual information with
+    the target) of four candidate categorical splits predicting returns:
+    IG(X) = H(Y) - sum_v (n_v/N)*H(Y|X=v), the decision-tree split
+    criterion / feature-selection screen. The fact table is scanned
+    ONCE; the four features ride a dim-tagged explode (4n rows, one
+    shuffle into (feature, value, y) counts) and every entropy reduces
+    that counts table — at 100 TB only count triples move after the
+    first shuffle. All probabilities are integer-count ratios; the <=5
+    per-feature entropy terms sum inside round(,4)'s guard band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    qb = (
+        F.when(F.col("l_quantity") <= 10, "q01_10")
+        .when(F.col("l_quantity") <= 25, "q11_25")
+        .when(F.col("l_quantity") <= 40, "q26_40")
+        .otherwise("q41_50")
+    )
+    db = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    s = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("linestatus").alias("feature"),
+                        F.col("l_linestatus").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("orderpriority").alias("feature"),
+                        F.col("o_orderpriority").alias("v"),
+                    ),
+                    F.struct(F.lit("quantity_band").alias("feature"), qb.alias("v")),
+                    F.struct(F.lit("discount_band").alias("feature"), db.alias("v")),
+                )
+            ).alias("e"),
+        )
+        .select(F.col("e.feature").alias("feature"), F.col("e.v").alias("v"), "y")
+        .localCheckpoint()  # value counts + target marginal share one pass
+    )
+    cnt = s.groupBy("feature", "v", "y").agg(F.count(F.lit(1)).alias("c"))
+    cv = cnt.groupBy("feature", "v").agg(F.sum("c").alias("n_v"))
+    plogp = F.col("c") * 1.0 / F.col("n_v") * F.log2(F.col("c") * 1.0 / F.col("n_v"))
+    hv = (
+        cnt.join(cv, ["feature", "v"])
+        .groupBy("feature", "v", "n_v")
+        .agg((-F.sum(plogp)).alias("h_v"))
+    )
+    ft = hv.groupBy("feature").agg(F.sum("n_v").alias("n"))
+    hc = (
+        hv.join(ft, "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.col("n_v") * 1.0 / F.col("n") * F.col("h_v")).alias("h_cond"),
+        )
+    )
+    yc = s.groupBy("feature", "y").agg(F.count(F.lit(1)).alias("cy"))
+    pylogpy = F.col("cy") * 1.0 / F.col("n") * F.log2(F.col("cy") * 1.0 / F.col("n"))
+    hy = yc.join(ft, "feature").groupBy("feature").agg((-F.sum(pylogpy)).alias("h_y"))
+    return (
+        ft.join(hc, "feature")
+        .join(hy, "feature")
+        .select(
+            "feature",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_values").cast("bigint").alias("n_values"),
+            r4(F.col("h_y")).alias("target_entropy"),
+            r4(F.col("h_cond")).alias("conditional_entropy"),
+            r4(F.col("h_y") - F.col("h_cond")).alias("info_gain"),
+        )
+    )
+
+
+@register(
+    "filter_cascade_attrition",
+    oracle="""
+    WITH flags AS MATERIALIZED (
+      SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN length(text) > 0
+                   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / length(text) >= CAST(0.5 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                       / len(string_split_regex(lower(trim(text)), '\\s+'))
+                       BETWEEN CAST(2 AS DOUBLE) AND CAST(12 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f3,
+             CASE WHEN length(text) > 0
+                   AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / length(text) <= CAST(0.2 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f4,
+             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 30
+                  THEN 1 ELSE 0 END AS f5
+      FROM documents
+    ),
+    s AS MATERIALIZED (
+      SELECT ntok, f1 AS s1, f1 * f2 AS s2, f1 * f2 * f3 AS s3,
+             f1 * f2 * f3 * f4 AS s4, f1 * f2 * f3 * f4 * f5 AS s5
+      FROM flags
+    ),
+    stg AS (
+      SELECT '1_min_chars' AS stage, count(*) AS d_in, sum(s1) AS d_out,
+             sum(s1 * ntok) AS tok, count(*) AS total FROM s
+      UNION ALL SELECT '2_alpha_ratio', sum(s1), sum(s2), sum(s2 * ntok),
+             count(*) FROM s
+      UNION ALL SELECT '3_word_length', sum(s2), sum(s3), sum(s3 * ntok),
+             count(*) FROM s
+      UNION ALL SELECT '4_digit_ratio', sum(s3), sum(s4), sum(s4 * ntok),
+             count(*) FROM s
+      UNION ALL SELECT '5_min_tokens', sum(s4), sum(s5), sum(s5 * ntok),
+             count(*) FROM s
+    )
+    SELECT stage, CAST(d_in AS BIGINT) AS docs_in,
+           CAST(d_out AS BIGINT) AS docs_out,
+           round(CASE WHEN d_in = 0 THEN 0.0
+                      ELSE d_out * 1.0 / d_in END, 4) + 0.0 AS pass_rate,
+           round(d_out * 1.0 / total, 4) + 0.0 AS cum_survival,
+           CAST(tok AS BIGINT) AS tokens_out
+    FROM stg
+    """,
+)
+def filter_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data curation — per-rule attrition funnel of a quality-filter
+    cascade (the RedPajama/C4-style report: after each rule, how many
+    documents and tokens survive): min length -> alphabetic ratio ->
+    mean word length -> digit ratio -> min tokens, applied in order,
+    with per-stage pass rate and cumulative survival. The corpus is
+    scanned ONCE into per-doc flags; the five stages are conditional
+    sums over that single pass (stacked, not five scans) — the exact
+    shape a 100 TB curation run needs, where each rule re-reading the
+    corpus is the difference between hours and days. All rates are
+    integer ratios, so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ln = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    b = F.lit(1)
+    f1 = F.when(F.col("n_chars") >= 200, b).otherwise(0)
+    f2 = F.when((ln > 0) & (alpha * 1.0 / ln >= 0.5), b).otherwise(0)
+    f3 = F.when((nospace * 1.0 / ntok).between(2.0, 12.0), b).otherwise(0)
+    f4 = F.when((ln > 0) & (digits * 1.0 / ln <= 0.2), b).otherwise(0)
+    f5 = F.when(ntok >= 30, b).otherwise(0)
+    s = docs.select(
+        ntok.alias("ntok"), f1.alias("s1"), (f1 * f2).alias("s2"),
+        (f1 * f2 * f3).alias("s3"), (f1 * f2 * f3 * f4).alias("s4"),
+        (f1 * f2 * f3 * f4 * f5).alias("s5"),
+    )
+    stg = s.select(
+        "ntok",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_min_chars").alias("stage"),
+                    F.lit(1).alias("inn"), F.col("s1").alias("out"),
+                ),
+                F.struct(
+                    F.lit("2_alpha_ratio").alias("stage"),
+                    F.col("s1").alias("inn"), F.col("s2").alias("out"),
+                ),
+                F.struct(
+                    F.lit("3_word_length").alias("stage"),
+                    F.col("s2").alias("inn"), F.col("s3").alias("out"),
+                ),
+                F.struct(
+                    F.lit("4_digit_ratio").alias("stage"),
+                    F.col("s3").alias("inn"), F.col("s4").alias("out"),
+                ),
+                F.struct(
+                    F.lit("5_min_tokens").alias("stage"),
+                    F.col("s4").alias("inn"), F.col("s5").alias("out"),
+                ),
+            )
+        ).alias("e"),
+    ).select(F.col("e.stage").alias("stage"), "e.inn", "e.out", "ntok")
+    agg = stg.groupBy("stage").agg(
+        F.sum("inn").alias("d_in"),
+        F.sum("out").alias("d_out"),
+        F.sum(F.col("out") * F.col("ntok")).alias("tok"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    return agg.select(
+        "stage",
+        F.col("d_in").cast("bigint").alias("docs_in"),
+        F.col("d_out").cast("bigint").alias("docs_out"),
+        r4(
+            F.when(F.col("d_in") == 0, 0.0).otherwise(
+                F.col("d_out") * 1.0 / F.col("d_in")
+            )
+        ).alias("pass_rate"),
+        r4(F.col("d_out") * 1.0 / F.col("total")).alias("cum_survival"),
+        F.col("tok").cast("bigint").alias("tokens_out"),
+    )
+
+
+@register(
+    "cumulative_gains_deciles",
+    oracle="""
+    WITH resp AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    base AS MATERIALIZED (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN resp.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS responder
+      FROM customer LEFT JOIN resp ON c_custkey = o_custkey
+    ),
+    dec AS (
+      SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile,
+             responder
+      FROM base
+    ),
+    per AS (
+      SELECT decile, count(*) AS nk, sum(responder) AS rk
+      FROM dec GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.decile, a.nk, a.rk,
+             sum(b.nk) AS cum_n, sum(b.rk) AS cum_r
+      FROM per a JOIN per b ON b.decile <= a.decile
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT count(*) AS n, sum(responder) AS r FROM base)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(nk AS BIGINT) AS n_customers,
+           CAST(rk AS BIGINT) AS n_responders,
+           CAST(cum_r AS BIGINT) AS cum_responders,
+           round(cum_r * 1.0 / r, 4) + 0.0 AS gain,
+           round((cum_r * 1.0 / cum_n) / (r * 1.0 / n), 4) + 0.0 AS lift
+    FROM cum CROSS JOIN tot
+    """,
+)
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing science — cumulative gains / lift chart: customers
+    ranked by account balance (the 'model score'), responders = placed
+    at least one urgent-priority order; per score decile, the share of
+    all responders captured so far (gain) and the response-rate ratio
+    vs baseline (lift) — the standard campaign-targeting evaluation
+    ('the top 20% of scores capture X% of responders'). NO global
+    window: deciles come from the two-level prefix-sum global rank +
+    closed-form ntile (the order_value_deciles pattern), and the
+    cumulative is a 10x10 triangular self-join on the decile grid —
+    integer counts only, so both engines agree exactly."""
+    from graph_db_spark.operators.aggregates import ntile_of, with_global_rank
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    resp = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    base = c.join(resp, c.c_custkey == resp.o_custkey, "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("responder"),
+    ).localCheckpoint()  # ranking + the totals scalar share one materialization
+    ranked = with_global_rank(base, [F.desc("c_acctbal"), F.asc("c_custkey")])
+    tot = base.agg(F.count(F.lit(1)).alias("n"), F.sum("responder").alias("r"))
+    per = (
+        ranked.crossJoin(F.broadcast(tot.select(F.col("n").alias("_n"))))
+        .withColumn("decile", ntile_of(F.col("rank"), F.col("_n"), 10))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("nk"), F.sum("responder").alias("rk"))
+    )
+    a, b2 = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(b2, F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"), F.col("a.nk").alias("nk"),
+                 F.col("a.rk").alias("rk"))
+        .agg(F.sum("b.nk").alias("cum_n"), F.sum("b.rk").alias("cum_r"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(  # 1-row scalar attach
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("nk").cast("bigint").alias("n_customers"),
+        F.col("rk").cast("bigint").alias("n_responders"),
+        F.col("cum_r").cast("bigint").alias("cum_responders"),
+        r4(F.col("cum_r") * 1.0 / F.col("r")).alias("gain"),
+        r4(
+            (F.col("cum_r") * 1.0 / F.col("cum_n")) / (F.col("r") * 1.0 / F.col("n"))
+        ).alias("lift"),
+    )
+
+
+@register(
+    "regression_stump_split",
+    oracle="""
+    WITH q AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x, count(*) AS nq,
+             CAST(round(sum(l_extendedprice * 1e-5) * 10000) AS BIGINT) AS i1,
+             CAST(round(sum(l_extendedprice * 1e-5 * l_extendedprice * 1e-5)
+                        * 10000) AS BIGINT) AS i2
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(nq) AS tn, sum(i1) AS t1, sum(i2) AS t2 FROM q),
+    cum AS (
+      SELECT a.x, sum(b.nq) AS cn, sum(b.i1) AS c1, sum(b.i2) AS c2
+      FROM q a JOIN q b ON b.x <= a.x GROUP BY 1
+    ),
+    obj AS (
+      SELECT x, cn, tn - cn AS rn,
+             c1 * 10.0 / cn AS mean_l,
+             (t1 - c1) * 10.0 / (tn - cn) AS mean_r,
+             (c2 / 10000.0 - (c1 / 10000.0) * (c1 / 10000.0) / cn)
+             + ((t2 - c2) / 10000.0
+                - ((t1 - c1) / 10000.0) * ((t1 - c1) / 10000.0) / (tn - cn))
+               AS sse_split,
+             t2 / 10000.0 - (t1 / 10000.0) * (t1 / 10000.0) / tn AS sse_total
+      FROM cum CROSS JOIN tot WHERE cn < tn
+    )
+    SELECT CAST(x AS BIGINT) AS split_at,
+           CAST(cn AS BIGINT) AS n_left, CAST(rn AS BIGINT) AS n_right,
+           round(mean_l, 4) + 0.0 AS mean_left,
+           round(mean_r, 4) + 0.0 AS mean_right,
+           round((sse_total - sse_split) / sse_total, 4) + 0.0
+             AS variance_reduction
+    FROM obj ORDER BY sse_split, x LIMIT 1
+    """,
+)
+def regression_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML on SQL — a regression-stump fit: the single best variance-
+    reducing split of quantity (x <= s goes left) predicting extended
+    price, i.e. one node of a CART/GBM tree grown with sufficient
+    statistics instead of row sorting. The fact table reduces ONCE to
+    the 50-value quantity grid's (n, sum y, sum y^2) triples; every
+    candidate split's SSE is closed-form algebra over prefix sums of
+    that grid (a 50x50 triangular join, no row-level pass per split) —
+    the exact histogram-based split search XGBoost/LightGBM use, which
+    is also the only shape that works at 100 TB. Cross-engine parity:
+    the sufficient statistics are snapped to INTEGER 1e-4 grid units
+    (prices pre-scaled by 1e-5), so prefix sums are exact integers and
+    the SSE objective is a bit-identical pure function of them — the
+    argmin cannot flip between engines. Price magnitudes re-emerge only
+    in the rounded mean/share emissions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ys = F.col("l_extendedprice") * 1e-5
+    q = li.groupBy(F.col("l_quantity").cast("bigint").alias("x")).agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.round(F.sum(ys) * 10000).cast("bigint").alias("i1"),
+        F.round(F.sum(ys * ys) * 10000).cast("bigint").alias("i2"),
+    ).localCheckpoint()  # grid + totals + triangular join share one pass
+    tot = q.agg(
+        F.sum("nq").alias("tn"), F.sum("i1").alias("t1"), F.sum("i2").alias("t2")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    cum = (
+        a.join(b, F.col("b.x") <= F.col("a.x"))
+        .groupBy(F.col("a.x").alias("x"))
+        .agg(
+            F.sum("b.nq").alias("cn"),
+            F.sum("b.i1").alias("c1"),
+            F.sum("b.i2").alias("c2"),
+        )
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("cn") < F.col("tn"))
+    c1d, c2d = F.col("c1") / 10000.0, F.col("c2") / 10000.0
+    r1d = (F.col("t1") - F.col("c1")) / 10000.0
+    r2d = (F.col("t2") - F.col("c2")) / 10000.0
+    rn = F.col("tn") - F.col("cn")
+    sse_split = (c2d - c1d * c1d / F.col("cn")) + (r2d - r1d * r1d / rn)
+    t1d, t2d = F.col("t1") / 10000.0, F.col("t2") / 10000.0
+    sse_total = t2d - t1d * t1d / F.col("tn")
+    return (
+        j.select(
+            F.col("x").alias("split_at"),
+            F.col("cn").cast("bigint").alias("n_left"),
+            rn.cast("bigint").alias("n_right"),
+            r4(F.col("c1") * 10.0 / F.col("cn")).alias("mean_left"),
+            r4((F.col("t1") - F.col("c1")) * 10.0 / rn).alias("mean_right"),
+            r4((sse_total - sse_split) / sse_total).alias("variance_reduction"),
+            sse_split.alias("_obj"),
+        )
+        .orderBy("_obj", "split_at")
+        .limit(1)
+        .drop("_obj")
+    )
+
+
+@register(
+    "position_based_attribution",
+    oracle="""
+    WITH ek AS MATERIALIZED (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#'
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events
+    ),
+    purch AS MATERIALIZED (
+      SELECT user_id, day, min(k) AS fp FROM ek
+      WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    t AS MATERIALIZED (
+      SELECT e.user_id, e.day, e.event_type, e.k
+      FROM ek e JOIN purch p USING (user_id, day)
+      WHERE e.event_type <> 'purchase' AND e.k < p.fp
+    ),
+    tw AS (
+      SELECT user_id, day, event_type,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY k) AS pos,
+             count(*) OVER (PARTITION BY user_id, day) AS kk
+      FROM t
+    ),
+    credited AS (
+      SELECT event_type AS channel,
+             CAST(user_id AS VARCHAR) || '#' || day AS sk,
+             CASE WHEN kk = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN kk = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN pos = 1 OR pos = kk THEN CAST(0.4 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) / (kk - 2) END AS credit,
+             1 AS is_touch
+      FROM tw
+      UNION ALL
+      SELECT '<direct>', CAST(p.user_id AS VARCHAR) || '#' || p.day,
+             CAST(1.0 AS DOUBLE), 0
+      FROM purch p
+      LEFT JOIN (SELECT DISTINCT user_id, day FROM t) s
+        ON p.user_id = s.user_id AND p.day = s.day
+      WHERE s.user_id IS NULL
+    )
+    SELECT channel,
+           round(sum(credit), 4) + 0.0 AS credited_conversions,
+           CAST(count(DISTINCT sk) AS BIGINT) AS n_sessions,
+           CAST(sum(is_touch) AS BIGINT) AS n_touches
+    FROM credited GROUP BY 1
+    """,
+)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing science — position-based (U-shaped) multi-touch
+    attribution: within each user-day journey that converts (contains a
+    purchase), the touches BEFORE the first purchase split the
+    conversion credit 40% first / 40% last / 20% across the middles
+    (1 touch keeps 100%, 2 touches split 50/50, no touches credit
+    '<direct>') — the model between last_touch_attribution's
+    winner-take-all and full Shapley. Journey state is per (user, day):
+    the windows partition on that key (bounded by the session horizon),
+    so a billion users attribute as independent partitions — no global
+    anything. Touch ordering uses the formatted ts#event_id key string
+    on both sides, so tie handling is engine-identical; credits are
+    exact binary fractions summed inside round(,4)'s guard band."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    key = F.concat(
+        _fmt_ts(F.col("ts")), F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    ek = ev.select(
+        "user_id", day.alias("day"), "event_type", key.alias("k")
+    ).localCheckpoint()  # purchases + touches share one materialization
+    purch = (
+        ek.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("k").alias("fp"))
+    )
+    t = (
+        ek.filter(F.col("event_type") != "purchase")
+        .join(purch, ["user_id", "day"])
+        .filter(F.col("k") < F.col("fp"))
+        .select("user_id", "day", "event_type", "k")
+    )
+    wsess = Window.partitionBy("user_id", "day")
+    tw = t.select(
+        "user_id", "day", "event_type",
+        F.row_number().over(wsess.orderBy("k")).alias("pos"),
+        F.count(F.lit(1)).over(wsess).alias("kk"),
+    )
+    sk = F.concat(F.col("user_id").cast("string"), F.lit("#"), F.col("day"))
+    credit = (
+        F.when(F.col("kk") == 1, F.lit(1.0))
+        .when(F.col("kk") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("kk")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("kk") - 2))
+    )
+    touched = tw.select(
+        F.col("event_type").alias("channel"), sk.alias("sk"),
+        credit.alias("credit"), F.lit(1).alias("is_touch"),
+    )
+    direct = (
+        purch.join(t.select("user_id", "day").distinct(), ["user_id", "day"], "left_anti")
+        .select(
+            F.lit("<direct>").alias("channel"), sk.alias("sk"),
+            F.lit(1.0).alias("credit"), F.lit(0).alias("is_touch"),
+        )
+    )
+    return (
+        touched.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            r4(F.sum("credit")).alias("credited_conversions"),
+            F.countDistinct("sk").cast("bigint").alias("n_sessions"),
+            F.sum("is_touch").cast("bigint").alias("n_touches"),
+        )
+    )
+
+
+@register(
+    "abc_inventory_classes",
+    oracle="""
+    WITH pr AS MATERIALIZED (
+      SELECT l_partkey AS pk,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT pk, cents,
+             sum(cents) OVER (ORDER BY cents DESC, pk
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM pr
+    ),
+    tot AS (SELECT sum(cents) AS t FROM pr),
+    cls AS (
+      SELECT CASE WHEN cum_cents * 1.0 / t <= CAST(0.80 AS DOUBLE) THEN 'A'
+                  WHEN cum_cents * 1.0 / t <= CAST(0.95 AS DOUBLE) THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, cum_cents * 1.0 / t AS share
+      FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(cents) / 100.0, 4) + 0.0 AS class_revenue,
+           round(min(share), 4) + 0.0 AS min_cum_share,
+           round(max(share), 4) + 0.0 AS max_cum_share
+    FROM cls GROUP BY 1
+    """,
+)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI classification — ABC (Pareto) inventory analysis: parts ranked
+    by revenue, class A = the head covering 80% of cumulative revenue,
+    B to 95%, C the tail — the standard stock-priority segmentation.
+    NO global window (the corpus-sized cumulative is exactly the
+    anti-pattern the plan sweep bans): the revenue-ordered running
+    total comes from with_global_rank's two-level prefix sum. Per-part
+    revenue snaps to an INTEGER cent count first, so the prefix sums,
+    the total, and every cumulative share are exact integer arithmetic
+    — the A/B/C boundary comparisons are bit-identical across engines
+    and partition layouts (the rfm cent-count convention)."""
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.sum(rev) * 100).cast("bigint").alias("cents")
+    ).localCheckpoint()  # ranking + the total scalar share one materialization
+    ranked = with_global_rank(
+        pr, [F.desc("cents"), F.asc("pk")], cumsum_cols={"cum_cents": "cents"}
+    )
+    tot = pr.agg(F.sum("cents").alias("t"))
+    share = F.col("cum_cents") * 1.0 / F.col("t")
+    cls = ranked.crossJoin(F.broadcast(tot)).select(  # 1-row scalar attach
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "cents",
+        share.alias("share"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        r4(F.sum("cents") / 100.0).alias("class_revenue"),
+        r4(F.min("share")).alias("min_cum_share"),
+        r4(F.max("share")).alias("max_cum_share"),
+    )
+
+
+def _bh_z_thresholds(m: int = 25, q: float = 0.10) -> list[tuple[int, float]]:
+    """Benjamini-Hochberg rejection thresholds on the |z| scale: for rank
+    i (p-values ascending = |z| descending), the step-up rule rejects
+    when p(i) <= i*q/m, i.e. |z| >= Phi^-1(1 - i*q/(2m)) for a two-sided
+    z test. Computed ONCE in Python with math.erf + bisection and
+    injected as identical double literals into BOTH engines — neither
+    engine needs erf at runtime, which neither Spark SQL nor portable
+    ANSI provides. Deterministic: pure arithmetic, no RNG, no clock."""
+    import math
+
+    def phi(z: float) -> float:
+        return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+    out = []
+    for i in range(1, m + 1):
+        target = 1.0 - (q * i / m) / 2.0
+        lo, hi = 0.0, 10.0
+        for _ in range(80):  # bisection to ~1e-23, far past double ulp
+            mid = (lo + hi) / 2.0
+            if phi(mid) < target:
+                lo = mid
+            else:
+                hi = mid
+        out.append((i, (lo + hi) / 2.0))
+    return out
+
+
+def _bh_fdr_oracle_sql() -> str:
+    """BH oracle with the SAME Python-emitted z thresholds the Spark side
+    joins against (shared-literal convention: katz/sprt/gumbel)."""
+    rows = ",\n        ".join(
+        f"({i}, CAST({z!r} AS DOUBLE))" for i, z in _bh_z_thresholds()
+    )
+    return f"""
+    WITH g AS (
+      SELECT avg(l_discount) AS mu, stddev_samp(l_discount) AS sd
+      FROM lineitem
+    ),
+    pb AS MATERIALIZED (
+      SELECT p_brand AS brand, count(*) AS n, avg(l_discount) AS mb
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ),
+    z AS MATERIALIZED (
+      SELECT brand, n,
+             round((mb - mu) / (sd / sqrt(n)), 4) + 0.0 AS z4
+      FROM pb CROSS JOIN g
+    ),
+    rk AS MATERIALIZED (
+      SELECT a.brand, a.n, a.z4,
+             1 + count(CASE WHEN abs(b.z4) > abs(a.z4)
+                             OR (abs(b.z4) = abs(a.z4) AND b.brand < a.brand)
+                            THEN 1 END) AS i
+      FROM z a CROSS JOIN z b GROUP BY 1, 2, 3
+    ),
+    th(i, zthr) AS (VALUES
+        {rows}
+    ),
+    imax AS (
+      SELECT coalesce(max(CASE WHEN abs(rk.z4) >= th.zthr THEN rk.i END), 0)
+               AS im
+      FROM rk JOIN th USING (i)
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n, z4 AS z,
+           CAST(rk.i AS BIGINT) AS p_rank,
+           round(th.zthr, 4) + 0.0 AS z_threshold,
+           CAST(CASE WHEN rk.i <= imax.im THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM rk JOIN th USING (i) CROSS JOIN imax
+    """
+
+
+@register("benjamini_hochberg_fdr", oracle=_bh_fdr_oracle_sql())
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple testing — Benjamini-Hochberg FDR control (q = 0.10) over
+    25 simultaneous brand-level tests: per brand, a one-sample z test of
+    mean discount vs the corpus mean; BH's step-up rule rejects the i
+    smallest p-values where p(i) <= i*q/m — run entirely on the |z|
+    scale against Phi^-1 thresholds PRECOMPUTED in Python (math.erf +
+    bisection, injected as identical literals both sides), since
+    neither engine has a portable erf. The z statistics round to 4dp
+    BEFORE ranking/thresholding so engine-level FP noise in the means
+    cannot reorder ranks or flip a rejection. No window anywhere: ranks
+    come from a 25x25 triangular count and the step-up cutoff is a
+    broadcast scalar. The brand domain (m = 25) is the TPC-H generator
+    constant at every SF; thresholds are build-time constants keyed to
+    it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = li.agg(
+        F.avg("l_discount").alias("mu"), F.stddev_samp("l_discount").alias("sd")
+    )
+    pb = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("l_discount").alias("mb"))
+    )
+    z = pb.crossJoin(F.broadcast(g)).select(  # 1-row scalar attach
+        "brand", "n",
+        r4((F.col("mb") - F.col("mu")) / (F.col("sd") / F.sqrt(F.col("n")))).alias(
+            "z4"
+        ),
+    ).localCheckpoint()  # rank join + cutoff scalar share one materialization
+    a, b = z.alias("a"), z.alias("b")
+    rk = (
+        a.crossJoin(b)
+        .groupBy(
+            F.col("a.brand").alias("brand"), F.col("a.n").alias("n"),
+            F.col("a.z4").alias("z4"),
+        )
+        .agg(
+            (
+                1
+                + F.count(
+                    F.when(
+                        (F.abs(F.col("b.z4")) > F.abs(F.col("a.z4")))
+                        | (
+                            (F.abs(F.col("b.z4")) == F.abs(F.col("a.z4")))
+                            & (F.col("b.brand") < F.col("a.brand"))
+                        ),
+                        1,
+                    )
+                )
+            ).alias("i")
+        )
+    )
+    th = F.broadcast(
+        spark.createDataFrame(_bh_z_thresholds(), "i long, zthr double")
+    )
+    rj = rk.join(th, "i")
+    imax = rj.agg(
+        F.coalesce(
+            F.max(F.when(F.abs(F.col("z4")) >= F.col("zthr"), F.col("i"))), F.lit(0)
+        ).alias("im")
+    )
+    return rj.crossJoin(F.broadcast(imax)).select(  # 1-row scalar attach
+        "brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("z4").alias("z"),
+        F.col("i").cast("bigint").alias("p_rank"),
+        r4(F.col("zthr")).alias("z_threshold"),
+        F.when(F.col("i") <= F.col("im"), 1).otherwise(0).cast("bigint").alias(
+            "rejected"
+        ),
+    )
+
+
+@register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH o AS MATERIALIZED (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+      FROM orders
+    ),
+    cnt AS (SELECT grp, count(*) AS ng FROM o GROUP BY 1),
+    rk AS (
+      SELECT grp, o_totalprice AS v,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY o_totalprice, o_orderkey) AS lr
+      FROM o
+    ),
+    tg AS (
+      SELECT grp, ng, d, CAST(ceil(d * ng / 10.0) AS BIGINT) AS tr
+      FROM cnt CROSS JOIN (SELECT unnest(range(1, 10)) AS d)
+    ),
+    qv AS (
+      SELECT t.d, t.grp, t.ng, r.v
+      FROM tg t JOIN rk r ON t.grp = r.grp AND t.tr = r.lr
+    )
+    SELECT CAST(d AS BIGINT) AS decile,
+           CAST(max(CASE WHEN grp = 1 THEN ng END) AS BIGINT) AS n_treated,
+           CAST(max(CASE WHEN grp = 0 THEN ng END) AS BIGINT) AS n_control,
+           round(max(CASE WHEN grp = 1 THEN v END), 4) + 0.0 AS q_treated,
+           round(max(CASE WHEN grp = 0 THEN v END), 4) + 0.0 AS q_control,
+           round(max(CASE WHEN grp = 1 THEN v END)
+                 - max(CASE WHEN grp = 0 THEN v END), 4) + 0.0 AS qte
+    FROM qv GROUP BY 1
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal inference — quantile treatment effects: the
+    decile-by-decile difference between the treated (urgent-priority)
+    and control order-value distributions, the distributional effect
+    readout an average treatment effect hides ('the promo moved the
+    p90, not the median'). Exact type-1 order statistics, NO global
+    window: both groups rank in ONE stacked with_global_rank pass
+    ordered by (grp, value, key) — each group's block is contiguous in
+    the total order, so the within-group rank is global_rank minus the
+    broadcast size of the groups before it (the rfm dim-stacking trick
+    with data-dependent block sizes). The 18 target order statistics
+    arrive via an equi-join on (grp, rank), so a billion orders pay
+    #partitions parallel sorts and move 18 rows. Quantile values are
+    raw data cells (never aggregated), hence identical doubles both
+    engines; qte differences round inside the guard band."""
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("grp"),
+    ).localCheckpoint()  # ranking + group counts share one materialization
+    cnt = o.groupBy("grp").agg(F.count(F.lit(1)).alias("ng"))
+    n0 = cnt.filter(F.col("grp") == 0).select(F.col("ng").alias("_n0"))
+    ranked = (
+        with_global_rank(
+            o, [F.asc("grp"), F.asc("o_totalprice"), F.asc("o_orderkey")],
+            rank_col="gr",
+        )
+        .crossJoin(F.broadcast(n0))  # 1-row scalar attach
+        .select(
+            "grp",
+            F.col("o_totalprice").alias("v"),
+            (
+                F.col("gr")
+                - F.when(F.col("grp") == 1, F.col("_n0")).otherwise(F.lit(0))
+            ).alias("lr"),
+        )
+    )
+    tg = cnt.select(
+        "grp", "ng", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
+    ).select(
+        "grp", "ng", "d",
+        F.ceil(F.col("d") * F.col("ng") / F.lit(10.0)).cast("bigint").alias("tr"),
+    )
+    qv = F.broadcast(tg).join(
+        ranked, (tg.grp == ranked.grp) & (tg.tr == ranked.lr)
+    ).select(tg.grp.alias("g"), "ng", "d", "v")
+    return qv.groupBy("d").agg(
+        F.max(F.when(F.col("g") == 1, F.col("ng"))).cast("bigint").alias("n_treated"),
+        F.max(F.when(F.col("g") == 0, F.col("ng"))).cast("bigint").alias("n_control"),
+        r4(F.max(F.when(F.col("g") == 1, F.col("v")))).alias("q_treated"),
+        r4(F.max(F.when(F.col("g") == 0, F.col("v")))).alias("q_control"),
+        r4(
+            F.max(F.when(F.col("g") == 1, F.col("v")))
+            - F.max(F.when(F.col("g") == 0, F.col("v")))
+        ).alias("qte"),
+    ).select(
+        F.col("d").cast("bigint").alias("decile"),
+        "n_treated", "n_control", "q_treated", "q_control", "qte",
     )
 
 

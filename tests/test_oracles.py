@@ -62,58 +62,47 @@ def test_gate_window_and_expensive_tail_ordering():
     assert q[-len(tail):] == tail
 
 
-def test_r8_gate_window_covers_the_never_driver_green_pool():
-    """r8 rotation contract: the never-driver-green pool (absent from every
-    CORRECTNESS_r0{1..7}.json) must be exactly _GATE_WINDOW (the 29 heavies
-    deferred from r7 + 21 post-freeze-r7 names: 17 cheapest at sf0.01,
-    the 3 whose Spark side was rewritten for the r7-verdict
-    global-window fix, and rfm_customer_segments re-queued because its
-    r7-green row predates its rewrite) + the documented r9 queue (36
-    names). Registration is FROZEN until the pool fits one
-    window — any NEW name lands in the r9 queue below or this test fails,
-    which is the point: a name in neither list would stay unverified
-    forever."""
+def test_r9_gate_window_covers_the_never_driver_green_pool():
+    """r9 rotation contract: the never-driver-green pool (absent from every
+    CORRECTNESS_r0{1..8}.json) must be exactly _GATE_WINDOW — the 36-name
+    r8 spill queue, rfm_customer_segments re-queued a second time (its
+    r8-green row predates the r9 exact-cent ranking rewrite — the
+    weighted_sample_docs precedent), and the 13 r9 registrations (the
+    freeze lifted with the pool under one window; every name that
+    registers after a freeze lifts MUST take a window slot or it stays
+    unverified forever — that is what this test enforces). The spill
+    queue is EMPTY for the first time since r6: after this window
+    drains, the r10 rotation can start re-checking stale early-round
+    rows instead of paying down debt."""
     import glob
     import json
     import os
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-7].json")))
-    if len(files) < 7:
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-8].json")))
+    if len(files) < 8:
         pytest.skip("driver correctness files absent")
     seen = set()
     for f in files:
         with open(f) as fh:
             seen |= set(json.load(fh))
-    # r7-green row predates the r8 global-window rewrite; re-queued in
-    # the r8 window (the weighted_sample_docs precedent from r5→r7)
+    # r8-green row predates the r9 rewrite (monetary ranked as exact
+    # integer cents); re-queued in the r9 window
     seen.discard("rfm_customer_segments")
-    post_freeze_r7_r9_queue = {
-        "gini_concentration", "benford_first_digit", "cramers_v_association",
-        "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
-        "stl_seasonal_decompose", "cross_correlation_lead_lag",
-        "knn_loo_label_eval", "mutual_nearest_pairs",
-        "embedding_centroid_drift", "source_js_divergence",
-        "curriculum_phase_assign", "levene_variance_test",
-        "katz_walk_centrality", "region_trade_assortativity",
-        "association_rule_triples", "item_item_collaborative_topk",
-        "markov_absorption_conversion", "pca_power_iteration",
-        "good_turing_unseen_mass", "markov_entropy_rate",
-        "weighted_median_price", "positional_phrase_search",
-        "energy_distance_groups", "trade_reciprocity",
-        "rich_club_coefficient", "token_pmi_collocations",
-        "open_order_backlog", "kendall_tau_b",
-        "theil_index_decomposition", "ndcg_label_retrieval",
-        "ljung_box_q", "growth_accounting_weekly", "diff_in_diff_uplift",
-        "capture_recapture_estimate",
+    r9_new = {
+        "nelson_aalen_hazard", "simpson_paradox_check",
+        "jackknife_ratio_variance", "brier_calibration_decomposition",
+        "kneser_ney_bigram", "information_gain_split",
+        "filter_cascade_attrition", "cumulative_gains_deciles",
+        "regression_stump_split", "position_based_attribution",
+        "abc_inventory_classes", "benjamini_hochberg_fdr",
+        "quantile_treatment_effect",
     }
-    assert len(post_freeze_r7_r9_queue) == 36
+    assert len(r9_new) == 13
+    assert r9_new <= set(_GATE_WINDOW), r9_new - set(_GATE_WINDOW)
     never = {n for n in queries() if n not in seen}
-    assert never == set(_GATE_WINDOW) | post_freeze_r7_r9_queue, (
-        never ^ (set(_GATE_WINDOW) | post_freeze_r7_r9_queue)
-    )
-    assert not (set(_GATE_WINDOW) & post_freeze_r7_r9_queue)
+    assert never == set(_GATE_WINDOW), never ^ set(_GATE_WINDOW)
 
 
 def test_rounded_emissions_cannot_produce_negative_zero(spark, sf_dir):
