@@ -21162,15 +21162,19 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
+    # target frame renames its key columns: cnt and ranked share lineage
+    # (both derive from the checkpointed o), so joining on same-named
+    # attributes would hit Spark's ambiguous-self-join resolution
     tg = cnt.select(
-        "grp", "ng", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
+        F.col("grp").alias("tgrp"), "ng",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
     ).select(
-        "grp", "ng", "d",
+        "tgrp", "ng", "d",
         F.ceil(F.col("d") * F.col("ng") / F.lit(10.0)).cast("bigint").alias("tr"),
     )
     qv = F.broadcast(tg).join(
-        ranked, (tg.grp == ranked.grp) & (tg.tr == ranked.lr)
-    ).select(tg.grp.alias("g"), "ng", "d", "v")
+        ranked, (F.col("tgrp") == F.col("grp")) & (F.col("tr") == F.col("lr"))
+    ).select(F.col("tgrp").alias("g"), "ng", "d", "v")
     return qv.groupBy("d").agg(
         F.max(F.when(F.col("g") == 1, F.col("ng"))).cast("bigint").alias("n_treated"),
         F.max(F.when(F.col("g") == 0, F.col("ng"))).cast("bigint").alias("n_control"),

@@ -105,6 +105,24 @@ def test_r9_gate_window_covers_the_never_driver_green_pool():
     assert never == set(_GATE_WINDOW), never ^ set(_GATE_WINDOW)
 
 
+def test_bh_z_thresholds_match_textbook_quantiles():
+    """The Benjamini-Hochberg threshold table is Python-side bisection on
+    Phi (math.erf); pin it against the textbook normal quantile at the
+    step-up endpoint — i = m gives alpha/2 = q/2 = 0.05, whose z is the
+    universally tabulated 1.6448536269514722 — plus strict monotone
+    decrease in i (larger rank -> larger allowed p -> smaller |z|).
+    Catches any edit to the bisection or the (m, q) constants that would
+    silently shift every rejection decision."""
+    from graph_db_spark.plans.queries import _bh_z_thresholds
+
+    th = _bh_z_thresholds()
+    assert len(th) == 25
+    assert [i for i, _ in th] == list(range(1, 26))
+    assert abs(th[24][1] - 1.6448536269514722) < 1e-9
+    zs = [z for _, z in th]
+    assert all(a > b for a, b in zip(zs, zs[1:]))
+
+
 def test_rounded_emissions_cannot_produce_negative_zero(spark, sf_dir):
     """Driver-hash trap regression (r5 verdict #2): Spark `r4` and the
     paired oracle `round(...,4) + 0.0` must both normalize IEEE -0.0 —
