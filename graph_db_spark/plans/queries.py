@@ -20302,7 +20302,13 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g.w1", "g.w2")
     )
-    tc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # four consumers (forward totals, continuation counts, type total,
+    # final join) re-aggregate the counts table: materialize it ONCE so
+    # the corpus tokenize+explode never replays — at 100 TB the bigram
+    # TYPE table is vocab²-bounded, tiny next to the token stream
+    tc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
     fw = tc.groupBy("w1").agg(
         F.sum("c").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n_fw"),
@@ -20420,17 +20426,24 @@ def information_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.feature").alias("feature"), F.col("e.v").alias("v"), "y")
         .localCheckpoint()  # value counts + target marginal share one pass
     )
-    cnt = s.groupBy("feature", "v", "y").agg(F.count(F.lit(1)).alias("c"))
+    # everything downstream of the first aggregation is bounded by the
+    # VALUE DOMAINS (<= 28 (feature,value,y) cells, <= 14 (feature,value)
+    # rows, 4 features) — broadcast explicitly so the static plan is
+    # right at any scale instead of relying on AQE's runtime SMJ->BHJ
+    # conversion of unknown-size post-checkpoint stats
+    cnt = s.groupBy("feature", "v", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()  # 28-row cell table; its two consumers skip re-agg
     cv = cnt.groupBy("feature", "v").agg(F.sum("c").alias("n_v"))
     plogp = F.col("c") * 1.0 / F.col("n_v") * F.log2(F.col("c") * 1.0 / F.col("n_v"))
     hv = (
-        cnt.join(cv, ["feature", "v"])
+        cnt.join(F.broadcast(cv), ["feature", "v"])
         .groupBy("feature", "v", "n_v")
         .agg((-F.sum(plogp)).alias("h_v"))
     )
     ft = hv.groupBy("feature").agg(F.sum("n_v").alias("n"))
     hc = (
-        hv.join(ft, "feature")
+        hv.join(F.broadcast(ft), "feature")
         .groupBy("feature")
         .agg(
             F.count(F.lit(1)).alias("n_values"),
@@ -20439,10 +20452,14 @@ def information_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     yc = s.groupBy("feature", "y").agg(F.count(F.lit(1)).alias("cy"))
     pylogpy = F.col("cy") * 1.0 / F.col("n") * F.log2(F.col("cy") * 1.0 / F.col("n"))
-    hy = yc.join(ft, "feature").groupBy("feature").agg((-F.sum(pylogpy)).alias("h_y"))
+    hy = (
+        yc.join(F.broadcast(ft), "feature")
+        .groupBy("feature")
+        .agg((-F.sum(pylogpy)).alias("h_y"))
+    )
     return (
-        ft.join(hc, "feature")
-        .join(hy, "feature")
+        ft.join(F.broadcast(hc), "feature")
+        .join(F.broadcast(hy), "feature")
         .select(
             "feature",
             F.col("n").cast("bigint").alias("n"),
