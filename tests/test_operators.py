@@ -449,6 +449,45 @@ def test_sprt_fixture_keeps_llr_walk_clear_of_boundaries(spark, sf):
     assert gap > 1e-6, f"{sf}: llr walk approaches ±ln19 within {gap}"
 
 
+def test_stacked_group_ranking_with_unequal_blocks(spark):
+    """The quantile_treatment_effect generalization of the rfm stack:
+    rank ONE frame by (grp, v, key) and recover each group's LOCAL rank
+    as global_rank minus the total size of the groups sorting before it
+    (data-dependent block offsets, not the equal dim*n stride) — must
+    equal the per-group row_number for skewed group sizes and ties."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    rng = random.Random(7)
+    rows = [
+        (i, 0 if rng.random() < 0.85 else 1, float(rng.randint(0, 20)))
+        for i in range(211)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    expect = {
+        (r["grp"], r["id"]): r["lr"]
+        for r in df.select(
+            "grp", "id",
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy("v", "id"))
+            .alias("lr"),
+        ).collect()
+    }
+    n0 = sum(1 for _, g, _ in rows if g == 0)
+    got = {
+        (r["grp"], r["id"]): r["gr"] - (n0 if r["grp"] == 1 else 0)
+        for r in with_global_rank(
+            df, [F.asc("grp"), F.asc("v"), F.asc("id")], rank_col="gr",
+            n_partitions=8,
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_stacked_multi_ranking_identity(spark):
     """The rfm trick: rank a dim-tagged union ONCE by (dim, v, key) and
     recover each dimension's rank as global_rank - dim*n — must equal
