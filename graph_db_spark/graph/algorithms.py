@@ -1232,6 +1232,16 @@ def boruvka_forest(
             .withColumn("round", F.lit(r).cast("bigint"))
         )
         forest = picked if forest is None else forest.unionByName(picked)
+        if chosen.limit(1).count() == 0:
+            # fully contracted: no cross-component edge exists, so every
+            # remaining round would choose nothing and run the closure on
+            # an empty pseudo-forest. Skipped rounds contribute zero forest
+            # rows and leave labels untouched — exactly what running them
+            # produces (measured at sf0.1: the trade graph contracts in 2
+            # of the query's 4 rounds; the break saves the 2 dead rounds'
+            # contraction joins + closures, ~2-3 s of a 15 s query). The
+            # probe is a limit-1 count on the eagerly-checkpointed chosen.
+            break
         merge = chosen.select(
             F.col("ca").alias("src"), F.col("cb").alias("dst")
         )
