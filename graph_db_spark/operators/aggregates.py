@@ -194,11 +194,26 @@ def with_global_rank(
 
     ``order_exprs`` must be a TOTAL order (add a unique tiebreak column)
     or ranks across equal keys depend on partition placement.
+
+    The range-partitioned frame is EAGERLY materialized before anything
+    consumes it. This is correctness, not caching: ``repartitionByRange``
+    samples its range boundaries with a seed derived from the RDD
+    instantiation, and this helper's output is consumed through at least
+    two plan subtrees (the ranked rows and the per-partition totals) —
+    plus any caller-side self-joins — each of which would otherwise
+    re-execute the exchange and can sample DIFFERENT boundaries. Offsets
+    computed under one layout applied to ranks from another yield
+    duplicate/missing global ranks (observed at sf0.1: ntile emitting an
+    11th decile on ~2 of 4 runs). Freezing ``_pid`` in a checkpoint makes
+    every consumer read the same layout, and as a side effect collapses
+    the documented 2^k lineage re-expansion to one materialization.
     """
     cumsum_cols = cumsum_cols or {}
     nparts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(nparts, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(nparts, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     wloc = Window.partitionBy("_pid").orderBy(*order_exprs)
     wrun = wloc.rowsBetween(Window.unboundedPreceding, 0)

@@ -449,6 +449,34 @@ def test_sprt_fixture_keeps_llr_walk_clear_of_boundaries(spark, sf):
     assert gap > 1e-6, f"{sf}: llr walk approaches ±ln19 within {gap}"
 
 
+def test_with_global_rank_freezes_its_partition_layout(spark):
+    """r9 sf0.1 find: repartitionByRange samples boundaries per RDD
+    instantiation, so the helper's rank path and totals path (separate
+    plan subtrees) could see DIFFERENT layouts — offsets from one
+    applied to ranks from another produced duplicate/missing global
+    ranks (an 11th ntile) nondeterministically. The fix materializes the
+    partitioned frame once; this pins the materialization (a checkpoint
+    scan under the pid window) so a revert goes red deterministically —
+    the corruption itself is probabilistic and can't be unit-asserted."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators.aggregates import with_global_rank
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 17).cast("double").alias("v")
+    )
+    out = with_global_rank(df, [F.asc("v"), F.asc("id")], n_partitions=8)
+    plan = out._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:2000]
+    # and the output is a permutation even when consumed through a
+    # self-join (two consumers of the frozen layout)
+    a, b = out.alias("a"), out.alias("b")
+    n_pairs = a.join(b, F.col("b.rank") == F.col("a.rank") - 250).count()
+    ranks = [r["rank"] for r in out.select("rank").collect()]
+    assert sorted(ranks) == list(range(1, 501))
+    assert n_pairs == 250
+
+
 def test_stacked_group_ranking_with_unequal_blocks(spark):
     """The quantile_treatment_effect generalization of the rfm stack:
     rank ONE frame by (grp, v, key) and recover each group's LOCAL rank
