@@ -20,14 +20,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 
 
-def _seconds(df: DataFrame, ts_col: str) -> Column:
-    """Epoch-seconds expression tolerant of TIMESTAMP, TIMESTAMP_NTZ and
-    numeric timestamp columns (TIMESTAMP_NTZ has no direct numeric cast)."""
+def _micros(df: DataFrame, ts_col: str) -> Column:
+    """Epoch-MICROSECONDS (exact BIGINT) tolerant of TIMESTAMP,
+    TIMESTAMP_NTZ and numeric timestamp columns. Integer microseconds,
+    never double epoch-seconds: a double's ulp at epoch magnitude
+    (~2.4e-7 s) makes gap comparisons and durations 1-ulp
+    engine-dependent — the sf0.1 sweep caught a session duration whose
+    double-seconds arithmetic rounded to 4.5198 while the oracle's exact
+    epoch_us ratio rounded to 4.5199."""
     dt = df.schema[ts_col].dataType
     c = F.col(ts_col)
     if isinstance(dt, (TimestampType, TimestampNTZType)):
-        c = c.cast("timestamp")
-    return c.cast("double")
+        return F.unix_micros(c.cast("timestamp"))
+    return (c.cast("double") * F.lit(1000000.0)).cast("long")
 
 
 def sessionize(
@@ -41,9 +46,10 @@ def sessionize(
     Adds ``session_id`` (1-based, per key, chronological).
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    ts_sec = _seconds(df, ts_col)
-    prev = F.lag(ts_sec).over(w)
-    is_new = F.when(prev.isNull() | ((ts_sec - prev) > F.lit(float(gap_seconds))), 1).otherwise(0)
+    ts_us = _micros(df, ts_col)
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    prev = F.lag(ts_us).over(w)
+    is_new = F.when(prev.isNull() | ((ts_us - prev) > F.lit(gap_us)), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
 
 
@@ -57,13 +63,15 @@ def session_intervals(
     end_at, duration_min, n_events)`` — the shape GET_IRRIGATIONS returns
     (graph_irrigation_event.py:55-75, duration in minutes :67)."""
     with_ids = sessionize(df, key_cols, ts_col, gap_seconds)
-    sec = _seconds(with_ids, ts_col)
+    us = _micros(with_ids, ts_col)
     return (
         with_ids.groupBy(*key_cols, "session_id")
         .agg(
             F.min(ts_col).alias("start_at"),
             F.max(ts_col).alias("end_at"),
-            ((F.max(sec) - F.min(sec)) / F.lit(60.0)).alias("duration_min"),
+            # exact integer-µs difference over a double divisor — the
+            # same expression shape as the oracles' epoch_us arithmetic
+            ((F.max(us) - F.min(us)) / F.lit(60000000.0)).alias("duration_min"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -289,7 +289,8 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate,
              row_number() OVER (
                PARTITION BY o.o_orderkey
-               ORDER BY abs(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)), l.l_linenumber
+               ORDER BY abs(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)),
+                      l.l_linenumber, l.l_shipdate
              ) AS rn
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ) WHERE rn = 1
@@ -297,7 +298,10 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_nearest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — as-of / nearest-timestamp join: for each order pick the line
-    whose shipdate is closest to the order date, ties by linenumber (parity:
+    whose shipdate is closest to the order date, ties by (linenumber,
+    shipdate) — the synthetic fixture REUSES linenumbers within an order,
+    so (diff, linenumber) alone is not a total order and sf0.1 exposed
+    equidistant pairs both engines broke arbitrarily (parity:
     best_idx argmin over |AE.start_at − activity.start_at| with
     ORDER BY start_at, idx tiebreak,
     /root/reference/app/graph_product_application.py:156-214)."""
@@ -307,7 +311,7 @@ def asof_nearest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = J.asof_join(
         o, li, on=["o_orderkey"], left_ts="o_orderdate", right_ts="l_shipdate",
-        tiebreak_cols=["l_linenumber"],
+        tiebreak_cols=["l_linenumber", "l_shipdate"],
     )
     return out.filter(F.col("l_linenumber").isNotNull()).select(
         "o_orderkey",
@@ -2992,7 +2996,8 @@ def json_encode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day,
              row_number() OVER (
                PARTITION BY o.o_orderkey
-               ORDER BY abs(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)), l.l_linenumber
+               ORDER BY abs(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)),
+                      l.l_linenumber, l.l_shipdate
              ) AS rn
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          AND abs(epoch(l.l_shipdate) - epoch(o.o_orderdate)) <= 90 * 86400
@@ -3011,7 +3016,8 @@ def asof_bucketed_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = J.asof_join_bucketed(
         o, li, on=["o_orderkey"], left_ts="o_orderdate", right_ts="l_shipdate",
-        tolerance_seconds=90 * 86400, tiebreak_cols=["l_linenumber"],
+        tolerance_seconds=90 * 86400,
+        tiebreak_cols=["l_linenumber", "l_shipdate"],
     )
     return out.filter(F.col("l_linenumber").isNotNull()).select(
         "o_orderkey",

@@ -71,12 +71,16 @@ def stream_sessions(
         .agg(
             F.min(ts_col).alias("start_at"),
             F.max(ts_col).alias("end_at"),
+            # exact integer-µs difference over a double divisor — double
+            # epoch-seconds arithmetic is 1-ulp engine-dependent and the
+            # sf0.1 sweep caught a duration rounding 4.5198 vs the
+            # oracle's 4.5199 (same fix as operators/sessionize.py)
             (
                 (
-                    F.max(F.col(ts_col).cast("timestamp").cast("double"))
-                    - F.min(F.col(ts_col).cast("timestamp").cast("double"))
+                    F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                    - F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
                 )
-                / F.lit(60.0)
+                / F.lit(60000000.0)
             ).alias("duration_min"),
             F.count(F.lit(1)).alias("n_events"),
         )
