@@ -435,8 +435,11 @@ def embedding_diversity(
     cnt = corpus.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     n = F.col("n_vectors").cast("double")
     mean_cos = F.when(n > 1, (F.col("ss") - n) / (n * (n - 1)))
+    # + 0.0 pins IEEE -0.0 (a slightly-negative mean rounds to -0.0 and
+    # the driver's value hash distinguishes it — sf0.1 sweep find)
     return ss.join(cnt, on=keys).select(
-        *keys, "n_vectors", F.round(mean_cos, 4).alias("mean_pairwise_cosine")
+        *keys, "n_vectors",
+        (F.round(mean_cos, 4) + F.lit(0.0)).alias("mean_pairwise_cosine"),
     )
 
 

@@ -7033,7 +7033,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(label AS BIGINT) AS label, n_vectors,
            round(CASE WHEN n_vectors > 1
                       THEN (ss - n_vectors) / (n_vectors * (n_vectors - 1.0)) END, 4)
-             AS mean_pairwise_cosine
+             + 0.0 AS mean_pairwise_cosine
     FROM ss JOIN n USING (label)
     """,
 )
@@ -7187,22 +7187,23 @@ def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH offers AS (
       SELECT l_partkey, l_suppkey,
-             min(round(l_extendedprice / l_quantity, 4)) AS unit_price
+             min(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT))
+               AS unit_u
       FROM lineitem WHERE l_quantity > 0
       GROUP BY 1, 2
     ),
     best AS (
-      SELECT l_partkey, min(unit_price) AS best_price FROM offers GROUP BY 1
+      SELECT l_partkey, min(unit_u) AS best_u FROM offers GROUP BY 1
     ),
     pick AS (
-      SELECT o.l_partkey, o.unit_price AS best_price,
+      SELECT o.l_partkey, o.unit_u AS best_u,
              min(o.l_suppkey) AS best_suppkey
       FROM offers o JOIN best b
-        ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+        ON o.l_partkey = b.l_partkey AND o.unit_u = b.best_u
       GROUP BY 1, 2
     )
     SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
-           round(best_price, 4) AS best_price,
+           best_u / 10000.0 AS best_price,
            CAST(best_suppkey AS BIGINT) AS best_suppkey, s_name
     FROM pick
     JOIN part ON p_partkey = l_partkey
@@ -7221,17 +7222,25 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes parts before the result projection. At 100 TB the heavy input
     is scanned once and everything downstream is offer-table-sized."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # unit price snaps to an INTEGER 1e-4-unit count, never round(x, 4):
+    # fractional-scale round is engine-divergent for values exactly on the
+    # half boundary (Spark rounds the exact decimal expansion, DuckDB the
+    # scaled-multiplied double) and money/quantity ratios land there often
+    # enough that the sf0.1 sweep caught a 111.1007-vs-111.1008 flip;
+    # scale-0 rounding of the identical product double agrees bit-for-bit
     offers = (
         li.select(
             "l_partkey", "l_suppkey",
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("u"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
+            .cast("bigint")
+            .alias("u"),
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("u").alias("unit_price"))
+        .agg(F.min("u").alias("unit_u"))
     )
     best = (
         offers.groupBy("l_partkey")
-        .agg(F.min("unit_price").alias("best_price"))
+        .agg(F.min("unit_u").alias("best_u"))
         .withColumnRenamed("l_partkey", "bp_partkey")
     )
     pick = (
@@ -7239,10 +7248,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             best,
             on=[
                 F.col("l_partkey") == F.col("bp_partkey"),
-                F.col("unit_price") == F.col("best_price"),
+                F.col("unit_u") == F.col("best_u"),
             ],
         )
-        .groupBy("l_partkey", "best_price")
+        .groupBy("l_partkey", "best_u")
         .agg(F.min("l_suppkey").alias("best_suppkey"))
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
@@ -7253,7 +7262,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p_partkey").cast("bigint").alias("p_partkey"),
             "p_brand",
-            r4(F.col("best_price")).alias("best_price"),
+            (F.col("best_u") / 10000.0).alias("best_price"),
             F.col("best_suppkey").cast("bigint").alias("best_suppkey"),
             "s_name",
         )
