@@ -10789,13 +10789,22 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored ORDER BY score DESC, doc_id LIMIT 100
     ),
     {_centroid_cte_sql()},
-    dense AS (
+    -- MATERIALIZE the per-row cosine BEFORE the ranking window: with the
+    -- cosine inlined in the window's ORDER BY, DuckDB re-evaluates the
+    -- expression (and the non-materialized centroid subquery feeding it)
+    -- per sort comparison — the sf0.1 sweep measured this CTE at 5+
+    -- CPU-hours; projected-then-ranked it is corpus-linear (~seconds)
+    centm AS MATERIALIZED (SELECT cv FROM centv),
+    dcos AS MATERIALIZED (
       SELECT vec_id AS doc_id,
-             row_number() OVER (
-               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                               (SELECT cv FROM centv)) DESC, vec_id
-             ) AS drank
-      FROM embeddings ORDER BY drank LIMIT 100
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT cv FROM centm)) AS cos
+      FROM embeddings
+    ),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS drank
+      FROM dcos ORDER BY drank LIMIT 100
     ),
     fused AS (
       SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, lex.lrank, dense.drank,
