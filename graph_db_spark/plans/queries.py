@@ -12030,7 +12030,12 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trade_graph_transitivity",
     oracle="""
-    WITH vol AS (
+    -- every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    -- plain CTEs per reference, so the un-materialized form re-ran the
+    -- corpus-wide 4-way volume join inside EACH of e1/e2/e3 of the
+    -- triangle join and each scalar subquery (sf0.1 sweep: >2 min ->
+    -- 0.8 s materialized; result identical)
+    WITH vol AS MATERIALIZED (
       SELECT s.s_nationkey AS u, c.c_nationkey AS v, sum(l.l_quantity) AS q
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -12039,19 +12044,19 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY 1, 2
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT least(u, v) AS a, greatest(u, v) AS b, sum(q) AS q
       FROM vol GROUP BY 1, 2
     ),
-    med AS (SELECT median(q) AS m FROM und),
-    e AS (SELECT a, b FROM und, med WHERE q > med.m),
+    med AS MATERIALIZED (SELECT median(q) AS m FROM und),
+    e AS MATERIALIZED (SELECT a, b FROM und, med WHERE q > med.m),
     ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
     tri AS (
       SELECT count(*) AS n3
       FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
     ),
-    deg AS (SELECT u, count(*) AS d FROM ed GROUP BY 1),
+    deg AS MATERIALIZED (SELECT u, count(*) AS d FROM ed GROUP BY 1),
     wed AS (SELECT sum(d * (d - 1) / 2) AS nw FROM deg)
     SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
