@@ -9610,7 +9610,11 @@ def motif_props_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM par pr JOIN route ON route.id = pr.parent
     )
     SELECT id, path FROM route
-    WHERE id LIKE 'S:%' AND CAST(substr(id, 3) AS INTEGER) % 37 = 0
+    -- TRY_CAST, never CAST: DuckDB's vectorized filter does NOT
+    -- short-circuit the LIKE guard, so the cast also sees composite
+    -- 'L:<order>:<line>' ids ('23919:5' raised at sf0.1); TRY_CAST
+    -- nulls them and NULL % 37 = 0 is NULL -> filtered, same semantics
+    WHERE id LIKE 'S:%' AND TRY_CAST(substr(id, 3) AS INTEGER) % 37 = 0
     """,
 )
 def shortest_path_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9647,7 +9651,9 @@ def shortest_path_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
         allr = allr.unionByName(r)
     return allr.filter(
         F.col("id").startswith("S:")
-        & (F.substring("id", 3, 10).cast("int") % 37 == 0)
+        # try_cast mirrors the oracle's TRY_CAST: under ANSI a plain cast
+        # would throw if a plan reorder ever let composite ids reach it
+        & (F.expr("try_cast(substring(id, 3, 10) AS int)") % 37 == 0)
     ).select("id", "path")
 
 
