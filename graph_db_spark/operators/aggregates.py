@@ -207,6 +207,17 @@ def with_global_rank(
     11th decile on ~2 of 4 runs). Freezing ``_pid`` in a checkpoint makes
     every consumer read the same layout, and as a side effect collapses
     the documented 2^k lineage re-expansion to one materialization.
+
+    Cluster caveats of the eager ``localCheckpoint``: (1) every caller
+    pays a full materialization at DataFrame-construction time, even a
+    single-consumer one — acceptable because the frame is re-read at
+    least twice by construction (ranked rows + totals); (2) checkpointed
+    partitions are stored on executor block managers with NO lineage
+    fallback, so an executor loss mid-job fails the job instead of
+    recomputing. On a cluster with a configured checkpoint dir, swap in
+    reliable ``df.checkpoint()`` (HDFS-backed, fault-tolerant, same
+    determinism guarantee) — ``localCheckpoint`` is the single-node /
+    short-job fast path, which is exactly this repo's test envelope.
     """
     cumsum_cols = cumsum_cols or {}
     nparts = n_partitions or df.sparkSession.sparkContext.defaultParallelism

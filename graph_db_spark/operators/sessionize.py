@@ -32,7 +32,11 @@ def _micros(df: DataFrame, ts_col: str) -> Column:
     c = F.col(ts_col)
     if isinstance(dt, (TimestampType, TimestampNTZType)):
         return F.unix_micros(c.cast("timestamp"))
-    return (c.cast("double") * F.lit(1000000.0)).cast("long")
+    # Round-to-nearest before the long cast: a bare cast truncates toward
+    # zero, so 0.3 s -> 0.3*1e6 = 299999.99999999994 -> 299999 µs, a 1 µs
+    # skew that can flip a gap/duration comparison landing exactly on a
+    # boundary (the timestamp path via unix_micros is exact and unaffected).
+    return F.round(c.cast("double") * F.lit(1000000.0)).cast("long")
 
 
 def sessionize(

@@ -20147,7 +20147,8 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ta / tb, 4) + 0.0 AS ratio,
            round(rbar, 4) + 0.0 AS jackknife_mean,
            round((g - 1) * (rbar - ta / tb), 4) + 0.0 AS jackknife_bias,
-           round(sqrt((g - 1) * 1.0 / g * ssq), 4) + 0.0 AS jackknife_se
+           round(sqrt((g - 1) * 1.0 / g * greatest(ssq, CAST(0 AS DOUBLE))),
+                 4) + 0.0 AS jackknife_se
     FROM st
     """,
 )
@@ -20161,7 +20162,12 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the grand totals, never a second scan per replicate,
     so 10⁹ rows jackknife as one shuffle + a 25-row reduction (the
     at-scale answer to 'bootstrap needs 1000 passes'). Σ(r−r̄)² uses the
-    same one-pass Σr²−g·r̄² form on both sides; all emissions rounded."""
+    same one-pass Σr²−g·r̄² form on both sides; all emissions rounded.
+    The one-pass form is cancellation-prone (pseudovalues cluster
+    tightly around the ratio), and FP noise could drive ssq slightly
+    NEGATIVE — where DuckDB sqrt(negative) raises while Spark returns
+    NaN, an asymmetric cross-engine failure. Both sqrt inputs are
+    guarded with greatest(ssq, 0)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -20197,7 +20203,10 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jackknife_bias"
         ),
         r4(
-            F.sqrt((F.col("g") - 1) * F.lit(1.0) / F.col("g") * F.col("ssq"))
+            F.sqrt(
+                (F.col("g") - 1) * F.lit(1.0) / F.col("g")
+                * F.greatest(F.col("ssq"), F.lit(0.0))
+            )
         ).alias("jackknife_se"),
     )
 
@@ -20285,7 +20294,8 @@ def brier_calibration_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
     "kneser_ney_bigram",
     oracle="""
     WITH toks AS (
-      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+      SELECT string_split_regex(lower(trim(text)),
+                                '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     bg AS (
       SELECT unnest(list_transform(range(1, len(t)),
@@ -20321,9 +20331,12 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     type total all RE-AGGREGATE that counts table (mergeable across
     shards — the 100 TB shape), and the top-k is TakeOrdered, never a
     global sort. Every probability input is an integer count plus the
-    shared D literal -> bit-identical doubles both engines."""
+    shared D literal -> bit-identical doubles both engines. Whitespace
+    is the PINNED class [ \\t\\n\\x0B\\f\\r] on both sides (Java \\s
+    includes \\x0B, RE2 \\s does not — a \\x0B document would otherwise
+    tokenize differently across engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = F.split(F.lower(F.trim(F.col("text"))), "[ \t\n\x0B\f\r]+")
     bg = (
         docs.select(t.alias("t"))
         .filter(F.size("t") >= 2)
@@ -20510,21 +20523,25 @@ def information_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_cascade_attrition",
     oracle="""
     WITH flags AS MATERIALIZED (
-      SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+      SELECT len(string_split_regex(lower(trim(text)),
+                                    '[ \\t\\n\\x0B\\f\\r]+')) AS ntok,
              CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1,
              CASE WHEN length(text) > 0
                    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
                        / length(text) >= CAST(0.5 AS DOUBLE)
                   THEN 1 ELSE 0 END AS f2,
-             CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0
-                       / len(string_split_regex(lower(trim(text)), '\\s+'))
+             CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]',
+                                             '', 'g')) * 1.0
+                       / len(string_split_regex(lower(trim(text)),
+                                                '[ \\t\\n\\x0B\\f\\r]+'))
                        BETWEEN CAST(2 AS DOUBLE) AND CAST(12 AS DOUBLE)
                   THEN 1 ELSE 0 END AS f3,
              CASE WHEN length(text) > 0
                    AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
                        / length(text) <= CAST(0.2 AS DOUBLE)
                   THEN 1 ELSE 0 END AS f4,
-             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 30
+             CASE WHEN len(string_split_regex(lower(trim(text)),
+                                              '[ \\t\\n\\x0B\\f\\r]+')) >= 30
                   THEN 1 ELSE 0 END AS f5
       FROM documents
     ),
@@ -20564,12 +20581,17 @@ def filter_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over that single pass (stacked, not five scans) — the exact
     shape a 100 TB curation run needs, where each rule re-reading the
     corpus is the difference between hours and days. All rates are
-    integer ratios, so both engines agree exactly."""
+    integer ratios, so both engines agree exactly. Whitespace is the
+    PINNED class [ \\t\\n\\x0B\\f\\r] on both sides: Java's \\s includes
+    vertical tab \\x0B while RE2's does not, so a bare \\s would make
+    nospace/ntok (hence f3/f5 and token totals) engine-divergent on a
+    document containing \\x0B."""
     docs = load_table(spark, sf_dir, "documents")
-    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ws = "[ \t\n\x0B\f\r]"
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), ws + "+"))
     ln = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    nospace = F.length(F.regexp_replace("text", ws, ""))
     digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
     b = F.lit(1)
     f1 = F.when(F.col("n_chars") >= 200, b).otherwise(0)
