@@ -618,11 +618,19 @@ def near_dup_clusters(
     )
     from graph_db_spark.graph.algorithms import connected_components
 
-    # the verified-pair graph is orders of magnitude smaller than the corpus
-    # (near-dup clusters only); a handful of partitions per CC round beats
-    # cores-many empty tasks — at 100 TB the cluster graph is still tiny
-    # relative to the corpus, so this stays proportional, not hardcoded-big
-    comp = connected_components(verified, n_partitions=4)
+    # The verified-pair graph is usually orders of magnitude smaller than
+    # the corpus (near-dup clusters only), but HOW MUCH smaller is
+    # threshold- and corpus-dependent — so probe it instead of hardcoding.
+    # The checkpoint is needed anyway (every CC round re-reads the edge
+    # frame; without it each round would replay LSH + the Jaccard verify),
+    # which makes the count() probe a near-free scan of cached blocks.
+    # ~2M pairs (~32MB of (src,dst) longs) per CC-round task: a handful of
+    # partitions at fixture scale, thousands on a 100 TB corpus.
+    verified = verified.localCheckpoint(eager=True)
+    n_pairs = verified.count()
+    comp = connected_components(
+        verified, n_partitions=max(4, -(-n_pairs // 2_000_000))
+    )
     return comp.select(
         "id",
         F.col("component").alias("canonical_id"),

@@ -3617,15 +3617,43 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 from graph_db_spark.operators import sketches as SK  # noqa: E402
 
 
-@register("hll_user_reach")  # HLL estimate (impl-specific) → rows-only; error bound unit-tested
+@register(
+    "hll_user_reach",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1.0 AS DOUBLE) AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type from MERGED per-day HLL sketches —
     the range-rollup answers from O(days×types) sketch rows, never
-    re-scanning raw events. Estimate error bound is unit-tested against
-    the exact count (test_operators)."""
+    re-scanning raw events. The Datasketches estimate itself is
+    implementation-specific (DuckDB cannot replay the binary sketch), so
+    the driver-checked emission is the `percentile_sketch_bound`
+    CONTRACT shape: the exact per-type distinct count (a fact DuckDB
+    verifies) plus a flag asserting the merged-sketch estimate landed
+    within 5% of it — the oracle pins the flag to 1.0, so an estimator
+    or merge regression fails the gate, not just a pytest. The portable
+    twin `hll_user_reach_portable` hash-matches the full register math."""
     ev = load_table(spark, sf_dir, "events")
     daily = SK.hll_day_sketches(ev, "ts", ["event_type"], "user_id")
-    return SK.hll_merge_estimate(daily, ["event_type"]).orderBy("event_type")
+    est = SK.hll_merge_estimate(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_users",
+        F.when(
+            F.abs(F.col("distinct_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("est_within_5pct"),
+    )
 
 
 @register("hll_user_reach_portable")  # oracle assigned post-def (shared literals)
@@ -4370,61 +4398,53 @@ _EXPENSIVE_LAST = [
 ]
 
 
-# Round-6 rotation of the driver's correctness window (the driver gate
-# reads the FIRST 50 registered queries). This window is the FINAL 50
-# never-driver-checked names — computed as registered ∖ union of
-# CORRECTNESS_r01-r05 keys (verified exactly 50 at r6 open): the 17
-# §2-verifying shapes that were local-oracle-only through r5, the
-# deferred sub-second analytics/TPC-H shapes, and the round-5 flagships
-# registered after the r5 window froze (k-truss + truss communities,
-# LCC, range pruning, MIN/MAX IVM, left-outer streaming, route
-# reconstruction, property-projected motifs, curated_training_corpus).
-# After this window goes green, cumulative driver verification is
-# 201/202. Ordered cheapest-first (BENCH_r05 per-query times +
-# sf0.01 measurements) so a wall-clock cut drops as few verdicts as
-# possible (tools/check_correctness.py sf0.01).
+# Round-10 rotation of the driver's correctness window (the driver gate
+# reads the FIRST 50 registered queries). The never-driver-checked debt
+# was paid off in r9 (every pre-r10 query has a green row in some
+# CORRECTNESS_r0{1..9}.json), so from r10 on the window re-checks STALE
+# rows — names whose last driver verification ran against code that is
+# now many rounds old. Staleness map at r10 open (last-green round):
+# r2: 2, r3: 50, r4: 50, r5: 49, r6: 49, r7: 49, r8: 49, r9: 50.
 #
-# r09 window: close the verification debt. The never-driver-checked
-# pool at r9 open is exactly the 36 post-freeze-r7 names the r8
-# rotation documented as its spill queue — under one window for the
-# first time since r6, so the registration freeze LIFTS: 13 new
-# queries land this round and ALL of them take the remaining window
-# slots (a new name that skipped the window would stay unverified
-# forever — the contract test enforces the partition).
+# r10 window = (a) the 2 r2-stale names, then (b) the first 32 of the
+# r3-stale block in CORRECTNESS_r03 order (longest-waiting first so a
+# wall-clock cut drops the freshest evidence, not the oldest debt),
+# then (c) 6 RE-QUEUES for queries whose query/oracle/operator changed
+# this round (the rfm precedent: a green row predating a rewrite proves
+# nothing) — filter_cascade_attrition + kneser_ney_bigram (pinned
+# whitespace class), jackknife_ratio_variance (sqrt guard),
+# hll_user_reach (new contract oracle), near_dup_clusters (CC
+# parallelism probe), sessionization (operator micros rounding) — and
+# (d) the 10 r10 registrations (every new name MUST take a window slot
+# or it stays driver-unverified forever; the contract test enforces
+# this). r11 queue = the 18 remaining r3-stale names (null_guard_filter
+# .. depth_diff, minus sessionization) + the r4 block.
 _GATE_WINDOW = [
-    # r9 window = the 36-name r8 spill queue (verbatim from
-    # tests/test_oracles.py `post_freeze_r7_r9_queue`, longest-waiting
-    # first so a wall-clock cut drops the freshest evidence, not the
-    # oldest debt) + rfm_customer_segments RE-QUEUED a second time
-    # (its r8-green row predates the r9 exact-cent ranking rewrite —
-    # the weighted_sample_docs precedent) + the 13 r9 registrations.
-    # After this window drains, the never-checked pool is EMPTY and
-    # the r10 rotation can start re-checking stale early-round rows.
-    "gini_concentration", "benford_first_digit", "cramers_v_association",
-    "anova_f_oneway", "kruskal_wallis_test", "ams_f2_moment",
-    "stl_seasonal_decompose", "cross_correlation_lead_lag",
-    "knn_loo_label_eval", "mutual_nearest_pairs",
-    "embedding_centroid_drift", "source_js_divergence",
-    "curriculum_phase_assign", "levene_variance_test",
-    "katz_walk_centrality", "region_trade_assortativity",
-    "association_rule_triples", "item_item_collaborative_topk",
-    "markov_absorption_conversion", "pca_power_iteration",
-    "good_turing_unseen_mass", "markov_entropy_rate",
-    "weighted_median_price", "positional_phrase_search",
-    "energy_distance_groups", "trade_reciprocity",
-    "rich_club_coefficient", "token_pmi_collocations",
-    "open_order_backlog", "kendall_tau_b",
-    "theil_index_decomposition", "ndcg_label_retrieval",
-    "ljung_box_q", "growth_accounting_weekly", "diff_in_diff_uplift",
-    "capture_recapture_estimate",
-    "rfm_customer_segments",
-    "nelson_aalen_hazard", "simpson_paradox_check",
-    "jackknife_ratio_variance", "brier_calibration_decomposition",
-    "kneser_ney_bigram", "information_gain_split",
-    "filter_cascade_attrition", "cumulative_gains_deciles",
-    "regression_stump_split", "position_based_attribution",
-    "abc_inventory_classes", "benjamini_hochberg_fdr",
-    "quantile_treatment_effect",
+    # (a) r2-stale
+    "enrich_missing_brand", "running_idx",
+    # (b) r3-stale, CORRECTNESS_r03 order, first 32
+    "proj_rename", "edge_customer_order", "broadcast_dim_join",
+    "asof_nearest_line", "anti_parts_never_ordered",
+    "semi_customers_with_orders", "dedup_first_wins", "topk_per_group",
+    "sanitize_prop_names", "depth_from_label", "loose_number_parse",
+    "range_parse", "point_parse", "composite_id", "datetime_coercion",
+    "first_non_empty_pick", "union_dedup", "pricing_summary",
+    "graph_degrees", "motif_region_order_path", "text_token_stats",
+    "text_quality_lang", "doc_fingerprint_dedup", "ngram_jaccard_pairs",
+    "embedding_cosine_topk", "embedding_near_dup_pairs",
+    "pipeline_application_event_idx", "pipeline_soil_param_results",
+    "tz_offset_map", "datetime_components", "event_day_stats",
+    "event_day_stats_zero_null",
+    # (c) re-queues: changed this round
+    "filter_cascade_attrition", "kneser_ney_bigram",
+    "jackknife_ratio_variance", "hll_user_reach", "near_dup_clusters",
+    "sessionization",
+    # (d) r10 registrations
+    "isotonic_calibration_pav", "mann_kendall_trend",
+    "friedman_priority_ranks", "logrank_cohort_test",
+    "cuped_variance_reduction", "pareto_skyline_parts",
+    "flesch_reading_ease", "hodges_lehmann_shift", "price_index_fisher",
+    "empirical_bayes_shrinkage",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -21264,4 +21284,1121 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r10 additions — calibration, trend/rank tests, survival comparison,
+# experimentation, attribution, skyline, text quality, robust shift, indices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "isotonic_calibration_pav",
+    oracle="""
+    WITH b AS MATERIALIZED (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lineitem GROUP BY 1
+    ),
+    iv AS MATERIALIZED (
+      SELECT lo.k AS i, hi.k AS j, sum(m.d) * 1.0 / sum(m.n) AS mean_ij
+      FROM b lo JOIN b hi ON lo.k <= hi.k
+      JOIN b m ON m.k BETWEEN lo.k AND hi.k
+      GROUP BY 1, 2
+    ),
+    mn AS (
+      SELECT b.k AS k, iv.i AS i, min(iv.mean_ij) AS lo_min
+      FROM b JOIN iv ON iv.i <= b.k AND iv.j >= b.k
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT k, max(lo_min) AS iso FROM mn GROUP BY 1)
+    SELECT b.k AS disc_pct, b.n AS n,
+           round(b.d * 1.0 / b.n, 4) + 0.0 AS rate_raw,
+           round(iso.iso, 4) + 0.0 AS rate_iso
+    FROM b JOIN iso ON iso.k = b.k
+    """,
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone calibration — isotonic regression of the return rate on
+    the discount grid via the MINIMAX identity (iso(k) = max_{i<=k}
+    min_{j>=k} weightedMean(i..j)), which equals the pool-adjacent-
+    violators fit without PAV's sequential merging — the closed form
+    that makes the classic calibration step a JOIN, not an iterative
+    driver loop. The corpus collapses to an 11-bin (discount-percent)
+    table in ONE scan; every remaining step is algebra on that
+    broadcast-sized grid (66 intervals), so 10^9 rows calibrate with
+    one shuffle. Interval means are ratios of exact integer sums ->
+    bit-identical doubles, and min/max over identical doubles is
+    engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.groupBy(
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("k")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .localCheckpoint()  # 11 rows, consumed by four plan subtrees
+    )
+    lo = b.select(F.col("k").alias("i"))
+    hi = b.select(F.col("k").alias("j"))
+    m = b.select(
+        F.col("k").alias("mk"), F.col("n").alias("mn"), F.col("d").alias("md")
+    )
+    iv = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .join(m, (F.col("mk") >= F.col("i")) & (F.col("mk") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg((F.sum("md") * 1.0 / F.sum("mn")).alias("mean_ij"))
+    )
+    mn = (
+        b.select("k")
+        .join(iv, (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+        .groupBy("k", "i")
+        .agg(F.min("mean_ij").alias("lo_min"))
+    )
+    iso = mn.groupBy("k").agg(F.max("lo_min").alias("iso"))
+    return b.join(iso, "k").select(
+        F.col("k").alias("disc_pct"),
+        "n",
+        r4(F.col("d") * 1.0 / F.col("n")).alias("rate_raw"),
+        r4(F.col("iso")).alias("rate_iso"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    t AS (
+      SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT count(*) AS tc FROM d GROUP BY cents HAVING count(*) > 1)
+    ),
+    v AS (
+      SELECT nn.n, s.s_stat,
+             (nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term)
+               / CAST(18 AS DOUBLE) AS var_s
+      FROM nn CROSS JOIN s CROSS JOIN t
+    )
+    SELECT n, s_stat, round(var_s, 4) + 0.0 AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE CAST(0 AS DOUBLE) END, 4) + 0.0 AS z
+    FROM v
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend — the Mann-Kendall test (S = sum of pairwise
+    sign comparisons, tie-corrected variance, continuity-corrected z)
+    on the DAILY revenue series: the standard 'is this KPI drifting'
+    test that needs no distributional assumptions, complementing
+    theil_sen_trend's slope with a significance statistic. The corpus
+    aggregates to the calendar-bounded day grid (~2400 rows regardless
+    of corpus size) in one shuffle; the O(days^2) sign sweep is a
+    broadcast triangular self-join over that grid — bounded by the
+    CALENDAR, not the data, so the quadratic never grows with corpus
+    size. Daily totals are exact integer cents, so every sign and the
+    tie term are engine-independent integers; var_s is a single exact
+    integer divided by 18 (large magnitude, but integer-derived, not a
+    noisy cross-engine float sum — SCALE.md round(,4) rule satisfied)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint()  # calendar-bounded grid, consumed three times
+    )
+    a = d.select(F.col("day").alias("a_day"), F.col("cents").alias("a_c"))
+    bb = d.select(F.col("day").alias("b_day"), F.col("cents").alias("b_c"))
+    s = a.join(bb, F.col("a_day") < F.col("b_day")).agg(
+        F.sum(
+            F.when(F.col("b_c") > F.col("a_c"), 1)
+            .when(F.col("b_c") < F.col("a_c"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tc = F.col("tc")
+    t = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .filter(tc > 1)
+        .agg(
+            F.coalesce(F.sum(tc * (tc - 1) * (2 * tc + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.crossJoin(F.broadcast(s))  # 1-row scalar attaches
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    return v.select(
+        "n",
+        "s_stat",
+        r4(F.col("var_s")).alias("var_s"),
+        r4(
+            F.when(
+                F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s")
+            )
+            .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s"))
+            .otherwise(F.lit(0.0))
+        ).alias("z"),
+    )
+
+
+@register(
+    "friedman_priority_ranks",
+    oracle="""
+    WITH cell AS MATERIALIZED (
+      SELECT strftime(o_orderdate, '%Y-%m') AS blk, o_orderpriority AS trt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    c2 AS MATERIALIZED (
+      SELECT cell.* FROM cell
+      JOIN (SELECT blk FROM cell GROUP BY blk HAVING count(*) = 5) fb
+      USING (blk)
+    ),
+    r AS MATERIALIZED (
+      SELECT a.blk, a.trt,
+             sum(CASE WHEN b.v < a.v THEN CAST(1.0 AS DOUBLE)
+                      WHEN b.v = a.v THEN CAST(0.5 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.5 AS DOUBLE)
+               AS rnk
+      FROM c2 a JOIN c2 b ON a.blk = b.blk
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS nb FROM c2),
+    rj AS (SELECT trt, sum(rnk) AS r_j FROM r GROUP BY 1),
+    ss AS (SELECT sum(rnk * rnk) AS sum_r2 FROM r),
+    q AS (
+      SELECT CASE WHEN ss.sum_r2 - 45.0 * nb.nb > 0
+                  THEN 4.0 * sum((rj.r_j - 3.0 * nb.nb)
+                                 * (rj.r_j - 3.0 * nb.nb))
+                       / (ss.sum_r2 - 45.0 * nb.nb)
+                  ELSE CAST(0 AS DOUBLE) END AS q_stat
+      FROM rj CROSS JOIN nb CROSS JOIN ss
+      GROUP BY nb.nb, ss.sum_r2
+    )
+    SELECT rj.trt AS priority, nb.nb AS n_blocks,
+           round(rj.r_j / nb.nb, 4) + 0.0 AS mean_rank,
+           round(q.q_stat, 4) + 0.0 AS q_stat,
+           CAST(4 AS BIGINT) AS df
+    FROM rj CROSS JOIN nb CROSS JOIN q
+    """,
+)
+def friedman_priority_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric blocked comparison — the Friedman test: does order
+    priority shift monthly revenue when MONTH is controlled as a block?
+    Within each complete month-block the five priorities are average-
+    ranked (rank = #smaller + (#tied+1)/2, the tie-exact form) and the
+    tie-corrected statistic Q = (k-1)*Sum_j(R_j - n(k+1)/2)^2 /
+    (Sum r^2 - nk(k+1)^2/4) ~ chi2(k-1) is emitted alongside each
+    priority's mean rank. Cell values are exact integer cents; ranks
+    are exact multiples of 0.5 and every squared term an exact multiple
+    of 0.25, so ALL sums are order-independent exact doubles — no
+    cross-engine float risk anywhere. One corpus shuffle to ~400
+    (month x priority) cells; the in-block ranking is a 25-pairs-per-
+    block self-join on the tiny cell grid."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    fb = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("ntrt"))
+        .filter(F.col("ntrt") == 5)
+        .select("blk")
+    )
+    c2 = cell.join(fb, "blk").localCheckpoint()  # grid reused by 4 subtrees
+    a = c2.select(
+        F.col("blk").alias("a_blk"),
+        F.col("trt").alias("a_trt"),
+        F.col("v").alias("a_v"),
+    )
+    bb = c2.select(F.col("blk").alias("b_blk"), F.col("v").alias("b_v"))
+    r = (
+        a.join(bb, F.col("a_blk") == F.col("b_blk"))
+        .groupBy(F.col("a_blk").alias("blk"), F.col("a_trt").alias("trt"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("b_v") < F.col("a_v"), 1.0)
+                    .when(F.col("b_v") == F.col("a_v"), 0.5)
+                    .otherwise(0.0)
+                )
+                + F.lit(0.5)
+            ).alias("rnk")
+        )
+        .localCheckpoint()  # ranks reused by rj and ss
+    )
+    nb = c2.agg(F.countDistinct("blk").cast("bigint").alias("nb"))
+    rj = r.groupBy("trt").agg(F.sum("rnk").alias("r_j"))
+    ss = r.agg(F.sum(F.col("rnk") * F.col("rnk")).alias("sum_r2"))
+    q = (
+        rj.crossJoin(F.broadcast(nb))  # 5x1x1 scalar attaches
+        .crossJoin(F.broadcast(ss))
+        .groupBy("nb", "sum_r2")
+        .agg(
+            F.sum(
+                (F.col("r_j") - 3.0 * F.col("nb"))
+                * (F.col("r_j") - 3.0 * F.col("nb"))
+            ).alias("num")
+        )
+        .select(
+            F.when(
+                F.col("sum_r2") - 45.0 * F.col("nb") > 0,
+                4.0 * F.col("num") / (F.col("sum_r2") - 45.0 * F.col("nb")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("q_stat")
+        )
+    )
+    return (
+        rj.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("trt").alias("priority"),
+            F.col("nb").alias("n_blocks"),
+            r4(F.col("r_j") / F.col("nb")).alias("mean_rank"),
+            r4(F.col("q_stat")).alias("q_stat"),
+            F.lit(4).cast("bigint").alias("df"),
+        )
+    )
+
+
+@register(
+    "logrank_cohort_test",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS first_ts,
+             arg_min(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                     || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS cohort
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id, min(ts) AS conv_ts FROM events
+      WHERE event_type = 'purchase' AND value >= 95 GROUP BY 1
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    obs AS MATERIALIZED (
+      SELECT CASE WHEN s.cohort = 'view' THEN 1 ELSE 0 END AS grp,
+             CASE WHEN c.user_id IS NOT NULL
+                  THEN CAST(date_diff('day', s.first_ts, c.conv_ts) AS BIGINT)
+                  ELSE CAST(date_diff('day', s.first_ts, h) AS BIGINT) END AS t,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM span s LEFT JOIN conv c USING (user_id) CROSS JOIN horizon
+      WHERE s.cohort IN ('view', 'click')
+    ),
+    ended_all AS MATERIALIZED (
+      SELECT grp, t, CAST(count(*) AS BIGINT) AS ended,
+             CAST(sum(death) AS BIGINT) AS d
+      FROM obs GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY 1),
+    times AS (SELECT t FROM obs WHERE death = 1 GROUP BY 1),
+    risk AS MATERIALIZED (
+      SELECT times.t AS tau, tot.grp,
+             tot.n - coalesce(sum(CASE WHEN e.t < times.t THEN e.ended END), 0)
+               AS n_risk,
+             coalesce(sum(CASE WHEN e.t = times.t THEN e.d END), 0) AS d_g
+      FROM times CROSS JOIN tot
+      LEFT JOIN ended_all e ON e.grp = tot.grp AND e.t <= times.t
+      GROUP BY 1, 2, tot.n
+    ),
+    terms AS (
+      SELECT tau, sum(n_risk) AS nt, sum(d_g) AS dt,
+             sum(CASE WHEN grp = 1 THEN n_risk ELSE 0 END) AS n1t,
+             sum(CASE WHEN grp = 1 THEN d_g ELSE 0 END) AS d1t
+      FROM risk GROUP BY 1
+    ),
+    lr AS (
+      SELECT sum(d1t) AS o1, sum(dt * n1t * 1.0 / nt) AS e1,
+             sum(CASE WHEN nt > 1
+                      THEN dt * (n1t * 1.0 / nt) * (1 - n1t * 1.0 / nt)
+                           * (nt - dt) * 1.0 / (nt - 1)
+                      ELSE CAST(0 AS DOUBLE) END) AS v
+      FROM terms WHERE dt > 0
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_view,
+           round(e1, 4) + 0.0 AS expected_view,
+           round(v, 4) + 0.0 AS variance,
+           round(CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v
+                      ELSE CAST(0 AS DOUBLE) END, 4) + 0.0 AS chi2
+    FROM lr
+    """,
+)
+def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival comparison — the log-rank (Mantel-Cox) test between the
+    'view'-first and 'click'-first cohorts on time-to-conversion, the
+    hypothesis-test companion to kaplan_meier_churn's curves (same
+    event/censoring definitions: first high-value purchase, censored at
+    the horizon): O1 vs E1 = Sum d_t*n1t/nt with the hypergeometric
+    variance, chi2 = (O1-E1)^2/V ~ chi2(1). At-risk counts come from a
+    range join of per-(group, day) ending counts against the pooled
+    death-day grid — both sides CALENDAR-bounded (days, not users), so
+    the quadratic piece never scales with the corpus; the per-user scan
+    is one shuffle. Every n/d is an integer; E1 and V are short sums of
+    exact rationals (1-ulp noise at magnitude ~10^2, far from the r4
+    boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    span = (
+        ev.withColumn("cohort", F.first("event_type").over(w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.first("cohort").alias("cohort"))
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 95))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    h = ev.agg(F.max("ts").alias("h"))
+    obs = (
+        span.filter(F.col("cohort").isin("view", "click"))
+        .join(conv, on="user_id", how="left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.when(F.col("cohort") == "view", 1).otherwise(0).alias("grp"),
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(F.col("conv_ts"), F.col("first_ts")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("first_ts")))
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("death"),
+        )
+        .localCheckpoint()  # day-bounded rows, consumed by three subtrees
+    )
+    ended_all = (
+        obs.groupBy("grp", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ended"),
+            F.sum("death").cast("bigint").alias("d"),
+        )
+        .select(
+            F.col("grp").alias("e_grp"), F.col("t").alias("e_t"), "ended", "d"
+        )
+    )
+    tot = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    times = (
+        obs.filter(F.col("death") == 1)
+        .select("t")
+        .distinct()
+        .select(F.col("t").alias("tau"))
+    )
+    risk = (
+        times.crossJoin(tot)  # death-days x 2 groups, broadcast-tiny
+        .join(
+            F.broadcast(ended_all),
+            (F.col("e_grp") == F.col("grp")) & (F.col("e_t") <= F.col("tau")),
+            "left",
+        )
+        .groupBy("tau", "grp", "n")
+        .agg(
+            (
+                F.col("n")
+                - F.coalesce(
+                    F.sum(F.when(F.col("e_t") < F.col("tau"), F.col("ended"))),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+            F.coalesce(
+                F.sum(F.when(F.col("e_t") == F.col("tau"), F.col("d"))),
+                F.lit(0),
+            ).alias("d_g"),
+        )
+    )
+    terms = risk.groupBy("tau").agg(
+        F.sum("n_risk").alias("nt"),
+        F.sum("d_g").alias("dt"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0)).alias(
+            "n1t"
+        ),
+        F.sum(F.when(F.col("grp") == 1, F.col("d_g")).otherwise(0)).alias(
+            "d1t"
+        ),
+    )
+    p1 = F.col("n1t") * 1.0 / F.col("nt")
+    lr = terms.filter(F.col("dt") > 0).agg(
+        F.sum("d1t").alias("o1"),
+        F.sum(F.col("dt") * p1).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt") * p1 * (1 - p1) * (F.col("nt") - F.col("dt"))
+                * 1.0 / (F.col("nt") - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    return lr.select(
+        F.col("o1").cast("bigint").alias("observed_view"),
+        r4(F.col("e1")).alias("expected_view"),
+        r4(F.col("v")).alias("variance"),
+        r4(
+            F.when(
+                F.col("v") > 0,
+                (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
+                / F.col("v"),
+            ).otherwise(F.lit(0.0))
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH ocents AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS pre,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cust AS MATERIALIZED (
+      SELECT c_custkey, c_custkey % 2 AS arm,
+             (coalesce(sum(CASE WHEN pre = 1 THEN cents END), 0) + 50) // 100
+               AS x,
+             (coalesce(sum(CASE WHEN pre = 0 THEN cents END), 0) + 50) // 100
+               AS y
+      FROM customer LEFT JOIN ocents ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM cust
+    ),
+    c AS (
+      SELECT n, n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS cxx,
+             n * syy - sy * sy AS cyy
+      FROM s
+    ),
+    arms AS (
+      SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+      FROM cust
+    )
+    SELECT arms.n1 AS n_treat, arms.n0 AS n_ctrl,
+           round(CASE WHEN c.cxx > 0 THEN c.cxy * 1.0 / c.cxx
+                      ELSE CAST(0 AS DOUBLE) END, 4) + 0.0 AS theta,
+           round(CASE WHEN c.cxx > 0 AND c.cyy > 0
+                      THEN CAST(c.cxy AS DOUBLE)
+                           / (sqrt(CAST(c.cxx AS DOUBLE))
+                              * sqrt(CAST(c.cyy AS DOUBLE)))
+                      ELSE CAST(0 AS DOUBLE) END, 4) + 0.0 AS corr_xy,
+           round(CASE WHEN c.cxx > 0 AND c.cyy > 0
+                      THEN (CAST(c.cxy AS DOUBLE) * CAST(c.cxy AS DOUBLE))
+                           / (CAST(c.cxx AS DOUBLE) * CAST(c.cyy AS DOUBLE))
+                      ELSE CAST(0 AS DOUBLE) END, 4) + 0.0 AS var_reduction,
+           round(arms.sy1 * 1.0 / arms.n1 - arms.sy0 * 1.0 / arms.n0, 4) + 0.0
+             AS diff_raw,
+           round(arms.sy1 * 1.0 / arms.n1 - arms.sy0 * 1.0 / arms.n0
+                 - CASE WHEN c.cxx > 0 THEN c.cxy * 1.0 / c.cxx
+                        ELSE CAST(0 AS DOUBLE) END
+                   * (arms.sx1 * 1.0 / arms.n1 - arms.sx0 * 1.0 / arms.n0),
+                 4) + 0.0 AS diff_cuped
+    FROM c CROSS JOIN arms
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation — CUPED (controlled experiments using pre-period
+    data): theta = cov(X,Y)/var(X) over per-customer PRE-period revenue
+    X and POST-period revenue Y (split at 1998-01-01, arm = custkey
+    parity as the deterministic A/B assignment), then the treatment
+    effect re-estimated on the adjusted metric Y - theta*(X - Xbar).
+    Emits theta, corr, the variance-reduction factor rho^2, and the
+    raw-vs-CUPED arm difference. All sufficient statistics are EXACT
+    BIGINTs: per-customer totals are rounded to whole dollars, and the
+    centered moments use the n*Sxy - Sx*Sy identity in integer
+    arithmetic (no float cancellation at all; the bigint envelope
+    n*sum(y^2) < 2^63 holds to ~sf1 — past that, switch the moments to
+    doubles and emit shares only). One scan of orders, one broadcast-
+    sized customer reduction — the 100 TB CUPED shape."""
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    ocents = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("pre"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = (
+        cst.select("c_custkey", (F.col("c_custkey") % 2).alias("arm"))
+        .join(ocents, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "arm")
+        .agg(
+            F.expr(
+                "div(coalesce(sum(CASE WHEN pre = 1 THEN cents END), 0) + 50,"
+                " 100)"
+            ).alias("x"),
+            F.expr(
+                "div(coalesce(sum(CASE WHEN pre = 0 THEN cents END), 0) + 50,"
+                " 100)"
+            ).alias("y"),
+        )
+        .localCheckpoint()  # consumed by the moment pass and the arm pass
+    )
+    s = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+    )
+    arms = cust.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy0"),
+    )
+    theta = F.when(
+        F.col("cxx") > 0, F.col("cxy") * 1.0 / F.col("cxx")
+    ).otherwise(F.lit(0.0))
+    dy = F.col("sy1") * 1.0 / F.col("n1") - F.col("sy0") * 1.0 / F.col("n0")
+    dx = F.col("sx1") * 1.0 / F.col("n1") - F.col("sx0") * 1.0 / F.col("n0")
+    pos = (F.col("cxx") > 0) & (F.col("cyy") > 0)
+    return s.crossJoin(F.broadcast(arms)).select(  # 1-row scalar attach
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        r4(theta).alias("theta"),
+        r4(
+            F.when(
+                pos,
+                F.col("cxy").cast("double")
+                / (
+                    F.sqrt(F.col("cxx").cast("double"))
+                    * F.sqrt(F.col("cyy").cast("double"))
+                ),
+            ).otherwise(F.lit(0.0))
+        ).alias("corr_xy"),
+        r4(
+            F.when(
+                pos,
+                (F.col("cxy").cast("double") * F.col("cxy").cast("double"))
+                / (F.col("cxx").cast("double") * F.col("cyy").cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("var_reduction"),
+        r4(dy).alias("diff_raw"),
+        r4(dy - theta * dx).alias("diff_cuped"),
+    )
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle="""
+    WITH p AS MATERIALIZED (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    g AS MATERIALIZED (
+      SELECT p_brand, p_size, min(cents) AS mc FROM p GROUP BY 1, 2
+    ),
+    pref AS (
+      SELECT a.p_brand, a.p_size, min(b.mc) AS pm
+      FROM g a JOIN g b ON a.p_brand = b.p_brand AND b.p_size < a.p_size
+      GROUP BY 1, 2
+    )
+    SELECT p.p_brand AS brand, p.p_partkey AS partkey,
+           CAST(p.p_size AS BIGINT) AS size,
+           round(p.cents / 100.0, 4) + 0.0 AS price
+    FROM p JOIN g ON p.p_brand = g.p_brand AND p.p_size = g.p_size
+    LEFT JOIN pref ON p.p_brand = pref.p_brand AND p.p_size = pref.p_size
+    WHERE p.cents = g.mc AND (pref.pm IS NULL OR p.cents < pref.pm)
+    """,
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) operator — per brand, the parts not
+    DOMINATED on (size, price): no other same-brand part is <= on both
+    dimensions and strictly < on one. The classic multi-objective
+    shortlist query, computed WITHOUT the naive O(n^2) dominance
+    self-join and WITHOUT any window over the corpus: one groupBy to
+    the bounded (brand x size) grid (25x50 rows regardless of corpus
+    size), a triangular self-join ON THAT GRID for the prefix-min over
+    strictly smaller sizes, then one broadcast join back — a part
+    survives iff it is the cheapest at its (brand, size) AND strictly
+    cheaper than every smaller size's best. Prices compare as exact
+    integer cents, so dominance is engine-independent; equal
+    (size, price) twins are both kept (neither dominates)."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey", "p_brand", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = (
+        p.groupBy("p_brand", "p_size")
+        .agg(F.min("cents").alias("mc"))
+        .localCheckpoint()  # bounded grid, reused by pref + the final join
+    )
+    a = g.select(
+        F.col("p_brand").alias("a_brand"), F.col("p_size").alias("a_size")
+    )
+    bgrid = g.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_size").alias("b_size"),
+        F.col("mc").alias("b_mc"),
+    )
+    pref = (
+        a.join(
+            bgrid,
+            (F.col("a_brand") == F.col("b_brand"))
+            & (F.col("b_size") < F.col("a_size")),
+        )
+        .groupBy(
+            F.col("a_brand").alias("pf_brand"),
+            F.col("a_size").alias("pf_size"),
+        )
+        .agg(F.min("b_mc").alias("pm"))
+    )
+    gmin = g.select(
+        F.col("p_brand").alias("g_brand"),
+        F.col("p_size").alias("g_size"),
+        "mc",
+    )
+    out = (
+        p.join(
+            F.broadcast(gmin),
+            (F.col("p_brand") == F.col("g_brand"))
+            & (F.col("p_size") == F.col("g_size")),
+        )
+        .join(
+            F.broadcast(pref),
+            (F.col("p_brand") == F.col("pf_brand"))
+            & (F.col("p_size") == F.col("pf_size")),
+            "left",
+        )
+        .filter(
+            (F.col("cents") == F.col("mc"))
+            & (F.col("pm").isNull() | (F.col("cents") < F.col("pm")))
+        )
+    )
+    return out.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").cast("bigint").alias("size"),
+        r4(F.col("cents") / 100.0).alias("price"),
+    )
+
+
+@register(
+    "flesch_reading_ease",
+    oracle="""
+    WITH per_doc AS MATERIALIZED (
+      SELECT lang, source,
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+               AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, source, w, s, syl,
+             CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * (w * 1.0 / s)
+             - CAST(84.6 AS DOUBLE) * (syl * 1.0 / w) AS flesch
+      FROM per_doc WHERE w > 0
+    )
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(w * 1.0 / s), 4) + 0.0 AS avg_words_per_sentence,
+           round(avg(syl * 1.0 / w), 4) + 0.0 AS avg_syllables_per_word,
+           round(avg(flesch), 4) + 0.0 AS avg_flesch,
+           CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_very_hard
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring — Flesch reading ease per (lang, source):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/word), the
+    readability heuristic curation pipelines use to flag boilerplate
+    and OCR junk. Words use the PINNED whitespace class (Java \\s and
+    RE2 \\s differ on \\x0B); sentences are [.!?]+ runs floored at 1;
+    syllables are the standard vowel-group [aeiouy]+ approximation.
+    All three counts are integers from identical regexes, per-doc
+    ratios are identical doubles, and the group averages add ~500
+    identical doubles (1-ulp order noise at magnitude ~10^2 — far from
+    the r4 boundary). One scan, one groupBy — pure Column expressions,
+    no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = "[ \t\n\x0B\f\r]"
+    w = F.size(F.split(F.trim(F.col("text")), ws + "+"))
+    s = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syl = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    scored = docs.select(
+        "lang", "source", w.alias("w"), s.alias("s"), syl.alias("syl")
+    ).filter(F.col("w") > 0).select(
+        "lang", "source", "w", "s", "syl",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("w") * 1.0 / F.col("s"))
+            - F.lit(84.6) * (F.col("syl") * 1.0 / F.col("w"))
+        ).alias("flesch"),
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg(F.col("w") * 1.0 / F.col("s"))).alias(
+            "avg_words_per_sentence"
+        ),
+        r4(F.avg(F.col("syl") * 1.0 / F.col("w"))).alias(
+            "avg_syllables_per_word"
+        ),
+        r4(F.avg("flesch")).alias("avg_flesch"),
+        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_very_hard"),
+    )
+
+
+@register(
+    "hodges_lehmann_shift",
+    oracle="""
+    WITH u AS MATERIALIZED (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    l AS MATERIALIZED (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+    ),
+    d AS (SELECT u.cents - l.cents AS diff FROM u CROSS JOIN l)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_urgent_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_low_days,
+           round((SELECT quantile_cont(cents, 0.5) FROM u) / 100.0, 4) + 0.0
+             AS median_urgent,
+           round((SELECT quantile_cont(cents, 0.5) FROM l) / 100.0, 4) + 0.0
+             AS median_low,
+           round((SELECT quantile_cont(diff, 0.5) FROM d) / 100.0, 4) + 0.0
+             AS hl_shift
+    """,
+)
+def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust effect size — the Hodges-Lehmann shift estimator between
+    the URGENT and LOW daily-revenue distributions: the median of ALL
+    pairwise differences x_i - y_j, the location-shift estimate that
+    pairs with mannwhitney_u_test the way a mean difference pairs with
+    the t-test (50% breakdown vs the mean's 0%). Both series collapse
+    to the CALENDAR-bounded day grid first (~2400 rows each regardless
+    of corpus size), so the pairwise cross product is a broadcast
+    nested loop over bounded grids (~5.8M diffs), never a corpus-scale
+    quadratic. Daily totals are exact integer cents; the medians use
+    ANSI percentile_cont interpolation on integers — identical doubles
+    both engines (the percentile_value_stats precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def daily(prio: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == prio)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("cents")
+            )
+            .localCheckpoint()  # day grid, consumed twice (stats + cross)
+        )
+
+    u = daily("1-URGENT")
+    low = daily("5-LOW")
+    d = (
+        u.select(F.col("cents").alias("u_c"))
+        .crossJoin(F.broadcast(low.select(F.col("cents").alias("l_c"))))
+        .select((F.col("u_c") - F.col("l_c")).alias("diff"))
+    )
+    su = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urgent_days"),
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("mu"),
+    )
+    sl = low.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_low_days"),
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("ml"),
+    )
+    sd = d.agg(F.percentile(F.col("diff"), F.lit(0.5)).alias("md"))
+    return (
+        su.crossJoin(F.broadcast(sl))  # 1-row scalar attaches
+        .crossJoin(F.broadcast(sd))
+        .select(
+            "n_urgent_days",
+            "n_low_days",
+            r4(F.col("mu") / 100.0).alias("median_urgent"),
+            r4(F.col("ml") / 100.0).alias("median_low"),
+            r4(F.col("md") / 100.0).alias("hl_shift"),
+        )
+    )
+
+
+@register(
+    "price_index_fisher",
+    oracle="""
+    WITH ly AS MATERIALIZED (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+      SELECT l_partkey, cents AS c0, qty AS q0 FROM ly WHERE yr = 1995
+    ),
+    j AS (
+      SELECT ly.yr, ly.cents AS ct, ly.qty AS qt, base.c0, base.q0
+      FROM ly JOIN base USING (l_partkey) WHERE ly.yr > 1995
+    ),
+    ix AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+             sum((ct * 1.0 / qt) * q0) / sum((c0 * 1.0 / q0) * q0) AS lasp,
+             sum((ct * 1.0 / qt) * qt) / sum((c0 * 1.0 / q0) * qt) AS paas
+      FROM j GROUP BY 1
+    )
+    SELECT yr AS year, n_parts,
+           round(lasp, 4) + 0.0 AS laspeyres,
+           round(paas, 4) + 0.0 AS paasche,
+           round(sqrt(lasp * paas), 4) + 0.0 AS fisher
+    FROM ix
+    """,
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic index numbers — Laspeyres (base-year basket), Paasche
+    (current basket) and Fisher (their geometric mean) price indices
+    per year vs the 1995 base, over part unit values (yearly revenue /
+    yearly quantity per part, matched to parts traded in the base
+    year). The index-number machinery every pricing/inflation dashboard
+    runs: one corpus shuffle to (year x part) integer sufficient
+    statistics (exact cents + integer quantities), one partkey join
+    against the base-year slice, one per-year reduction. Unit values
+    are identical doubles from exact integers; the basket sums carry
+    1-ulp add-order noise at ~10^8 magnitude, so ONLY the ratio indices
+    (~1.0) are emitted, never the raw basket sums (SCALE.md round(,4)
+    magnitude rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy").cast("bigint").alias("yr"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+        .localCheckpoint()  # (year x part) stats, consumed twice
+    )
+    base = ly.filter(F.col("yr") == 1995).select(
+        F.col("l_partkey").alias("b_partkey"),
+        F.col("cents").alias("c0"),
+        F.col("qty").alias("q0"),
+    )
+    j = ly.filter(F.col("yr") > 1995).join(
+        base, F.col("l_partkey") == F.col("b_partkey")
+    )
+    pt = F.col("cents") * 1.0 / F.col("qty")
+    p0 = F.col("c0") * 1.0 / F.col("q0")
+    ix = j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum(pt * F.col("q0")) / F.sum(p0 * F.col("q0"))).alias("lasp"),
+        (F.sum(pt * F.col("qty")) / F.sum(p0 * F.col("qty"))).alias("paas"),
+    )
+    return ix.select(
+        F.col("yr").alias("year"),
+        "n_parts",
+        r4(F.col("lasp")).alias("laspeyres"),
+        r4(F.col("paas")).alias("paasche"),
+        r4(F.sqrt(F.col("lasp") * F.col("paas"))).alias("fisher"),
+    )
+
+
+@register(
+    "empirical_bayes_shrinkage",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    pr AS (
+      SELECT avg(d * 1.0 / n) AS m,
+             CASE WHEN count(*) > 1
+                  THEN greatest(
+                         (sum((d * 1.0 / n) * (d * 1.0 / n))
+                          - count(*) * avg(d * 1.0 / n) * avg(d * 1.0 / n))
+                         / (count(*) - 1),
+                         CAST(0 AS DOUBLE))
+                  ELSE CAST(0 AS DOUBLE) END AS v
+      FROM g
+    ),
+    ab AS (
+      SELECT CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN m * (m * (1 - m) / v - 1)
+                  ELSE CAST(0 AS DOUBLE) END AS alpha,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN (1 - m) * (m * (1 - m) / v - 1)
+                  ELSE CAST(0 AS DOUBLE) END AS beta
+      FROM pr
+    )
+    SELECT g.brand, g.n,
+           round(g.d * 1.0 / g.n, 4) + 0.0 AS rate_raw,
+           round((g.d + ab.alpha) / (g.n + ab.alpha + ab.beta), 4) + 0.0
+             AS rate_shrunk,
+           round(CASE WHEN ab.alpha + ab.beta > 0
+                      THEN g.n / (g.n + ab.alpha + ab.beta)
+                      ELSE CAST(1 AS DOUBLE) END, 4) + 0.0 AS weight_data
+    FROM g CROSS JOIN ab
+    """,
+)
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical estimation — empirical-Bayes (beta-binomial) shrinkage
+    of per-brand return rates toward the grand prior: method-of-moments
+    prior (alpha+beta = m(1-m)/v - 1 from the mean/variance of the
+    per-brand rates), posterior rate (d+alpha)/(n+alpha+beta) — the
+    James-Stein-style partial pooling every CTR / quality-score
+    pipeline uses to stop small groups from dominating a ranking. ALL
+    groups are emitted (no top-k on the shrunk double — the cross-
+    engine ranking hazard rfm taught). One corpus shuffle to 25 brand
+    rows; the prior is a second tiny reduction; the one-pass variance
+    is guarded with greatest(v, 0) on both sides (the jackknife
+    cancellation lesson) and the degenerate prior (v = 0 or negative
+    moment estimate) falls back to no shrinkage identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .localCheckpoint()  # 25 rows, consumed by the prior and the output
+    )
+    rate = F.col("d") * 1.0 / F.col("n")
+    pr = g.agg(
+        F.avg(rate).alias("m"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(rate * rate).alias("s2"),
+    ).select(
+        "m",
+        F.when(
+            F.col("k") > 1,
+            F.greatest(
+                (F.col("s2") - F.col("k") * F.col("m") * F.col("m"))
+                / (F.col("k") - 1),
+                F.lit(0.0),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    strength = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ok = (F.col("v") > 0) & (strength > 0)
+    ab = pr.select(
+        F.when(ok, F.col("m") * strength).otherwise(F.lit(0.0)).alias("alpha"),
+        F.when(ok, (1 - F.col("m")) * strength)
+        .otherwise(F.lit(0.0))
+        .alias("beta"),
+    )
+    return g.crossJoin(F.broadcast(ab)).select(  # 1-row scalar attach
+        "brand",
+        "n",
+        r4(rate).alias("rate_raw"),
+        r4(
+            (F.col("d") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("rate_shrunk"),
+        r4(
+            F.when(
+                F.col("alpha") + F.col("beta") > 0,
+                F.col("n") / (F.col("n") + F.col("alpha") + F.col("beta")),
+            ).otherwise(F.lit(1.0))
+        ).alias("weight_data"),
+    )
+
+
+_reorder_for_gate()
 _reorder_for_gate()

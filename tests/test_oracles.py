@@ -40,11 +40,12 @@ def test_every_oracle_parses_and_binds(con):
 def test_oracle_keys_subset_of_queries():
     q, o = queries(), oracle_sql()
     assert set(o) <= set(q), set(o) - set(q)
-    # rows-only set stays intentional: after the portable-hash MinHash/
-    # SimHash conversion, only the Datasketches-impl-specific HLL estimate
-    # lacks an exact oracle (it carries hll_error_bound instead)
+    # r10: the rows-only pool is EMPTY. hll_user_reach — the last
+    # no-oracle entry — now emits the percentile_sketch_bound-style
+    # contract shape (exact facts + a 5%-error flag the oracle pins to
+    # 1.0), so every registered query has a driver-checkable oracle.
     rows_only = set(q) - set(o)
-    assert rows_only == {"hll_user_reach"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_gate_window_and_expensive_tail_ordering():
@@ -62,47 +63,65 @@ def test_gate_window_and_expensive_tail_ordering():
     assert q[-len(tail):] == tail
 
 
-def test_r9_gate_window_covers_the_never_driver_green_pool():
-    """r9 rotation contract: the never-driver-green pool (absent from every
-    CORRECTNESS_r0{1..8}.json) must be exactly _GATE_WINDOW — the 36-name
-    r8 spill queue, rfm_customer_segments re-queued a second time (its
-    r8-green row predates the r9 exact-cent ranking rewrite — the
-    weighted_sample_docs precedent), and the 13 r9 registrations (the
-    freeze lifted with the pool under one window; every name that
-    registers after a freeze lifts MUST take a window slot or it stays
-    unverified forever — that is what this test enforces). The spill
-    queue is EMPTY for the first time since r6: after this window
-    drains, the r10 rotation can start re-checking stale early-round
-    rows instead of paying down debt."""
+def test_r10_gate_window_covers_never_green_and_stalest_rows():
+    """r10 rotation contract. The never-driver-green debt was paid off in
+    r9, so the window now has TWO machine-enforced jobs:
+
+    1. Every name with no green row in any CORRECTNESS_r0{1..9}.json —
+       i.e. the r10 registrations plus anything that slipped — MUST hold
+       a window slot (a new name outside the window stays driver-
+       unverified forever).
+    2. Every OTHER slot must be spent on verification that is actually
+       informative: a stale re-check (last driver-green in r2/r3, the
+       oldest rows) or a re-queue of a query whose query/oracle/operator
+       changed this round (the rfm precedent — a green row that predates
+       a rewrite proves nothing)."""
     import glob
     import json
     import os
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-8].json")))
-    if len(files) < 8:
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0[1-9].json")))
+    if len(files) < 9:
         pytest.skip("driver correctness files absent")
-    seen = set()
+    last_green: dict[str, int] = {}
     for f in files:
+        rnd = int(os.path.basename(f)[len("CORRECTNESS_r0"):-len(".json")])
         with open(f) as fh:
-            seen |= set(json.load(fh))
-    # r8-green row predates the r9 rewrite (monetary ranked as exact
-    # integer cents); re-queued in the r9 window
-    seen.discard("rfm_customer_segments")
-    r9_new = {
-        "nelson_aalen_hazard", "simpson_paradox_check",
-        "jackknife_ratio_variance", "brier_calibration_decomposition",
-        "kneser_ney_bigram", "information_gain_split",
-        "filter_cascade_attrition", "cumulative_gains_deciles",
-        "regression_stump_split", "position_based_attribution",
-        "abc_inventory_classes", "benjamini_hochberg_fdr",
-        "quantile_treatment_effect",
+            for name, row in json.load(fh).items():
+                if row.get("err") is None and row.get("rows_match"):
+                    last_green[name] = rnd
+    never = {n for n in queries() if n not in last_green}
+    window = set(_GATE_WINDOW)
+    # job 1: the never-green pool is exactly the r10 registrations, and
+    # every one of them holds a window slot
+    r10_new = {
+        "isotonic_calibration_pav", "mann_kendall_trend",
+        "friedman_priority_ranks", "logrank_cohort_test",
+        "cuped_variance_reduction", "pareto_skyline_parts",
+        "flesch_reading_ease", "hodges_lehmann_shift",
+        "price_index_fisher", "empirical_bayes_shrinkage",
     }
-    assert len(r9_new) == 13
-    assert r9_new <= set(_GATE_WINDOW), r9_new - set(_GATE_WINDOW)
-    never = {n for n in queries() if n not in seen}
-    assert never == set(_GATE_WINDOW), never ^ set(_GATE_WINDOW)
+    # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
+    # no green row possible); r10 gave it a contract oracle and a slot
+    assert never == r10_new | {"hll_user_reach"}, never ^ r10_new
+    assert r10_new <= window, r10_new - window
+    # job 2: the re-check slots are the stalest rows or this round's
+    # re-queues — nothing fresher sneaks in
+    requeued = {
+        "filter_cascade_attrition", "kneser_ney_bigram",
+        "jackknife_ratio_variance", "hll_user_reach",
+        "near_dup_clusters", "sessionization",
+    }
+    assert requeued <= window, requeued - window
+    for name in window - r10_new - requeued:
+        assert last_green[name] <= 3, (
+            f"{name} last green in r{last_green[name]} — window slots must "
+            "go to r2/r3-stale rows (or documented re-queues) first"
+        )
+    # the two r2-stale names are the single oldest debt: always included
+    assert {"enrich_missing_brand", "running_idx"} <= window
 
 
 def test_bh_z_thresholds_match_textbook_quantiles():

@@ -1,0 +1,212 @@
+"""Semantic invariants of the round-10 queries.
+
+The oracle gate proves cross-engine VALUE parity; these tests pin the
+BUSINESS RULES the values must satisfy — properties that would silently
+survive a same-bug-both-sides edit (the one failure mode a differential
+oracle cannot see). All run at sf0.001 against the registered queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from __spark_entry__ import queries
+
+Q = queries()
+
+
+@pytest.fixture(scope="module")
+def rows(spark, sf_dir):
+    def _run(name):
+        return Q[name](spark, sf_dir).collect()
+
+    return _run
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(rows):
+    """The PAV/minimax fit must be (1) nondecreasing in the discount
+    bin, (2) inside the raw-rate envelope, and (3) weighted-mean
+    preserving (sum n*iso == sum n*raw — pooling only averages within
+    blocks, it never creates or destroys mass)."""
+    out = sorted(rows("isotonic_calibration_pav"), key=lambda r: r["disc_pct"])
+    iso = [r["rate_iso"] for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:])), iso
+    raws = [r["rate_raw"] for r in out]
+    assert min(raws) - 1e-4 <= min(iso) and max(iso) <= max(raws) + 1e-4
+    total = sum(r["n"] for r in out)
+    mean_raw = sum(r["n"] * r["rate_raw"] for r in out) / total
+    mean_iso = sum(r["n"] * r["rate_iso"] for r in out) / total
+    # each emission is 4dp-rounded; the means differ by at most that
+    assert abs(mean_raw - mean_iso) < 2e-4, (mean_raw, mean_iso)
+
+
+def test_mann_kendall_s_bounds_and_z_sign(rows):
+    """|S| is bounded by the number of pairs, the variance is positive
+    for any nondegenerate series, and the continuity-corrected z must
+    carry S's sign (or be 0 at S in {-1, 0, 1})."""
+    (r,) = rows("mann_kendall_trend")
+    n, s = r["n"], r["s_stat"]
+    assert abs(s) <= n * (n - 1) // 2
+    assert r["var_s"] > 0
+    if s > 1:
+        assert r["z"] > 0
+    elif s < -1:
+        assert r["z"] < 0
+
+
+def test_friedman_ranks_partition_and_q_nonnegative(rows):
+    """Mean ranks live in [1, k]; their sum is exactly k(k+1)/2 = 15
+    (every block hands out ranks 1..5 once, ties as averages); Q >= 0
+    and df = k-1 = 4."""
+    out = rows("friedman_priority_ranks")
+    assert len(out) == 5
+    for r in out:
+        assert 1.0 - 1e-9 <= r["mean_rank"] <= 5.0 + 1e-9
+        assert r["q_stat"] >= 0
+        assert r["df"] == 4
+    assert abs(sum(r["mean_rank"] for r in out) - 15.0) < 5e-4
+    assert len({r["q_stat"] for r in out}) == 1  # shared statistic
+
+
+def test_logrank_chi2_replays_from_components(rows):
+    """The emitted chi2 must equal (O1-E1)^2/V recomputed from the
+    emitted components (within the 4dp rounding each carries), and the
+    hypergeometric variance is nonnegative."""
+    (r,) = rows("logrank_cohort_test")
+    assert r["variance"] >= 0
+    if r["variance"] > 0:
+        expect = (r["observed_view"] - r["expected_view"]) ** 2 / r["variance"]
+        assert abs(expect - r["chi2"]) < 5e-2 * max(1.0, r["chi2"])
+
+
+def test_cuped_correlation_consistency(rows):
+    """rho^2 must equal corr_xy^2 (same moments), |corr| <= 1, the
+    variance reduction lives in [0, 1], and CUPED only ever shifts the
+    raw difference by theta * (pre-period imbalance) — with a parity
+    split the imbalance is small, so the adjusted diff stays finite and
+    same-order."""
+    (r,) = rows("cuped_variance_reduction")
+    assert abs(r["corr_xy"]) <= 1.0 + 1e-9
+    assert -1e-9 <= r["var_reduction"] <= 1.0 + 1e-9
+    assert abs(r["var_reduction"] - r["corr_xy"] ** 2) < 5e-4
+    assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+
+
+def test_skyline_rows_are_mutually_nondominated(rows):
+    """No skyline row may dominate another row of the same brand
+    (<= on both size and price, < on one) — the defining property —
+    and every brand keeps at least its cheapest part."""
+    out = rows("pareto_skyline_parts")
+    by_brand: dict[str, list] = {}
+    for r in out:
+        by_brand.setdefault(r["brand"], []).append(r)
+    assert by_brand, "empty skyline"
+    for brand, rs in by_brand.items():
+        for x in rs:
+            for y in rs:
+                if x is y:
+                    continue
+                dominated = (
+                    y["size"] <= x["size"]
+                    and y["price"] <= x["price"]
+                    and (y["size"] < x["size"] or y["price"] < x["price"])
+                )
+                assert not dominated, (brand, x, y)
+
+
+def test_skyline_contains_each_brands_cheapest_part(rows, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    cheapest = {
+        r["p_brand"]: r["mc"]
+        for r in part.groupBy("p_brand")
+        .agg(F.min(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias("mc"))
+        .collect()
+    }
+    out = rows("pareto_skyline_parts")
+    got = {}
+    for r in out:
+        c = round(r["price"] * 100)
+        got[r["brand"]] = min(got.get(r["brand"], c), c)
+    for brand, mc in cheapest.items():
+        assert got.get(brand) == mc, (brand, mc, got.get(brand))
+
+
+def test_flesch_linearity_identity(rows):
+    """Flesch is LINEAR in the two per-doc ratios, so the group average
+    must replay from the emitted average ratios: avg_flesch = 206.835
+    - 1.015*avg_wps - 84.6*avg_spw (each emission 4dp-rounded)."""
+    out = rows("flesch_reading_ease")
+    assert out, "no groups"
+    for r in out:
+        expect = (
+            206.835
+            - 1.015 * r["avg_words_per_sentence"]
+            - 84.6 * r["avg_syllables_per_word"]
+        )
+        assert abs(expect - r["avg_flesch"]) < 2e-2, r
+        assert r["avg_words_per_sentence"] >= 1.0 - 1e-9
+        assert 0 <= r["n_very_hard"] <= r["n_docs"]
+
+
+def test_hodges_lehmann_shift_within_pairwise_envelope(rows, spark, sf_dir):
+    """The HL estimator is a median of pairwise differences, so it must
+    lie inside [min(u)-max(l), max(u)-min(l)] recomputed from the daily
+    cent series it is defined over."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def bounds(prio):
+        r = (
+            o.filter(F.col("o_orderpriority") == prio)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c")
+            )
+            .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+            .collect()[0]
+        )
+        return r["lo"] / 100.0, r["hi"] / 100.0
+
+    ulo, uhi = bounds("1-URGENT")
+    llo, lhi = bounds("5-LOW")
+    (r,) = rows("hodges_lehmann_shift")
+    assert ulo - lhi - 1e-6 <= r["hl_shift"] <= uhi - llo + 1e-6
+    assert ulo <= r["median_urgent"] <= uhi
+    assert llo <= r["median_low"] <= lhi
+
+
+def test_fisher_is_geometric_mean_and_indices_positive(rows):
+    out = rows("price_index_fisher")
+    assert out, "no index years"
+    for r in out:
+        assert r["year"] >= 1996
+        assert r["n_parts"] > 0
+        assert r["laspeyres"] > 0 and r["paasche"] > 0
+        expect = (r["laspeyres"] * r["paasche"]) ** 0.5
+        assert abs(expect - r["fisher"]) < 5e-4, r
+
+
+def test_eb_shrinkage_contracts_toward_the_prior(rows):
+    """Partial pooling must (1) keep every posterior rate inside the raw
+    envelope, (2) never increase cross-group dispersion (shrinkage is a
+    contraction), and (3) keep weight_data in (0, 1]."""
+    out = rows("empirical_bayes_shrinkage")
+    raws = [r["rate_raw"] for r in out]
+    shrunk = [r["rate_shrunk"] for r in out]
+    lo, hi = min(raws) - 1e-4, max(raws) + 1e-4
+    assert all(lo <= s <= hi for s in shrunk)
+    for r in out:
+        assert 0 < r["weight_data"] <= 1.0 + 1e-9
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    assert var(shrunk) <= var(raws) + 1e-12
