@@ -103,6 +103,19 @@ def main() -> int:
             problems.append(
                 f"negative-zero: {nz} -0.0 cell(s) emitted (driver hash trap)"
             )
+        # SCALE.md §28 magnitude audit (advisory, not a failure): a
+        # round(,4) emission of a cross-engine double SUM is ulp-exposed
+        # once |v| is large enough that add-order noise can cross a 5e-5
+        # boundary. Report float cells >= 1e8 so each site can be
+        # adjudicated (exact-integer-derived values are safe; noisy
+        # float sums must migrate to integer grids or ratio emissions).
+        mags: dict[str, float] = {}
+        for r in srows:
+            for c, v in zip(scols, r):
+                if isinstance(v, float) and abs(v) >= 1e8:
+                    mags[c] = max(mags.get(c, 0.0), abs(v))
+        for c, v in sorted(mags.items()):
+            print(f"MAG  {name}.{c}: max|v| = {v:.6g}")
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
