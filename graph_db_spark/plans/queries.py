@@ -4406,7 +4406,7 @@ _EXPENSIVE_LAST = [
 # now many rounds old. Staleness map at r10 open (last-green round):
 # r2: 2, r3: 50, r4: 50, r5: 49, r6: 49, r7: 49, r8: 49, r9: 50.
 #
-# r10 window = (a) the 2 r2-stale names, then (b) the first 32 of the
+# r10 window = (a) the 2 r2-stale names, then (b) the first 27 of the
 # r3-stale block in CORRECTNESS_r03 order (longest-waiting first so a
 # wall-clock cut drops the freshest evidence, not the oldest debt),
 # then (c) 6 RE-QUEUES for queries whose query/oracle/operator changed
@@ -4415,14 +4415,15 @@ _EXPENSIVE_LAST = [
 # whitespace class), jackknife_ratio_variance (sqrt guard),
 # hll_user_reach (new contract oracle), near_dup_clusters (CC
 # parallelism probe), sessionization (operator micros rounding) — and
-# (d) the 10 r10 registrations (every new name MUST take a window slot
+# (d) the 15 r10 registrations (every new name MUST take a window slot
 # or it stays driver-unverified forever; the contract test enforces
-# this). r11 queue = the 18 remaining r3-stale names (null_guard_filter
-# .. depth_diff, minus sessionization) + the r4 block.
+# this; the second r10 batch displaced the 5 freshest r3 slots:
+# pipeline_soil_param_results .. event_day_stats_zero_null). r11 queue
+# = the 23 remaining r3-stale names + the r4 block.
 _GATE_WINDOW = [
     # (a) r2-stale
     "enrich_missing_brand", "running_idx",
-    # (b) r3-stale, CORRECTNESS_r03 order, first 32
+    # (b) r3-stale, CORRECTNESS_r03 order, first 27
     "proj_rename", "edge_customer_order", "broadcast_dim_join",
     "asof_nearest_line", "anti_parts_never_ordered",
     "semi_customers_with_orders", "dedup_first_wins", "topk_per_group",
@@ -4432,19 +4433,19 @@ _GATE_WINDOW = [
     "graph_degrees", "motif_region_order_path", "text_token_stats",
     "text_quality_lang", "doc_fingerprint_dedup", "ngram_jaccard_pairs",
     "embedding_cosine_topk", "embedding_near_dup_pairs",
-    "pipeline_application_event_idx", "pipeline_soil_param_results",
-    "tz_offset_map", "datetime_components", "event_day_stats",
-    "event_day_stats_zero_null",
+    "pipeline_application_event_idx",
     # (c) re-queues: changed this round
     "filter_cascade_attrition", "kneser_ney_bigram",
     "jackknife_ratio_variance", "hll_user_reach", "near_dup_clusters",
     "sessionization",
-    # (d) r10 registrations
+    # (d) r10 registrations (batch 1 + batch 2)
     "isotonic_calibration_pav", "mann_kendall_trend",
     "friedman_priority_ranks", "logrank_cohort_test",
     "cuped_variance_reduction", "pareto_skyline_parts",
     "flesch_reading_ease", "hodges_lehmann_shift", "price_index_fisher",
     "empirical_bayes_shrinkage",
+    "wilcoxon_signed_rank", "durbin_watson_trend", "max_drawdown_daily",
+    "chao1_vocab_richness", "cmh_return_rate",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -21806,11 +21807,14 @@ def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(y * y) AS BIGINT) AS syy
+      -- sums stay HUGEINT (int128): n*S products overflow BIGINT from
+      -- ~sf0.1 (n*syy ~ 5e20 > 2^63); the Spark side mirrors with
+      -- decimal(38,0)
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx,
+             sum(x * y) AS sxy,
+             sum(y * y) AS syy
       FROM cust
     ),
     c AS (
@@ -21857,12 +21861,13 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect re-estimated on the adjusted metric Y - theta*(X - Xbar).
     Emits theta, corr, the variance-reduction factor rho^2, and the
     raw-vs-CUPED arm difference. All sufficient statistics are EXACT
-    BIGINTs: per-customer totals are rounded to whole dollars, and the
-    centered moments use the n*Sxy - Sx*Sy identity in integer
-    arithmetic (no float cancellation at all; the bigint envelope
-    n*sum(y^2) < 2^63 holds to ~sf1 — past that, switch the moments to
-    doubles and emit shares only). One scan of orders, one broadcast-
-    sized customer reduction — the 100 TB CUPED shape."""
+    integers: per-customer totals are rounded to whole dollars, and the
+    centered moments use the n*Sxy - Sx*Sy identity in decimal(38,0)
+    (DuckDB: HUGEINT) — no float cancellation, exact to 1e38, which
+    covers any realistic corpus (the earlier BIGINT envelope broke at
+    sf0.1: n*sum(y^2) ~ 5e20 > 2^63). Per-row x*y products stay BIGINT
+    (~2.5e13 per customer, SF-independent). One scan of orders, one
+    broadcast-sized customer reduction — the 100 TB CUPED shape."""
     o = load_table(spark, sf_dir, "orders")
     cst = load_table(spark, sf_dir, "customer")
     ocents = o.select(
@@ -21890,13 +21895,16 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # consumed by the moment pass and the arm pass
     )
+    # moments in decimal(38,0): exact like DuckDB's HUGEINT sums — the
+    # n*S products overflow BIGINT from ~sf0.1 (n*syy ~ 5e20 > 2^63)
+    dec = "decimal(38,0)"
     s = cust.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
     ).select(
         "n",
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
@@ -22158,13 +22166,23 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the CALENDAR-bounded day grid first (~2400 rows each regardless
     of corpus size), so the pairwise cross product is a broadcast
     nested loop over bounded grids (~5.8M diffs), never a corpus-scale
-    quadratic. Daily totals are exact integer cents; the medians use
-    ANSI percentile_cont interpolation on integers — identical doubles
-    both engines (the percentile_value_stats precedent)."""
+    quadratic. Daily totals are exact integer cents. The HL median is
+    an exact percentile_cont-interpolated order statistic computed by
+    a two-pass bucketed selection: pass 1 histograms the diffs into at
+    most 65536 adaptive-width integer buckets (width derived from the
+    grids' min/max, so the bucket frame is bounded BY CONSTRUCTION at
+    any scale), a cumulative count over that bounded frame locates the
+    <=2 buckets containing the target ranks, and pass 2 re-generates
+    the diffs, keeps only those buckets, and ranks inside them with a
+    bucket-PARTITIONED window over per-value counts (bounded by bucket
+    width, not occupancy). Both passes are embarrassingly parallel;
+    the alternatives measured at sf0.1: single-reduce exact percentile
+    22s (one thread merges every distinct value), with_global_rank
+    rank-join 7s (full 5.8M range-shuffle + checkpoint), this 1.6s."""
     o = load_table(spark, sf_dir, "orders")
 
-    def daily(prio: str) -> DataFrame:
-        return (
+    def daily(prio: str, nparts: int | None = None) -> DataFrame:
+        g = (
             o.filter(F.col("o_orderpriority") == prio)
             .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
             .agg(
@@ -22172,35 +22190,101 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("cents")
             )
-            .localCheckpoint()  # day grid, consumed twice (stats + cross)
         )
+        if nparts:  # spread the broadcast nested loop across cores
+            g = g.repartition(nparts)
+        return g.localCheckpoint()  # day grid, consumed twice
 
-    u = daily("1-URGENT")
+    u = daily("1-URGENT", nparts=32)
     low = daily("5-LOW")
-    d = (
-        u.select(F.col("cents").alias("u_c"))
-        .crossJoin(F.broadcast(low.select(F.col("cents").alias("l_c"))))
-        .select((F.col("u_c") - F.col("l_c")).alias("diff"))
-    )
     su = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_urgent_days"),
         F.percentile(F.col("cents"), F.lit(0.5)).alias("mu"),
+        F.min("cents").alias("u_min"),
+        F.max("cents").alias("u_max"),
     )
     sl = low.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_low_days"),
         F.percentile(F.col("cents"), F.lit(0.5)).alias("ml"),
+        F.min("cents").alias("l_min"),
+        F.max("cents").alias("l_max"),
     )
-    sd = d.agg(F.percentile(F.col("diff"), F.lit(0.5)).alias("md"))
-    return (
-        su.crossJoin(F.broadcast(sl))  # 1-row scalar attaches
-        .crossJoin(F.broadcast(sd))
-        .select(
-            "n_urgent_days",
-            "n_low_days",
-            r4(F.col("mu") / 100.0).alias("median_urgent"),
-            r4(F.col("ml") / 100.0).alias("median_low"),
-            r4(F.col("md") / 100.0).alias("hl_shift"),
+    # percentile_cont(0.5) = v[k0] + frac*(v[k0+1] - v[k0]) on 1-based
+    # ranks, r = 1 + 0.5*(N-1); integers + frac of exactly 0/0.5 make
+    # the interpolation bit-identical to DuckDB's quantile_cont
+    base = (
+        su.crossJoin(F.broadcast(sl))
+        .withColumn("N", F.col("n_urgent_days") * F.col("n_low_days"))
+        .withColumn("r", F.lit(1.0) + (F.col("N") - 1) / F.lit(2.0))
+        .withColumn("k0", F.floor("r").cast("bigint"))
+        .withColumn("frac", F.col("r") - F.floor("r"))
+        .withColumn("k1", F.least(F.col("k0") + 1, F.col("N")))
+        .withColumn("dmin", F.col("u_min") - F.col("l_max"))
+        .withColumn(
+            "width",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(
+                    (F.col("u_max") - F.col("l_min") - F.col("dmin") + 1)
+                    / F.lit(65536.0)
+                ).cast("bigint"),
+            ),
         )
+        .localCheckpoint()  # 1 row; feeds both passes AND the emit
+    )
+
+    def diffs() -> DataFrame:  # regenerated per pass — cheap arithmetic
+        return (
+            u.select(F.col("cents").alias("u_c"))
+            .crossJoin(F.broadcast(low.select(F.col("cents").alias("l_c"))))
+            .crossJoin(F.broadcast(base.select("dmin", "width")))
+            .select(
+                (F.col("u_c") - F.col("l_c")).alias("diff"),
+                F.expr("(u_c - l_c - dmin) div width").alias("b"),
+            )
+        )
+
+    bc = diffs().groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # global-ordered window over the bucket frame: bounded at 65536
+    # rows by the adaptive width (plan-sweep allowlisted)
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bc.select("b", "c", F.sum("c").over(wcum).alias("cum"))
+    sel = (
+        bcum.crossJoin(F.broadcast(base.select("k0", "k1")))
+        .filter((F.col("cum") >= F.col("k0")) & (F.col("cum") - F.col("c") < F.col("k1")))
+        .select("b", (F.col("cum") - F.col("c")).alias("before"))
+    )
+    ex = (
+        diffs()
+        .join(F.broadcast(sel), "b")
+        .groupBy("b", "before", "diff")
+        .agg(F.count(F.lit(1)).alias("cv"))
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("diff")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inbkt = ex.withColumn("cin", F.sum("cv").over(wb)).crossJoin(
+        F.broadcast(base.select("k0", "k1"))
+    )
+    hit = lambda k: (  # noqa: E731 — rank k lands on this value's run
+        (F.col("cin") - F.col("cv") < F.col(k) - F.col("before"))
+        & (F.col(k) - F.col("before") <= F.col("cin"))
+    )
+    picked = inbkt.groupBy().agg(
+        F.min(F.when(hit("k0"), F.col("diff"))).alias("v0"),
+        F.min(F.when(hit("k1"), F.col("diff"))).alias("v1"),
+    )
+    md = F.col("v0") + F.col("frac") * (
+        F.coalesce(F.col("v1"), F.col("v0")) - F.col("v0")
+    )
+    return base.crossJoin(F.broadcast(picked)).select(  # 1-row attach
+        "n_urgent_days",
+        "n_low_days",
+        r4(F.col("mu") / 100.0).alias("median_urgent"),
+        r4(F.col("ml") / 100.0).alias("median_low"),
+        r4(md / 100.0).alias("hl_shift"),
     )
 
 
@@ -22400,5 +22484,537 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_reorder_for_gate()
+# ---------------------------------------------------------------------------
+# r10 batch 2 — paired nonparametrics, serial-correlation diagnostics,
+# drawdown analytics, species-richness estimation, stratified 2x2 testing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS uc,
+             sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS lc
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT uc - lc AS diff FROM g
+      WHERE uc IS NOT NULL AND lc IS NOT NULL AND uc <> lc
+    ),
+    byabs AS (
+      SELECT abs(diff) AS a, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM d GROUP BY 1
+    ),
+    rk AS (
+      SELECT a, t, pos,
+             sum(t) OVER (ORDER BY a
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM byabs
+    ),
+    s AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             sum(pos * (2.0 * (cum - t) + t + 1) / 2.0) AS wplus,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      FROM rk
+    )
+    SELECT n AS n_pairs, round(wplus, 4) + 0.0 AS w_plus,
+           round(CASE WHEN n * (n + 1.0) * (2.0 * n + 1) / 24.0
+                           - ties / 48.0 > 0
+                      THEN (wplus - n * (n + 1.0) / 4.0)
+                           / sqrt(n * (n + 1.0) * (2.0 * n + 1) / 24.0
+                                  - ties / 48.0)
+                      ELSE CAST(0 AS DOUBLE) END, 4) + 0.0 AS z_stat
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired nonparametric test — Wilcoxon signed-rank over the
+    URGENT-vs-LOW daily-revenue pairs (paired on calendar day, the
+    within-day pairing mannwhitney_u_test's unpaired design throws
+    away): signed ranks of |d| with midrank ties, W+ and the normal
+    approximation z with the exact tie correction Σ(t³−t)/48. One
+    corpus scan collapses to the calendar-bounded day grid via
+    conditional aggregation; the rank pass is a cumulative count over
+    the |d|-value grid (≤ #days rows — plan-sweep allowlisted), so
+    ranks are order-independent EXACT half-integers: W+ sums .5
+    multiples of integer counts and hashes identically on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", cents)).alias("uc"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", cents)).alias("lc"),
+    )
+    d = g.filter(
+        F.col("uc").isNotNull()
+        & F.col("lc").isNotNull()
+        & (F.col("uc") != F.col("lc"))
+    ).select((F.col("uc") - F.col("lc")).alias("diff"))
+    byabs = d.groupBy(F.abs("diff").alias("a")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wcum = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
+    rk = byabs.select(
+        "t", "pos", F.sum("t").over(wcum).alias("cum")
+    )
+    s = rk.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("pos") * (2.0 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+            / 2.0
+        ).alias("wplus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    var = (
+        F.col("n") * (F.col("n") + 1.0) * (2.0 * F.col("n") + 1) / 24.0
+        - F.col("ties") / 48.0
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        r4(F.col("wplus")).alias("w_plus"),
+        r4(
+            F.when(
+                var > 0,
+                (F.col("wplus") - F.col("n") * (F.col("n") + 1.0) / 4.0)
+                / F.sqrt(var),
+            ).otherwise(F.lit(0.0))
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "durbin_watson_trend",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS dayd,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    tg AS MATERIALIZED (
+      SELECT datediff('day', (SELECT min(dayd) FROM g), dayd) + 1 AS t, y
+      FROM g
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(t * t) AS stt, sum(t * y) AS sty
+      FROM tg
+    ),
+    p AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+             CAST(sy AS DOUBLE) AS syd, CAST(st AS DOUBLE) AS std,
+             CAST(n AS DOUBLE) AS nd
+      FROM s
+    ),
+    res AS (
+      SELECT t,
+             CAST(round(y - ((syd - b * std) / nd) - b * t) AS BIGINT) AS e
+      FROM tg CROSS JOIN p
+    ),
+    lagd AS (
+      SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM res
+    ),
+    dws AS (
+      SELECT sum(CASE WHEN ep IS NOT NULL
+                      THEN (e - ep) * (e - ep) END) AS num,
+             sum(e * e) AS den
+      FROM lagd
+    )
+    SELECT p.n AS n_days,
+           round(p.b / 100.0, 4) + 0.0 AS slope_dollars_per_day,
+           round(CAST(dws.num AS DOUBLE) / CAST(dws.den AS DOUBLE), 4) + 0.0
+             AS dw_stat,
+           round(1.0 - CAST(dws.num AS DOUBLE) / CAST(dws.den AS DOUBLE)
+                 / 2.0, 4) + 0.0 AS rho_approx
+    FROM dws CROSS JOIN p
+    """,
+)
+def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-correlation diagnostic — Durbin-Watson on the residuals
+    of the daily-revenue linear trend: OLS (a, b) from exact integer
+    sufficient statistics in decimal(38,0) (DuckDB: HUGEINT — the cuped
+    idiom; Σt·y reaches ~3e15 at sf0.1 and would pass 2^63 near sf100),
+    then DW = Σ(eₜ−eₜ₋₁)²/Σeₜ². Residuals are SNAPPED TO INTEGER CENTS
+    before the quadratic sums, so both engines sum identical integers
+    in any order — the one float step (a, b and the per-row e before
+    rounding) is an identical expression tree on identical exact inputs.
+    The lag runs on the calendar-bounded day grid (allowlisted); the
+    corpus pays one scan + one day-grid reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    g = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("dayd"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "y"
+            )
+        )
+        .localCheckpoint()  # day grid: feeds the moments AND the residuals
+    )
+    m = g.agg(F.min("dayd").alias("d0"))
+    tg = g.crossJoin(F.broadcast(m)).select(
+        (F.datediff(F.col("dayd"), F.col("d0")) + 1).alias("t"), "y"
+    )
+    s = tg.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+        F.sum((F.col("t").cast("bigint") * F.col("y")).cast(dec)).alias("sty"),
+    )
+    p = s.select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+                "double"
+            )
+        ).alias("b"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("st").cast("double").alias("std"),
+        F.col("n").cast("double").alias("nd"),
+    ).localCheckpoint()  # 1 row; feeds the residual pass AND the emit
+    res = tg.crossJoin(F.broadcast(p)).select(
+        "t",
+        F.round(
+            F.col("y")
+            - (F.col("syd") - F.col("b") * F.col("std")) / F.col("nd")
+            - F.col("b") * F.col("t")
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    wlag = Window.orderBy("t")
+    lagd = res.select("e", F.lag("e").over(wlag).alias("ep"))
+    dws = lagd.agg(
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                ((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))).cast(
+                    dec
+                ),
+            )
+        ).alias("num"),
+        F.sum((F.col("e") * F.col("e")).cast(dec)).alias("den"),
+    )
+    dw = F.col("num").cast("double") / F.col("den").cast("double")
+    return dws.crossJoin(F.broadcast(p)).select(  # 1-row scalar attach
+        F.col("n").alias("n_days"),
+        r4(F.col("b") / 100.0).alias("slope_dollars_per_day"),
+        r4(dw).alias("dw_stat"),
+        r4(1.0 - dw / 2.0).alias("rho_approx"),
+    )
+
+
+@register(
+    "max_drawdown_daily",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(o_orderdate AS DATE) AS dayd,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT y, max(y) OVER (ORDER BY dayd
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS runmax
+      FROM g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(1.0 - y * 1.0 / runmax), 4) + 0.0 AS max_drawdown,
+           CAST(sum(CASE WHEN y < runmax THEN 1 ELSE 0 END) AS BIGINT)
+             AS underwater_days
+    FROM r
+    """,
+)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk analytics — maximum drawdown of the daily-revenue series:
+    the largest peak-to-trough decline 1 − y/runmax against the running
+    maximum, plus the number of underwater days (strict integer compare
+    y < runmax, no float threshold). The running max is a cumulative
+    window over the calendar-bounded day grid (allowlisted); the corpus
+    pays one scan + one day-grid reduction. Integer cents make the
+    ratio identical doubles on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderdate").cast("date").alias("dayd")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    wrun = Window.orderBy("dayd").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select("y", F.max("y").over(wrun).alias("runmax"))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        r4(F.max(1.0 - F.col("y") * 1.0 / F.col("runmax"))).alias(
+            "max_drawdown"
+        ),
+        F.sum(F.when(F.col("y") < F.col("runmax"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("underwater_days"),
+    )
+
+
+@register(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)),
+                                       '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS f FROM tok WHERE tok <> '' GROUP BY 1),
+    fof AS (SELECT f, CAST(count(*) AS BIGINT) AS m FROM tf GROUP BY 1),
+    s AS (
+      SELECT CAST(sum(m) AS BIGINT) AS d,
+             CAST(coalesce(sum(CASE WHEN f = 1 THEN m END), 0) AS BIGINT)
+               AS f1,
+             CAST(coalesce(sum(CASE WHEN f = 2 THEN m END), 0) AS BIGINT)
+               AS f2,
+             CAST(coalesce(sum(CASE WHEN f <= 10 THEN m END), 0) AS BIGINT)
+               AS srare,
+             CAST(coalesce(sum(CASE WHEN f <= 10 THEN f * m END), 0)
+                  AS BIGINT) AS nrare,
+             CAST(coalesce(sum(CASE WHEN f > 10 THEN m END), 0) AS BIGINT)
+               AS sabund,
+             CAST(coalesce(sum(CASE WHEN f <= 10 THEN f * (f - 1) * m END),
+                           0) AS BIGINT) AS frare2
+      FROM fof
+    )
+    SELECT d AS vocab_observed, f1 AS singletons, f2 AS doubletons,
+           round(d + f1 * (f1 - 1.0) / (2.0 * (f2 + 1)), 4) + 0.0
+             AS chao1_estimate,
+           round(CASE WHEN nrare > 1 AND nrare > f1 THEN
+             sabund + srare / (1.0 - f1 * 1.0 / nrare)
+             + f1 / (1.0 - f1 * 1.0 / nrare)
+               * greatest((srare / (1.0 - f1 * 1.0 / nrare))
+                          * frare2 / (nrare * (nrare - 1.0)) - 1.0, 0.0)
+             END, 4) + 0.0 AS ace_estimate
+    FROM s
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — unseen-vocabulary estimation: the Chao1
+    richness estimator (bias-corrected, D + f1(f1−1)/(2(f2+1))) and ACE
+    (abundance-based coverage, rare cutoff 10) from the token
+    frequency-of-frequencies. good_turing_unseen_mass prices the
+    probability mass of unseen TOKENS; this estimates how many unseen
+    TYPES remain — the 'how much more corpus do we need' planning
+    number. Whitespace pinned to the engine-independent class (SCALE.md
+    §29). Two shuffles: corpus→token counts, counts→the tiny fof grid;
+    every emitted float derives from exact integers."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), "[ \t\n\x0B\f\r]+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    fof = tf.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    z = F.lit(0).cast("bigint")
+    s = fof.agg(
+        F.sum("m").cast("bigint").alias("d"),
+        F.coalesce(F.sum(F.when(F.col("f") == 1, F.col("m"))), z)
+        .cast("bigint")
+        .alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("f") == 2, F.col("m"))), z)
+        .cast("bigint")
+        .alias("f2"),
+        F.coalesce(F.sum(F.when(F.col("f") <= 10, F.col("m"))), z)
+        .cast("bigint")
+        .alias("srare"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") <= 10, F.col("f") * F.col("m"))), z
+        )
+        .cast("bigint")
+        .alias("nrare"),
+        F.coalesce(F.sum(F.when(F.col("f") > 10, F.col("m"))), z)
+        .cast("bigint")
+        .alias("sabund"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("f") <= 10,
+                    F.col("f") * (F.col("f") - 1) * F.col("m"),
+                )
+            ),
+            z,
+        )
+        .cast("bigint")
+        .alias("frare2"),
+    )
+    crare = 1.0 - F.col("f1") * 1.0 / F.col("nrare")
+    ace = (
+        F.col("sabund")
+        + F.col("srare") / crare
+        + F.col("f1")
+        / crare
+        * F.greatest(
+            (F.col("srare") / crare)
+            * F.col("frare2")
+            / (F.col("nrare") * (F.col("nrare") - 1.0))
+            - 1.0,
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        F.col("d").alias("vocab_observed"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        r4(
+            F.col("d")
+            + F.col("f1") * (F.col("f1") - 1.0) / (2.0 * (F.col("f2") + 1))
+        ).alias("chao1_estimate"),
+        r4(
+            F.when(
+                (F.col("nrare") > 1) & (F.col("nrare") > F.col("f1")), ace
+            )
+        ).alias("ace_estimate"),
+    )
+
+
+@register(
+    "cmh_return_rate",
+    oracle="""
+    WITH ret AS MATERIALIZED (
+      SELECT l_orderkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem GROUP BY 1
+    ),
+    rows_ AS (
+      SELECT r_name,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x,
+             ret.ret AS yy
+      FROM orders
+      JOIN ret ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    st AS (
+      SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS n1,
+             CAST(sum(yy) AS BIGINT) AS nc1,
+             CAST(sum(x * yy) AS BIGINT) AS n11
+      FROM rows_ GROUP BY 1
+    ),
+    terms AS (
+      SELECT sum(n11 - n1 * 1.0 * nc1 / n) AS dev,
+             sum(n1 * 1.0 * (n - n1) * nc1 * (n - nc1)
+                 / (n * 1.0 * n * (n - 1))) AS var,
+             sum((n11 * 1.0 * ((n - n1) - (nc1 - n11))) / n) AS ornum,
+             sum(((n1 - n11) * 1.0 * (nc1 - n11)) / n) AS orden,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM st
+    )
+    SELECT n_strata, n_total,
+           round(dev * dev / var, 4) + 0.0 AS cmh_chi2,
+           round(ornum / orden, 4) + 0.0 AS mh_odds_ratio
+    FROM terms
+    """,
+)
+def cmh_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 2x2 testing — Cochran-Mantel-Haenszel: does URGENT
+    priority associate with item returns AFTER controlling for region?
+    The stratified companion to chi_square_independence (which pools and
+    is Simpson-vulnerable — simpson_paradox_check shows why pooling
+    lies). Per-region 2x2 margins from exact integer counts, the CMH
+    χ² (no continuity correction) and the Mantel-Haenszel common odds
+    ratio as 5-term double reductions — per-term doubles are identical
+    expression trees on exact integers, so only the final 5-element sum
+    carries the shared r4 guard-band risk. One lineitem→order
+    reduction, one orders⋈customer shuffle, broadcast nation/region
+    dims — the canonical star-join shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    re_ = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    ret = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "ret"
+        )
+    )
+    rows = (
+        o.join(ret, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cst, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re_), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("x"),
+            F.col("ret").alias("yy"),
+        )
+    )
+    st = rows.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("n1"),
+        F.sum("yy").cast("bigint").alias("nc1"),
+        F.sum(F.col("x") * F.col("yy")).cast("bigint").alias("n11"),
+    )
+    terms = st.agg(
+        F.sum(
+            F.col("n11") - F.col("n1") * 1.0 * F.col("nc1") / F.col("n")
+        ).alias("dev"),
+        F.sum(
+            F.col("n1")
+            * 1.0
+            * (F.col("n") - F.col("n1"))
+            * F.col("nc1")
+            * (F.col("n") - F.col("nc1"))
+            / (F.col("n") * 1.0 * F.col("n") * (F.col("n") - 1))
+        ).alias("var"),
+        F.sum(
+            (
+                F.col("n11")
+                * 1.0
+                * ((F.col("n") - F.col("n1")) - (F.col("nc1") - F.col("n11")))
+            )
+            / F.col("n")
+        ).alias("ornum"),
+        F.sum(
+            (
+                (F.col("n1") - F.col("n11"))
+                * 1.0
+                * (F.col("nc1") - F.col("n11"))
+            )
+            / F.col("n")
+        ).alias("orden"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return terms.select(
+        "n_strata",
+        "n_total",
+        r4(F.col("dev") * F.col("dev") / F.col("var")).alias("cmh_chi2"),
+        r4(F.col("ornum") / F.col("orden")).alias("mh_odds_ratio"),
+    )
+
+
 _reorder_for_gate()

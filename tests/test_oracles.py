@@ -102,6 +102,9 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         "cuped_variance_reduction", "pareto_skyline_parts",
         "flesch_reading_ease", "hodges_lehmann_shift",
         "price_index_fisher", "empirical_bayes_shrinkage",
+        # batch 2
+        "wilcoxon_signed_rank", "durbin_watson_trend",
+        "max_drawdown_daily", "chao1_vocab_richness", "cmh_return_rate",
     }
     # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
     # no green row possible); r10 gave it a contract oracle and a slot

@@ -518,6 +518,14 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "stl_seasonal_decompose": "calendar-bounded daily series",
     "rrf_fusion_ranking": "rank assignment over post-TakeOrdered 100-row "
     "candidate lists — k-sized by construction",
+    "hodges_lehmann_shift": "cumulative count over the adaptive-width "
+    "diff histogram — capped at 65536 buckets by construction (width is "
+    "derived from the day grids' min/max), independent of corpus size",
+    "wilcoxon_signed_rank": "cumulative tie-count over the |diff| value "
+    "grid, at most one row per calendar day",
+    "durbin_watson_trend": "lag-1 over the calendar-bounded daily series",
+    "max_drawdown_daily": "running max over the calendar-bounded daily "
+    "series",
 }
 
 

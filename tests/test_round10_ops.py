@@ -210,3 +210,59 @@ def test_eb_shrinkage_contracts_toward_the_prior(rows):
         return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
 
     assert var(shrunk) <= var(raws) + 1e-12
+
+
+# --- batch 2 ---------------------------------------------------------------
+
+
+def test_wilcoxon_w_bounds_and_z_sign(rows):
+    """W+ lives in [0, n(n+1)/2]; z carries the sign of W+ - mu (the
+    normal-approximation center n(n+1)/4)."""
+    (r,) = rows("wilcoxon_signed_rank")
+    n, w = r["n_pairs"], r["w_plus"]
+    assert n > 0
+    assert 0.0 <= w <= n * (n + 1) / 2.0
+    mu = n * (n + 1) / 4.0
+    if w > mu + 1:
+        assert r["z_stat"] > 0
+    elif w < mu - 1:
+        assert r["z_stat"] < 0
+
+
+def test_durbin_watson_range_and_rho_replay(rows):
+    """DW is bounded in [0, 4]; rho_approx must replay as 1 - DW/2
+    within the 4dp rounding both carry."""
+    (r,) = rows("durbin_watson_trend")
+    assert r["n_days"] > 100
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    assert abs(r["rho_approx"] - (1.0 - r["dw_stat"] / 2.0)) < 2e-4
+
+
+def test_max_drawdown_bounds(rows):
+    """Drawdown is a fraction of the running peak: [0, 1). The first day
+    is its own peak, so underwater_days < n_days."""
+    (r,) = rows("max_drawdown_daily")
+    assert 0.0 <= r["max_drawdown"] < 1.0
+    assert 0 <= r["underwater_days"] < r["n_days"]
+
+
+def test_chao1_and_ace_never_below_observed(rows):
+    """Richness estimators add unseen mass — they can never fall below
+    the observed vocabulary (Chao1 by construction; ACE because
+    Srare/Crare >= Srare when Crare <= 1)."""
+    (r,) = rows("chao1_vocab_richness")
+    d = r["vocab_observed"]
+    assert d > 0 and r["singletons"] >= 0 and r["doubletons"] >= 0
+    assert r["chao1_estimate"] >= d - 1e-6
+    if r["ace_estimate"] is not None:
+        assert r["ace_estimate"] >= d - 1e-4
+
+
+def test_cmh_statistic_and_or_positive(rows):
+    """One stratum per region (5), chi2 >= 0, and the MH common odds
+    ratio is positive for any table with nonempty off-diagonals."""
+    (r,) = rows("cmh_return_rate")
+    assert r["n_strata"] == 5
+    assert r["n_total"] > 0
+    assert r["cmh_chi2"] >= 0
+    assert r["mh_odds_ratio"] > 0
