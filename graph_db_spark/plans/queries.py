@@ -4415,15 +4415,15 @@ _EXPENSIVE_LAST = [
 # whitespace class), jackknife_ratio_variance (sqrt guard),
 # hll_user_reach (new contract oracle), near_dup_clusters (CC
 # parallelism probe), sessionization (operator micros rounding) — and
-# (d) the 15 r10 registrations (every new name MUST take a window slot
+# (d) the 20 r10 registrations (every new name MUST take a window slot
 # or it stays driver-unverified forever; the contract test enforces
-# this; the second r10 batch displaced the 5 freshest r3 slots:
-# pipeline_soil_param_results .. event_day_stats_zero_null). r11 queue
-# = the 23 remaining r3-stale names + the r4 block.
+# this; the second/third r10 batches displaced the 10 freshest r3
+# slots: doc_fingerprint_dedup .. event_day_stats_zero_null). r11
+# queue = the 28 remaining r3-stale names + the r4 block.
 _GATE_WINDOW = [
     # (a) r2-stale
     "enrich_missing_brand", "running_idx",
-    # (b) r3-stale, CORRECTNESS_r03 order, first 27
+    # (b) r3-stale, CORRECTNESS_r03 order, first 22
     "proj_rename", "edge_customer_order", "broadcast_dim_join",
     "asof_nearest_line", "anti_parts_never_ordered",
     "semi_customers_with_orders", "dedup_first_wins", "topk_per_group",
@@ -4431,14 +4431,12 @@ _GATE_WINDOW = [
     "range_parse", "point_parse", "composite_id", "datetime_coercion",
     "first_non_empty_pick", "union_dedup", "pricing_summary",
     "graph_degrees", "motif_region_order_path", "text_token_stats",
-    "text_quality_lang", "doc_fingerprint_dedup", "ngram_jaccard_pairs",
-    "embedding_cosine_topk", "embedding_near_dup_pairs",
-    "pipeline_application_event_idx",
+    "text_quality_lang",
     # (c) re-queues: changed this round
     "filter_cascade_attrition", "kneser_ney_bigram",
     "jackknife_ratio_variance", "hll_user_reach", "near_dup_clusters",
     "sessionization",
-    # (d) r10 registrations (batch 1 + batch 2)
+    # (d) r10 registrations (batches 1-3)
     "isotonic_calibration_pav", "mann_kendall_trend",
     "friedman_priority_ranks", "logrank_cohort_test",
     "cuped_variance_reduction", "pareto_skyline_parts",
@@ -4446,6 +4444,9 @@ _GATE_WINDOW = [
     "empirical_bayes_shrinkage",
     "wilcoxon_signed_rank", "durbin_watson_trend", "max_drawdown_daily",
     "chao1_vocab_richness", "cmh_return_rate",
+    "shapley_channel_attribution", "wasserstein_price_shift",
+    "negbin_overdispersion", "engle_granger_cointegration",
+    "weibull_time_to_convert",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -23014,6 +23015,674 @@ def cmh_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         r4(F.col("dev") * F.col("dev") / F.col("var")).alias("cmh_chi2"),
         r4(F.col("ornum") / F.col("orden")).alias("mh_odds_ratio"),
+    )
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH peru AS MATERIALIZED (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  + 2 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  + 4 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    cm AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conv
+           FROM peru GROUP BY 1),
+    lat AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT s, CAST(coalesce(sum(conv), 0) AS BIGINT) AS v
+      FROM lat LEFT JOIN cm ON (cm.mask & lat.s) = cm.mask
+      GROUP BY 1
+    ),
+    ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                                 ('signup', CAST(2 AS BIGINT)),
+                                 ('view', CAST(4 AS BIGINT)),
+                                 ('error', CAST(8 AS BIGINT)))
+           AS t(channel, bit)),
+    pairs AS (
+      SELECT ch.channel,
+             ((v0.s & 1) + ((v0.s >> 1) & 1) + ((v0.s >> 2) & 1)
+              + ((v0.s >> 3) & 1)) AS pc,
+             v1.v - v0.v AS delta
+      FROM ch
+      JOIN v v0 ON (v0.s & ch.bit) = 0
+      JOIN v v1 ON v1.s = (v0.s | ch.bit)
+    ),
+    phi AS (
+      SELECT channel,
+             CAST(sum((CASE WHEN pc IN (0, 3) THEN 6 ELSE 2 END) * delta)
+                  AS BIGINT) AS phi24
+      FROM pairs GROUP BY 1
+    ),
+    touch AS (
+      SELECT channel,
+             CAST(sum(CASE WHEN (mask & bit) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS users_touched
+      FROM peru CROSS JOIN ch GROUP BY 1
+    )
+    SELECT phi.channel AS channel, touch.users_touched,
+           round(phi24 / 24.0, 4) + 0.0 AS shapley_conversions
+    FROM phi JOIN touch USING (channel)
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution — EXACT Shapley values over the 4-channel coalition
+    game (click/signup/view/error; purchase = conversion): v(S) = the
+    number of converting users whose touched-channel set is contained
+    in S, φᵢ = Σ_{S∌i} |S|!(3−|S|)!/4!·(v(S∪i)−v(S)). The game-theoretic
+    answer to the position heuristics (last_touch_attribution,
+    position_based_attribution) and the Markov removal-effect model
+    (markov_absorption_conversion): efficiency guarantees Σφ equals the
+    total attributable conversions. The corpus collapses to ≤16
+    mask-level conversion counts in one shuffle; the 2⁴ coalition
+    lattice, subset sums, and the 4×8 marginal table are broadcast-tiny
+    joins at any corpus size. φ·24 is an INTEGER sum (weights 6/2/2/6),
+    so the emission is an exact rational — no add-order float risk."""
+    ev = load_table(spark, sf_dir, "events")
+    bit_of = {"click": 1, "signup": 2, "view": 4, "error": 8}
+    peru = ev.groupBy("user_id").agg(
+        sum(
+            F.max(F.when(F.col("event_type") == c, 1).otherwise(0)) * b
+            for c, b in bit_of.items()
+        )
+        .cast("bigint")
+        .alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cm = peru.groupBy("mask").agg(F.sum("conv").cast("bigint").alias("conv"))
+    lat = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        lat.join(
+            F.broadcast(cm),
+            cm["mask"].bitwiseAND(lat["s"]) == cm["mask"],
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint()  # 16 rows, joined against itself below
+    )
+    ch = spark.createDataFrame(
+        list(bit_of.items()), "channel string, bit long"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("vwo"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vw"))
+    pc = sum(
+        F.shiftright(F.col("s0"), i).bitwiseAND(F.lit(1)) for i in range(4)
+    )
+    pairs = (
+        F.broadcast(ch)
+        .join(v0, v0["s0"].bitwiseAND(ch["bit"]) == 0)
+        .join(v1, F.col("s1") == F.col("s0").bitwiseOR(F.col("bit")))
+        .select(
+            "channel",
+            (
+                F.when(pc.isin(0, 3), 6).otherwise(2)
+                * (F.col("vw") - F.col("vwo"))
+            ).alias("wdelta"),
+        )
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.sum("wdelta").cast("bigint").alias("phi24")
+    )
+    touch = peru.crossJoin(F.broadcast(ch)).groupBy("channel").agg(
+        F.sum(
+            F.when(F.col("mask").bitwiseAND(F.col("bit")) > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("users_touched")
+    )
+    return phi.join(touch, on="channel").select(
+        "channel",
+        "users_touched",
+        r4(F.col("phi24") / 24.0).alias("shapley_conversions"),
+    )
+
+
+@register(
+    "wasserstein_price_shift",
+    oracle="""
+    WITH o2 AS MATERIALIZED (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    st AS MATERIALIZED (
+      SELECT CAST(sum(u) AS BIGINT) AS nu,
+             CAST(sum(1 - u) AS BIGINT) AS nl,
+             min(cents) AS cmin, max(cents) AS cmax,
+             CAST(sum(CASE WHEN u = 1 THEN cents END) AS BIGINT) AS sumu,
+             CAST(sum(CASE WHEN u = 0 THEN cents END) AS BIGINT) AS suml,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(ceil((max(cents) - min(cents) + 1) / 65536.0)
+                           AS BIGINT)) AS width
+      FROM o2
+    ),
+    bc AS (
+      SELECT (cents - cmin) // width AS b,
+             CAST(sum(u) AS BIGINT) AS cu,
+             CAST(sum(1 - u) AS BIGINT) AS cl
+      FROM o2 CROSS JOIN st GROUP BY 1
+    ),
+    cum AS (
+      SELECT b,
+             sum(cu) OVER (ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumu,
+             sum(cl) OVER (ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cuml,
+             lead(b) OVER (ORDER BY b) AS nb
+      FROM bc
+    ),
+    s AS (
+      SELECT sum(CASE WHEN nb IS NOT NULL
+                      THEN abs(cumu * st.nl - cuml * st.nu) * (nb - b)
+                 END) AS tot
+      FROM cum CROSS JOIN st
+    )
+    SELECT st.nu AS n_urgent, st.nl AS n_low,
+           st.width AS quant_width_cents,
+           round(CAST(s.tot AS DOUBLE) * st.width
+                 / (st.nu * 1.0 * st.nl) / 100.0, 4) + 0.0
+             AS w1_dollars,
+           round(st.sumu * 1.0 / st.nu / 100.0
+                 - st.suml * 1.0 / st.nl / 100.0, 4) + 0.0
+             AS mean_diff_dollars
+    FROM s CROSS JOIN st
+    """,
+)
+def wasserstein_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution distance — exact 1-Wasserstein (earth mover's)
+    distance between the URGENT and LOW order-value distributions,
+    quantized to ≤65536 adaptive-width integer-cent buckets (the
+    hodges_lehmann histogram idiom): W1 = Σ|F_u−F_l|·Δv as the step
+    integral over the bucket grid, with gaps between occupied buckets
+    carried by lead(b). Where ks_two_sample reports the max CDF gap,
+    W1 reports the AREA — the magnitude of the shift in dollars. The
+    per-bucket term |cumu·Nl − cuml·Nu| is exact integer arithmetic
+    (decimal(38,0) sum; DuckDB HUGEINT) — identical on both engines,
+    no add-order float risk. One corpus scan → bucket reduction; the
+    cumulative runs on the bounded bucket grid (allowlisted)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    o2 = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("u"),
+    )
+    st = (
+        o2.agg(
+            F.sum("u").cast("bigint").alias("nu"),
+            F.sum(1 - F.col("u")).cast("bigint").alias("nl"),
+            F.min("cents").alias("cmin"),
+            F.max("cents").alias("cmax"),
+            F.sum(F.when(F.col("u") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("sumu"),
+            F.sum(F.when(F.col("u") == 0, F.col("cents")))
+            .cast("bigint")
+            .alias("suml"),
+        )
+        .withColumn(
+            "width",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil((F.col("cmax") - F.col("cmin") + 1) / F.lit(65536.0))
+                .cast("bigint"),
+            ),
+        )
+        .localCheckpoint()  # 1 row; feeds the bucket pass AND the emit
+    )
+    bc = (
+        o2.crossJoin(F.broadcast(st.select("cmin", "width")))
+        .groupBy(F.expr("(cents - cmin) div width").alias("b"))
+        .agg(
+            F.sum("u").cast("bigint").alias("cu"),
+            F.sum(1 - F.col("u")).cast("bigint").alias("cl"),
+        )
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("b")
+    cum = bc.select(
+        "b",
+        F.sum("cu").over(wcum).alias("cumu"),
+        F.sum("cl").over(wcum).alias("cuml"),
+        F.lead("b").over(wlead).alias("nb"),
+    )
+    s = cum.crossJoin(F.broadcast(st.select("nu", "nl"))).agg(
+        F.sum(
+            F.when(
+                F.col("nb").isNotNull(),
+                F.abs(
+                    F.col("cumu") * F.col("nl") - F.col("cuml") * F.col("nu")
+                ).cast(dec)
+                * (F.col("nb") - F.col("b")),
+            )
+        ).alias("tot")
+    )
+    return s.crossJoin(F.broadcast(st)).select(  # 1-row scalar attach
+        F.col("nu").alias("n_urgent"),
+        F.col("nl").alias("n_low"),
+        F.col("width").alias("quant_width_cents"),
+        r4(
+            F.col("tot").cast("double")
+            * F.col("width")
+            / (F.col("nu") * 1.0 * F.col("nl"))
+            / 100.0
+        ).alias("w1_dollars"),
+        r4(
+            F.col("sumu") * 1.0 / F.col("nu") / 100.0
+            - F.col("suml") * 1.0 / F.col("nl") / 100.0
+        ).alias("mean_diff_dollars"),
+    )
+
+
+@register(
+    "negbin_overdispersion",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS k
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk,
+             CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zeros
+      FROM k
+    ),
+    p AS (
+      SELECT n, zeros, sk * 1.0 / n AS m,
+             (n * 1.0 * skk - sk * 1.0 * sk) / (n * 1.0 * (n - 1)) AS v
+      FROM s
+    )
+    SELECT n AS n_customers, round(m, 4) + 0.0 AS mean_orders,
+           round(v, 4) + 0.0 AS var_orders,
+           round(v / m, 4) + 0.0 AS dispersion_ratio,
+           round(CASE WHEN v > m THEN m * m / (v - m) END, 4) + 0.0
+             AS nb_r,
+           round(zeros * 1.0 / n, 4) + 0.0 AS zero_frac_obs,
+           round(exp(-m), 4) + 0.0 AS zero_frac_poisson
+    FROM p
+    """,
+)
+def negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count modeling — overdispersion diagnosis and negative-binomial
+    method-of-moments fit on per-customer order counts (zeros INCLUDED
+    via the customer left join — dropping them is the classic selection
+    bug): dispersion ratio var/mean (Poisson ⇒ 1), NB size r = m²/(v−m)
+    when overdispersed, and the observed-vs-Poisson zero fraction (the
+    zero-inflation read). Complements dispersion_index_check (events
+    per day) with the cross-SECTIONAL count distribution. Sufficient
+    statistics are exact BIGINTs (k ≤ ~40 per customer, n·Σk² safe past
+    sf100); every emission is an identical-expression double ratio."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cst = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = (
+        cst.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("k"))
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    m = F.col("sk") * 1.0 / F.col("n")
+    v = (F.col("n") * 1.0 * F.col("skk") - F.col("sk") * 1.0 * F.col("sk")) / (
+        F.col("n") * 1.0 * (F.col("n") - 1)
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        r4(m).alias("mean_orders"),
+        r4(v).alias("var_orders"),
+        r4(v / m).alias("dispersion_ratio"),
+        r4(F.when(v > m, m * m / (v - m))).alias("nb_r"),
+        r4(F.col("zeros") * 1.0 / F.col("n")).alias("zero_frac_obs"),
+        r4(F.exp(-m)).alias("zero_frac_poisson"),
+    )
+
+
+@register(
+    "engle_granger_cointegration",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS dayd,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS uc,
+             sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS lc
+      FROM orders GROUP BY 1
+      HAVING uc IS NOT NULL AND lc IS NOT NULL
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(lc) AS sl, sum(uc) AS su,
+             sum(lc * lc) AS sll, sum(lc * uc) AS slu
+      FROM g
+    ),
+    p AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * slu - sl * su AS DOUBLE)
+               / CAST(n * sll - sl * sl AS DOUBLE) AS b,
+             CAST(su AS DOUBLE) AS sud, CAST(sl AS DOUBLE) AS sld,
+             CAST(n AS DOUBLE) AS nd
+      FROM s
+    ),
+    z AS (
+      SELECT dayd,
+             CAST(round(uc - ((sud - b * sld) / nd) - b * lc) AS BIGINT)
+               AS z
+      FROM g CROSS JOIN p
+    ),
+    lagd AS (
+      SELECT z, lag(z) OVER (ORDER BY dayd) AS zp FROM z
+    ),
+    df AS (
+      SELECT count(*) AS m,
+             sum(zp * zp) AS szz,
+             sum(zp * (z - zp)) AS szd,
+             sum((z - zp) * (z - zp)) AS sdd
+      FROM lagd WHERE zp IS NOT NULL
+    ),
+    fit AS (
+      SELECT CAST(m AS BIGINT) AS m,
+             CAST(szd AS DOUBLE) / CAST(szz AS DOUBLE) AS phi,
+             CAST(szz AS DOUBLE) AS szzd, CAST(szd AS DOUBLE) AS szdd,
+             CAST(sdd AS DOUBLE) AS sddd
+      FROM df
+    )
+    SELECT p.n AS n_days, round(p.b, 4) + 0.0 AS beta,
+           round(fit.phi, 4) + 0.0 AS phi,
+           round(fit.phi / sqrt(greatest(fit.sddd - 2 * fit.phi * fit.szdd
+                                         + fit.phi * fit.phi * fit.szzd,
+                                         0.0)
+                                / (fit.m - 1) / fit.szzd), 4) + 0.0
+             AS adf_t
+    FROM fit CROSS JOIN p
+    """,
+)
+def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series econometrics — the Engle-Granger two-step
+    cointegration read between the URGENT and LOW daily-revenue series:
+    (1) the cointegrating OLS u = a + b·l from exact decimal(38,0)
+    moments (the cuped idiom), residuals SNAPPED TO INTEGER CENTS (the
+    durbin_watson idiom); (2) the Dickey-Fuller regression Δz = φ·z₋₁
+    on those integer residuals, with φ, its no-intercept t-statistic
+    (RSS expanded as Σdz² − 2φΣz₋dz + φ²Σz₋² from three exact integer
+    sums — never a per-row float residual), and the sqrt guarded with
+    greatest(·,0) on BOTH sides (SCALE.md §29). A strongly negative
+    adf_t = the spread mean-reverts = the series co-move. Day-grid lag
+    windows are calendar-bounded (allowlisted); the corpus pays one
+    scan + one day reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("dayd"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", cents)
+            ).alias("uc"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", cents)
+            ).alias("lc"),
+        )
+        .filter(F.col("uc").isNotNull() & F.col("lc").isNotNull())
+        .localCheckpoint()  # day grid: feeds the moments AND the residuals
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("lc").cast(dec)).alias("sl"),
+        F.sum(F.col("uc").cast(dec)).alias("su"),
+        F.sum((F.col("lc") * F.col("lc")).cast(dec)).alias("sll"),
+        F.sum((F.col("lc") * F.col("uc")).cast(dec)).alias("slu"),
+    )
+    p = s.select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (F.col("n") * F.col("slu") - F.col("sl") * F.col("su")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sll") - F.col("sl") * F.col("sl")).cast(
+                "double"
+            )
+        ).alias("b"),
+        F.col("su").cast("double").alias("sud"),
+        F.col("sl").cast("double").alias("sld"),
+        F.col("n").cast("double").alias("nd"),
+    ).localCheckpoint()  # 1 row; feeds the residual pass AND the emit
+    z = g.crossJoin(F.broadcast(p)).select(
+        "dayd",
+        F.round(
+            F.col("uc")
+            - (F.col("sud") - F.col("b") * F.col("sld")) / F.col("nd")
+            - F.col("b") * F.col("lc")
+        )
+        .cast("bigint")
+        .alias("z"),
+    )
+    lagd = z.select(
+        "z", F.lag("z").over(Window.orderBy("dayd")).alias("zp")
+    ).filter(F.col("zp").isNotNull())
+    df = lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum((F.col("zp") * F.col("zp")).cast(dec)).alias("szz"),
+        F.sum((F.col("zp") * (F.col("z") - F.col("zp"))).cast(dec)).alias(
+            "szd"
+        ),
+        F.sum(
+            ((F.col("z") - F.col("zp")) * (F.col("z") - F.col("zp"))).cast(
+                dec
+            )
+        ).alias("sdd"),
+    )
+    fit = df.select(
+        "m",
+        (F.col("szd").cast("double") / F.col("szz").cast("double")).alias(
+            "phi"
+        ),
+        F.col("szz").cast("double").alias("szzd"),
+        F.col("szd").cast("double").alias("szdd"),
+        F.col("sdd").cast("double").alias("sddd"),
+    )
+    rss = F.greatest(
+        F.col("sddd")
+        - 2 * F.col("phi") * F.col("szdd")
+        + F.col("phi") * F.col("phi") * F.col("szzd"),
+        F.lit(0.0),
+    )
+    return fit.crossJoin(F.broadcast(p)).select(  # 1-row scalar attach
+        F.col("n").alias("n_days"),
+        r4(F.col("b")).alias("beta"),
+        r4(F.col("phi")).alias("phi"),
+        r4(
+            F.col("phi")
+            / F.sqrt(rss / (F.col("m") - 1) / F.col("szzd"))
+        ).alias("adf_t"),
+    )
+
+
+@register(
+    "weibull_time_to_convert",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id, min(ts) AS conv_ts FROM events
+      WHERE event_type = 'purchase' AND value >= 95 GROUP BY 1
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    obs AS (
+      SELECT CASE WHEN c.user_id IS NOT NULL
+                  THEN CAST(date_diff('day', s.first_ts, c.conv_ts) AS BIGINT)
+                  ELSE CAST(date_diff('day', s.first_ts, h) AS BIGINT) END
+               AS t,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM span s LEFT JOIN conv c USING (user_id) CROSS JOIN horizon
+    ),
+    tot AS (SELECT count(*) AS n FROM obs),
+    dt AS (
+      SELECT t, CAST(sum(death) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ended
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             tot.n - coalesce(sum(ended) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM dt CROSS JOIN tot
+    ),
+    km AS (
+      SELECT t, d,
+             exp(sum(ln(CASE WHEN n_risk > d
+                             THEN (n_risk - d) * 1.0 / n_risk
+                             ELSE 1.0 END))
+                 OVER (ORDER BY t)) AS s
+      FROM risk WHERE d > 0
+    ),
+    pts AS (
+      SELECT ln(CAST(t AS DOUBLE)) AS x, ln(-ln(s)) AS y
+      FROM km WHERE t > 0 AND s > 0 AND s < 1
+    ),
+    ols AS (
+      SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST(np AS BIGINT) AS n_points,
+             (np * sxy - sx * sy) / (np * sxx - sx * sx) AS shape,
+             sy / np AS ybar, sx / np AS xbar
+      FROM ols
+    ),
+    ev AS (SELECT CAST(sum(death) AS BIGINT) AS n_events,
+                  CAST(count(*) AS BIGINT) AS n_users FROM obs)
+    SELECT ev.n_users, ev.n_events, fit.n_points,
+           round(fit.shape, 4) + 0.0 AS weibull_shape,
+           round(exp(fit.xbar - fit.ybar / fit.shape), 4) + 0.0
+             AS weibull_scale_days,
+           round(exp(fit.xbar - fit.ybar / fit.shape)
+                 * pow(0.6931471805599453, 1.0 / fit.shape), 4) + 0.0
+             AS median_days
+    FROM fit CROSS JOIN ev
+    """,
+)
+def weibull_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric survival — Weibull fit to the pooled time-to-
+    conversion distribution via Kaplan-Meier linearization: the KM
+    curve (same censoring/horizon/conversion definitions as
+    kaplan_meier_churn, pooled across cohorts) gives points
+    (ln t, ln(−ln S(t))) whose OLS slope IS the Weibull shape k and
+    whose intercept gives the scale λ = exp(x̄ − ȳ/k) — shape < 1 means
+    conversion hazard falls with tenure (convert-early-or-never),
+    > 1 means it accumulates. Emits shape, scale, and the parametric
+    median λ·(ln2)^(1/k). The OLS runs over ≤ horizon-days KM points
+    (log-log regression over a bounded grid — the heaps_law_fit float
+    precedent); event-time windows are horizon-bounded (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    conv = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 95)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    h = ev.agg(F.max("ts").alias("h"))
+    obs = (
+        span.join(conv, on="user_id", how="left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(F.col("conv_ts"), F.col("first_ts")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("first_ts")))
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias(
+                "death"
+            ),
+        )
+        .localCheckpoint()  # user-level frame: feeds KM grid AND totals
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n"))
+    dt = obs.groupBy("t").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ended"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = dt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wkm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    safe = F.when(
+        F.col("n_risk") > F.col("d"),
+        (F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk"),
+    ).otherwise(F.lit(1.0))
+    km = risk.filter(F.col("d") > 0).select(
+        "t", "d", F.exp(F.sum(F.log(safe)).over(wkm)).alias("s")
+    )
+    pts = km.filter(
+        (F.col("t") > 0) & (F.col("s") > 0) & (F.col("s") < 1)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(-F.log("s")).alias("y"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fit = ols.select(
+        F.col("np").cast("bigint").alias("n_points"),
+        (
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("shape"),
+        (F.col("sy") / F.col("np")).alias("ybar"),
+        (F.col("sx") / F.col("np")).alias("xbar"),
+    )
+    evs = obs.agg(
+        F.sum("death").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    scale = F.exp(F.col("xbar") - F.col("ybar") / F.col("shape"))
+    return fit.crossJoin(F.broadcast(evs)).select(  # 1-row scalar attach
+        "n_users",
+        "n_events",
+        "n_points",
+        r4(F.col("shape")).alias("weibull_shape"),
+        r4(scale).alias("weibull_scale_days"),
+        r4(
+            scale * F.pow(F.lit(0.6931471805599453), 1.0 / F.col("shape"))
+        ).alias("median_days"),
     )
 
 

@@ -105,6 +105,10 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         # batch 2
         "wilcoxon_signed_rank", "durbin_watson_trend",
         "max_drawdown_daily", "chao1_vocab_richness", "cmh_return_rate",
+        # batch 3
+        "shapley_channel_attribution", "wasserstein_price_shift",
+        "negbin_overdispersion", "engle_granger_cointegration",
+        "weibull_time_to_convert",
     }
     # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
     # no green row possible); r10 gave it a contract oracle and a slot

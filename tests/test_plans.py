@@ -526,6 +526,13 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "durbin_watson_trend": "lag-1 over the calendar-bounded daily series",
     "max_drawdown_daily": "running max over the calendar-bounded daily "
     "series",
+    "wasserstein_price_shift": "cumulative counts + lead over the "
+    "adaptive-width value histogram — capped at 65536 buckets by "
+    "construction",
+    "engle_granger_cointegration": "lag-1 over the calendar-bounded "
+    "daily residual series",
+    "weibull_time_to_convert": "KM at-risk/product windows over the "
+    "event-time day grid, bounded by the observation horizon",
 }
 
 

@@ -266,3 +266,79 @@ def test_cmh_statistic_and_or_positive(rows):
     assert r["n_total"] > 0
     assert r["cmh_chi2"] >= 0
     assert r["mh_odds_ratio"] > 0
+
+
+# --- batch 3 ---------------------------------------------------------------
+
+
+def test_shapley_efficiency_axiom(rows, spark, sf_dir):
+    """Σφ over the 4 channels must equal v(full) − v(∅): total
+    conversions minus conversions of channel-untouched users (the
+    efficiency axiom — the whole point of Shapley over heuristics)."""
+    out = rows("shapley_channel_attribution")
+    assert len(out) == 4
+    total_phi = sum(r["shapley_conversions"] for r in out)
+    from graph_db_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        ).alias("touched"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    agg = peru.agg(
+        F.sum("conv").alias("all_conv"),
+        F.sum(F.col("conv") * (1 - F.col("touched"))).alias("untouched"),
+    ).collect()[0]
+    expect = agg["all_conv"] - agg["untouched"]
+    assert abs(total_phi - expect) < 4 * 5e-5 + 1e-9, (total_phi, expect)
+
+
+def test_wasserstein_bounds(rows):
+    """W1 is nonnegative, at least |mean difference| (Jensen), and the
+    quantization width is positive."""
+    (r,) = rows("wasserstein_price_shift")
+    assert r["quant_width_cents"] >= 1
+    assert r["w1_dollars"] >= 0
+    assert r["w1_dollars"] >= abs(r["mean_diff_dollars"]) - 1e-3
+    assert r["n_urgent"] > 0 and r["n_low"] > 0
+
+
+def test_negbin_moments_consistency(rows):
+    """dispersion_ratio must replay as var/mean; nb_r only exists when
+    overdispersed and is then positive; zero fractions live in [0,1]."""
+    (r,) = rows("negbin_overdispersion")
+    assert abs(r["dispersion_ratio"] - r["var_orders"] / r["mean_orders"]) < 1e-2
+    if r["nb_r"] is not None:
+        assert r["dispersion_ratio"] > 1
+        assert r["nb_r"] > 0
+    for c in ("zero_frac_obs", "zero_frac_poisson"):
+        assert 0.0 <= r[c] <= 1.0
+
+
+def test_engle_granger_phi_is_contraction(rows):
+    """The DF coefficient on a mean-reverting spread lies in (-2, 0]
+    (phi = 0 is a pure random walk, phi <= -2 would oscillate
+    divergently), and adf_t carries phi's sign."""
+    (r,) = rows("engle_granger_cointegration")
+    assert r["n_days"] > 10  # sf0.001 has ~32 days with both series
+    assert -2.0 < r["phi"] <= 0.5  # small positive noise tolerated
+    if r["phi"] < -0.01:
+        assert r["adf_t"] < 0
+
+
+def test_weibull_fit_positive_and_median_replay(rows):
+    """Shape and scale are positive; the emitted median must replay as
+    scale * ln2^(1/shape) within rounding."""
+    (r,) = rows("weibull_time_to_convert")
+    assert r["n_points"] > 3
+    assert r["weibull_shape"] > 0
+    assert r["weibull_scale_days"] > 0
+    expect = r["weibull_scale_days"] * 0.6931471805599453 ** (
+        1.0 / r["weibull_shape"]
+    )
+    assert abs(expect - r["median_days"]) < 5e-3 * max(1.0, r["median_days"])
