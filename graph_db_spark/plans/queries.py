@@ -4415,23 +4415,22 @@ _EXPENSIVE_LAST = [
 # whitespace class), jackknife_ratio_variance (sqrt guard),
 # hll_user_reach (new contract oracle), near_dup_clusters (CC
 # parallelism probe), sessionization (operator micros rounding) — and
-# (d) the 20 r10 registrations (every new name MUST take a window slot
+# (d) the 23 r10 registrations (every new name MUST take a window slot
 # or it stays driver-unverified forever; the contract test enforces
-# this; the second/third r10 batches displaced the 10 freshest r3
-# slots: doc_fingerprint_dedup .. event_day_stats_zero_null). r11
-# queue = the 28 remaining r3-stale names + the r4 block.
+# this; the second/third/fourth r10 batches displaced the 13 freshest
+# r3 slots: motif_region_order_path .. event_day_stats_zero_null). r11
+# queue = the 31 remaining r3-stale names + the r4 block.
 _GATE_WINDOW = [
     # (a) r2-stale
     "enrich_missing_brand", "running_idx",
-    # (b) r3-stale, CORRECTNESS_r03 order, first 22
+    # (b) r3-stale, CORRECTNESS_r03 order, first 19
     "proj_rename", "edge_customer_order", "broadcast_dim_join",
     "asof_nearest_line", "anti_parts_never_ordered",
     "semi_customers_with_orders", "dedup_first_wins", "topk_per_group",
     "sanitize_prop_names", "depth_from_label", "loose_number_parse",
     "range_parse", "point_parse", "composite_id", "datetime_coercion",
     "first_non_empty_pick", "union_dedup", "pricing_summary",
-    "graph_degrees", "motif_region_order_path", "text_token_stats",
-    "text_quality_lang",
+    "graph_degrees",
     # (c) re-queues: changed this round
     "filter_cascade_attrition", "kneser_ney_bigram",
     "jackknife_ratio_variance", "hll_user_reach", "near_dup_clusters",
@@ -4447,6 +4446,8 @@ _GATE_WINDOW = [
     "shapley_channel_attribution", "wasserstein_price_shift",
     "negbin_overdispersion", "engle_granger_cointegration",
     "weibull_time_to_convert",
+    "bray_curtis_source_matrix", "hurst_exponent_rs",
+    "auc_doc_length_lang",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -23683,6 +23684,330 @@ def weibull_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(
             scale * F.pow(F.lit(0.6931471805599453), 1.0 / F.col("shape"))
         ).alias("median_days"),
+    )
+
+
+@register(
+    "bray_curtis_source_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)),
+                                       '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+      FROM documents
+    ),
+    c AS MATERIALIZED (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ),
+    t AS MATERIALIZED (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+    ),
+    mins AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_tokens,
+             CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS w
+      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT m.source_a, m.source_b, m.shared_tokens,
+           round(1.0 - 2.0 * m.w / (ta.tot + tb.tot), 4) + 0.0
+             AS bray_curtis
+    FROM mins m
+    JOIN t ta ON ta.source = m.source_a
+    JOIN t tb ON tb.source = m.source_b
+    """,
+)
+def bray_curtis_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture design — the Bray-Curtis dissimilarity matrix between
+    source unigram count profiles: BC = 1 − 2·Σmin(c_a, c_b)/(N_a+N_b),
+    the abundance-weighted ecology measure that complements
+    source_js_divergence (JSD compares SHAPES of the normalized
+    distributions; BC feels absolute abundance, so a source that is a
+    strict subsample of another scores far from 0 under BC but ≈0 under
+    JSD — both reads matter when weighting a mixture). EXACT integers
+    until the final ratio. One corpus shuffle to (source, token)
+    counts; the pairwise Σmin is an inner join on token — |vocab|·
+    |pairs-sharing-a-token| work, never |docs|²."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim("text")), "[ \t\n\x0B\f\r]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    c = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # consumed by the totals AND both join sides
+    )
+    t = c.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    a = c.select(
+        F.col("source").alias("source_a"), "tok", F.col("cnt").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("source_b"), "tok", F.col("cnt").alias("cb")
+    )
+    mins = (
+        a.join(b, on="tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_tokens"),
+            F.sum(F.least("ca", "cb")).cast("bigint").alias("w"),
+        )
+    )
+    ta = t.select(F.col("source").alias("source_a"), F.col("tot").alias("tota"))
+    tb = t.select(F.col("source").alias("source_b"), F.col("tot").alias("totb"))
+    return (
+        mins.join(F.broadcast(ta), on="source_a")
+        .join(F.broadcast(tb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_tokens",
+            r4(
+                1.0 - 2.0 * F.col("w") / (F.col("tota") + F.col("totb"))
+            ).alias("bray_curtis"),
+        )
+    )
+
+
+@register(
+    "hurst_exponent_rs",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS dayd,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    tg AS (
+      SELECT datediff('day', (SELECT min(dayd) FROM g), dayd) + 1 AS t, y
+      FROM g
+    ),
+    sc AS (SELECT unnest([8, 16, 32, 64, 128, 256]) AS s),
+    blk AS (
+      SELECT s, (t - 1) // s AS block, t, y FROM tg CROSS JOIN sc
+    ),
+    wins AS (
+      SELECT s, block, y,
+             sum(y) OVER (PARTITION BY s, block ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumy,
+             row_number() OVER (PARTITION BY s, block ORDER BY t) AS k,
+             sum(y) OVER (PARTITION BY s, block) AS sy,
+             count(*) OVER (PARTITION BY s, block) AS cnt
+      FROM blk
+    ),
+    blocks AS (
+      SELECT s, block, max(cnt) AS cnt, max(sy) AS sy,
+             sum(y * y) AS syy,
+             max(s * cumy - k * sy) AS mx, min(s * cumy - k * sy) AS mn
+      FROM wins GROUP BY 1, 2
+    ),
+    rs AS (
+      SELECT s,
+             ln((mx - mn)
+                / sqrt(CAST(s * syy - sy * sy AS DOUBLE))) AS lnrs
+      FROM blocks
+      WHERE cnt = s AND s * syy - sy * sy > 0 AND mx > mn
+    ),
+    pts AS (
+      SELECT ln(CAST(s AS DOUBLE)) AS x, avg(lnrs) AS yv,
+             CAST(count(*) AS BIGINT) AS nblocks
+      FROM rs GROUP BY s
+    ),
+    ols AS (
+      SELECT count(*) AS np, sum(x) AS sx, sum(yv) AS syv,
+             sum(x * yv) AS sxy, sum(x * x) AS sxx,
+             CAST(sum(nblocks) AS BIGINT) AS blocks_used
+      FROM pts
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_days,
+           CAST(np AS BIGINT) AS n_scales,
+           CAST(coalesce(blocks_used, 0) AS BIGINT) AS blocks_used,
+           round(CASE WHEN np >= 2 AND np * sxx - sx * sx <> 0
+                      THEN (np * sxy - sx * syv) / (np * sxx - sx * sx)
+                 END, 4) + 0.0 AS hurst_h
+    FROM ols
+    """,
+)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-memory diagnostics — the Hurst exponent by classical
+    rescaled-range (R/S) analysis over the daily-revenue series: for
+    dyadic scales s ∈ {8..256}, split the day grid into full blocks of
+    s days, R = the range of cumulative deviations from the block mean,
+    S = the block standard deviation, and H = the log-log OLS slope of
+    mean ln(R/S) against ln(s). H≈0.5 is a memoryless walk, H>0.5
+    persistent trends, H<0.5 mean reversion — the long-horizon
+    complement to ljung_box_q/autocorrelation_lags. EXACT integer core:
+    the deviation s·cumy − k·Σy and the variance argument s·Σy² − (Σy)²
+    are integer-valued on both engines (decimal for the quadratic at
+    scale), so R/S is an identical double; only the per-scale ln mean
+    and the 6-point OLS carry the standard add-order guard band. All
+    block windows are (s, block)-PARTITIONED — no global window, any
+    corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    g = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("dayd"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "y"
+            )
+        )
+        .localCheckpoint()  # day grid: feeds n_days AND the block pass
+    )
+    m = g.agg(F.min("dayd").alias("d0"))
+    nd = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    tg = g.crossJoin(F.broadcast(m)).select(
+        (F.datediff(F.col("dayd"), F.col("d0")) + 1).alias("t"), "y"
+    )
+    sc = spark.createDataFrame(
+        [(8,), (16,), (32,), (64,), (128,), (256,)], "s long"
+    )
+    blk = tg.crossJoin(F.broadcast(sc)).select(
+        "s", F.expr("(t - 1) div s").alias("block"), "t", "y"
+    )
+    wcum = (
+        Window.partitionBy("s", "block")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("s", "block")
+    wins = blk.select(
+        "s",
+        "block",
+        "y",
+        F.sum("y").over(wcum).alias("cumy"),
+        F.row_number()
+        .over(Window.partitionBy("s", "block").orderBy("t"))
+        .alias("k"),
+        F.sum("y").over(wall).alias("sy"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    dev = F.col("s") * F.col("cumy") - F.col("k") * F.col("sy")
+    blocks = wins.groupBy("s", "block").agg(
+        F.max("cnt").alias("cnt"),
+        F.max("sy").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.max(dev).alias("mx"),
+        F.min(dev).alias("mn"),
+    )
+    varg = F.col("s").cast(dec) * F.col("syy") - (
+        F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    )
+    rs = blocks.filter(
+        (F.col("cnt") == F.col("s")) & (varg > 0) & (F.col("mx") > F.col("mn"))
+    ).select(
+        "s",
+        F.log((F.col("mx") - F.col("mn")) / F.sqrt(varg.cast("double"))).alias(
+            "lnrs"
+        ),
+    )
+    pts = rs.groupBy("s").agg(
+        F.avg("lnrs").alias("yv"),
+        F.count(F.lit(1)).cast("bigint").alias("nblocks"),
+    ).select(F.log(F.col("s").cast("double")).alias("x"), "yv", "nblocks")
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("syv"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("nblocks").cast("bigint").alias("blocks_used"),
+    )
+    den = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return ols.crossJoin(F.broadcast(nd)).select(  # 1-row scalar attach
+        "n_days",
+        F.col("np").cast("bigint").alias("n_scales"),
+        F.coalesce(F.col("blocks_used"), F.lit(0))
+        .cast("bigint")
+        .alias("blocks_used"),
+        r4(
+            F.when(  # sparse small-SF day grids can leave < 2 scales
+                (F.col("np") >= 2) & (den != 0),
+                (F.col("np") * F.col("sxy") - F.col("sx") * F.col("syv"))
+                / den,
+            )
+        ).alias("hurst_h"),
+    )
+
+
+@register(
+    "auc_doc_length_lang",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    vg AS (
+      SELECT n_chars AS v, CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM d GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, np, nn,
+             coalesce(sum(nn) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS negs_below
+      FROM vg
+    ),
+    s AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             sum(np * (negs_below + nn / 2.0)) AS u
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round(u / (n_pos * 1.0 * n_neg), 4) + 0.0 AS auc,
+           round(2.0 * u / (n_pos * 1.0 * n_neg) - 1.0, 4) + 0.0
+             AS gini_coefficient
+    FROM s
+    """,
+)
+def auc_doc_length_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation — ROC AUC of document length as a score
+    for the 'en' label, computed EXACTLY as the Mann-Whitney U
+    probability P(len_pos > len_neg) + ½P(=): U = Σ_v pos_v·(negs
+    below + ½·negs at v) over the n_chars VALUE GRID — bounded by the
+    document-length domain ([44, 577] in the fixtures), not the corpus,
+    so the cumulative window is allowlist-bounded while the corpus pays
+    one conditional-count shuffle. U sums exact half-integers ⇒
+    identical on both engines. AUC completes the eval family: brier
+    (calibration), ndcg (ranking), cumulative_gains (targeting) — this
+    is threshold-free discrimination, and gini = 2·AUC − 1."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    vg = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vg.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wprev), F.lit(0)).alias("negs_below"),
+    )
+    s = cum.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.col("negs_below") + F.col("nn") / 2.0)
+        ).alias("u"),
+    )
+    auc = F.col("u") / (F.col("n_pos") * 1.0 * F.col("n_neg"))
+    return s.select(
+        "n_pos",
+        "n_neg",
+        r4(auc).alias("auc"),
+        r4(2.0 * auc - 1.0).alias("gini_coefficient"),
     )
 
 

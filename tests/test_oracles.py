@@ -109,6 +109,9 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         "shapley_channel_attribution", "wasserstein_price_shift",
         "negbin_overdispersion", "engle_granger_cointegration",
         "weibull_time_to_convert",
+        # batch 4
+        "bray_curtis_source_matrix", "hurst_exponent_rs",
+        "auc_doc_length_lang",
     }
     # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
     # no green row possible); r10 gave it a contract oracle and a slot

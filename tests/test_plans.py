@@ -533,6 +533,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "daily residual series",
     "weibull_time_to_convert": "KM at-risk/product windows over the "
     "event-time day grid, bounded by the observation horizon",
+    "auc_doc_length_lang": "cumulative negatives over the n_chars value "
+    "grid — bounded by the document-length domain ([44, 577] in the "
+    "fixtures), not corpus size",
 }
 
 

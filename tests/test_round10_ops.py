@@ -342,3 +342,37 @@ def test_weibull_fit_positive_and_median_replay(rows):
         1.0 / r["weibull_shape"]
     )
     assert abs(expect - r["median_days"]) < 5e-3 * max(1.0, r["median_days"])
+
+
+# --- batch 4 ---------------------------------------------------------------
+
+
+def test_bray_curtis_metric_properties(rows):
+    """BC lives in [0, 1], the pair matrix is the upper triangle of the
+    20-source grid, and shared_tokens > 0 for same-domain sources."""
+    out = rows("bray_curtis_source_matrix")
+    assert 0 < len(out) <= 20 * 19 // 2
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["bray_curtis"] <= 1.0
+        assert r["shared_tokens"] > 0
+
+
+def test_hurst_exponent_plausible_range(rows):
+    """When enough full blocks exist, H of any real series lies in
+    (0, 1); a degenerate grid emits NULL rather than a junk slope."""
+    (r,) = rows("hurst_exponent_rs")
+    assert r["n_days"] > 0
+    if r["hurst_h"] is not None:
+        assert r["n_scales"] >= 2
+        assert -0.5 < r["hurst_h"] < 1.5  # slope of ln(R/S), wide guard
+    else:
+        assert r["n_scales"] < 2 or r["blocks_used"] == 0
+
+
+def test_auc_probability_bounds_and_gini_replay(rows):
+    """AUC is a probability; gini must replay as 2*AUC - 1."""
+    (r,) = rows("auc_doc_length_lang")
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0.0 <= r["auc"] <= 1.0
+    assert abs(r["gini_coefficient"] - (2 * r["auc"] - 1)) < 2e-4
