@@ -112,6 +112,9 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         # batch 4
         "bray_curtis_source_matrix", "hurst_exponent_rs",
         "auc_doc_length_lang",
+        # batch 5
+        "interevent_burstiness_memory", "effect_size_priority",
+        "mrr_hit_at_k",
     }
     # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
     # no green row possible); r10 gave it a contract oracle and a slot

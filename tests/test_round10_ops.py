@@ -376,3 +376,43 @@ def test_auc_probability_bounds_and_gini_replay(rows):
     assert r["n_pos"] > 0 and r["n_neg"] > 0
     assert 0.0 <= r["auc"] <= 1.0
     assert abs(r["gini_coefficient"] - (2 * r["auc"] - 1)) < 2e-4
+
+
+# --- batch 5 ---------------------------------------------------------------
+
+
+def test_burstiness_and_memory_bounds(rows):
+    """B lives in [-1, 1] by construction (sigma, mu >= 0); M is a
+    correlation in [-1, 1]; gaps are nonnegative so the mean is too."""
+    (r,) = rows("interevent_burstiness_memory")
+    assert r["n_gaps"] > 0
+    assert r["mean_gap_s"] >= 0
+    if r["burstiness_b"] is not None:
+        assert -1.0 - 1e-9 <= r["burstiness_b"] <= 1.0 + 1e-9
+    if r["memory_m"] is not None:
+        assert -1.0 - 1e-9 <= r["memory_m"] <= 1.0 + 1e-9
+        assert r["n_pairs"] > 1
+
+
+def test_effect_sizes_internally_consistent(rows):
+    """|g| < |d| (the correction shrinks), d and glass share sign, and
+    var_ratio is positive."""
+    (r,) = rows("effect_size_priority")
+    assert r["n_treat"] > 1 and r["n_ctrl"] > 1
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-9
+    if abs(r["cohens_d"]) > 1e-3:
+        assert r["cohens_d"] * r["glass_delta"] > 0
+    assert r["var_ratio"] > 0
+
+
+def test_mrr_hit_monotonicity(rows):
+    """hit@1 <= hit@5 <= hit@10, each in [0,1]; MRR is bounded by
+    hit@1 <= MRR <= hit@10 (reciprocal ranks are <= 1 and > 1/10...
+    precisely: mrr >= hit@1 * 1 and mrr <= hit@10)."""
+    out = rows("mrr_hit_at_k")
+    assert out, "no classes"
+    for r in out:
+        assert 0.0 <= r["hit_at_1"] <= r["hit_at_5"] + 1e-9
+        assert r["hit_at_5"] <= r["hit_at_10"] + 1e-9 and r["hit_at_10"] <= 1.0
+        assert r["hit_at_1"] - 1e-4 <= r["mrr_10"] <= r["hit_at_10"] + 1e-4
+        assert r["n_queries"] > 0
