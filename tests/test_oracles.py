@@ -115,6 +115,8 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         # batch 5
         "interevent_burstiness_memory", "effect_size_priority",
         "mrr_hit_at_k",
+        # batch 6
+        "relative_risk_ci", "huber_onestep_location",
     }
     # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
     # no green row possible); r10 gave it a contract oracle and a slot

@@ -416,3 +416,30 @@ def test_mrr_hit_monotonicity(rows):
         assert r["hit_at_5"] <= r["hit_at_10"] + 1e-9 and r["hit_at_10"] <= 1.0
         assert r["hit_at_1"] - 1e-4 <= r["mrr_10"] <= r["hit_at_10"] + 1e-4
         assert r["n_queries"] > 0
+
+
+# --- batch 6 ---------------------------------------------------------------
+
+
+def test_relative_risk_cis_bracket_the_estimates(rows):
+    """Point estimates must lie inside their own CIs; OR and RR share a
+    direction; all four cells are nonempty for this fixture design."""
+    (r,) = rows("relative_risk_ci")
+    for cell in ("n_exposed_ret", "n_exposed_ok", "n_unexposed_ret",
+                 "n_unexposed_ok"):
+        assert r[cell] > 0
+    assert r["or_lo"] <= r["odds_ratio"] <= r["or_hi"]
+    assert r["rr_lo"] <= r["risk_ratio"] <= r["rr_hi"]
+    assert (r["odds_ratio"] - 1) * (r["risk_ratio"] - 1) >= -1e-4
+
+
+def test_huber_mean_between_median_and_raw_mean(rows):
+    """Winsorizing pulls the mean toward the median: the Huber estimate
+    must lie between the median and the raw mean (inclusive, within
+    rounding), and clipping must touch a minority of rows."""
+    (r,) = rows("huber_onestep_location")
+    lo = min(r["median_dollars"], r["raw_mean_dollars"]) - 1e-3
+    hi = max(r["median_dollars"], r["raw_mean_dollars"]) + 1e-3
+    assert lo <= r["huber_mean_dollars"] <= hi
+    assert 0 <= r["n_clipped"] < r["n_orders"] / 2
+    assert r["mad_dollars"] > 0
