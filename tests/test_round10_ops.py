@@ -443,3 +443,37 @@ def test_huber_mean_between_median_and_raw_mean(rows):
     assert lo <= r["huber_mean_dollars"] <= hi
     assert 0 <= r["n_clipped"] < r["n_orders"] / 2
     assert r["mad_dollars"] > 0
+
+
+# --- batch 7 ---------------------------------------------------------------
+
+
+def test_ipf_raking_hits_both_margins(rows):
+    """After 3 rounds the column margins are matched exactly (the last
+    update is a column scale) and the row margins to IPF tolerance;
+    weights are positive and sum to ~1."""
+    out = rows("ipf_raking_margins")
+    assert out
+    tot = sum(r["weight_raked"] for r in out)
+    assert abs(tot - 1.0) < 5e-3
+    cols: dict[str, float] = {}
+    for r in out:
+        assert r["weight_raked"] > 0
+        cols[r["priority"]] = cols.get(r["priority"], 0.0) + r["weight_raked"]
+    for prio, w in cols.items():
+        assert abs(w - 0.2) < 1e-3, (prio, w)
+
+
+def test_ab_power_consistency(rows):
+    """abs_lift must replay from the rates; the planned n is positive
+    when a lift exists; z_excess > 0 iff the current sample is already
+    significant (cross-checked against the planned-n comparison)."""
+    (r,) = rows("ab_power_sample_size")
+    assert abs(r["abs_lift"] - (r["rate_treat"] - r["rate_ctrl"])) < 2e-4
+    if r["n_per_arm_80pct"] is not None:
+        assert r["n_per_arm_80pct"] > 0
+        have = min(r["n_treat"], r["n_ctrl"])
+        # if we already have far more than the planned n, the current
+        # z must clear significance (power at the planned n is 80%)
+        if have > 4 * r["n_per_arm_80pct"]:
+            assert r["z_excess"] > 0
