@@ -130,6 +130,11 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         "filter_cascade_attrition", "kneser_ney_bigram",
         "jackknife_ratio_variance", "hll_user_reach",
         "near_dup_clusters", "sessionization",
+        # round(,4) magnitude migrations: money sums moved to exact
+        # integer grids (order_value_deciles also re-keyed its ranking)
+        "pricing_summary", "rollup_pricing", "cube_order_counts",
+        "grouping_sets_revenue", "broadcast_dim_join",
+        "order_value_deciles",
     }
     assert requeued <= window, requeued - window
     for name in window - r10_new - requeued:
