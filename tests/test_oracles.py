@@ -134,7 +134,7 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         # integer grids (order_value_deciles also re-keyed its ranking)
         "pricing_summary", "rollup_pricing", "cube_order_counts",
         "grouping_sets_revenue", "broadcast_dim_join",
-        "order_value_deciles",
+        "order_value_deciles", "sql_api_region_revenue",
     }
     assert requeued <= window, requeued - window
     for name in window - r10_new - requeued:
