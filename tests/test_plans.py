@@ -536,6 +536,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "auc_doc_length_lang": "cumulative negatives over the n_chars value "
     "grid — bounded by the document-length domain ([44, 577] in the "
     "fixtures), not corpus size",
+    # page_hinkley_drift also runs calendar-bounded global windows, but
+    # they sit behind its eager localCheckpoint and are invisible to
+    # this plan-level sweep (the checkpoint executes them at build time)
+    "granger_causality_f": "lag-1 over the calendar-bounded daily series",
 }
 
 

@@ -477,3 +477,25 @@ def test_ab_power_consistency(rows):
         # z must clear significance (power at the planned n is 80%)
         if have > 4 * r["n_per_arm_80pct"]:
             assert r["z_excess"] > 0
+
+
+# --- batch 8 ---------------------------------------------------------------
+
+
+def test_page_hinkley_nonnegative_and_day_in_range(rows):
+    """PH is a max of nonnegative deviations (PH_t >= 0 with equality
+    only for a monoting-up series); the trough day must parse as a
+    date within the fixture calendar."""
+    (r,) = rows("page_hinkley_drift")
+    assert r["n_days"] > 0
+    assert r["ph_max_dollars"] >= 0
+    assert r["trough_day"] is None or r["trough_day"][:2] in ("19", "20")
+
+
+def test_granger_f_nonnegative_and_r2_consistent(rows):
+    """Adding a regressor never raises RSS, so F >= 0 and the partial
+    R^2 lives in [0, 1)."""
+    (r,) = rows("granger_causality_f")
+    assert r["n_days"] > 10
+    assert r["granger_f"] >= -1e-6
+    assert -1e-6 <= r["partial_r2"] < 1.0
