@@ -121,6 +121,8 @@ def test_r10_gate_window_covers_never_green_and_stalest_rows():
         "ipf_raking_margins", "ab_power_sample_size",
         # batch 8
         "page_hinkley_drift", "granger_causality_f",
+        # batch 9
+        "taylors_power_law", "concentration_hhi", "weekly_cycle_dft",
     }
     # hll_user_reach spent r1-r9 as the rows-only entry (no oracle, so
     # no green row possible); r10 gave it a contract oracle and a slot

@@ -499,3 +499,38 @@ def test_granger_f_nonnegative_and_r2_consistent(rows):
     assert r["n_days"] > 10
     assert r["granger_f"] >= -1e-6
     assert -1e-6 <= r["partial_r2"] < 1.0
+
+
+# --- batch 9 ---------------------------------------------------------------
+
+
+def test_taylor_law_slope_plausible(rows):
+    """The prefactor is positive and the slope finite; at sf0.001 the
+    (brand x day) cells are mostly k=1 so the mean range is tiny and
+    the log-log slope is legitimately unstable (9.9 observed) — only a
+    wide sanity bound holds across SFs."""
+    (r,) = rows("taylors_power_law")
+    assert r["n_brands"] > 2
+    if r["taylor_b"] is not None:
+        assert -20.0 < r["taylor_b"] < 20.0
+        assert r["taylor_a"] > 0
+
+
+def test_hhi_bounds_and_effective_competitors(rows):
+    """HHI in (0, 10000]; 1/HHI (share-space) is at most n_brands and
+    at least 1."""
+    out = rows("concentration_hhi")
+    assert out
+    for r in out:
+        assert 0 < r["hhi_points"] <= 10000 + 1e-6
+        assert 1.0 - 1e-6 <= r["effective_competitors"] <= r["n_brands"] + 1e-6
+
+
+def test_weekly_dft_amplitude_nonnegative_phase_in_range(rows):
+    """Amplitude >= 0, phase in (-pi, pi], and the relative amplitude
+    is a fraction of the mean for any non-degenerate series."""
+    (r,) = rows("weekly_cycle_dft")
+    assert r["n_days"] > 0
+    assert r["weekly_amplitude_dollars"] >= 0
+    assert -3.1416 <= r["phase_rad"] <= 3.1416
+    assert r["amplitude_over_mean"] >= 0
