@@ -85,7 +85,10 @@ def test_r11_gate_window_drains_stalest_blocks_first():
        decimal casts, value-identical below ~sf1, re-proven against
        their oracles at sf0.01 + sf0.1 this round, overflow regime
        pinned by the x10 amplification probe (test_plans) — a driver
-       re-run at sf0.01 cannot distinguish old from new code.
+       re-run at sf0.01 cannot distinguish old from new code. Same for
+       range_partition_balance (hidden-global-window fix via
+       with_global_rank; tie-invariant block maxima leave every
+       emitted value unchanged, re-proven at 3 SFs).
     """
     import glob
     import json

@@ -26,37 +26,50 @@ def plan_of(spark, name: str) -> str:
 
 
 def plans_of(spark, name: str) -> list[str]:
-    """The final plan PLUS the pre-checkpoint plan of every frame the
-    build eagerly ``localCheckpoint``s — the r10-verdict blind spot:
-    a global window executed at build time behind an eager checkpoint
+    """The final plan PLUS the plan of every frame the build EXECUTES
+    on its own — the r10-verdict blind spot: a global window that runs
+    at build time behind an eager ``localCheckpoint`` (or inside a
+    ``collect``/``count`` driver probe, the same hole one layer down)
     never appears in the final plan, so the inventory sweep silently
     skipped it (page_hinkley_drift was enforcement-by-comment only).
-    The patch captures each frame's formatted plan and then delegates
-    to the REAL localCheckpoint, so iterative builds keep their lineage
-    cuts and build-time behavior is unchanged."""
+    Each patch captures the frame's formatted plan and then delegates
+    to the REAL method, so iterative builds keep their lineage cuts
+    and build-time behavior is unchanged. ``take``/``head``/``first``
+    route through ``collect`` in the classic DataFrame, so patching
+    collect + count + localCheckpoint covers every build-time action
+    the non-test source uses (writer paths are exercised by their own
+    plan/oracle tests, not this sweep)."""
     # patch the CONCRETE class: pyspark 4 routes DataFrame method calls
     # through pyspark.sql.classic.dataframe.DataFrame, which overrides
-    # localCheckpoint — patching only the abstract parent never fires
+    # these methods — patching only the abstract parent never fires
     try:
         from pyspark.sql.classic.dataframe import DataFrame
     except ImportError:  # pragma: no cover - pre-4.0 layout
         from pyspark.sql import DataFrame
 
     captured: list[str] = []
-    orig = DataFrame.localCheckpoint
 
-    def capturing(self, *args, **kwargs):
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            self.explain(mode="formatted")
-        captured.append(buf.getvalue())
-        return orig(self, *args, **kwargs)
+    def wrap(orig):
+        def capturing(self, *args, **kwargs):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                self.explain(mode="formatted")
+            captured.append(buf.getvalue())
+            return orig(self, *args, **kwargs)
 
-    DataFrame.localCheckpoint = capturing
+        return capturing
+
+    origs = {
+        m: getattr(DataFrame, m)
+        for m in ("localCheckpoint", "collect", "count")
+    }
+    for m, orig in origs.items():
+        setattr(DataFrame, m, wrap(orig))
     try:
         df = QUERIES[name](spark, SF_DIR)
     finally:
-        DataFrame.localCheckpoint = orig
+        for m, orig in origs.items():
+            setattr(DataFrame, m, orig)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
