@@ -96,11 +96,15 @@ def test_r11_gate_window_drains_stalest_blocks_first():
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
+    # pin to the evidence available at r11 window-construction time:
+    # once the driver writes CORRECTNESS_r11.json the staleness map
+    # shifts, and this contract must keep describing the window that
+    # was built BEFORE that run (the r10 test's r0[1-9] glob, advanced
+    # one round)
+    root = os.path.join(os.path.dirname(__file__), "..")
     files = sorted(
-        glob.glob(
-            os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
-        )
-    )
+        glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json"))
+    ) + sorted(glob.glob(os.path.join(root, "CORRECTNESS_r10.json")))
     if len(files) < 10:
         pytest.skip("driver correctness files absent")
     last_green: dict[str, int] = {}
