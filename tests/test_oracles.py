@@ -88,7 +88,10 @@ def test_r11_gate_window_drains_stalest_blocks_first():
        re-run at sf0.01 cannot distinguish old from new code. Same for
        range_partition_balance (hidden-global-window fix via
        with_global_rank; tie-invariant block maxima leave every
-       emitted value unchanged, re-proven at 3 SFs).
+       emitted value unchanged, re-proven at 3 SFs) and the five
+       SCALE.md s33 count-quadratic fixes (kendall/mannwhitney/
+       kruskal/wasserstein/simhash_completeness — proven bit-identical
+       by output-hash comparison at two SFs, green vs oracles at 3).
     """
     import glob
     import json
