@@ -90,8 +90,9 @@ def test_r11_gate_window_drains_stalest_blocks_first():
        with_global_rank; tie-invariant block maxima leave every
        emitted value unchanged, re-proven at 3 SFs) and the five
        SCALE.md s33 count-quadratic fixes (kendall/mannwhitney/
-       kruskal/wasserstein/simhash_completeness — proven bit-identical
-       by output-hash comparison at two SFs, green vs oracles at 3).
+       kruskal/wasserstein/simhash_completeness/chi_square/ams_f2 —
+       proven bit-identical by output-hash comparison at two SFs,
+       green vs oracles at 3).
     """
     import glob
     import json
