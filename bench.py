@@ -8,12 +8,16 @@ start; timing covers logical-plan build + execution + a count() action
 (materializes every row without driver-side collect costs).
 
 Noise protocol: the bench host is shared and single-run timings at sf0.1
-swing up to 2× under external load (BASELINE.md §noise). Set
-SPARK_GRAFT_BENCH_REPS=N to run every query N times and record the
-per-query MINIMUM — the min over reps estimates the uncontended cost and
-is the number comparable across rounds. Default stays 1 (the driver's
-budget); the JSON carries "reps" so readers know which protocol produced
-it.
+swing up to 2× under external load (BASELINE.md §noise). Every query runs
+SPARK_GRAFT_BENCH_REPS times (DEFAULT 2 as of r12 — the r11 verdict's
+protocol fix: reps=1 driver benches were too noisy to detect real <=1.3x
+per-query regressions) and the per-query MINIMUM is recorded — the min
+over reps estimates the uncontended cost and is the number comparable
+across rounds. The JSON carries "reps" plus, when reps>1, per-query
+"rep_secs" (all rep wall times) and "gc_ms" (JVM GC time during the
+query's reps) in the FULL first line, so co-tenant interference (wall
+swings, flat GC, high rep spread) is separable from plan drift
+(consistent across reps) in the record — the r11 verdict item 7 ask.
 """
 
 from __future__ import annotations
@@ -42,6 +46,20 @@ HEADLINE = [
 ]
 
 
+def _jvm_gc_ms(spark) -> int | None:
+    """Cumulative JVM GC milliseconds (all collectors) via the management
+    MXBeans — deltas around a query separate GC pressure from hypervisor
+    steal when a rep's wall time swings."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:  # noqa: BLE001 — connect-mode or JVM API absence
+        return None
+
+
 def _loadavg() -> list[float] | None:
     """1/5/15-minute load averages — recorded at start and end so
     cross-round comparisons can reject load-contaminated runs
@@ -63,22 +81,30 @@ def main() -> None:
 
     import gc
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    rep_secs: dict[str, list[float]] = {}
+    gc_ms: dict[str, int] = {}
     extra = [n for n in QUERIES if n not in HEADLINE]
     for name in HEADLINE + extra:
         fn = QUERIES[name]
-        best = float("inf")
+        secs: list[float] = []
+        g0 = _jvm_gc_ms(spark)
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            secs.append(time.perf_counter() - t0)
             # release cached blocks (iterative queries localCheckpoint; the
             # blocks only free when the Python-side handles are collected)
             # so later queries aren't squeezed by dead checkpoint storage.
             gc.collect()
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        g1 = _jvm_gc_ms(spark)
+        timings[name] = round(min(secs), 3)
+        if reps > 1:
+            rep_secs[name] = [round(s, 3) for s in secs]
+        if g0 is not None and g1 is not None:
+            gc_ms[name] = g1 - g0
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -89,6 +115,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rep_secs": rep_secs,
+                "gc_ms": gc_ms,
                 "reps": reps,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
@@ -108,6 +136,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 "mean_sec_per_query": round(total / max(len(timings), 1), 3),
                 "reps": reps,
+                # co-tenancy indicators (r11 verdict item 7): how much the
+                # reps disagreed in total, and how much of the wall was JVM
+                # GC — a large spread with flat GC is hypervisor steal, not
+                # plan drift.
+                "rep_spread_sec": round(
+                    sum(max(v) - min(v) for v in rep_secs.values()), 3
+                ),
+                "gc_total_sec": round(sum(gc_ms.values()) / 1000.0, 3),
                 "loadavg_end": _loadavg(),
                 "sf": sf_val,
             }

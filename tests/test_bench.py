@@ -26,3 +26,11 @@ def test_bench_prints_compact_parseable_line_last(spark, monkeypatch, capsys):
     assert "queries" not in compact  # must stay small enough for tail capture
     assert compact["mean_sec_per_query"] == round(compact["value"], 3)
     assert len(lines[1]) < 400
+    # r12 protocol (r11 verdict item 5): driver-visible bench defaults to
+    # min-of-2, and the full line carries per-rep walls + GC deltas so
+    # co-tenancy is separable from plan drift (item 7)
+    assert full["reps"] == compact["reps"] == 2
+    assert full["rep_secs"]["probe"] and len(full["rep_secs"]["probe"]) == 2
+    assert full["queries"]["probe"] == min(full["rep_secs"]["probe"])
+    assert isinstance(full["gc_ms"].get("probe"), int)
+    assert "rep_spread_sec" in compact and "gc_total_sec" in compact

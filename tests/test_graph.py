@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
-from graph_db_spark.graph.algorithms import connected_components, pagerank
+from graph_db_spark.graph.algorithms import (
+    connected_components,
+    pagerank,
+    personalized_pagerank,
+)
 from graph_db_spark.graph.model import PropertyGraph
 
 
@@ -62,6 +66,62 @@ def test_pagerank_dangling_mass(spark):
     e = edges_of(spark, [("a", "b")])
     ranks = {r["id"]: r["rank"] for r in pagerank(e, max_iter=10).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_warns_when_unconverged(spark):
+    """r11 verdict item 1: a deliberately deep graph cut off early must
+    emit the CC-style warn (plausible-but-unconverged ranks), and the
+    SAME graph with enough rounds must stay silent — and the emitted
+    ranks must be bit-identical whether the warning fired or not
+    (warn-only contract: the signal never changes the output)."""
+    import warnings
+
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(60)]
+    e = edges_of(spark, pairs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        early = {r["id"]: r["rank"] for r in pagerank(e, max_iter=2).collect()}
+    assert any(
+        isinstance(x.message, RuntimeWarning) and "still moving" in str(x.message)
+        for x in w
+    ), [str(x.message) for x in w]
+    # tightening tol to force the warn must not perturb a single value
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        early2 = {
+            r["id"]: r["rank"]
+            for r in pagerank(e, max_iter=2, tol=1e12).collect()
+        }
+    assert early == early2
+    # a converged run (star graph, plenty of rounds) stays silent
+    star = edges_of(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")])
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        pagerank(star, max_iter=40).collect()
+    assert not [x for x in w2 if isinstance(x.message, RuntimeWarning)], [
+        str(x.message) for x in w2
+    ]
+
+
+def test_ppr_warns_when_unconverged(spark):
+    import warnings
+
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(60)]
+    e = edges_of(spark, pairs)
+    src = e.sparkSession.createDataFrame([("n00",)], "id string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        personalized_pagerank(e, src, max_iter=2).collect()
+    assert any(
+        isinstance(x.message, RuntimeWarning) and "still moving" in str(x.message)
+        for x in w
+    ), [str(x.message) for x in w]
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        personalized_pagerank(e, src, max_iter=90).collect()
+    assert not [x for x in w2 if isinstance(x.message, RuntimeWarning)], [
+        str(x.message) for x in w2
+    ]
 
 
 def test_degrees_and_motif(spark):

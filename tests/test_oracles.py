@@ -63,36 +63,29 @@ def test_gate_window_and_expensive_tail_ordering():
     assert q[-len(tail):] == tail
 
 
-def test_r11_gate_window_drains_stalest_blocks_first():
-    """r11 rotation contract — the VERIFICATION-round tightening the r10
-    verdict prescribed. Three machine-enforced jobs:
+def test_r12_gate_window_drains_stalest_blocks_first():
+    """r12 rotation contract — continues the oldest-first drain. Three
+    machine-enforced jobs (same as r11's, evidence glob advanced one
+    round):
 
-    1. Every name with no green row in any CORRECTNESS_r*.json so far
-       (i.e. this round's registrations) MUST hold a window slot (a new
-       name outside the window stays driver-unverified forever).
-    2. Registrations are CAPPED at what is left after stale re-checks —
-       the re-check slots must be EXACTLY the head of the staleness
-       queue (all names ordered by last-green round, then by their
-       position in that round's CORRECTNESS file). This is the clause
-       the r10 verdict called vacuous under registration pressure: it
-       now FAILS if any r3-stale name exists while a fresher name (or
-       an extra registration) occupies a re-check slot.
+    1. Every name with no green row in any CORRECTNESS_r01-r11 row MUST
+       hold a window slot. r12 registers ZERO new queries (hardening
+       round), so the never-green set must be empty.
+    2. Re-check slots must be EXACTLY the head of the staleness queue
+       (all names ordered by last-green round, then by their position
+       in that round's CORRECTNESS file). With zero registrations,
+       ALL 50 slots are stale re-checks: the 44 remaining r4-stale
+       names + the 6 oldest r5-stale names.
     3. A query whose query/oracle/operator changed this round must
        either take a re-queue slot or carry a documented equivalence
-       argument. r11's four advice fixes (hurst_exponent_rs,
-       granger_causality_f, engle_granger_cointegration,
-       durbin_watson_trend) are the documented exception: operand-order
-       decimal casts, value-identical below ~sf1, re-proven against
-       their oracles at sf0.01 + sf0.1 this round, overflow regime
-       pinned by the x10 amplification probe (test_plans) — a driver
-       re-run at sf0.01 cannot distinguish old from new code. Same for
-       range_partition_balance (hidden-global-window fix via
-       with_global_rank; tie-invariant block maxima leave every
-       emitted value unchanged, re-proven at 3 SFs) and the five
-       SCALE.md s33 count-quadratic fixes (kendall/mannwhitney/
-       kruskal/wasserstein/simhash_completeness/chi_square/ams_f2 —
-       proven bit-identical by output-hash comparison at two SFs,
-       green vs oracles at 3).
+       argument. r12's documented exceptions (see the _GATE_WINDOW
+       comment): pagerank/personalized_pagerank_regions (warn-only
+       convergence signal, no output change), mrr_hit_at_k_ivf
+       (localCheckpoint of the shared one-row aggregate, plan-only),
+       and the plans/queries.py per-family module split (pure
+       re-aggregation refactor) — each proven bit-identical by an
+       old-vs-new output-hash compare at sf0.001+sf0.01 and green vs
+       unchanged oracles at 3 SFs.
     """
     import glob
     import json
@@ -100,16 +93,16 @@ def test_r11_gate_window_drains_stalest_blocks_first():
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
-    # pin to the evidence available at r11 window-construction time:
-    # once the driver writes CORRECTNESS_r11.json the staleness map
+    # pin to the evidence available at r12 window-construction time:
+    # once the driver writes CORRECTNESS_r12.json the staleness map
     # shifts, and this contract must keep describing the window that
-    # was built BEFORE that run (the r10 test's r0[1-9] glob, advanced
-    # one round)
+    # was built BEFORE that run (the r11 test's glob, advanced one
+    # round to include r10 and r11)
     root = os.path.join(os.path.dirname(__file__), "..")
     files = sorted(
         glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json"))
-    ) + sorted(glob.glob(os.path.join(root, "CORRECTNESS_r10.json")))
-    if len(files) < 10:
+    ) + sorted(glob.glob(os.path.join(root, "CORRECTNESS_r1[0-1].json")))
+    if len(files) < 11:
         pytest.skip("driver correctness files absent")
     last_green: dict[str, int] = {}
     file_pos: dict[str, int] = {}
@@ -120,30 +113,27 @@ def test_r11_gate_window_drains_stalest_blocks_first():
                 if row.get("err") is None and row.get("rows_match"):
                     last_green[name] = rnd
                     file_pos[name] = pos
-    # job 1: this round's registrations are the only never-green names,
-    # and every one of them holds a window slot
-    r11_new = {"mrr_hit_at_k_ivf"}
+    # job 1: zero registrations this round — every registered name has
+    # prior driver evidence
     never = {n for n in queries() if n not in last_green}
-    window = set(_GATE_WINDOW)
-    assert never == r11_new, never ^ r11_new
-    assert r11_new <= window, r11_new - window
-    # job 2: the re-check slots are exactly the head of the staleness
-    # queue — oldest last-green round first, CORRECTNESS-file order
-    # within a round. No documented re-queues this round (job 3 below),
-    # so every non-registration slot is a stale re-check.
+    assert never == set(), never
+    # job 2: the window is exactly the head of the staleness queue —
+    # oldest last-green round first, CORRECTNESS-file order within a
+    # round. No registrations and no re-queues (job 3's exceptions are
+    # all bit-identical changes), so all 50 slots drain the queue.
     queue = sorted(
         (n for n in queries() if n in last_green),
         key=lambda n: (last_green[n], file_pos[n]),
     )
-    rechecks = [n for n in _GATE_WINDOW if n not in r11_new]
-    assert rechecks == queue[: len(rechecks)], (
-        "re-check slots must drain the staleness queue head: first "
-        f"divergence at {next((a, b) for a, b in zip(rechecks, queue) if a != b)}"
+    assert list(_GATE_WINDOW) == queue[:50], (
+        "window slots must drain the staleness queue head: first "
+        f"divergence at "
+        f"{next((a, b) for a, b in zip(_GATE_WINDOW, queue) if a != b)}"
     )
-    # job 2 teeth (the r10-verdict vacuousness fix): while any r3-stale
-    # name exists, it cannot be displaced — all of them are in the window
-    r3_stale = {n for n, r in last_green.items() if r == 3 and n in queries()}
-    assert r3_stale <= window, r3_stale - window
+    # job 2 teeth: while any r4-stale name exists, it cannot be
+    # displaced — all of them are in the window
+    r4_stale = {n for n, r in last_green.items() if r == 4 and n in queries()}
+    assert r4_stale <= set(_GATE_WINDOW), r4_stale - set(_GATE_WINDOW)
 
 
 def test_bh_z_thresholds_match_textbook_quantiles():

@@ -466,18 +466,32 @@ def test_pagerank_round_two_has_single_exchange(spark):
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("ic"))
             )
-            partial_plan = v.join(contribs, on="id", how="left").select(
-                "id",
-                (
-                    F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("ic"), F.lit(0.0))
-                ).alias("rank"),
+            # r12 shape: the vertex side is the PREVIOUS round's rank
+            # table (projection of the preserving checkpoint — same id
+            # set, same recorded partitioning), carrying _prev for the
+            # convergence signal. The join must STAY exchange-free.
+            partial_plan = (
+                ranks.select("id", F.col("rank").alias("_prev"))
+                .join(contribs, on="id", how="left")
+                .select(
+                    "id",
+                    "_prev",
+                    (
+                        F.lit(0.15 / n)
+                        + F.lit(0.85) * F.coalesce(F.col("ic"), F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
             if rnd == 1:
                 partial_plan.count()
                 plan = partial_plan._jdf.queryExecution().executedPlan().toString()
             partial = checkpoint_keep_partitioning(partial_plan)
-            mass = partial.agg(F.sum("rank")).collect()[0][0]
-            ranks = partial.withColumn("rank", F.col("rank") + F.lit((1.0 - mass) / n))
+            mass, _delta = partial.agg(
+                F.sum("rank"), F.sum(F.abs(F.col("rank") - F.col("_prev")))
+            ).collect()[0]
+            ranks = partial.select(
+                "id", (F.col("rank") + F.lit((1.0 - mass) / n)).alias("rank")
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     n_ex = plan.count("Exchange")
