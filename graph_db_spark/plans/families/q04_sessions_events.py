@@ -1,0 +1,1895 @@
+"""Query inventory part 04 (mechanical r12 split of
+plans/queries.py — statement order and bodies byte-identical to
+the monolith; registration order is preserved by the aggregator's
+import order). Registers 37 queries:
+
+  session_overlap_pairs, dow_seasonality, degree_histogram
+  rolling_anomaly_flags, source_dup_rate, event_transition_matrix
+  cusum_drift, weighted_sample_docs, percentile_sketch_bound
+  last_touch_attribution, streaming_touch_pairs, cohort_retention
+  funnel_conversion, personalized_pagerank_regions, unigram_logperplexity
+  quality_quantile_filter, k_core_4, disjunctive_discount_revenue
+  top_supplier_revenue, weighted_paths_from_region, snapshot_table_lifecycle
+  incremental_view_maintenance, join_key_skew_profile, bpe_top_pairs
+  tokenizer_fertility, incremental_lsh_dedup, streaming_incremental_dedup
+  repeated_spans, doc_chunks, embedding_diversity
+  semantic_dedup, order_priority_checking, returned_item_reporting
+  min_cost_supplier, small_quantity_revenue, sole_late_supplier
+  idle_rich_customers
+"""
+from __future__ import annotations
+
+from graph_db_spark.plans.families.q00_base import (  # noqa: F401
+    DataFrame, F, J, SparkSession,
+    Window, _poly_sql, _sf_tag, load_table,
+    r4, register, session_intervals,
+)
+from graph_db_spark.plans.families.q01_relational_pipeline import (  # noqa: F401
+    D, SIM, TX, _SW_SQL,
+    _graph_nparts, _ivf_training_sql, build_graph, edges_sql,
+)
+from graph_db_spark.plans.families.q02_datetime_rollups import (  # noqa: F401
+    STRM, _stream_state_partitions,
+)
+from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
+    PF, _metric_rows, _minhash_band_sql, spread,
+)
+
+def _session_iv_sql(event_type: str) -> str:
+    """CTE body: gap-1800s session intervals of one event type (the
+    sessionization oracle's lag/cumsum program, filtered)."""
+    return f"""(
+      SELECT user_id, min(ts) AS s, max(ts) AS e FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WHERE event_type = '{event_type}'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+      ) GROUP BY user_id, sid
+    )"""
+
+
+@register(
+    "session_overlap_pairs",
+    oracle=f"""
+    WITH ca AS {_session_iv_sql('click')},
+    eb AS {_session_iv_sql('error')}
+    SELECT CAST(ca.user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_overlap_pairs
+    FROM ca JOIN eb ON ca.user_id = eb.user_id
+     AND ca.s <= eb.e AND eb.s <= ca.e
+    GROUP BY ca.user_id
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — per user, pairs of CLICK sessions and ERROR sessions
+    whose time intervals overlap ("were errors happening while the user
+    was actively clicking?"). Composes the sessionizer with the
+    ``interval_overlap_join`` operator (operators/joins.py): naive keyed
+    range join here — per-key fan-out is sessions/user — with the
+    bucketed variant as the hot-key scale path (hypothesis-tested
+    result-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def sess(t: str) -> DataFrame:
+        return session_intervals(
+            ev.filter(F.col("event_type") == t), ["user_id"], "ts", gap_seconds=1800
+        ).select("user_id", "start_at", "end_at")
+
+    pairs = J.interval_overlap_join(
+        sess("click"),
+        sess("error").withColumnRenamed("start_at", "e_start").withColumnRenamed("end_at", "e_end"),
+        on=["user_id"],
+        left_start="start_at", left_end="end_at",
+        right_start="e_start", right_end="e_end",
+    )
+    return pairs.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs")
+    )
+
+
+@register(
+    "dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             avg(value) AS avg_value, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dow, round(avg_value, 4) AS avg_value, n,
+           round(avg_value / avg(avg_value) OVER (PARTITION BY event_type), 4)
+             AS vs_weekly_mean
+    FROM d
+    """,
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean value and
+    its ratio to the type's weekly mean (the capacity-planning /
+    anomaly-baseline shape). One groupBy plus a window over the
+    7×|types| profile table — bounded by the calendar, not the data.
+    DuckDB's dayofweek is 0-6 Sunday-first; Spark's dayofweek is 1-7, so
+    the Spark side maps to DuckDB's convention explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).agg(F.avg("value").alias("av"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    return d.select(
+        "event_type", "dow", r4(F.col("av")).alias("avg_value"), "n",
+        r4(F.col("av") / F.avg("av").over(w)).alias("vs_weekly_mean"),
+    )
+
+
+@register(
+    "degree_histogram",
+    oracle=f"""
+    WITH edges AS ({edges_sql()}),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY 1
+    )
+    SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS log2_degree_bin,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree distribution of the graph — the first plot of
+    any graph audit (power-law tail ⇒ expect skew in every per-vertex
+    join). One degree aggregation + one bounded histogram groupBy; the
+    bin count is log(max degree), independent of graph size. The bin is
+    ⌊log2 d⌋ computed as bit_length(d) − 1 (binary-string length on both
+    engines) — NEVER floor(ln d / ln 2): an integer emission has no
+    round(,4) cushion, and at d = an exact power of two a 1-ulp libm
+    difference flips the whole bin (the benford digit-clamp lesson,
+    applied to the integer-exact alternative)."""
+    g = build_graph(spark, sf_dir)
+    deg = g.degrees()
+    bin_ = F.length(F.conv(F.col("degree"), 10, 2)) - 1
+    return deg.groupBy(bin_.cast("bigint").alias("log2_degree_bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.min("degree").cast("bigint").alias("min_degree"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )
+
+
+@register(
+    "rolling_anomaly_flags",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS nw
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) FILTER (nw >= 5 AND sd > 0 AND abs(value - mu) / sd > 3.0) AS BIGINT)
+             AS n_anomalies,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1
+    """,
+)
+def rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its user's PRECEDING 10 events (trailing window — the
+    point itself excluded, so an outlier can't mask itself), flagged at
+    |z| > 3 once ≥5 points of history exist. Per-user partitioned ROWS
+    window — parallel across users at any scale; the count rollup is the
+    alerting summary."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("nw"),
+    )
+    is_anom = (
+        (F.col("nw") >= 5)
+        & (F.col("sd") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) / F.col("sd") > 3.0)
+    )
+    return scored.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.sum(is_anom.cast("int")).cast("bigint").alias("n_anomalies"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "source_dup_rate",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT)
+             AS n_unique,
+           round(1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                 * 1.0 / count(*), 4) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate — the first number a curation
+    review asks for per feed ("how much of this crawl is copies?").
+    One groupBy with a distinct-count over the normalized content hash;
+    at 100 TB flip ``profiling.distinct_count(exact=False)`` (mergeable
+    per-source HLL, same re-aggregation story as hll_user_reach) with the
+    exact form as the audit path and ``profile_distinct_approx_bound``
+    as the error contract."""
+    from graph_db_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(normalize_text(F.col("text")))
+    nu = PF.distinct_count(h, exact=True)  # exact=False → per-source HLL
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        nu.cast("bigint").alias("n_unique"),
+        r4(F.lit(1.0) - nu / F.count(F.lit(1))).alias("dup_rate"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, next, CAST(n AS BIGINT) AS n_transitions,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 4) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimate over per-user event
+    streams: for each (prev → next) event-type pair, the count and the
+    conditional probability P(next | prev). One lag window PARTITIONED
+    BY user (parallel — never global), one count aggregation, and a
+    probability normalization windowed over the 5×5 transition table
+    (bounded by the event-type vocabulary, not the data). The behavioral
+    fingerprint sessions/funnels read their structure from.
+    Deterministic ordering tiebreak on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return pairs.select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        r4(F.col("n") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+def _cusum_oracle_sql(k_sig: float = 0.5, h_sig: float = 4.0) -> str:
+    """Replay the CUSUM fold in DuckDB with the IDENTICAL left-to-right
+    arithmetic: list ordered by (ts, event_id); mean and variance as
+    left folds over the same order, so every intermediate double is
+    bit-identical to the executor's python fold and the drift-count
+    comparisons can't flip at boundaries. The per-key recurrence runs as
+    a recursive CTE stepping index i (one row per key per step, sp'/sn'
+    named ONCE in a subquery — DuckDB 1.0's list_reduce struct
+    accumulators rebind fields sequentially mid-lambda, so the
+    reduce-based formulation is not usable); same replay shape as the
+    sequence_packing oracle."""
+    return f"""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT user_id AS key, list(value ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY 1
+    ),
+    seq AS MATERIALIZED (
+      SELECT key, xs, n, mean,
+             CASE WHEN n > 1 THEN sqrt(
+               list_reduce(list_prepend(0.0, list_transform(xs, x -> (x - mean) * (x - mean))),
+                           (a, y) -> a + y) / (n - 1))
+             ELSE 0.0 END AS std
+      FROM (
+        SELECT key, xs, len(xs) AS n,
+               list_reduce(list_prepend(0.0, xs), (a, x) -> a + x) / len(xs) AS mean
+        FROM ordered
+      )
+    ),
+    rec(key, i, sp, sn, nd, mx) AS (
+      SELECT key, 0, 0.0::DOUBLE, 0.0::DOUBLE, 0::BIGINT, 0.0::DOUBLE FROM seq
+      UNION ALL
+      SELECT key, i,
+             CASE WHEN h > 0 AND (sp1 > h OR sn1 > h) THEN 0.0 ELSE sp1 END,
+             CASE WHEN h > 0 AND (sp1 > h OR sn1 > h) THEN 0.0 ELSE sn1 END,
+             nd + CASE WHEN h > 0 AND (sp1 > h OR sn1 > h) THEN 1 ELSE 0 END,
+             greatest(mx, sp1, sn1)
+      FROM (
+        SELECT r.key, r.i + 1 AS i, r.nd AS nd, r.mx AS mx,
+               {h_sig!r} * q.std AS h,
+               greatest(0.0, r.sp + (q.xs[r.i + 1] - q.mean - {k_sig!r} * q.std)) AS sp1,
+               greatest(0.0, r.sn + (q.mean - q.xs[r.i + 1] - {k_sig!r} * q.std)) AS sn1
+        FROM rec r JOIN seq q ON q.key = r.key AND r.i < q.n
+      )
+    )
+    SELECT CAST(r.key AS BIGINT) AS user_id, CAST(q.n AS BIGINT) AS n_events,
+           CAST(r.nd AS BIGINT) AS n_drifts, round(r.mx, 4) AS max_cusum
+    FROM rec r JOIN seq q ON q.key = r.key AND r.i = q.n
+    """
+
+
+@register("cusum_drift", oracle=_cusum_oracle_sql())
+def cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection — two-sided self-calibrating
+    CUSUM per user over the time-ordered value stream
+    (operators/drift.py): the recurrence S⁺/S⁻ with reset-on-drift has
+    no window-function form, so it runs as an ``applyInPandas`` fold per
+    key (Arrow batches, keys parallel) — the same escape-hatch shape as
+    sequence packing, with ``applyInPandasWithState`` as the streaming
+    twin. EXACT oracle: DuckDB replays the identical left-to-right fold
+    including the mean/variance arithmetic."""
+    from graph_db_spark.operators.drift import cusum_drift
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    out = cusum_drift(ev, "user_id", "ts", "value", "event_id")
+    return out.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "n_events",
+        "n_drifts",
+        r4(F.col("max_cusum")).alias("max_cusum"),
+    )
+
+
+def _weighted_sample_oracle_sql(k: int = 100, seed: int = 83) -> str:
+    """Replay the Efraimidis-Spirakis keys in DuckDB: same portable
+    62-bit hash (md5-window polys + affine, sketches.portable_hash64),
+    same u=(h+1)/(range+1) map, same ln(u)/w key."""
+    from graph_db_spark.operators.dedup import _MINHASH_P as P
+    from graph_db_spark.operators.dedup import minhash_params
+
+    (a1, b1), (a2, b2) = minhash_params(2, seed=seed)
+    rng = float(P * 2**31)
+    h64 = (
+        f"((({a1} * {_poly_sql('CAST(doc_id AS VARCHAR)')} + {b1}) % {P}) * 2147483648"
+        f" + (({a2} * {_poly_sql('CAST(doc_id AS VARCHAR)', 131)} + {b2}) % {P}))"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(({h64} + 1.0) / {rng + 1.0!r}) / greatest(n_chars, 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 4) + 0.0 AS es_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {k}
+    """
+
+
+@register("weighted_sample_docs", oracle=_weighted_sample_oracle_sql())
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each document gets key ln(u)/w — u a hash-derived
+    uniform in (0,1), w its length weight — and the global top-k by key
+    IS a weighted sample. No ``rand()`` anywhere: the sample is a pure
+    function of the ids, so task retries, re-runs, and the DuckDB oracle
+    all agree — the retry-safety discipline of `stratified_sample`
+    extended to weighted selection. Top-k compiles to TakeOrdered
+    (per-partition heaps + driver merge of k rows), never a global
+    sort."""
+    from graph_db_spark.operators.sketches import portable_hash64
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rng = float(2147483647 * 2**31)
+    u = (portable_hash64(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(rng + 1.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars", r4(F.col("k")).alias("es_key"))
+    )
+
+
+@register(
+    "percentile_sketch_bound",
+    oracle="""
+    SELECT 'n_groups' AS metric, CAST(count(DISTINCT event_type) AS DOUBLE) AS value FROM events
+    UNION ALL
+    SELECT 'total_rows', CAST(count(*) AS DOUBLE) FROM events
+    UNION ALL SELECT 'max_rank_err_le_001', 1.0
+    """,
+)
+def percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quality bound — the mergeable-quantile half of the sketch
+    family's contract story (the analogue of `hll_error_bound`):
+    per-group ``approx_percentile`` (Spark's built-in mergeable KLL-style
+    sketch, the documented 100 TB swap for `percentile_value_stats`)
+    must land within rank error 0.01 of the true median. The rank of
+    the sketch's answer is measured against the data itself (fraction of
+    values ≤ it), so the contract row is exact arithmetic over exact
+    counts — DuckDB verifies the facts and the bound without needing to
+    replicate the sketch internals."""
+    ev = load_table(spark, sf_dir, "events")
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("p50_apx")
+    )
+    ranked = (
+        ev.join(F.broadcast(apx), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("p50_apx"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("rank_frac")
+        )
+    )
+    facts = _metric_rows(
+        ev.agg(F.countDistinct("event_type").alias("v")).select(
+            F.lit("n_groups").alias("metric"), F.col("v").cast("double").alias("value")
+        ),
+        ev.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit("total_rows").alias("metric"), F.col("v").cast("double").alias("value")
+        ),
+    )
+    contract = ranked.agg(F.max(F.abs(F.col("rank_frac") - 0.5)).alias("err")).select(
+        F.lit("max_rank_err_le_001").alias("metric"),
+        F.when(F.col("err") <= 0.01, 1.0).otherwise(0.0).alias("value"),
+    )
+    return _metric_rows(facts, contract)
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, ts AS pts, user_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, ts AS tts, user_id, event_type AS touch
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    sel AS (
+      SELECT pid, pts, value, touch FROM (
+        SELECT p.pid, p.pts, p.value, t.touch, t.tid,
+               row_number() OVER (PARTITION BY p.pid
+                 ORDER BY epoch(p.pts) - epoch(t.tts) ASC, t.tid ASC) AS rn
+        FROM p LEFT JOIN t
+          ON p.user_id = t.user_id AND t.tts <= p.pts
+         AND epoch(p.pts) - epoch(t.tts) <= 86400
+      ) WHERE rn = 1
+    )
+    SELECT strftime(pts, '%Y-%m-%d') AS day,
+           coalesce(touch, 'unattributed') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_value
+    FROM sel GROUP BY 1, 2
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution — each purchase credits the LAST view/click
+    by the same user within 24h (backward as-of join with tolerance;
+    purchases with no prior touch report as 'unattributed'). Reuses the
+    J3 as-of operator in its attribution costume — the same
+    join-then-rank program, with the bucketed variant as the scale path
+    when a user's touch stream is hot."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+        "user_id", F.col("value").alias("pvalue"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"), F.col("ts").alias("tts"),
+        "user_id", F.col("event_type").alias("touch"),
+    )
+    matched = J.asof_join(
+        purchases, touches, on=["user_id"], left_ts="pts", right_ts="tts",
+        tolerance_seconds=86400, tiebreak_cols=["tid"], direction="backward",
+    )
+    return (
+        matched.groupBy(
+            F.date_format(F.to_date("pts"), "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("touch"), F.lit("unattributed")).alias("touch_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            r4(F.sum("pvalue")).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "streaming_touch_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, ts AS pts, user_id FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT ts AS tts, user_id, event_type AS touch FROM events
+      WHERE event_type IN ('view', 'click')
+    )
+    SELECT strftime(p.pts, '%Y-%m-%d') AS day, t.touch AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p JOIN t ON p.user_id = t.user_id
+     AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+    GROUP BY 1, 2
+    """,
+)
+def streaming_touch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 STREAM-STREAM join — purchases ⋈ touches by user within a
+    24h interval, both sides arriving as streams with watermarks (the
+    state-store shape none of the other streaming jobs exercise: both
+    sides buffer, and the interval condition + watermarks bound the
+    state). availableNow processes the full fixture, so the pair set
+    equals the batch interval join exactly — the oracle is that batch
+    join, aggregated per (day, touch type)."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_stream_touch_{_sf_tag(sf_dir)}",
+    )
+    ev.write.mode("overwrite").parquet(d)
+    p_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type") == "purchase")
+    )
+    t_stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter(F.col("event_type").isin("view", "click"))
+    )
+    pairs = STRM.stream_touch_pairs(p_stream, t_stream)
+    qname = "mem_touch_pairs"
+    with _stream_state_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.date_format(F.to_date("pts"), "yyyy-MM-dd").alias("day"),
+            F.col("touch").alias("touch_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c0 FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    joined AS (
+      SELECT strftime(f.c0, '%Y-%m-%d') AS cohort,
+             CAST(a.d - f.c0 AS BIGINT) AS offset_days,
+             a.user_id
+      FROM act a JOIN firstd f USING (user_id)
+    )
+    SELECT cohort, offset_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM joined GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day; for each (cohort, day-offset) the count of still-active users —
+    the standard product-analytics triangle. Two aggregations + one join
+    on user_id (the first-day table is user-sized and co-partitioned
+    with the activity table on the join key — no broadcast assumption at
+    100 TB, where user counts are huge but the join is a plain key
+    shuffle both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(firstd, on="user_id")
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "c0").cast("bigint").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS viewed,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS clicked,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click) AS BIGINT) AS purchased
+    FROM steps GROUP BY day
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per (user, day), the first timestamp of
+    each step; a user converts a step only if it happens strictly AFTER
+    the previous step's first occurrence (view → click → purchase).
+    One conditional-min aggregation per step inside a single groupBy —
+    no self-joins, no per-user sorting; the standard funnel formulation
+    that scales as one map-side-combined pass over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id", day).agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return steps.groupBy("day").agg(
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("purchased"),
+    )
+
+
+def _ppr_oracle_sql(iters: int = 10, reset: float = 0.15) -> str:
+    """Unrolled power-iteration oracle for personalized PageRank with the
+    5 Region vertices as the restart set — same conservation-based
+    dangling recovery as graph/algorithms.personalized_pagerank, restart
+    mass deposited only on sources. MATERIALIZED per the PageRank oracle
+    lesson (plain CTEs inline exponentially in DuckDB)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql()})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "sn AS MATERIALIZED (SELECT count(*) AS ns FROM verts WHERE id LIKE 'R:%')",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "w AS MATERIALIZED (SELECT edges.src AS id, edges.dst, 1.0 / deg.d AS wt FROM edges JOIN deg ON edges.src = deg.src)",
+        "pr0 AS (SELECT id, CASE WHEN id LIKE 'R:%' THEN 1.0 / (SELECT ns FROM sn) ELSE 0.0 END AS rank FROM verts)",
+    ]
+    final = "pr0"
+    for i in range(iters):
+        p, q = f"pr{i}", f"pr{i + 1}"
+        parts += [
+            f"c{i} AS (SELECT w.dst AS id, sum({p}.rank * w.wt) AS contrib FROM {p} JOIN w ON {p}.id = w.id GROUP BY w.dst)",
+            f"t{i} AS MATERIALIZED (SELECT v.id, {1 - reset} * coalesce(c{i}.contrib, 0) AS rank"
+            f" FROM verts v LEFT JOIN c{i} ON v.id = c{i}.id)",
+            f"{q} AS MATERIALIZED (SELECT id, rank + CASE WHEN id LIKE 'R:%'"
+            f" THEN (1.0 - (SELECT sum(rank) FROM t{i})) / (SELECT ns FROM sn) ELSE 0.0 END AS rank FROM t{i})",
+        ]
+        final = q
+    return ",\n".join(parts) + f"""
+    SELECT label, round(mass, 6) AS mass, CAST(n AS BIGINT) AS n FROM (
+      SELECT substr(id, 1, 1) AS label, sum(rank) AS mass, count(*) AS n
+      FROM {final} GROUP BY 1
+    )
+    """
+
+
+@register("personalized_pagerank_regions", oracle=_ppr_oracle_sql())
+def personalized_pagerank_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — personalized PageRank restarted at the 5 Region
+    vertices (random walk with restart: rank = proximity to the seed
+    set). Checked against a full unrolled power-iteration oracle on
+    per-label rank masses, like the uniform `pagerank` query — a wrong
+    restart vector or dangling-to-sources recovery shifts label masses
+    at the 3rd-4th decimal and fails the gate.
+
+    NOTE: this is a FIXED-ITERATION spec (the oracle unrolls the same
+    10 rounds), and at 10 rounds the walk's restart mass is still
+    propagating, so the r12 convergence signal's RuntimeWarning
+    ("still moving … raise max_iter") fires here BY DESIGN — it is the
+    honest per-run report the r11 verdict asked for, not a defect; the
+    emitted masses are exact against the 10-round oracle either way."""
+    from graph_db_spark.graph.algorithms import personalized_pagerank
+
+    g = build_graph(spark, sf_dir)
+    sources = g.vertices.filter(F.col("label") == "Region").select("id")
+    pr = personalized_pagerank(
+        g.edges, sources, max_iter=10, n_partitions=_graph_nparts(sf_dir)
+    )
+    return (
+        pr.groupBy(F.substring("id", 1, 1).alias("label"))
+        .agg(
+            F.round(F.sum("rank"), 6).alias("mass"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "unigram_logperplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    t AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(cnt * 1.0 / n)), 4) AS avg_neg_logp
+    FROM toks JOIN c USING (token) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def unigram_logperplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation perplexity proxy: per document, the mean negative
+    log-probability of its tokens under the corpus's own unigram
+    distribution — cheap outlier/gibberish signal (high = rare-token
+    soup, low = stopword soup) used to bucket documents before an
+    expensive model-based quality pass. One token-count aggregation +
+    one equi-join on token (both sides shuffle on the same key; at
+    web scale the unigram table is itself distributed — no broadcast
+    assumption), then a per-doc mean."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(counts, on="token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            r4(F.avg(-F.log(F.col("cnt") / F.col("n")))).alias("avg_neg_logp"),
+        )
+    )
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, source, text,
+             len(list_distinct(list_intersect(t, {{sw_en}}))) AS h_en,
+             len(list_distinct(list_intersect(t, {{sw_es}}))) AS h_es,
+             len(list_distinct(list_intersect(t, {{sw_de}}))) AS h_de,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+      FROM toks
+    ), q AS (
+      SELECT doc_id, source,
+             round((least(n_tok / 50.0, 1.0)
+                    + (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                                    / nullif(length(text), 0)) * 5.0, 1.0))
+                    + least((h_en + h_es + h_de) / 5.0, 1.0)) / 3.0, 4) AS quality
+      FROM hits
+    ), med AS (
+      SELECT source, quantile_cont(quality, 0.5) AS median_q FROM q GROUP BY 1
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (q.quality >= med.median_q) AS BIGINT) AS n_kept,
+           round(med.median_q, 4) AS median_q
+    FROM q JOIN med ON q.source = med.source
+    GROUP BY q.source, med.median_q
+    """.replace("{sw_en}", _SW_SQL["en"]).replace("{sw_es}", _SW_SQL["es"]).replace("{sw_de}", _SW_SQL["de"]),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: per-source quantile-relative quality filtering — keep
+    documents at or above their source's MEDIAN quality score (absolute
+    thresholds are wrong across heterogeneous sources; quantile cuts are
+    the standard mixture-curation move). Exact interpolated median here
+    (oracle-checkable); at 100 TB flip ``profiling.percentile(
+    exact=False)`` — per-source medians then come from a single sketch
+    pass, with ``quantile_approx_bound`` as the error contract. The
+    median is computed over 4-decimal-rounded scores so both engines
+    compare identical doubles at the cut boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("source", r4(TX.quality_score("text")).alias("quality"))
+    med = q.groupBy("source").agg(PF.percentile(F.col("quality"), 0.5).alias("median_q"))
+    return (
+        q.join(F.broadcast(med), on="source")
+        .groupBy("source", "median_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("quality") >= F.col("median_q"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("source", "n_docs", "n_kept", r4(F.col("median_q")).alias("median_q"))
+    )
+
+
+def _k_core_oracle_sql(k: int = 4, rounds: int = 14) -> str:
+    """Unrolled peel replay of graph/algorithms.py:k_core. The Spark side
+    iterates to a fixpoint; the oracle unrolls ``rounds`` peels — the
+    sf0.01 fixture converges in 9 (sf0.001 in 6, probed), and extra
+    rounds are no-ops after the fixpoint, so 14 gives margin without
+    changing the answer. MATERIALIZED so DuckDB doesn't inline the
+    peeling chain exponentially."""
+    parts = [
+        f"WITH edges AS ({edges_sql()})",
+        "sym0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        " SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges)"
+        " WHERE a <> b)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"keep{r} AS MATERIALIZED (SELECT a FROM sym{r} GROUP BY a HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"sym{r + 1} AS MATERIALIZED (SELECT s.a, s.b FROM sym{r} s"
+            f" JOIN keep{r} ka ON s.a = ka.a JOIN keep{r} kb ON s.b = kb.a)"
+        )
+    return ",\n".join(parts) + f"""
+    SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM sym{rounds} GROUP BY a
+    """
+
+
+@register("k_core_4", oracle=_k_core_oracle_sql())
+def k_core_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — the 4-core of the fixture graph (iterative
+    degree peeling to the unique fixpoint; graph/algorithms.py:k_core).
+    Line vertices have degree 3, so k=4 triggers a genuine multi-round
+    cascade (9 rounds at sf0.01). Each round is one degree aggregation +
+    two semi-joins, shuffling on vertex id — the same per-round shape as
+    connected components, with localCheckpoint bounding lineage."""
+    from graph_db_spark.graph.algorithms import k_core
+
+    g = build_graph(spark, sf_dir)
+    # NOT assume_simple: the synthetic lineitem table has duplicate
+    # (orderkey, linenumber) pairs, so the graph is a genuine multigraph
+    # and the symmetrization dedup is semantically required (verified:
+    # skipping it inflates the core by 30%)
+    return k_core(g.edges, 4)
+
+
+@register(
+    "disjunctive_discount_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 10 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicates): an OR-of-ANDs spanning
+    both join sides. The per-table slices of the disjunction are
+    derivable (Catalyst's constraint propagation pushes
+    ``p_brand IN (...)`` / the p_size hull into the part scan and the
+    l_quantity hull into the lineitem scan), so the join sees pre-pruned
+    inputs and only the residual mixed-table disjunction evaluates as
+    the join filter. The part side is dimension-sized → broadcast. The
+    plan property that matters at 100 TB: a naive engine evaluates the
+    whole OR post-join over the full fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(10, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the revenue view + global-argmax
+    scalar subquery. Decorrelation: the quarter's per-supplier revenue
+    aggregates once (map-side combined, date range pushed into the
+    scan), the 1-row MAX broadcasts back over the SAME materialized
+    aggregate. The revenue view is localCheckpointed — it is
+    supplier-cardinality, i.e. dimension-sized — because exchange reuse
+    across the two consumers is not guaranteed (verified: the
+    un-materialized form plans TWO lineitem scans); materializing is how
+    Q15's CREATE VIEW is meant to behave, and the plan test pins the
+    single fact scan. Ties all surface (no arbitrary LIMIT 1), on the
+    ROUNDED revenue so both engines compare identical values."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev")
+    ).localCheckpoint()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "total_rev",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _weighted_paths_oracle() -> str:
+    from graph_db_spark.graph.build import edges_sql
+
+    w = _poly_sql("src || '|' || dst")
+    return f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT src, dst, {w} % 9 + 1 AS w FROM ({edges_sql()})
+    ),
+    walk(id, dist) AS (
+      SELECT 'R:0', CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT e.dst, walk.dist + e.w FROM walk JOIN e ON e.src = walk.id
+    ),
+    best AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1)
+    SELECT substr(id, 1, 1) AS label, CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+    """
+
+
+@register("weighted_paths_from_region", oracle=_weighted_paths_oracle())
+def weighted_paths_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — WEIGHTED shortest paths from the Region landmark
+    (Bellman-Ford relax rounds, graph/algorithms.py:
+    weighted_shortest_paths). Suppliers are reachable both directly
+    (2 hops) and through lineitems (5 hops) with independent hash
+    weights, so the lighter-but-longer path genuinely wins for some
+    vertices — the case plain BFS cannot express. Edge weights are the
+    engine-portable md5-window hash of (src|dst) in [1, 9] (integer
+    arithmetic end-to-end, so the oracle is EXACT: DuckDB re-derives the
+    same weights and walks the DAG with a recursive CTE + min). Output
+    is aggregated to (label, dist, n) to keep the comparison compact."""
+    from graph_db_spark.graph.algorithms import weighted_shortest_paths
+    from graph_db_spark.operators.dedup import portable_hash
+
+    g = build_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src",
+        "dst",
+        (portable_hash(F.concat_ws("|", F.col("src"), F.col("dst"))) % 9 + 1).alias("weight"),
+    )
+    lms = g.vertices.filter(F.col("id") == "R:0").select("id")
+    sp = weighted_shortest_paths(e, lms, n_partitions=_graph_nparts(sf_dir))
+    return (
+        sp.groupBy(
+            F.substring("id", 1, 1).alias("label"), F.col("dist").cast("bigint").alias("dist")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "snapshot_table_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 1000
+    ),
+    up1 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+      FROM customer WHERE c_custkey > 900 AND c_custkey <= 1100
+    ),
+    up2 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 200 AS c_acctbal
+      FROM customer WHERE c_custkey > 1050 AND c_custkey <= 1200
+    ),
+    m1 AS (
+      SELECT * FROM up1
+      UNION ALL
+      SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM up1)
+    ),
+    m2 AS (
+      SELECT * FROM up2
+      UNION ALL
+      SELECT * FROM m1 WHERE c_custkey NOT IN (SELECT c_custkey FROM up2)
+    ),
+    final AS (SELECT * FROM m2 WHERE c_custkey % 97 <> 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — the full snapshot-table DML lifecycle under the
+    exact oracle (writers/snapshots.py): create → copy-on-write MERGE →
+    merge-on-read fast-ingest MERGE (delta files, read-side resolution)
+    → keyed DELETE → compact, then read the final snapshot and
+    aggregate per segment. The oracle replays the same upsert semantics
+    as precedence unions in plain SQL — what the oracle checks is that
+    five commits of manifest arithmetic (atomic publishes, carried
+    files, seq resolution, anti-join delete, defragmentation) preserve
+    exactly the state a direct computation produces. The reference's
+    MERGE-everything write story (app/graph_fields.py:16-25) lands here
+    as a transactional table, not a directory swap."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import SnapshotTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = _sf_tag(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"graft_snaptable_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, cust.filter(F.col("c_custkey") <= 1000), ["c_custkey"], n_buckets=8
+    )
+    t.merge(
+        cust.filter((F.col("c_custkey") > 900) & (F.col("c_custkey") <= 1100))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+    )
+    t.merge(
+        cust.filter((F.col("c_custkey") > 1050) & (F.col("c_custkey") <= 1200))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 200),
+        mode="mor",
+    )
+    t.delete(
+        cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    )
+    t.compact()
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "incremental_view_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 800
+    ),
+    up AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS c_acctbal
+      FROM customer WHERE c_custkey > 700 AND c_custkey <= 900
+    ),
+    m1 AS (
+      SELECT * FROM up
+      UNION ALL
+      SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM up)
+    ),
+    final AS (SELECT * FROM m1 WHERE c_custkey % 53 <> 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table format — incremental view maintenance under the exact
+    oracle: a per-segment COUNT/SUM view is NEVER recomputed from the
+    table; it is maintained purely by folding each commit's CDC feed
+    (old-image retraction + new-image addition,
+    writers/snapshots.py:apply_changes_to_aggregate) across a create →
+    COW merge → keyed delete sequence. The oracle computes the final
+    view directly from the same DML replayed in SQL — a hash match
+    proves the delta algebra (including the doubled-balance updates and
+    the deletes' retractions) reconstructs the direct answer exactly.
+    At 100 TB this is the materialized-view story: maintenance cost ∝
+    churn, never table size."""
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_spark.writers.snapshots import (
+        SnapshotTable,
+        apply_changes_to_aggregate,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = _sf_tag(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"graft_ivm_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable.create(
+        spark, path, cust.filter(F.col("c_custkey") <= 800), ["c_custkey"], n_buckets=8
+    )
+    groups, sums = ["c_mktsegment"], ["c_acctbal"]
+    feed0 = (
+        t.read()
+        .withColumn("_change", F.lit("insert"))
+        .withColumn("_old_c_mktsegment", F.lit(None).cast("string"))
+        .withColumn("_old_c_acctbal", F.lit(None).cast("double"))
+    )
+    view = apply_changes_to_aggregate(None, feed0, groups, sums).localCheckpoint()
+    for commit in (
+        lambda: t.merge(
+            cust.filter((F.col("c_custkey") > 700) & (F.col("c_custkey") <= 900))
+            .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+        ),
+        lambda: t.delete(
+            cust.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+        ),
+    ):
+        v_before = t.latest_version()
+        commit()
+        feed = t.changes(v_before, include_old=True)
+        view = apply_changes_to_aggregate(view, feed, groups, sums).localCheckpoint()
+    return view.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("sum_c_acctbal")).alias("total_bal"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'lineitem.l_orderkey' AS key_col, CAST(l_orderkey AS VARCHAR) AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+    ),
+    counts AS (
+      SELECT key_col, k, count(*) AS c FROM per_key GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(max(c) / avg(c), 4) AS skew_ratio
+    FROM counts GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostics — join-key skew profile: per candidate join key, row
+    count, key cardinality, the heaviest key's row count, and the
+    max/avg skew ratio. This is the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting
+    (``salted_skew_join``); running it as a first-class query means the
+    decision is data-driven, not guessed. One count-per-key aggregation
+    per profiled column (map-side combined) + a key_col-grouped rollup —
+    at 100 TB each profile is a single linear pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    sides = [
+        ("lineitem.l_orderkey", li.select(F.col("l_orderkey").cast("string").alias("k"))),
+        ("lineitem.l_partkey", li.select(F.col("l_partkey").cast("string").alias("k"))),
+        ("events.user_id", ev.select(F.col("user_id").cast("string").alias("k"))),
+    ]
+    per = None
+    for name, side in sides:
+        tagged = side.withColumn("key_col", F.lit(name))
+        per = tagged if per is None else per.unionByName(tagged)
+    counts = per.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            r4(F.max("c") / F.avg("c")).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )
+
+
+@register(
+    "bpe_top_pairs",
+    oracle="""
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    v AS (SELECT wf, string_split_regex(w, '') AS a FROM wf),
+    pc AS (
+      SELECT unnest(list_transform(range(1, len(a)),
+                                   i -> a[i] || ' ' || a[i + 1])) AS pair,
+             wf
+      FROM v
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS freq
+    FROM pc GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training — one BPE round's heavy step: frequency-
+    weighted adjacent-symbol-pair counts over the word-frequency
+    vocabulary (operators/text.py:pair_stats). The corpus collapses to
+    the vocabulary FIRST (one shuffle), so at 100 TB every merge round
+    is a vocabulary-sized aggregation — corpus size only ever affects
+    round one. The full iterative trainer (``bpe_learn``) is pinned
+    against a canonical Python BPE in tests/test_llm_ops.py; this query
+    puts its distributed step under the exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = TX.word_freq_table(docs, "text").select(
+        "wf", F.split("w", "").alias("syms")
+    )
+    return TX.pair_stats(vocab, k=20)
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_words,
+           round(avg(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))), 4) AS avg_bpe_ish,
+           round(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) * 1.0)
+                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: per language, mean whitespace words,
+    mean BPE-ish tokens, and fertility (BPE tokens per word) — the
+    number that converts a per-language document budget into a token
+    budget for mixture planning. Pure Column expressions over the scan;
+    one small groupBy on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "lang",
+        TX.token_count("text").cast("double").alias("w"),
+        TX.bpe_ish_token_count("text").cast("double").alias("b"),
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg("w")).alias("avg_words"),
+        r4(F.avg("b")).alias("avg_bpe_ish"),
+        r4(F.sum("b") / F.sum("w")).alias("fertility"),
+    )
+
+
+@register(
+    "incremental_lsh_dedup",
+    oracle=f"""
+    WITH {_minhash_band_sql(cands_pred="a.doc_id >= 400 AND b.doc_id < 400")}
+    SELECT id_a AS new_id, id_b AS corpus_id FROM cands
+    """,
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production crawl-ingest shape: a NEW
+    batch (doc_id ≥ 400 here) is deduped against the persisted banded
+    LSH index of the existing corpus (doc_id < 400) without the corpus
+    ever self-joining or re-signing (operators/dedup.py:minhash_banded /
+    minhash_lsh_candidates_against). Shuffle volume is O(batch·bands) +
+    touched index rows; oversized new-side buckets take the skew-join
+    split. Complements `streaming_exact_dedup` (ingest-time exact half)
+    and `minhash_lsh_dedup` (at-rest full sweep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    index = D.minhash_banded(corpus, "text", "doc_id")
+    return D.minhash_lsh_candidates_against(new, index, "text", "doc_id")
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH {_minhash_band_sql(cands_pred="a.doc_id >= 400 AND b.doc_id < 400")}
+    SELECT id_a AS new_id, id_b AS corpus_id FROM cands
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming × dedup — the ingest-time form of
+    `incremental_lsh_dedup`: new documents arrive in MICRO-BATCHES
+    (maxFilesPerTrigger) and each batch is LSH-checked against the
+    static banded index of the existing corpus via ``foreachBatch``
+    (streaming/jobs.py:stream_incremental_dedup). Batching cannot change
+    the answer — candidates are per-document against a static index —
+    so the oracle is the same as the batch query's; the union of batch
+    outputs must hash-match it exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    # index built once, materialized — every micro-batch reuses the rows
+    index = D.minhash_banded(corpus, "text", "doc_id").localCheckpoint()
+    tag = _sf_tag(sf_dir)
+    src = os.path.join(tempfile.gettempdir(), f"graft_incdedup_src_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"graft_incdedup_out_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"graft_incdedup_ckpt_{tag}")
+    for d in (out, ckpt):  # append-mode sink + checkpoint must start clean
+        shutil.rmtree(d, ignore_errors=True)
+    new.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 2)  # force several micro-batches
+        .parquet(src)
+    )
+    q = STRM.stream_incremental_dedup(stream, index, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — the memory sink "
+            "is partial; failing loudly instead of surfacing a confusing "
+            "oracle mismatch (r5 ADVICE #2)"
+        )
+    return spark.read.parquet(out).select("new_id", "corpus_id").distinct()
+
+
+@register(
+    "repeated_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+                                   i -> array_to_string(w[i+1:i+5], ' '))) AS span
+      FROM w
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, span LIMIT 20
+    """,
+)
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication scan (the bounded-window variant of
+    Lee et al. 2022's suffix-array dedup): 5-token spans appearing in ≥2
+    distinct documents, with doc and occurrence counts — top-20 by
+    frequency. Position-sensitive n-grams (repeats kept) so within-doc
+    boilerplate repetition counts too.
+
+    Scale shape: explode + one groupBy on the span string — linear
+    shuffle with map-side combine; no pair joins. A 100 TB run groups on
+    a span HASH instead of the string (8 bytes vs ~40) and bloom-filters
+    singleton spans before the shuffle; the fixture keeps the raw string
+    so the DuckDB oracle needs no hash replay."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id", F.explode(TX.positional_ngrams(F.col("text"), 5)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), "span")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 24)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(w[start:start+31]) AS BIGINT) AS n_tokens,
+           array_to_string(w[start:start+31], ' ') AS chunk
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking: overlapping 32-token windows every
+    24 tokens (8-token overlap), one row per chunk with its index, start
+    offset, and cropped tail. Pure Column expressions (sequence + slice)
+    — chunking is a narrow map over the scan at any scale; the chunk
+    table is what the embedding and packing stages consume."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunk = F.explode(TX.chunk_tokens(F.col("text"), 32, 24)).alias("c")
+    return docs.select("doc_id", chunk).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").cast("bigint").alias("start_tok"),
+        F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+@register(
+    "embedding_diversity",
+    oracle="""
+    WITH nrm AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    u AS (
+      SELECT label,
+             unnest(list_transform(v, x -> CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                                                THEN x / sqrt(list_dot_product(v, v))
+                                                ELSE 0.0 END)) AS x,
+             generate_subscripts(v, 1) AS pos
+      FROM nrm
+    ),
+    s AS (SELECT label, pos, sum(x) AS s FROM u GROUP BY 1, 2),
+    ss AS (SELECT label, sum(s * s) AS ss FROM s GROUP BY 1),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings GROUP BY 1)
+    SELECT CAST(label AS BIGINT) AS label, n_vectors,
+           round(CASE WHEN n_vectors > 1
+                      THEN (ss - n_vectors) / (n_vectors * (n_vectors - 1.0)) END, 4)
+             + 0.0 AS mean_pairwise_cosine
+    FROM ss JOIN n USING (label)
+    """,
+)
+def embedding_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation diversity metric: per label, the mean pairwise
+    cosine similarity of its embeddings — computed WITHOUT the O(n²)
+    pair join via the sum-vector identity ‖Σu‖² − n (operators/
+    similarity.py:embedding_diversity). O(n·dim) work and one (key, pos)
+    partial-sum shuffle: the redundancy number a mixture planner reads
+    per source, at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.embedding_diversity(emb, "embedding", ["label"])
+    return out.select(
+        F.col("label").cast("bigint").alias("label"), "n_vectors", "mean_pairwise_cosine"
+    )
+
+
+def _semantic_dedup_oracle_sql(n_centroids: int = 16, lloyd_iters: int = 3,
+                               dim: int = 64, threshold: float = 0.3) -> str:
+    """SemDeDup oracle: the shared IVF training replay (same centroids,
+    same assignment tiebreak), then the within-cluster keep-first rule."""
+    parts = _ivf_training_sql(n_centroids, lloyd_iters, dim)
+    parts += [
+        f"""dup AS (
+      SELECT DISTINCT b.neighbor_id AS id
+      FROM casg a JOIN casg b
+        ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+      WHERE CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)) > 0
+                 THEN list_dot_product(a.cv, b.cv)
+                      / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+                 ELSE 0.0 END >= {threshold!r})"""
+    ]
+    return ",\n".join(parts) + """
+    SELECT c.neighbor_id AS vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+           d.id IS NULL AS is_kept
+    FROM casg c LEFT JOIN dup d ON c.neighbor_id = d.id
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): IVF-cluster
+    the embeddings, drop every vector whose cosine to a lower-id member
+    of the SAME cluster is ≥ 0.3 (keep-first). The pair space is bounded
+    per cluster by the quantizer (never a corpus-wide pair join), guarded
+    by the same big-block probe as the text dedup path. EXACT oracle via
+    the shared unrolled-Lloyd centroid replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, "embedding", "vec_id", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions (session B): classic decision-support shapes the
+# reference's scan→join→agg surface implies but no prior query exercised
+# (TPC-H Q4/Q10 shapes), warehouse SCD2 history build, deterministic
+# train/valid/test splitting + shard planning for training corpora,
+# robust (median/MAD) outlier flags, and two graph-ML staples —
+# Adamic-Adar link prediction and label-propagation communities.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; late-shipment variant —
+    the fixture carries l_shipdate, not commit/receipt dates). The EXISTS
+    subquery becomes a LEFT SEMI join so lineitem can never inflate the
+    order count; the semi probe side is projected to two columns, the
+    date filter prunes orders before any shuffle, and the non-equi
+    shipdate predicate rides the same equi-join (no second pass)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@register(
+    "returned_item_reporting",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY 1
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+           round(c_acctbal, 4) AS acctbal, revenue
+    FROM rev JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top customers by lost
+    revenue on returned lineitems in a quarter. Aggregate-then-join —
+    lineitem⋈orders collapses to one narrow (custkey, revenue) row per
+    customer BEFORE touching the customer table, so the wide dimension
+    joins against O(customers) rows, never O(lineitems); nation rides
+    broadcast. Top-20 is rank-deterministic: ordered on the ROUNDED
+    revenue with custkey tie-break, identical on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            r4(F.col("c_acctbal")).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT))
+               AS unit_u
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_u) AS best_u FROM offers GROUP BY 1
+    ),
+    pick AS (
+      SELECT o.l_partkey, o.unit_u AS best_u,
+             min(o.l_suppkey) AS best_suppkey
+      FROM offers o JOIN best b
+        ON o.l_partkey = b.l_partkey AND o.unit_u = b.best_u
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+           best_u / 10000.0 AS best_price,
+           CAST(best_suppkey AS BIGINT) AS best_suppkey, s_name
+    FROM pick
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = best_suppkey
+    WHERE p_size <= 10
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): per part, the supplier offering
+    the minimum unit price — the correlated-MIN subquery decorrelated as
+    aggregate + join-back. Offers collapse to one row per (part, supplier)
+    with map-side combine; ``best`` is a second narrow agg on the already
+    O(part×supp) table; the equality join-back on (partkey, price) with a
+    min(suppkey) tie-break makes the argmin deterministic without a
+    global window sort. Both dimension joins broadcast; the p_size filter
+    prunes parts before the result projection. At 100 TB the heavy input
+    is scanned once and everything downstream is offer-table-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # unit price snaps to an INTEGER 1e-4-unit count, never round(x, 4):
+    # fractional-scale round is engine-divergent for values exactly on the
+    # half boundary (Spark rounds the exact decimal expansion, DuckDB the
+    # scaled-multiplied double) and money/quantity ratios land there often
+    # enough that the sf0.1 sweep caught a 111.1007-vs-111.1008 flip;
+    # scale-0 rounding of the identical product double agrees bit-for-bit
+    offers = (
+        li.select(
+            "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
+            .cast("bigint")
+            .alias("u"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("u").alias("unit_u"))
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_u").alias("best_u"))
+        .withColumnRenamed("l_partkey", "bp_partkey")
+    )
+    pick = (
+        offers.join(
+            best,
+            on=[
+                F.col("l_partkey") == F.col("bp_partkey"),
+                F.col("unit_u") == F.col("best_u"),
+            ],
+        )
+        .groupBy("l_partkey", "best_u")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        pick.join(F.broadcast(part), pick.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), F.col("best_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_brand",
+            (F.col("best_u") / 10000.0).alias("best_price"),
+            F.col("best_suppkey").cast("bigint").alias("best_suppkey"),
+            "s_name",
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH fp AS (
+      SELECT p_partkey, p_brand FROM part
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    ),
+    fl AS (
+      SELECT p_brand, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN fp ON l_partkey = p_partkey
+    ),
+    pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS lim FROM fl GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM fl JOIN pa ON fl.l_partkey = pa.l_partkey
+    WHERE l_quantity < lim
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 50% of their part's average — the correlated scalar
+    AVG subquery decorrelated as a per-part aggregate joined back. The
+    brand filter is at part granularity, so it semi-joins lineitem FIRST
+    (broadcast of the filtered part list) and the per-part average runs
+    on the pruned fact — the unoptimized form aggregates all 100 TB of
+    lineitem for parts the filter then throws away. One narrow shuffle on
+    partkey for the avg; the join-back is partkey-aligned."""
+    fp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fl = li.join(F.broadcast(fp), li.l_partkey == fp.p_partkey).select(
+        "p_brand", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = fl.groupBy("l_partkey").agg((F.lit(0.5) * F.avg("l_quantity")).alias("lim"))
+    return (
+        fl.join(pa, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY
+    ),
+    sole AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM late GROUP BY 1 HAVING count(*) = 1
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING count(DISTINCT l_suppkey) > 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sole
+    JOIN multi ON sole.l_orderkey = multi.l_orderkey
+    JOIN supplier ON s_suppkey = sole.l_suppkey
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    multi-supplier orders, the supplier who was the ONLY late shipper.
+    The classic EXISTS + NOT-EXISTS pair decorrelates into two per-order
+    aggregates — 'exactly one late supplier' is HAVING count(*) = 1 over
+    the distinct late pairs (no correlated re-scan per row), and the
+    multi-supplier test is a count-distinct semi-join. Three aggregations
+    on the same orderkey shuffle key, so AQE coalesces them onto one
+    exchange lineage; the supplier dimension broadcasts. Lateness (ship
+    > order + 180d) pushes into the fact join, not a post-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 180))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .drop("n_late")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.join(multi, on="l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-09-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-promise customers): above-average-balance
+    customers with no recent orders. Two decorrelations in one plan: the
+    scalar AVG subquery becomes a 1-row aggregate broadcast-cross-joined
+    into the filter (never a per-row re-scan), and NOT IN becomes a
+    left-anti join against the date-pruned distinct buyer list (the date
+    predicate pushes into the orders scan, so the anti side is recent
+    buyers only, not all orders). Customer is scanned once; both right
+    sides are tiny and broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-09-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            F.broadcast(recent),
+            cust.c_custkey == recent.o_custkey,
+            how="left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+

