@@ -682,13 +682,14 @@ _EXPENSIVE_LAST = [
 #     mass scan; warn-only, no early exit, no change to the emitted
 #     frame) — proven bit-identical by output-hash compare at
 #     sf0.001+sf0.01 and green vs unchanged oracles at 3 SFs.
-#   * mrr_hit_at_k_ivf (r11-fresh anyway): the one-row per-label
-#     aggregate feeding both the contract flag and the final
-#     crossJoin is now localCheckpoint(eager=True)'d — the repo's
-#     established one-row-truth idiom — so the IVF + brute-force leg
-#     executes once per action instead of twice. Plan-only change;
-#     values bit-identical by construction and re-proven by the same
-#     two-SF output-hash compare.
+#   * mrr_hit_at_k_ivf (r11-fresh anyway): NET-ZERO — the r11 advice
+#     asked for a localCheckpoint of the shared per-label aggregate;
+#     r12 applied it, MEASURED it 2x slower (one lazy plan lets
+#     Catalyst constant-fold the 1-row flag side and column-prune
+#     the metric legs; the eager checkpoint materializes every
+#     column: 12.8/5.4 s vs 24.9/11.3 s at sf0.1), and reverted it
+#     with the measurement documented at the site. The query text is
+#     byte-identical to its r11-green form.
 #   * the plans/queries.py per-family module split: a pure mechanical
 #     refactor behind an unchanged QUERIES/ORACLE_SQL aggregation,
 #     proven by a full old-vs-new output-hash compare (git stash +

@@ -129,11 +129,16 @@ def mrr_hit_at_k_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rr_i).alias("_si"),
             F.sum(rr_e).alias("_se"),
         )
-        # referenced by both the contract flag and the final emit: pin
-        # the per-label aggregate so the IVF + brute-force legs execute
-        # once per action instead of twice (the simhash n_pairs /
-        # minhash truth one-row-truth idiom; r11 advice item 1)
-        .localCheckpoint(eager=True)
+        # DELIBERATELY NOT checkpointed (r11 advice item 1 tried it and
+        # r12 MEASURED it 2x slower): `per` feeds both the contract flag
+        # and the final emit, but keeping ONE lazy plan lets Catalyst
+        # constant-fold the 1-row flag side and column-prune the metric
+        # legs per action, while an eager localCheckpoint materializes
+        # every column up front. A/B at sf0.1 on the same host:
+        # 12.8 s cold / 5.4 s warm lazy vs 24.9 / 11.3 s checkpointed.
+        # The one-row-truth idiom pays only when the shared subtree is
+        # re-executed in FULL by both consumers — not when one consumer
+        # is a prunable scalar probe.
     )
     flag = per.agg(
         F.when(

@@ -80,12 +80,14 @@ def test_r12_gate_window_drains_stalest_blocks_first():
        either take a re-queue slot or carry a documented equivalence
        argument. r12's documented exceptions (see the _GATE_WINDOW
        comment): pagerank/personalized_pagerank_regions (warn-only
-       convergence signal, no output change), mrr_hit_at_k_ivf
-       (localCheckpoint of the shared one-row aggregate, plan-only),
-       and the plans/queries.py per-family module split (pure
-       re-aggregation refactor) — each proven bit-identical by an
-       old-vs-new output-hash compare at sf0.001+sf0.01 and green vs
-       unchanged oracles at 3 SFs.
+       convergence signal, no output change) and the plans/queries.py
+       per-family module split (pure re-aggregation refactor) — each
+       proven bit-identical by an old-vs-new output-hash compare at
+       sf0.001+sf0.01 and green vs unchanged oracles at 3 SFs.
+       mrr_hit_at_k_ivf ended the round NET-ZERO: the advice
+       checkpoint was applied, measured 2x slower, and reverted
+       (measurement documented at the site), leaving its r11-green
+       text byte-identical.
     """
     import glob
     import json
