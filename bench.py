@@ -14,10 +14,12 @@ protocol fix: reps=1 driver benches were too noisy to detect real <=1.3x
 per-query regressions) and the per-query MINIMUM is recorded — the min
 over reps estimates the uncontended cost and is the number comparable
 across rounds. The JSON carries "reps" plus, when reps>1, per-query
-"rep_secs" (all rep wall times) and "gc_ms" (JVM GC time during the
-query's reps) in the FULL first line, so co-tenant interference (wall
-swings, flat GC, high rep spread) is separable from plan drift
-(consistent across reps) in the record — the r11 verdict item 7 ask.
+"rep_secs" (all rep wall times), "gc_ms" (JVM GC time during the
+query's reps) and "stage_ms" ([executor run ms, executor cpu ms] from
+the UI status REST API, r12 verdict item 7) in the FULL first line, so
+co-tenant interference is separable from plan drift without a rerun:
+wall >> stage-run+gc = hypervisor steal; stage-run up with flat GC =
+plan drift; gc up = memory pressure — the r11 verdict item 7 ask.
 """
 
 from __future__ import annotations
@@ -60,6 +62,33 @@ def _jvm_gc_ms(spark) -> int | None:
         return None
 
 
+def _stage_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (executorRunTime_ms, executorCpuTime_ms) over all
+    COMPLETE stages, from the UI REST status API — deltas around a
+    query attribute its wall time to actual JVM task work (r12 verdict
+    item 7: with gc_ms and rep spread this closes the attribution
+    triangle — wall ≫ run+gc = hypervisor steal; run up with flat GC =
+    plan drift). Requires spark.ui.enabled (bench sets SPARK_GRAFT_UI);
+    returns None wherever the UI is off (test-suite sessions)."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+        run = sum(s.get("executorRunTime", 0) for s in stages)
+        cpu = sum(s.get("executorCpuTime", 0) for s in stages) // 1_000_000
+        return run, cpu
+    except Exception:  # noqa: BLE001 — REST/UI absence must never fail bench
+        return None
+
+
 def _loadavg() -> list[float] | None:
     """1/5/15-minute load averages — recorded at start and end so
     cross-round comparisons can reject load-contaminated runs
@@ -75,6 +104,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_start = _loadavg()
+    # opt into the UI status REST API for per-query stage-time capture;
+    # only effective when THIS process creates the session (the driver
+    # bench path) — an inherited UI-less session degrades to nulls
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("graph-db-spark-bench")
     # warm the JVM + parquet footers with a trivial action
     spark.range(1).count()
@@ -85,11 +118,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     rep_secs: dict[str, list[float]] = {}
     gc_ms: dict[str, int] = {}
+    stage_ms: dict[str, list[int]] = {}
     extra = [n for n in QUERIES if n not in HEADLINE]
     for name in HEADLINE + extra:
         fn = QUERIES[name]
         secs: list[float] = []
         g0 = _jvm_gc_ms(spark)
+        s0 = _stage_totals(spark)
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
@@ -100,11 +135,18 @@ def main() -> None:
             gc.collect()
             spark.catalog.clearCache()
         g1 = _jvm_gc_ms(spark)
+        s1 = _stage_totals(spark)
         timings[name] = round(min(secs), 3)
         if reps > 1:
             rep_secs[name] = [round(s, 3) for s in secs]
-        if g0 is not None and g1 is not None:
-            gc_ms[name] = g1 - g0
+            # gc_ms gated with rep_secs (ADVICE r12: the docstring
+            # promises both only "when reps>1" — a reps=1 run has no
+            # spread to attribute, so the GC column is noise there)
+            if g0 is not None and g1 is not None:
+                gc_ms[name] = g1 - g0
+            if s0 is not None and s1 is not None:
+                # [executor run ms, executor cpu ms] across the reps
+                stage_ms[name] = [s1[0] - s0[0], s1[1] - s0[1]]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -117,6 +159,7 @@ def main() -> None:
                 "queries": timings,
                 "rep_secs": rep_secs,
                 "gc_ms": gc_ms,
+                "stage_ms": stage_ms,
                 "reps": reps,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
@@ -144,6 +187,9 @@ def main() -> None:
                     sum(max(v) - min(v) for v in rep_secs.values()), 3
                 ),
                 "gc_total_sec": round(sum(gc_ms.values()) / 1000.0, 3),
+                "stage_run_total_sec": round(
+                    sum(v[0] for v in stage_ms.values()) / 1000.0, 3
+                ) if stage_ms else None,
                 "loadavg_end": _loadavg(),
                 "sf": sf_val,
             }

@@ -253,6 +253,14 @@ def pagerank(
     vanish at a fixed point) a ``RuntimeWarning`` is emitted — output is
     bit-identical either way (warn-only, never an early exit, so oracle
     hashes are untouched).
+
+    Memory trade-off of the signal (ADVICE r12, accepted): holding
+    ``prev_partial`` for the delta keeps the PREVIOUS round's
+    localCheckpoint blocks referenced one extra round — resident
+    checkpoint storage during iteration is ~2 rank-table copies instead
+    of 1 (a rank table is |V|·(id+double), small next to the edge list).
+    If memory pressure ever shows at larger SFs, unpersist the ejected
+    checkpoint explicitly when ``prev_partial`` is reassigned.
     """
     e = edges.select(F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst"))
     if vertices is not None:

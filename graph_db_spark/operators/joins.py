@@ -11,6 +11,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dim_hint(df: DataFrame, *, bounded: bool) -> DataFrame:
+    """Size-aware broadcast hint for a join's dimension-shaped side.
+
+    ``bounded=True``: the side's row count is fixed by an enumeration
+    (nation, region, event types, a k-sized sketch/centroid table, a
+    1-row scalar aggregate) — independent of scale factor. Force
+    ``F.broadcast`` so a 25-row table never degrades to a shuffle.
+
+    ``bounded=False``: the side scales linearly with the data (TPC-H
+    customer/supplier/part or anything derived from them). Return the
+    frame UNCHANGED and let AQE choose the strategy from observed sizes
+    at runtime: at bench scale AQE still broadcasts these, but at the
+    ~100 TB design point (~sf100k: customer ~15B rows, supplier ~1.5B)
+    a forced hint would hit Spark's 8 GB / 512M-row broadcast hard
+    limits and abort the job instead of falling back to a shuffle join.
+    A pure plan choice — join outputs are identical either way.
+    """
+    return F.broadcast(df) if bounded else df
+
+
 def edge_join(
     src: DataFrame,
     dst: DataFrame,

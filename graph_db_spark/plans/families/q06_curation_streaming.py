@@ -33,6 +33,7 @@ from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
 from graph_db_spark.plans.families.q05_scd2_graph_ivm import (  # noqa: F401
     _CURATED_ORACLE, _PROVENANCE_ORACLE, _run_batched_stream,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register("curation_provenance", oracle=_PROVENANCE_ORACLE)
 def curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,7 +560,9 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — bilateral trade volume between two nations by
     ship year. Join shape at 100 TB: the fact (lineitem) joins orders on
-    the shuffle key once; supplier/customer/nation dims all broadcast,
+    the shuffle key once; the bounded nation dim is force-broadcast while
+    the SF-scaling supplier/customer sides carry no hint (AQE broadcasts
+    them at bench scale, shuffles past the 8 GB limit — ``dim_hint``),
     and the nation-pair predicate prunes BEFORE the fact join fans out
     (the supplier side filters to two nations' suppliers first)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -571,13 +574,13 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation"
     ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
     j = (
-        li.join(F.broadcast(s), on=li["l_suppkey"] == s["s_suppkey"])
+        li.join(dim_hint(s, bounded=False), on=li["l_suppkey"] == s["s_suppkey"])
         .join(
             F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_name").alias("supp_nation"))),
             on=F.col("s_nationkey") == F.col("sn"),
         )
         .join(o, on=li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), on=o["o_custkey"] == c["c_custkey"])
+        .join(dim_hint(c, bounded=False), on=o["o_custkey"] == c["c_custkey"])
         .join(
             F.broadcast(n.select(F.col("n_nationkey").alias("cn"), F.col("n_name").alias("cust_nation"))),
             on=F.col("c_nationkey") == F.col("cn"),
@@ -616,8 +619,10 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape — NATION_3's market share of revenue consumed in
-    ASIA, by order year: one fact⋈orders shuffle join, every dimension
-    broadcast, the region predicate applied on the customer side BEFORE
+    ASIA, by order year: one fact⋈orders shuffle join, the bounded
+    nation/region dims force-broadcast while the SF-scaling supplier and
+    customer-derived sides go unhinted (``dim_hint`` — AQE decides), the
+    region predicate applied on the customer side BEFORE
     the fact join, and the share computed as a conditional-sum ratio in
     the same aggregation (no second pass)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -635,13 +640,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
     vol = (
-        li.join(F.broadcast(s), on=li["l_suppkey"] == s["s_suppkey"])
+        li.join(dim_hint(s, bounded=False), on=li["l_suppkey"] == s["s_suppkey"])
         .join(
             F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_name").alias("supp_nation"))),
             on=F.col("s_nationkey") == F.col("sn"),
         )
         .join(o, on=li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust_asia), on=o["o_custkey"] == cust_asia["c_custkey"])
+        .join(dim_hint(cust_asia, bounded=False), on=o["o_custkey"] == cust_asia["c_custkey"])
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
@@ -674,15 +679,16 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: the fixture has no partsupp, so profit is
     shipped net revenue) — PROMO-part profit by supplier nation and order
     year. The part-type filter semi-reduces the fact before the orders
-    shuffle join; part/supplier/nation broadcast."""
+    shuffle join; nation is force-broadcast, while part and supplier --
+    both SF-scaling -- are unhinted (``dim_hint``, AQE decides)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = (
-        li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), on=li["l_suppkey"] == s["s_suppkey"])
+        li.join(dim_hint(p, bounded=False), on=li["l_partkey"] == p["p_partkey"])
+        .join(dim_hint(s, bounded=False), on=li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), on=s["s_nationkey"] == n["n_nationkey"])
         .join(o, on=li["l_orderkey"] == o["o_orderkey"])
     )
@@ -720,7 +726,7 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select("n_nationkey")
     pv = (
-        li.join(F.broadcast(s), on=li["l_suppkey"] == s["s_suppkey"])
+        li.join(dim_hint(s, bounded=False), on=li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), on=F.col("s_nationkey") == n["n_nationkey"])
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
@@ -877,7 +883,7 @@ def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     sq = (
-        li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"])
+        li.join(dim_hint(p, bounded=False), on=li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .localCheckpoint(eager=True)
@@ -886,7 +892,7 @@ def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sq.crossJoin(F.broadcast(cut))
         .filter(F.col("total_qty") > F.col("cut"))
-        .join(F.broadcast(s), on=sq["l_suppkey"] == s["s_suppkey"])
+        .join(dim_hint(s, bounded=False), on=sq["l_suppkey"] == s["s_suppkey"])
         .select(
             F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
             "s_name",
@@ -1812,8 +1818,9 @@ def scc_trade_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-partner cycles: the fixture yields a 3-cycle at sf0.01, a
     2-cycle at sf0.1, and a pure DAG (all trims) at sf0.001, so the
     oracle exercises both the trim and the pivot-peel paths. Heavy
-    lifting is the ONE fact-join pass building the flow matrix (nation
-    dim broadcast, map-side-combined count); the SCC loop then runs on a
+    lifting is the ONE fact-join pass building the flow matrix (the
+    SF-scaling supplier side unhinted per ``dim_hint``, map-side-combined
+    count); the SCC loop then runs on a
     |nations|-sized edge list. The DuckDB oracle computes mutual
     reachability via a recursive closure — exact, per-node."""
     from graph_db_spark.graph.algorithms import strongly_connected_components
@@ -1825,7 +1832,7 @@ def scc_trade_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow = (
         li.join(o, on=li["l_orderkey"] == o["o_orderkey"])
         .join(c, on=o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), on=li["l_suppkey"] == s["s_suppkey"])
+        .join(dim_hint(s, bounded=False), on=li["l_suppkey"] == s["s_suppkey"])
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")

@@ -32,6 +32,7 @@ from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
 from graph_db_spark.plans.families.q05_scd2_graph_ivm import (  # noqa: F401
     _lpa_cte, _lpa_edges_labels,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "market_basket_lift",
@@ -958,8 +959,8 @@ def trade_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     vol = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(dim_hint(c, bounded=False), F.col("o_custkey") == c.c_custkey)
+        .join(dim_hint(s, bounded=False), F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
         .agg(F.sum("l_quantity").alias("q"))

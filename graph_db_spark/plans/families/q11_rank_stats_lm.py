@@ -21,6 +21,7 @@ from graph_db_spark.plans.families.q00_base import (  # noqa: F401
 from graph_db_spark.plans.families.q01_relational_pipeline import (  # noqa: F401
     SIM, _SW_SQL,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "corpus_diversity_indices",
@@ -310,7 +311,7 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim_hint(c, bounded=False), o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nation"), F.col("o_custkey").alias("cust")
         )
@@ -1114,7 +1115,7 @@ def diff_in_diff_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cut")
     )
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim_hint(c, bounded=False), o.o_custkey == c.c_custkey)
         .crossJoin(F.broadcast(cut))
         .select(
             F.col("o_totalprice").alias("y"),

@@ -35,6 +35,9 @@ def get_spark(app_name: str = "graph_db_spark", shuffle_partitions: int | None =
         # type — read as long and convert in the table layer (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test suites create many sessions); bench.py
+        # opts in via SPARK_GRAFT_UI=true to read per-stage executor
+        # run/CPU time from the REST status API (r12 verdict item 7).
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()

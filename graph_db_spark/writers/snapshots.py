@@ -192,10 +192,17 @@ class _HadoopTableFS:
         except Exception as e:  # noqa: BLE001 — py4j wraps the Java class
             name = type(e).__name__
             java = str(getattr(e, "java_exception", "") or e)
+            # ADVICE r12: classify on the Java EXCEPTION CLASS, not a
+            # lowercase 'already exists' message substring — messages
+            # like 'Parent path ... already exists as a file' are hard
+            # errors that must NOT be mapped to the benign
+            # CommitConflict/version-race path. The class name leads the
+            # py4j-rendered string ('org.apache.hadoop.fs.
+            # FileAlreadyExistsException: ...'); AlreadyBeingCreated is
+            # HDFS's lease-race spelling of the same atomic loss.
             if (
-                "FileAlreadyExists" in java
-                or "AlreadyBeingCreated" in java
-                or "already exists" in java.lower()
+                "FileAlreadyExistsException" in java
+                or "AlreadyBeingCreatedException" in java
             ):
                 raise FileExistsError(p) from e
             raise RuntimeError(f"hadoop create failed ({name}): {java}") from e
@@ -255,6 +262,11 @@ class _HadoopBinaryFile:
 
     def size(self) -> int:
         return self._size
+
+    def close(self) -> None:
+        if not self.closed:
+            self._in.close()
+            self.closed = True
 
     def seekable(self) -> bool:
         return True
@@ -595,7 +607,16 @@ class SnapshotTable:
         files with missing stats)."""
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(source).metadata
+        try:
+            md = pq.ParquetFile(source).metadata
+        finally:
+            # ADVICE r12: a _HadoopBinaryFile holds an open
+            # FSDataInputStream (a socket on hdfs://) — close it as soon
+            # as the footer is parsed instead of waiting for JVM GC.
+            # Local paths hand pyarrow a str, which has no close.
+            close = getattr(source, "close", None)
+            if close is not None:
+                close()
         names = [md.schema.column(i).path for i in range(md.num_columns)]
         out = {}
         for c in cols:
@@ -1395,6 +1416,25 @@ class SnapshotTable:
         )
         return v + 1
 
+    def _fs_now(self) -> float:
+        """Vacuum's age-guard clock, taken in the FILESYSTEM's own time
+        domain (ADVICE r12): ``getModificationTime`` comes from the
+        namenode / object store, so comparing it against the client's
+        ``time.time()`` lets client↔server clock skew eat into the
+        ``min_age_seconds`` window that protects in-flight commits'
+        data files. On the Hadoop route, stamp a throwaway marker and
+        read ITS mtime — one create+stat round trip puts 'now' and the
+        candidates' mtimes on the same clock. The local route's mtimes
+        already share the client clock, so ``time.time()`` is exact."""
+        if isinstance(self._fs, _LocalTableFS):
+            return time.time()
+        marker = self._fs.join(self.path, f"_vacuum_clock.{uuid.uuid4().hex}")
+        self._fs.create_exclusive(marker, "")
+        try:
+            return self._fs.getmtime(marker)
+        finally:
+            self._fs.remove(marker)
+
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no retained manifest references. Returns the
@@ -1424,7 +1464,7 @@ class SnapshotTable:
         for v in keep_versions:
             retained.update(e["path"] for e in self._read_manifest(v)["files"])
         removed = []
-        now = time.time()
+        now = self._fs_now()
         data_root = self._fs.join(self.path, _DATA_DIR)
         for commit_dir in (
             self._fs.listdir(data_root) if self._fs.isdir(data_root) else []

@@ -11,6 +11,9 @@ import json
 def test_bench_prints_compact_parseable_line_last(spark, monkeypatch, capsys):
     import bench
 
+    # ADVICE r12: the reps==2 assertion below pins the DEFAULT — an
+    # inherited SPARK_GRAFT_BENCH_REPS from the shell must not leak in
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REPS", raising=False)
     monkeypatch.setattr(bench, "HEADLINE", [])
     monkeypatch.setattr(
         bench, "QUERIES", {"probe": lambda s, sf_dir: s.range(3).toDF("id")}
@@ -34,3 +37,7 @@ def test_bench_prints_compact_parseable_line_last(spark, monkeypatch, capsys):
     assert full["queries"]["probe"] == min(full["rep_secs"]["probe"])
     assert isinstance(full["gc_ms"].get("probe"), int)
     assert "rep_spread_sec" in compact and "gc_total_sec" in compact
+    # r13 (r12 verdict item 7): per-query stage-time capture — under the
+    # UI-less test session the column degrades to empty/None, never fails
+    assert full["stage_ms"] == {}
+    assert compact["stage_run_total_sec"] is None

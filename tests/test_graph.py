@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from graph_db_spark.graph.algorithms import (
     connected_components,
     pagerank,
@@ -53,8 +55,15 @@ def test_connected_components_pointer_jump_deep_chain(spark):
     assert out == {"n00"}
 
 
+@pytest.mark.filterwarnings("ignore:pagerank still moving:RuntimeWarning")
 def test_pagerank_sums_to_one_and_ranks_hub(spark):
-    # star: everyone points at hub → hub has max rank
+    # star: everyone points at hub → hub has max rank. The a↔hub cycle
+    # makes ranks oscillate with period 2 damped by 0.85/round, so the
+    # L1 bound at 15 rounds is ~0.09 > tol: the convergence warning is
+    # EXPECTED for this fixture (this test pins ordering + mass
+    # conservation; test_pagerank_warns_when_unconverged owns the
+    # signal's contract) — filtered here so a clean suite run stays
+    # warning-free (r13, r12 verdict item 4).
     e = edges_of(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")])
     ranks = {r["id"]: r["rank"] for r in pagerank(e, max_iter=15).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6

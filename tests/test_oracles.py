@@ -63,31 +63,22 @@ def test_gate_window_and_expensive_tail_ordering():
     assert q[-len(tail):] == tail
 
 
-def test_r12_gate_window_drains_stalest_blocks_first():
-    """r12 rotation contract — continues the oldest-first drain. Three
-    machine-enforced jobs (same as r11's, evidence glob advanced one
-    round):
+def test_r13_gate_window_mixes_requeues_and_stalest():
+    """r13 rotation contract — oldest-first drain, now WITH re-queues.
+    Three machine-enforced jobs (evidence glob advanced to r01-r12):
 
-    1. Every name with no green row in any CORRECTNESS_r01-r11 row MUST
-       hold a window slot. r12 registers ZERO new queries (hardening
-       round), so the never-green set must be empty.
-    2. Re-check slots must be EXACTLY the head of the staleness queue
-       (all names ordered by last-green round, then by their position
-       in that round's CORRECTNESS file). With zero registrations,
-       ALL 50 slots are stale re-checks: the 44 remaining r4-stale
-       names + the 6 oldest r5-stale names.
-    3. A query whose query/oracle/operator changed this round must
-       either take a re-queue slot or carry a documented equivalence
-       argument. r12's documented exceptions (see the _GATE_WINDOW
-       comment): pagerank/personalized_pagerank_regions (warn-only
-       convergence signal, no output change) and the plans/queries.py
-       per-family module split (pure re-aggregation refactor) — each
-       proven bit-identical by an old-vs-new output-hash compare at
-       sf0.001+sf0.01 and green vs unchanged oracles at 3 SFs.
-       mrr_hit_at_k_ivf ended the round NET-ZERO: the advice
-       checkpoint was applied, measured 2x slower, and reverted
-       (measurement documented at the site), leaving its r11-green
-       text byte-identical.
+    1. r13 registers ZERO new queries, so every registered name must
+       have prior driver evidence (the never-green set is empty).
+    2. The 12 re-queue slots are exactly this round's CODE-CHANGED
+       queries (11 ``dim_hint`` forced-broadcast removals + the
+       pca_power_iteration covariance rewrite) — changed code outranks
+       stale re-checks per the gate contract.
+    3. The other 38 slots must be EXACTLY the head of the staleness
+       queue (all names ordered by last-green round, then by their
+       position in that round's CORRECTNESS file) after the re-queued
+       names are set aside: the 38 oldest r5-stale names. While any
+       r5-stale name exists outside the window, it can only be one the
+       queue ranks BELOW every name inside.
     """
     import glob
     import json
@@ -95,16 +86,23 @@ def test_r12_gate_window_drains_stalest_blocks_first():
 
     from graph_db_spark.plans.queries import _GATE_WINDOW
 
-    # pin to the evidence available at r12 window-construction time:
-    # once the driver writes CORRECTNESS_r12.json the staleness map
+    requeued = [
+        "nation_volume_shipping", "nation_market_share",
+        "product_type_profit", "important_parts_share",
+        "heavy_part_suppliers", "scc_trade_partners",
+        "trade_graph_transitivity", "region_trade_assortativity",
+        "trade_reciprocity", "theil_index_decomposition",
+        "diff_in_diff_uplift", "pca_power_iteration",
+    ]
+    # pin to the evidence available at r13 window-construction time:
+    # once the driver writes CORRECTNESS_r13.json the staleness map
     # shifts, and this contract must keep describing the window that
-    # was built BEFORE that run (the r11 test's glob, advanced one
-    # round to include r10 and r11)
+    # was built BEFORE that run
     root = os.path.join(os.path.dirname(__file__), "..")
     files = sorted(
         glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json"))
-    ) + sorted(glob.glob(os.path.join(root, "CORRECTNESS_r1[0-1].json")))
-    if len(files) < 11:
+    ) + sorted(glob.glob(os.path.join(root, "CORRECTNESS_r1[0-2].json")))
+    if len(files) < 12:
         pytest.skip("driver correctness files absent")
     last_green: dict[str, int] = {}
     file_pos: dict[str, int] = {}
@@ -115,27 +113,23 @@ def test_r12_gate_window_drains_stalest_blocks_first():
                 if row.get("err") is None and row.get("rows_match"):
                     last_green[name] = rnd
                     file_pos[name] = pos
-    # job 1: zero registrations this round — every registered name has
-    # prior driver evidence
+    # job 1: zero registrations this round
     never = {n for n in queries() if n not in last_green}
     assert never == set(), never
-    # job 2: the window is exactly the head of the staleness queue —
-    # oldest last-green round first, CORRECTNESS-file order within a
-    # round. No registrations and no re-queues (job 3's exceptions are
-    # all bit-identical changes), so all 50 slots drain the queue.
+    # job 2: every changed query holds a window slot
+    assert set(requeued) <= set(_GATE_WINDOW), set(requeued) - set(_GATE_WINDOW)
+    # job 3: the non-requeue slots drain the staleness queue head
     queue = sorted(
-        (n for n in queries() if n in last_green),
+        (n for n in queries() if n in last_green and n not in set(requeued)),
         key=lambda n: (last_green[n], file_pos[n]),
     )
-    assert list(_GATE_WINDOW) == queue[:50], (
+    stale_slots = [n for n in _GATE_WINDOW if n not in set(requeued)]
+    assert len(stale_slots) == 38
+    assert stale_slots == queue[:38], (
         "window slots must drain the staleness queue head: first "
         f"divergence at "
-        f"{next((a, b) for a, b in zip(_GATE_WINDOW, queue) if a != b)}"
+        f"{next((a, b) for a, b in zip(stale_slots, queue) if a != b)}"
     )
-    # job 2 teeth: while any r4-stale name exists, it cannot be
-    # displaced — all of them are in the window
-    r4_stale = {n for n, r in last_green.items() if r == 4 and n in queries()}
-    assert r4_stale <= set(_GATE_WINDOW), r4_stale - set(_GATE_WINDOW)
 
 
 def test_bh_z_thresholds_match_textbook_quantiles():
