@@ -32,6 +32,7 @@ from graph_db_spark.plans.families.q00_base import (  # noqa: F401
 from graph_db_spark.plans.families.q01_relational_pipeline import (  # noqa: F401
     P, TX, _SW_SQL, build_graph,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "pipeline_water_param_results",
@@ -1478,7 +1479,7 @@ def conditional_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size") >= 25)
     )
     return li.join(
-        F.broadcast(p), on=li["l_partkey"] == p["p_partkey"], how="inner"
+        dim_hint(p, bounded=False), on=li["l_partkey"] == p["p_partkey"], how="inner"
     ).select("l_orderkey", "l_linenumber", "p_partkey")
 
 

@@ -34,6 +34,7 @@ from graph_db_spark.plans.families.q02_datetime_rollups import (  # noqa: F401
 from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
     PF, _metric_rows, _minhash_band_sql, spread,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 def _session_iv_sql(event_type: str) -> str:
     """CTE body: gap-1800s session intervals of one event type (the
@@ -937,7 +938,7 @@ def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim_hint(p, bounded=False), li.l_partkey == p.p_partkey)
         .filter(cond)
         .groupBy("p_brand")
         .agg(

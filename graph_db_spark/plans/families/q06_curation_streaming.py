@@ -788,7 +788,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"]).agg(
+    return li.join(dim_hint(p, bounded=False), on=li["l_partkey"] == p["p_partkey"]).agg(
         r4(
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -818,7 +818,7 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"])
+        li.join(dim_hint(p, bounded=False), on=li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )

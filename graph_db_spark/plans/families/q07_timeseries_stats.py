@@ -72,7 +72,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     items = (
-        li.join(F.broadcast(p), on=li["l_partkey"] == p["p_partkey"])
+        li.join(dim_hint(p, bounded=False), on=li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)  # feeds n, bc, and both pair sides

@@ -485,7 +485,7 @@ def association_rule_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim_hint(p, bounded=False), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
         .distinct()
     )

@@ -752,7 +752,7 @@ def bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    m = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    m = li.join(dim_hint(p, bounded=False), li.l_partkey == p.p_partkey).select(
         F.col("l_extendedprice").alias("a"),
         (F.col("p_retailprice") * F.col("l_quantity")).alias("b"),
     )
@@ -1176,7 +1176,7 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pp = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim_hint(p, bounded=False), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
         .agg(
             F.log(F.avg(F.col("l_extendedprice") / F.col("l_quantity"))).alias(

@@ -16,6 +16,7 @@ from graph_db_spark.plans.families.q00_base import (  # noqa: F401
     DataFrame, F, SparkSession, Window,
     _fmt_ts, load_table, r4, register,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "cumulative_gains_deciles",
@@ -476,7 +477,7 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_discount").alias("mu"), F.stddev_samp("l_discount").alias("sd")
     )
     pb = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim_hint(p, bounded=False), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).alias("n"), F.avg("l_discount").alias("mb"))
     )

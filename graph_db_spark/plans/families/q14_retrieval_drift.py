@@ -20,6 +20,7 @@ from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
 from graph_db_spark.plans.families.q13_tsa_retrieval import (  # noqa: F401
     _mrr_ivf_oracle_sql,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register("mrr_hit_at_k_ivf", oracle=_mrr_ivf_oracle_sql())
 def mrr_hit_at_k_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,7 +881,7 @@ def taylors_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     d = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim_hint(p, bounded=False), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", F.col("o_orderdate").cast("date").alias("dayd"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     )
@@ -967,7 +968,7 @@ def concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     br = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim_hint(p, bounded=False), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.date_format("o_orderdate", "yyyy").cast("bigint").alias("yr"),
             "p_brand",

@@ -79,6 +79,16 @@ def test_r13_gate_window_mixes_requeues_and_stalest():
        names are set aside: the 38 oldest r5-stale names. While any
        r5-stale name exists outside the window, it can only be one the
        queue ranks BELOW every name inside.
+
+    Documented equivalence exceptions (changed without a slot, per the
+    r11/r12 precedent): the r13 SECOND dim_hint pass switched 11 more
+    li ⋈ F.broadcast(part) sites to unhinted (part scales like
+    customer/supplier — the list and proof protocol live in the
+    _GATE_WINDOW comment); each is a pure plan change proven by the
+    exact DuckDB oracle gate ALL GREEN at sf0.001+sf0.01 right after
+    the edit and by the round-close 3-SF sweeps, with the no-hint
+    property plan-asserted in
+    test_no_forced_broadcast_on_sf_scaling_sides.
     """
     import glob
     import json

@@ -290,6 +290,14 @@ def test_no_forced_broadcast_on_sf_scaling_sides(spark):
         ("nation_volume_shipping", ("c_custkey", "s_suppkey")),
         ("theil_index_decomposition", ("c_custkey",)),
         ("trade_reciprocity", ("c_custkey", "s_suppkey")),
+        # part scales at SF x 200k rows (~20B at the 100 TB point) —
+        # the same class as customer/supplier, fixed in the r13 second
+        # audit pass (11 more li ⋈ part sites; these three keep the
+        # part join in the FINAL plan, so the assertion is non-vacuous —
+        # market_basket_lift's join hides behind a build-time checkpoint)
+        ("promo_revenue_share", ("p_partkey",)),
+        ("taylors_power_law", ("p_partkey",)),
+        ("concentration_hhi", ("p_partkey",)),
     ]:
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
