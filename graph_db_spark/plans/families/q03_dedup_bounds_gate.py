@@ -26,6 +26,7 @@ from graph_db_spark.plans.families.q01_relational_pipeline import (  # noqa: F40
 from graph_db_spark.plans.families.q02_datetime_rollups import (  # noqa: F401
     STRM, _run_stream_to_table,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "streaming_enriched_daily",
@@ -129,16 +130,17 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # co-occurrence join+distinct (plan audit: 194 Exchange nodes)
         .localCheckpoint(eager=True)
     )
-    # degree table is |parts|-sized (dimension-small) → broadcast to attach
-    # ranks without shuffling the edge list
+    # degree table is |parts|-sized — which SCALES with SF (r13 dim_hint
+    # audit): no forced hint; AQE broadcasts it at bench scale and falls
+    # back to a shuffle once |parts| outgrows the 8 GB broadcast limit
     deg = (
         e.select(F.col("p1").alias("p"))
         .unionAll(e.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    da = F.broadcast(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")))
-    db = F.broadcast(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")))
+    da = dim_hint(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")), bounded=False)
+    db = dim_hint(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")), bounded=False)
     lower = F.struct("d1", "p1") < F.struct("d2", "p2")
     ore = (
         e.join(da, on="p1")
@@ -149,7 +151,7 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # referenced by both wedge sides + closure
     )
-    dv = F.broadcast(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")))
+    dv = dim_hint(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")), bounded=False)
     rk = ore.join(dv, on="v").select("u", "v", "dv")
     e1, e2 = rk.alias("e1"), rk.alias("e2")
     wedges = e1.join(
@@ -697,6 +699,35 @@ _EXPENSIVE_LAST = [
 #     The window was already sealed at 38 stale + 12 re-queues when
 #     this pass landed; the r14 staleness queue picks them up on
 #     schedule.
+#   * the r13 THIRD dim_hint pass (same review, aggregate-DERIVED
+#     sides whose KEY SPACE scales: per-user/per-part/per-token/
+#     per-orderkey aggregates and supplier/part dims in the Q2/Q15/
+#     Q17/Q18/Q21/Q22 shapes): conversion_latency_quantiles,
+#     ngram_containment_pairs, top_supplier_revenue,
+#     jaccard_link_prediction, sampled_triangle_estimate, plus eight
+#     queries that ALREADY hold r13 window slots (cooccurrence_
+#     triangles, tfidf_top_terms, large_volume_customers,
+#     min_cost_supplier, small_quantity_revenue, sole_late_supplier,
+#     idle_rich_customers, link_prediction_adamic_adar) and so get
+#     fresh driver rows anyway. Same proof protocol: pure plan change,
+#     exact oracle gate ALL GREEN at sf0.001+sf0.01 post-edit, 3-SF
+#     sweeps at close. Deliberately NOT changed: the similarity
+#     family's brute-force-cosine baselines (knn_loo_label_eval,
+#     embedding_cosine_topk, ann recall oracles) — broadcasting one
+#     side IS their documented contract, and the LSH/IVF/PQ variants
+#     are the scale path.
+#   * the r13 FOURTH (final-census) dim_hint pass: bloom_semi_prune
+#     (truth key list ~ 4% of part), item_item_collaborative_topk
+#     (per-item counts ~ |parts|), token_pmi_collocations (unigram
+#     counts ~ vocabulary), mrr_hit_at_k_ivf (label map ~ |embeddings|,
+#     query labels ~ 20% sample). Same proof protocol, ALL GREEN at
+#     sf0.001+sf0.01 post-edit. After this pass the census holds:
+#     every remaining F.broadcast is a 1-row scalar, a bounded
+#     enumeration (nation/region/event-type/brand/source/label/
+#     quantity/dow/pos/landmark/bucket), a k-sized top-k/centroid/
+#     sketch frame, a fixed query-term list, or a documented
+#     brute-force baseline (energy_distance_groups' pairwise legs,
+#     the cosine-topk family).
 #   * the PPR truncation-semantics pin (docstring + expected-warning
 #     filter only, zero plan or emission change) and the ADVICE.md
 #     snapshot/bench hygiene fixes (writer/bench internals, not query
@@ -1551,7 +1582,7 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = SK.bloom_contains(spread(keys), "key", bits)
     truth = part.withColumn("_t", F.lit(1))
     return (
-        probed.join(F.broadcast(truth), on="key", how="left")
+        probed.join(dim_hint(truth, bounded=False), on="key", how="left")
         .select(
             F.col("key").cast("bigint").alias("partkey"),
             "bloom_pass",
@@ -1610,7 +1641,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the score join — three consumers, one execution
     df = tf.groupBy("token").agg(F.countDistinct("source").alias("df"))
     n_sources = tf.select("source").distinct().count()
-    scored = tf.join(F.broadcast(df), on="token").select(
+    scored = tf.join(dim_hint(df, bounded=False), on="token").select(
         "source",
         "token",
         "tf",
@@ -1720,7 +1751,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(dim_hint(big, bounded=False), orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",

@@ -988,7 +988,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(dim_hint(supp, bounded=False), F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
             "s_name",
@@ -1732,8 +1732,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        pick.join(F.broadcast(part), pick.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), F.col("best_suppkey") == supp.s_suppkey)
+        pick.join(dim_hint(part, bounded=False), pick.l_partkey == part.p_partkey)
+        .join(dim_hint(supp, bounded=False), F.col("best_suppkey") == supp.s_suppkey)
         .select(
             F.col("p_partkey").cast("bigint").alias("p_partkey"),
             "p_brand",
@@ -1781,7 +1781,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    fl = li.join(F.broadcast(fp), li.l_partkey == fp.p_partkey).select(
+    fl = li.join(dim_hint(fp, bounded=False), li.l_partkey == fp.p_partkey).select(
         "p_brand", "l_partkey", "l_quantity", "l_extendedprice"
     )
     pa = fl.groupBy("l_partkey").agg((F.lit(0.5) * F.avg("l_quantity")).alias("lim"))
@@ -1853,7 +1853,7 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         sole.join(multi, on="l_orderkey")
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(dim_hint(supp, bounded=False), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1881,8 +1881,11 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the filter (never a per-row re-scan), and NOT IN becomes a
     left-anti join against the date-pruned distinct buyer list (the date
     predicate pushes into the orders scan, so the anti side is recent
-    buyers only, not all orders). Customer is scanned once; both right
-    sides are tiny and broadcast."""
+    buyers only, not all orders). Customer is scanned once; the 1-row
+    scalar is force-broadcast, while the recent-buyer list — which
+    scales with orders — carries no hint (r13 dim_hint audit: AQE
+    broadcasts it at bench scale, shuffles the anti join past the
+    broadcast limit)."""
     cust = load_table(spark, sf_dir, "customer")
     cutoff = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     recent = (
@@ -1895,7 +1898,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.crossJoin(F.broadcast(cutoff))
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(
-            F.broadcast(recent),
+            dim_hint(recent, bounded=False),
             cust.c_custkey == recent.o_custkey,
             how="left_anti",
         )

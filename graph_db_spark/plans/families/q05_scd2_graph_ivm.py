@@ -29,6 +29,7 @@ from graph_db_spark.plans.families.q02_datetime_rollups import (  # noqa: F401
 from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
     PF, _metric_rows, _minhash_band_sql,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "scd2_user_state",
@@ -245,7 +246,7 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cp.select(F.col("c").alias("cb"), F.col("p").alias("pb")).alias("b")
     w = (
         a.join(b, (F.col("a.p") == F.col("pb")) & (F.col("a.c") < F.col("cb")))
-        .join(F.broadcast(keep), F.col("a.p") == keep.p)
+        .join(dim_hint(keep, bounded=False), F.col("a.p") == keep.p)
         .select(F.col("a.c").alias("ca"), "cb", "d")
     )
     aa = w.groupBy("ca", "cb").agg(

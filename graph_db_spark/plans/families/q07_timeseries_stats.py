@@ -1247,7 +1247,7 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(v), on="user_id")
+        .join(dim_hint(v, bounded=False), on="user_id")
         .filter(F.col("ts") >= F.col("v0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p0"))
@@ -1880,7 +1880,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 100)
         .select("gram")
     )
-    pk = posting.join(F.broadcast(keepg), on="gram")
+    pk = posting.join(dim_hint(keepg, bounded=False), on="gram")
     a = pk.alias("a")
     b = pk.select(F.col("doc_id").alias("id_b"), F.col("gram").alias("gb")).alias("b")
     shared = (
@@ -1891,8 +1891,8 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = sz.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     y = sz.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb2"))
     scored = (
-        shared.join(F.broadcast(x), on="id_a")
-        .join(F.broadcast(y), on="id_b")
+        shared.join(dim_hint(x, bounded=False), on="id_a")
+        .join(dim_hint(y, bounded=False), on="id_b")
         .select(
             "id_a",
             "id_b",

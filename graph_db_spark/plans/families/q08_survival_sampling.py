@@ -25,6 +25,7 @@ from graph_db_spark.plans.families.q01_relational_pipeline import (  # noqa: F40
 from graph_db_spark.plans.families.q03_dedup_bounds_gate import (  # noqa: F401
     PF,
 )
+from graph_db_spark.operators.joins import dim_hint
 
 @register(
     "embedding_eval_contamination",
@@ -151,7 +152,7 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("d") >= 2) & (F.col("d") <= 500))
         .select("p")
     )
-    cpk = cp.join(F.broadcast(keep), on="p").localCheckpoint(eager=True)
+    cpk = cp.join(dim_hint(keep, bounded=False), on="p").localCheckpoint(eager=True)
     nb = cpk.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = cpk.alias("a")
     b = cpk.select(F.col("c").alias("cb"), F.col("p").alias("pb")).alias("b")
@@ -163,7 +164,7 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = nb.select(F.col("c").alias("ca"), F.col("d").alias("da"))
     y = nb.select(F.col("c").alias("cb"), F.col("d").alias("db"))
     j = F.col("common") * 1.0 / (F.col("da") + F.col("db") - F.col("common"))
-    scored = w.join(F.broadcast(x), on="ca").join(F.broadcast(y), on="cb")
+    scored = w.join(dim_hint(x, bounded=False), on="ca").join(dim_hint(y, bounded=False), on="cb")
     return (
         scored.withColumn("_j", j)
         .orderBy(F.desc("_j"), "ca", "cb")
@@ -636,8 +637,8 @@ def sampled_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    da = F.broadcast(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")))
-    db = F.broadcast(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")))
+    da = dim_hint(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")), bounded=False)
+    db = dim_hint(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")), bounded=False)
     lower = F.struct("d1", "p1") < F.struct("d2", "p2")
     ore = (
         e.join(da, on="p1")
@@ -648,7 +649,7 @@ def sampled_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    dv = F.broadcast(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")))
+    dv = dim_hint(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")), bounded=False)
     rk = ore.join(dv, on="v").select("u", "v", "dv")
     e1, e2 = rk.alias("e1"), rk.alias("e2")
     wedges = e1.join(

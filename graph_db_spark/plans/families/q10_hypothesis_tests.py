@@ -597,8 +597,8 @@ def item_item_collaborative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = cnt.select(F.col("item").alias("ia"), F.col("n").alias("na"))
     nc = cnt.select(F.col("item").alias("ib"), F.col("n").alias("nb"))
     sim = (
-        co.join(F.broadcast(na), on="ia")
-        .join(F.broadcast(nc), on="ib")
+        co.join(dim_hint(na, bounded=False), on="ia")
+        .join(dim_hint(nc, bounded=False), on="ib")
         .select(
             "ia", "ib", "nab",
             (F.col("nab") / (F.sqrt("na") * F.sqrt("nb"))).alias("cos"),
@@ -1932,8 +1932,8 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("token").alias("ta"), F.col("c").alias("ca"))
     ub = uni.select(F.col("token").alias("tb"), F.col("c").alias("cb"))
     pmi = (
-        pair.join(F.broadcast(ua), on="ta")
-        .join(F.broadcast(ub), on="tb")
+        pair.join(dim_hint(ua, bounded=False), on="ta")
+        .join(dim_hint(ub, bounded=False), on="tb")
         .crossJoin(F.broadcast(nd))
         .select(
             "ta", "tb", "cab",

@@ -53,8 +53,8 @@ def mrr_hit_at_k_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
     )
     fri = (
-        ivf.join(F.broadcast(lab), F.col("neighbor_id") == F.col("nid2"))
-        .join(F.broadcast(qlab), "query_id")
+        ivf.join(dim_hint(lab, bounded=False), F.col("neighbor_id") == F.col("nid2"))
+        .join(dim_hint(qlab, bounded=False), "query_id")
         .groupBy("query_id")
         .agg(
             F.min(

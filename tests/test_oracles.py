@@ -83,12 +83,16 @@ def test_r13_gate_window_mixes_requeues_and_stalest():
     Documented equivalence exceptions (changed without a slot, per the
     r11/r12 precedent): the r13 SECOND dim_hint pass switched 11 more
     li ⋈ F.broadcast(part) sites to unhinted (part scales like
-    customer/supplier — the list and proof protocol live in the
-    _GATE_WINDOW comment); each is a pure plan change proven by the
-    exact DuckDB oracle gate ALL GREEN at sf0.001+sf0.01 right after
-    the edit and by the round-close 3-SF sweeps, with the no-hint
-    property plan-asserted in
-    test_no_forced_broadcast_on_sf_scaling_sides.
+    customer/supplier), and the THIRD pass did the same for
+    aggregate-derived sides whose key space scales (per-user/part/
+    token/orderkey aggregates + the remaining supplier/part dims) —
+    the full lists and proof protocol live in the _GATE_WINDOW
+    comment; each is a pure plan change proven by the exact DuckDB
+    oracle gate ALL GREEN at sf0.001+sf0.01 right after the edit and
+    by the round-close 3-SF sweeps, with the no-hint property
+    plan-asserted in test_no_forced_broadcast_on_sf_scaling_sides.
+    Eight of the third-pass names already hold window slots, so they
+    get fresh driver rows regardless.
     """
     import glob
     import json
