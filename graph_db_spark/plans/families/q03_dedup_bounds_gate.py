@@ -41,7 +41,8 @@ from graph_db_spark.operators.joins import dim_hint
 )
 def streaming_enriched_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming — stream-static enrichment join (events stream ⋈
-    broadcast customer dim) + daily windowed totals per market segment;
+    customer dim, planner-chosen strategy — r13 dim_hint audit) + daily
+    windowed totals per market segment;
     equals the batch join+group on static input, so the plain SQL oracle
     applies."""
     dim = load_table(spark, sf_dir, "customer")
@@ -720,8 +721,11 @@ _EXPENSIVE_LAST = [
 #     (truth key list ~ 4% of part), item_item_collaborative_topk
 #     (per-item counts ~ |parts|), token_pmi_collocations (unigram
 #     counts ~ vocabulary), mrr_hit_at_k_ivf (label map ~ |embeddings|,
-#     query labels ~ 20% sample). Same proof protocol, ALL GREEN at
-#     sf0.001+sf0.01 post-edit. After this pass the census holds:
+#     query labels ~ 20% sample), and streaming_enriched_daily (the
+#     stream-static customer dim in streaming/jobs.py — streaming has
+#     no AQE, so the un-hinted join picks broadcast from file stats at
+#     bench scale and shuffle-hash past the threshold). Same proof
+#     protocol, ALL GREEN at sf0.001+sf0.01 post-edit. After this pass the census holds:
 #     every remaining F.broadcast is a 1-row scalar, a bounded
 #     enumeration (nation/region/event-type/brand/source/label/
 #     quantity/dow/pos/landmark/bucket), a k-sized top-k/centroid/

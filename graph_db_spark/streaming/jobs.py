@@ -566,13 +566,20 @@ def stream_enriched_daily(
     """§2.8 stream-static enrichment: the per-event enrichment the reference
     performs after an event closes (vwc before/after,
     graph_irrigation_event.py:260-291) as a streaming join — each
-    micro-batch inner-joins the static dimension (broadcast; re-resolved
-    per batch, so a refreshed dim table is picked up without restarting),
-    then windows into daily per-segment totals. Stream-static inner joins
+    micro-batch inner-joins the static dimension (re-resolved per batch,
+    so a refreshed dim table is picked up without restarting), then
+    windows into daily per-segment totals. Stream-static inner joins
     need no watermark on the static side; the window agg carries the
-    stream's own watermark for state eviction."""
+    stream's own watermark for state eviction.
+
+    No forced broadcast on the dim (r13 dim_hint audit): streaming plans
+    get no AQE, so the planner picks broadcast from the static side's
+    file statistics (autoBroadcastJoinThreshold) — a customer-sized dim
+    auto-broadcasts at bench scale and degrades to a per-batch
+    shuffle-hash join once it outgrows the threshold, instead of a
+    forced hint aborting the stream at cluster scale."""
     enriched = events.join(
-        F.broadcast(dim.select(F.col(dim_key).alias(user_col), F.col(seg_col))),
+        dim.select(F.col(dim_key).alias(user_col), F.col(seg_col)),
         on=user_col,
     )
     return (
