@@ -167,7 +167,8 @@ def tz_offset(col: Column | str) -> Column:
     c = F.lower(F.trim((F.col(col) if isinstance(col, str) else col).cast("string")))
     expr = F.lit(None).cast("string")
     mapping = F.create_map(*[F.lit(x) for kv in _TZ_OFFSETS.items() for x in kv])
-    return F.coalesce(mapping.getItem(c), expr)
+    # mapping[c] (element_at semantics) — getItem(Column) is deprecated
+    return F.coalesce(mapping[c], expr)
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +280,7 @@ def nutrient_canonical(col: Column | str) -> Column:
     """
     c = F.lower(F.trim((F.col(col) if isinstance(col, str) else col).cast("string")))
     mapping = F.create_map(*[F.lit(x) for kv in NUTRIENT_ALIASES.items() for x in kv])
-    return mapping.getItem(c)
+    return mapping[c]
 
 
 # ---------------------------------------------------------------------------
