@@ -62,14 +62,20 @@ def _jvm_gc_ms(spark) -> int | None:
         return None
 
 
-def _stage_totals(spark) -> tuple[int, int] | None:
-    """Cumulative (executorRunTime_ms, executorCpuTime_ms) over all
-    COMPLETE stages, from the UI REST status API — deltas around a
-    query attribute its wall time to actual JVM task work (r12 verdict
-    item 7: with gc_ms and rep spread this closes the attribution
-    triangle — wall ≫ run+gc = hypervisor steal; run up with flat GC =
-    plan drift). Requires spark.ui.enabled (bench sets SPARK_GRAFT_UI);
-    returns None wherever the UI is off (test-suite sessions)."""
+def _stage_snapshot(spark):
+    """(max stage id seen, {stageId: (executorRunTime_ms,
+    executorCpuTime_ms)}) over COMPLETE stages from the UI REST status
+    API -- per-query metrics are summed over stage ids NEWER than the
+    pre-query max (r12 verdict item 7: with gc_ms and rep spread this
+    closes the attribution triangle -- wall >> run+gc = hypervisor
+    steal; run up with flat GC = plan drift). Id-based deltas, NOT
+    cumulative totals: the UI evicts old stages past
+    spark.ui.retainedStages, so a cumulative sum goes DOWN mid-run and
+    produced negative per-query deltas in the first implementation.
+    Stage ids only grow, and a query's stages all complete before its
+    count() returns, so the newer-than-watermark sum is eviction-proof.
+    Requires spark.ui.enabled (bench sets SPARK_GRAFT_UI); returns None
+    wherever the UI is off (test-suite sessions)."""
     import urllib.request
 
     try:
@@ -82,10 +88,16 @@ def _stage_totals(spark) -> tuple[int, int] | None:
             timeout=10,
         ) as resp:
             stages = json.load(resp)
-        run = sum(s.get("executorRunTime", 0) for s in stages)
-        cpu = sum(s.get("executorCpuTime", 0) for s in stages) // 1_000_000
-        return run, cpu
-    except Exception:  # noqa: BLE001 — REST/UI absence must never fail bench
+        per = {
+            s["stageId"]: (
+                s.get("executorRunTime", 0),
+                s.get("executorCpuTime", 0) // 1_000_000,
+            )
+            for s in stages
+            if "stageId" in s
+        }
+        return (max(per) if per else -1), per
+    except Exception:  # noqa: BLE001 -- REST/UI absence must never fail bench
         return None
 
 
@@ -124,7 +136,7 @@ def main() -> None:
         fn = QUERIES[name]
         secs: list[float] = []
         g0 = _jvm_gc_ms(spark)
-        s0 = _stage_totals(spark)
+        s0 = _stage_snapshot(spark)
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
@@ -135,7 +147,7 @@ def main() -> None:
             gc.collect()
             spark.catalog.clearCache()
         g1 = _jvm_gc_ms(spark)
-        s1 = _stage_totals(spark)
+        s1 = _stage_snapshot(spark)
         timings[name] = round(min(secs), 3)
         if reps > 1:
             rep_secs[name] = [round(s, 3) for s in secs]
@@ -145,8 +157,14 @@ def main() -> None:
             if g0 is not None and g1 is not None:
                 gc_ms[name] = g1 - g0
             if s0 is not None and s1 is not None:
-                # [executor run ms, executor cpu ms] across the reps
-                stage_ms[name] = [s1[0] - s0[0], s1[1] - s0[1]]
+                # [executor run ms, executor cpu ms] across the reps:
+                # sum of stages newer than the pre-query watermark
+                mark = s0[0]
+                new_stages = [v for k, v in s1[1].items() if k > mark]
+                stage_ms[name] = [
+                    sum(v[0] for v in new_stages),
+                    sum(v[1] for v in new_stages),
+                ]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
