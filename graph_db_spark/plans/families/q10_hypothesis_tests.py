@@ -1670,7 +1670,18 @@ def energy_distance_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices'. A deterministic 1-in-3 subsample bounds the pair space;
     distances use the expanded-form L2 (left-fold dots — bit-identical
     engines) so the means differ only by summation order, which r4
-    absorbs."""
+    absorbs.
+
+    Scale envelope (r13 audit note): the statistic is inherently
+    all-pairs — the 1-in-3 modulus bounds the pair space at FIXTURE
+    scale, but (n/3)² still grows quadratically with the corpus. The
+    100 TB recipe is the same query with the modulus raised so each
+    group's sample is a fixed budget (~10⁴ vectors gives a sub-percent
+    standard error on each pairwise-mean; the estimator is unbiased
+    for the subsampled population), which also keeps the broadcast
+    pairwise legs k-sized. Deliberately exempt from the dim_hint
+    migration: the broadcast IS the documented brute-force contract
+    on the bounded sample."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("label").isin(0, 1) & (F.col("vec_id") % 3 == 0)
     ).select("vec_id", "label", SIM._as_double(F.col("embedding")).alias("v"))
