@@ -1294,6 +1294,16 @@ def boruvka_forest(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # Per-component min edge stays a row_number window, NOT a
+    # min(struct(w, src, dst, cb)) aggregate: the aggregate form would
+    # shrink the exchange to partial mins (guide §2.3), but min over a
+    # struct is not hash-aggregable (immutable agg buffer), so the plan
+    # degrades to SortAggregate with a map-side Sort of ALL candidate
+    # rows per round plus interpreted per-row struct allocation —
+    # measured 39-53 s vs 17 s end-to-end at sf0.1 (r13 A/B, quiet
+    # host), the same struct-allocation lesson as the pca covariance
+    # rewrite. The window pays one E-sized exchange per round but sorts
+    # within hash partitions with codegen'd comparators.
     wnd = Window.partitionBy("ca").orderBy("w", "src", "dst")
     forest = None
     for r in range(1, rounds + 1):

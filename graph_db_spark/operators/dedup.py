@@ -480,15 +480,27 @@ def simhash_table(
     )
     w1, w2 = _token_words(F.col("t"), hash_family)
     words = tok.select("id", w1.alias("w1"), w2.alias("w2"))
+    # The 64 per-bit aggregates and the 64-term sign pack are generated
+    # as SQL TEXT and parsed once per expression: building them Column-
+    # op-by-Column-op cost ~11.5k py4j round-trips / several seconds of
+    # DRIVER time per query build (cProfile, r13) — the expression trees
+    # the JVM parser produces are identical, so the plan and the values
+    # are unchanged (equivalence pinned by test_simhash_column_matches_
+    # table and the exact DuckDB oracles).
     aggs = []
     for i in range(bits):
         w, sh = ("w1", i) if i < 32 else ("w2", i - 32)
-        bit = F.shiftright(F.col(w), sh).bitwiseAND(F.lit(1).cast("long"))
-        aggs.append(F.sum(bit * 2 - 1).alias(f"c{i}"))
+        aggs.append(
+            F.expr(
+                f"sum((shiftright({w}, {sh}) & CAST(1 AS BIGINT)) * 2 - 1)"
+            ).alias(f"c{i}")
+        )
     counts = words.groupBy("id").agg(*aggs)
-    return counts.select(
-        "id", _pack_sign_bits(lambda i: F.col(f"c{i}"), bits).alias("sig")
+    pack = " + ".join(
+        f"IF(c{i} > 0, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        for i in range(bits)
     )
+    return counts.select("id", F.expr(f"CAST(0 AS BIGINT) + {pack}").alias("sig"))
 
 
 def simhash(text: Column | str, bits: int = 64) -> Column:

@@ -26,19 +26,35 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns — zip_with + aggregate,
-    JVM-side."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array<double> columns, JVM-side.
+
+    With ``dim`` (a schema-known FIXED length — the 64-dim embeddings
+    table), the left fold is unrolled into a codegen'd multiply-add
+    chain ``0.0 + a[0]*b[0] + a[1]*b[1] + ...``: identical float-op
+    order to the fold (bit-equal values, the cross-engine contract),
+    but whole-stage-codegen'd instead of interpreted —
+    ``ArrayAggregate``/``ZipWith`` have no codegen and evaluate
+    row-at-a-time with per-element boxing, which a driver thread dump
+    showed dominating the brute-force retrieval metrics (r13: one task
+    at ~10 s CPU inside ``ZipWith.eval``; unrolling cut
+    mrr_hit_at_k/ndcg/knn_loo walls several-fold at sf0.1). Without
+    ``dim`` (variable-length arrays), the fold form stands."""
+    if dim is not None:
+        s: Column = F.lit(0.0)
+        for i in range(dim):
+            s = s + a[i] * b[i]
+        return s
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    d = norm(a) * norm(b)
-    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    d = norm(a, dim) * norm(b, dim)
+    return F.when(d > 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
 
 
 def cosine_topk(

@@ -1465,28 +1465,24 @@ def knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine); per-vector norms are computed ONCE,
     never per pair. The ANN-bucketed variants are the 100 TB path,
     this is their recall referee."""
-    sqn = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r13: unrolled codegen'd dots (same left-fold float order, bit-equal
+    # — SIM.dot docstring) + per-core fan-out of the single-split query
+    # sample; same fix as mrr_hit_at_k (one interpreted-fold task was
+    # the whole query wall).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", sqn.alias("nrm"))
-    q = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") % 5 == 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = e.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
     pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
         "vec_id", "label", "nlabel",
         (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"), "nid",
@@ -1538,27 +1534,21 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking idea the dedup family uses; the reciprocal join then runs
     on the |V|-sized NN table. Tie-break and fold order mirror
     embedding_cosine_topk."""
-    sqn = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # r13: unrolled codegen'd dots (bit-equal to the fold — SIM.dot) and
+    # per-core fan-out of the single-split probe side, as in
+    # knn_loo_label_eval above.
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
+    e_base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", sqn.alias("nrm"))
-    b = e.select(
+    e = e_base.repartition(spark.sparkContext.defaultParallelism)
+    b = e_base.select(
         F.col("label").alias("nlabel2"),
         F.col("vec_id").alias("nid"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
     pairs = e.join(
         b,
         (F.col("label") == F.col("nlabel2")) & (F.col("vec_id") != F.col("nid")),

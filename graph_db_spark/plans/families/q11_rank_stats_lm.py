@@ -434,28 +434,24 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed shared literals emitted into BOTH engines (the gumbel/
     katz convention — each engine's own ln(2) is an independent 1-ulp
     surface under round(,4))."""
-    sqn = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r13: unrolled codegen'd dots (same left-fold float order, bit-equal
+    # — SIM.dot docstring) + per-core fan-out of the single-split query
+    # sample; same fix as mrr_hit_at_k (one interpreted-fold task was
+    # the whole query wall).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", sqn.alias("nrm"))
-    q = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") % 5 == 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = e.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
     pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
         "vec_id", "label", "nlabel",
         (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"), "nid",

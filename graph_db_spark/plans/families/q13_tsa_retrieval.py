@@ -1742,13 +1742,13 @@ def mrr_hit_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — the ANN family holds the scale path."""
     from graph_db_spark.operators import similarity as SIM
 
-    sqn = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r13: unrolled 64-term dots (same left-fold float order, bit-equal
+    # values — SIM.dot docstring) replace the interpreted zip_with/
+    # aggregate kernel, and the 1-in-5 query sample fans out to one
+    # partition per core before streaming the broadcast (the sample is
+    # a single parquet split, so the whole pair scoring otherwise ran
+    # in ONE task — a jstack'd ~10 s straggler at sf0.1).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -1756,18 +1756,16 @@ def mrr_hit_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "v", sqn.alias("nrm"))
     )
-    q = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") % 5 == 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = e.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
     pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
         "vec_id",
         "label",

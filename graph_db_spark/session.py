@@ -39,5 +39,17 @@ def get_spark(app_name: str = "graph_db_spark", shuffle_partitions: int | None =
         # opts in via SPARK_GRAFT_UI=true to read per-stage executor
         # run/CPU time from the REST status API (r12 verdict item 7).
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # r13 — PySpark 4 wraps EVERY DataFrame API call with a Python
+        # stack walk + a JVM origin round-trip to decorate error messages
+        # with user call sites (pyspark/errors/utils.py:_with_origin).
+        # For expression-heavy builders that is the dominant cost: the
+        # simhash signature build (64 aggregates + 64-bit sign pack) spent
+        # 10.6 s of a 12.2 s warm run in plan CONSTRUCTION, 11.5k py4j
+        # round-trips (cProfile), dropping to 4.1 s with the capture off
+        # (simhash_near_dups end-to-end 12.2 -> 6.3 s at sf0.1). Driver-
+        # side build cost exists on any deployment, so this is off
+        # engine-wide; errors still raise normally, they only lose the
+        # user-frame decoration (re-enable ad hoc when debugging).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
