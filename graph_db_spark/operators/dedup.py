@@ -485,8 +485,8 @@ def simhash_table(
     # op-by-Column-op cost ~11.5k py4j round-trips / several seconds of
     # DRIVER time per query build (cProfile, r13) — the expression trees
     # the JVM parser produces are identical, so the plan and the values
-    # are unchanged (equivalence pinned by test_simhash_column_matches_
-    # table and the exact DuckDB oracles).
+    # are unchanged (equivalence pinned by test_simhash_column_equals_table
+    # and the exact DuckDB oracles).
     aggs = []
     for i in range(bits):
         w, sh = ("w1", i) if i < 32 else ("w2", i - 32)

@@ -26,35 +26,31 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product of two array<double> columns, JVM-side.
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — zip_with + aggregate,
+    JVM-side.
 
-    With ``dim`` (a schema-known FIXED length — the 64-dim embeddings
-    table), the left fold is unrolled into a codegen'd multiply-add
-    chain ``0.0 + a[0]*b[0] + a[1]*b[1] + ...``: identical float-op
-    order to the fold (bit-equal values, the cross-engine contract),
-    but whole-stage-codegen'd instead of interpreted —
-    ``ArrayAggregate``/``ZipWith`` have no codegen and evaluate
-    row-at-a-time with per-element boxing, which a driver thread dump
-    showed dominating the brute-force retrieval metrics (r13: one task
-    at ~10 s CPU inside ``ZipWith.eval``; unrolling cut
-    mrr_hit_at_k/ndcg/knn_loo walls several-fold at sf0.1). Without
-    ``dim`` (variable-length arrays), the fold form stands."""
-    if dim is not None:
-        s: Column = F.lit(0.0)
-        for i in range(dim):
-            s = s + a[i] * b[i]
-        return s
+    The fold form is deliberate (r13 A/B): an unrolled fixed-dim
+    multiply-add chain (``0.0 + a[0]*b[0] + ...``) measured ~5× MORE
+    CPU on the brute-force pair streams — those run in a
+    BroadcastNestedLoopJoin projection, which is NOT whole-stage-
+    codegen'd, so the 64-term chain is walked as ~192 interpreted
+    expression nodes with per-node array accessors, while
+    ``ZipWith``/``ArrayAggregate`` loop tightly over the primitive
+    array inside two nodes (identical-stream A/B at sf0.1: fold
+    0.4–0.6 s vs unrolled 2.5 s over 32 tasks). What actually fixes
+    the retrieval metrics is PARALLELISM — repartition the single-split
+    probe side before streaming the broadcast (see mrr_hit_at_k)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    d = norm(a, dim) * norm(b, dim)
-    return F.when(d > 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def cosine_topk(

@@ -1465,11 +1465,10 @@ def knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine); per-vector norms are computed ONCE,
     never per pair. The ANN-bucketed variants are the 100 TB path,
     this is their recall referee."""
-    # r13: unrolled codegen'd dots (same left-fold float order, bit-equal
-    # — SIM.dot docstring) + per-core fan-out of the single-split query
-    # sample; same fix as mrr_hit_at_k (one interpreted-fold task was
-    # the whole query wall).
-    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
+    # r13: per-core fan-out of the single-split query sample — one task
+    # was the whole query wall; same fix as mrr_hit_at_k. Fold dot kept
+    # (unrolled chain A/B'd 5x more CPU here — SIM.dot docstring).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v")))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", sqn.alias("nrm"))
@@ -1482,7 +1481,7 @@ def knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
+    dot = SIM.dot(F.col("v"), F.col("nv"))
     pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
         "vec_id", "label", "nlabel",
         (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"), "nid",
@@ -1534,10 +1533,9 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking idea the dedup family uses; the reciprocal join then runs
     on the |V|-sized NN table. Tie-break and fold order mirror
     embedding_cosine_topk."""
-    # r13: unrolled codegen'd dots (bit-equal to the fold — SIM.dot) and
-    # per-core fan-out of the single-split probe side, as in
-    # knn_loo_label_eval above.
-    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
+    # r13: per-core fan-out of the single-split probe side, as in
+    # knn_loo_label_eval above (fold dot kept — SIM.dot docstring).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v")))
     e_base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", sqn.alias("nrm"))
@@ -1548,7 +1546,7 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
+    dot = SIM.dot(F.col("v"), F.col("nv"))
     pairs = e.join(
         b,
         (F.col("label") == F.col("nlabel2")) & (F.col("vec_id") != F.col("nid")),

@@ -434,11 +434,10 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed shared literals emitted into BOTH engines (the gumbel/
     katz convention — each engine's own ln(2) is an independent 1-ulp
     surface under round(,4))."""
-    # r13: unrolled codegen'd dots (same left-fold float order, bit-equal
-    # — SIM.dot docstring) + per-core fan-out of the single-split query
-    # sample; same fix as mrr_hit_at_k (one interpreted-fold task was
-    # the whole query wall).
-    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
+    # r13: per-core fan-out of the single-split query sample — one task
+    # was the whole query wall; same fix as mrr_hit_at_k. Fold dot kept
+    # (unrolled chain A/B'd 5x more CPU here — SIM.dot docstring).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v")))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", SIM._as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", sqn.alias("nrm"))
@@ -451,7 +450,7 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
+    dot = SIM.dot(F.col("v"), F.col("nv"))
     pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
         "vec_id", "label", "nlabel",
         (dot / (F.col("nrm") * F.col("nnrm"))).alias("sim"), "nid",

@@ -1742,13 +1742,13 @@ def mrr_hit_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — the ANN family holds the scale path."""
     from graph_db_spark.operators import similarity as SIM
 
-    # r13: unrolled 64-term dots (same left-fold float order, bit-equal
-    # values — SIM.dot docstring) replace the interpreted zip_with/
-    # aggregate kernel, and the 1-in-5 query sample fans out to one
-    # partition per core before streaming the broadcast (the sample is
-    # a single parquet split, so the whole pair scoring otherwise ran
-    # in ONE task — a jstack'd ~10 s straggler at sf0.1).
-    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v"), dim=64))
+    # r13: the 1-in-5 query sample fans out to one partition per core
+    # before streaming the broadcast — the sample is a single parquet
+    # split, so the whole pair scoring otherwise ran in ONE task (a
+    # jstack'd ~10 s straggler at sf0.1; 6.8 -> ~2.5 s). The fold dot
+    # kernel itself stays: an unrolled chain A/B'd 5x more CPU in this
+    # non-codegen BNLJ projection context (SIM.dot docstring).
+    sqn = F.sqrt(SIM.dot(F.col("v"), F.col("v")))
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -1765,7 +1765,7 @@ def mrr_hit_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    dot = SIM.dot(F.col("v"), F.col("nv"), dim=64)
+    dot = SIM.dot(F.col("v"), F.col("nv"))
     pairs = q.join(F.broadcast(b), F.col("vec_id") != F.col("nid")).select(
         "vec_id",
         "label",
