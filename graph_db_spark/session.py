@@ -49,7 +49,12 @@ def get_spark(app_name: str = "graph_db_spark", shuffle_partitions: int | None =
         # (simhash_near_dups end-to-end 12.2 -> 6.3 s at sf0.1). Driver-
         # side build cost exists on any deployment, so this is off
         # engine-wide; errors still raise normally, they only lose the
-        # user-frame decoration (re-enable ad hoc when debugging).
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # user-frame decoration. Gated on an env var (ADVICE r13) so
+        # ad-hoc debugging needs no source edit: SPARK_GRAFT_DF_DEBUG=true
+        # re-enables call-site decoration for one run.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     return builder.getOrCreate()

@@ -555,7 +555,6 @@ class SnapshotTable:
         metadata, one local footer read per file) joins the manifest
         stats, and a range scan on the cluster key prunes files inside a
         bucket — exactly what a hash layout alone can never give."""
-        df = df.localCheckpoint()
         out_dir = self._fs.join(self.path, _DATA_DIR, commit_id)
         distributed = df.repartition(n_buckets, F.col("_bucket"))
         if cluster_by:
@@ -564,37 +563,93 @@ class SnapshotTable:
         if cluster_by and records_per_file:
             writer = writer.option("maxRecordsPerFile", int(records_per_file))
         writer.parquet(out_dir)
-        stats = self._bucket_stats(df, keys)
-        blooms = self._bucket_blooms(df, bloom_on) if bloom_on else {}
-        entries = []
+        # r14 (guide §5/§1): the commit path used to localCheckpoint the
+        # input and run a groupBy("_bucket") stats job over the blocks —
+        # two extra Spark jobs per commit on commit-bound queries (the
+        # ivm_* family runs 5-6 commits per query with ~1 s of executor
+        # time total). The write above executes the plan exactly once;
+        # the per-BUCKET key min/max now folds from the written files'
+        # parquet FOOTER statistics (driver-local metadata reads, no
+        # job). Footer stats are exact for the gated dtypes (verified:
+        # Spark's parquet writer does not truncate string min/max), and
+        # files partition a bucket's rows, so min-of-mins/max-of-maxes
+        # equals the old aggregate — manifests are value-identical.
+        # Ungated dtypes (timestamps: str() rendering could drift from a
+        # collect()'d value; decimals; nested) keep the aggregate job,
+        # computed on a read-back of the written files.
+        footer_safe = {
+            "tinyint", "smallint", "int", "bigint",
+            "float", "double", "string", "date",
+        }
+        key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        use_footers = all(key_types.get(k) in footer_safe for k in keys)
+        file_stats: dict[str, dict] = {}
+        per_bucket_files: dict[int, list[tuple[str, str]]] = {}
         for bdir in self._fs.listdir(out_dir):
             if not bdir.startswith("_bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
             for fn in self._fs.listdir(self._fs.join(out_dir, bdir)):
                 if fn.endswith(".parquet"):
+                    per_bucket_files.setdefault(b, []).append((bdir, fn))
+        stat_cols = (list(keys) if use_footers else []) + list(cluster_by or [])
+        if stat_cols:
+            for b, files in per_bucket_files.items():
+                for bdir, fn in files:
                     full = self._fs.join(out_dir, bdir, fn)
-                    st = dict(stats.get(b) or {})
-                    if cluster_by:
-                        st.update(
-                            self._footer_stats(
-                                self._fs.open_parquet(full), cluster_by
-                            )
-                        )
-                    bl = {
-                        c: {"m": d["m"], "k": d["k"], "words": d["buckets"][b]}
-                        for c, d in blooms.items()
-                        if b in d["buckets"]
-                    }
-                    entries.append(
-                        {
-                            "bucket": b,
-                            "path": f"{_DATA_DIR}/{commit_id}/{bdir}/{fn}",
-                            "stats": st or None,
-                            "seq": seq,
-                            **({"bloom": bl} if bl else {}),
-                        }
+                    file_stats[full] = self._footer_stats(
+                        self._fs.open_parquet(full), stat_cols
                     )
+        if use_footers:
+            stats = {}
+            for b, files in per_bucket_files.items():
+                agg: dict[str, list] = {}
+                for bdir, fn in files:
+                    fst = file_stats[self._fs.join(out_dir, bdir, fn)]
+                    for k in keys:
+                        if k not in fst:
+                            continue
+                        cur = agg.get(k)
+                        agg[k] = (
+                            list(fst[k])
+                            if cur is None
+                            else [min(cur[0], fst[k][0]), max(cur[1], fst[k][1])]
+                        )
+                stats[b] = agg
+        elif per_bucket_files:
+            back = self.spark.read.parquet(out_dir)
+            stats = self._bucket_stats(back, keys)
+        else:
+            stats = {}  # empty commit: nothing written, nothing to stat
+        if bloom_on and per_bucket_files:
+            back = self.spark.read.parquet(out_dir)
+            blooms = self._bucket_blooms(back, bloom_on)
+        else:
+            blooms = {}
+        entries = []
+        for b in sorted(per_bucket_files):
+            for bdir, fn in per_bucket_files[b]:
+                full = self._fs.join(out_dir, bdir, fn)
+                st = dict(stats.get(b) or {})
+                if cluster_by:
+                    fst = file_stats.get(full) or self._footer_stats(
+                        self._fs.open_parquet(full), cluster_by
+                    )
+                    st.update({c: fst[c] for c in cluster_by if c in fst})
+                bl = {
+                    c: {"m": d["m"], "k": d["k"], "words": d["buckets"][b]}
+                    for c, d in blooms.items()
+                    if b in d["buckets"]
+                }
+                entries.append(
+                    {
+                        "bucket": b,
+                        "path": f"{_DATA_DIR}/{commit_id}/{bdir}/{fn}",
+                        "stats": st or None,
+                        "seq": seq,
+                        **({"bloom": bl} if bl else {}),
+                    }
+                )
         return entries
 
     @staticmethod

@@ -59,10 +59,12 @@ def plans_of(spark, name: str) -> list[str]:
 
         return capturing
 
-    origs = {
-        m: getattr(DataFrame, m)
-        for m in ("localCheckpoint", "collect", "count")
-    }
+    # the capture list is owned by tools/dump_plans.py (BUILDTIME_ACTIONS)
+    # so committed plan dumps and this sweep can never drift apart;
+    # test_buildtime_capture_list_matches_dump_plans pins the import
+    from tools.dump_plans import BUILDTIME_ACTIONS
+
+    origs = {m: getattr(DataFrame, m) for m in BUILDTIME_ACTIONS}
     for m, orig in origs.items():
         setattr(DataFrame, m, wrap(orig))
     try:
@@ -831,3 +833,31 @@ def test_decimal_moment_queries_survive_sf1_magnitudes(
     assert rows, f"{name} returned no rows at amplified scale"
     v = rows[0][stat]
     assert v is not None and math.isfinite(v), (name, stat, v)
+
+
+def test_buildtime_capture_list_matches_dump_plans():
+    """ADVICE r13: the build-time action list used by the committed plan
+    dumps (tools/dump_plans.py) and by plans_of above must be the same
+    object — a builder switching to another eager action (toPandas,
+    isEmpty) must be caught by BOTH captures or neither claim is
+    checkable. plans_of imports the list, so equality here pins the
+    import wiring, and the list itself must cover every eager action the
+    classic DataFrame does not route through collect."""
+    from tools.dump_plans import BUILDTIME_ACTIONS
+
+    assert set(BUILDTIME_ACTIONS) >= {
+        "collect", "count", "localCheckpoint", "toPandas", "isEmpty"
+    }
+
+
+def test_dump_plans_usage_line_on_missing_args(monkeypatch, capsys):
+    """ADVICE r13: fewer than 3 operands prints the usage string and
+    returns non-zero instead of raising a bare IndexError."""
+    import sys as _sys
+
+    from tools import dump_plans
+
+    monkeypatch.setattr(_sys, "argv", ["dump_plans.py", "outdir"])
+    rc = dump_plans.main()
+    assert rc == 2
+    assert "usage:" in capsys.readouterr().err

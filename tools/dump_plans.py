@@ -33,6 +33,13 @@ except ImportError:  # pragma: no cover - pre-4.0 layout
     from pyspark.sql import DataFrame
 
 
+# Every eager DataFrame action a query builder may run at build time.
+# take/head/first route through collect in the classic DataFrame, so this
+# list covers them too; tests/test_plans.py asserts its plans_of capture
+# list matches this one so the two can never drift apart (ADVICE r13).
+BUILDTIME_ACTIONS = ("collect", "count", "localCheckpoint", "toPandas", "isEmpty")
+
+
 def _explain_str(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -53,7 +60,7 @@ def _capture_buildtime(captured: list[str]):
 
         return capturing
 
-    names = ["collect", "count", "localCheckpoint"]
+    names = list(BUILDTIME_ACTIONS)
     origs = {m: getattr(DataFrame, m) for m in names}
     for m in names:
         setattr(DataFrame, m, wrap(origs[m]))
@@ -65,6 +72,12 @@ def _capture_buildtime(captured: list[str]):
 
 
 def main() -> int:
+    if len(sys.argv) < 4:
+        print(
+            "usage: python tools/dump_plans.py <out_dir> <suffix> <query> [query ...]",
+            file=sys.stderr,
+        )
+        return 2
     out_dir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
