@@ -125,34 +125,7 @@ def connected_components(
     # NO edge-level distinct: min-aggregation is duplicate-tolerant, and the
     # distinct's full-width shuffle costs more than the extra rows it removes
     # (measured at sf0.1: 8.3s setup for a 19% row reduction).
-    #
-    # r14 — vertex ids are rank-ENCODED to longs before the rounds:
-    # min over a STRING label is not hash-aggregable (same immutable-
-    # buffer limitation as the r13 min(struct) A/B), so every
-    # propagation round's groupBy(a).min(flabel) degraded to a
-    # SortAggregate whose partial side sorts the full E-sized join
-    # output — per round. Ranking the distinct ids once by their string
-    # order (range partition + in-partition sort + monotonically
-    # increasing id = a globally order-preserving long, no global
-    # window, no collect) makes every round a primitive-buffer
-    # HashAggregate over narrower rows; min(rank) is min(id-string) by
-    # construction, so labels and the final (id, component) strings are
-    # byte-identical after the one decode join at the end.
-    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
-    vmap = (
-        raw.select(F.col("a"))
-        .distinct()
-        .repartitionByRange(nparts, "a")
-        .sortWithinPartitions("a")
-        .select(F.col("a").alias("vid"), F.monotonically_increasing_id().alias("rid"))
-        .localCheckpoint(eager=True)
-    )
-    enc = raw.join(vmap, raw["a"] == vmap["vid"]).select(
-        F.col("rid").alias("ra"), F.col("b")
-    )
-    enc = enc.join(vmap, enc["b"] == vmap["vid"]).select(
-        F.col("ra").alias("a"), F.col("rid").alias("b")
-    )
+    ids = raw.select(F.col("a")).distinct()
     # self-loops fold "min over self" into the same groupBy as "min over
     # neighbors": the propagation step is exactly one join + one
     # aggregation (two key shuffles), no separate left-join-back step.
@@ -164,15 +137,12 @@ def connected_components(
     # dominated by scheduler overhead (32 tiny tasks × 2 jobs × rounds), so
     # callers with size knowledge (sf-aware queries, the post-LSH cluster
     # step) pass a small value; default stays cores-sized for big graphs.
+    nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
     sym = prepartition_for_rounds(
-        enc.unionAll(
-            vmap.select(F.col("rid").alias("a"), F.col("rid").alias("b"))
-        ),
-        nparts,
-        "b",
+        raw.unionAll(ids.select("a", F.col("a").alias("b"))), nparts, "b"
     )
     # read the vertex set back out of the checkpoint's self-loop rows —
-    # deriving it from the pre-checkpoint pipeline would re-execute
+    # deriving it from the pre-checkpoint `ids` pipeline would re-execute
     # the distinct inside the first iteration's join.
     comp = sym.filter(F.col("a") == F.col("b")).select(
         F.col("a").alias("id"), F.col("a").alias("component")
@@ -251,15 +221,7 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    # decode ranks back to the original string ids — two V-sized joins,
-    # once, after the rounds (rank order = string order, so min-rank
-    # labels decode to exactly the min-string labels)
-    dec = comp.join(vmap, comp["id"] == vmap["rid"]).select(
-        F.col("vid").alias("id"), F.col("component")
-    )
-    return dec.join(vmap, dec["component"] == vmap["rid"]).select(
-        "id", F.col("vid").alias("component")
-    )
+    return comp
 
 
 def pagerank(
@@ -723,66 +685,39 @@ def shortest_path_tree(
     ``shortest_path_routes``), never a driver-side walk.
     """
     nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
-    base = edges.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-    )
-    # r14 — parents are aggregated as a primitive RANK, not the id
-    # string: min over a string is not hash-aggregable (the plan
-    # degraded to a per-round SortAggregate sorting the full
-    # frontier-join output; same limitation as the r13 min(struct)
-    # A/B). Rank the distinct src ids once by their string order
-    # (range partition + in-partition sort + monotonically increasing
-    # id = a globally order-preserving long), carry the rank on the
-    # static edge table, hash-aggregate min(rank) per round, and decode
-    # rank → parent id with ONE join after the rounds. min(rank) is
-    # min(id-string) by construction, so the tree is byte-identical.
-    srank = (
-        base.select("src")
-        .distinct()
-        .repartitionByRange(nparts, "src")
-        .sortWithinPartitions("src")
-        .select(F.col("src").alias("vid"), F.monotonically_increasing_id().alias("srk"))
-        .localCheckpoint(eager=True)
-    )
     e = prepartition_for_rounds(
-        base.join(srank, base["src"] == srank["vid"]).select("src", "dst", "srk"),
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        ),
         nparts,
         "src",
     )
     tree = (
         e.sparkSession.createDataFrame([(source,)], "id string")
-        .select("id", F.lit(0).alias("dist"), F.lit(None).cast("long").alias("prk"))
+        .select("id", F.lit(0).alias("dist"), F.lit(None).cast("string").alias("parent"))
         .localCheckpoint(eager=True)
     )
     frontier = tree.select("id")
-    done = False
     for d in range(1, max_iter + 1):
         grown = (
             frontier.join(e, frontier["id"] == e["src"])
-            .select(F.col("dst").alias("id"), F.col("srk"))
+            .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
             .groupBy("id")
-            .agg(F.min("srk").alias("prk"))
+            .agg(F.min("parent").alias("parent"))
         )
         new = (
             grown.join(tree, on="id", how="left_anti")
-            .select("id", F.lit(d).alias("dist"), "prk")
+            .select("id", F.lit(d).alias("dist"), "parent")
             .localCheckpoint(eager=True)
         )
         if new.limit(1).count() == 0:
-            done = True
-            break
+            return tree
         tree = tree.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("id")
-    if not done:
-        raise RuntimeError(
-            f"shortest_path_tree did not finish within {max_iter} rounds "
-            "(frontier still non-empty); raise max_iter"
-        )
-    # decode parent ranks back to id strings — one V-sized join, once
-    # (left join: the source row's null parent stays null)
-    return tree.join(srank, tree["prk"] == srank["srk"], "left").select(
-        "id", "dist", F.col("vid").alias("parent")
+    raise RuntimeError(
+        f"shortest_path_tree did not finish within {max_iter} rounds "
+        "(frontier still non-empty); raise max_iter"
     )
 
 
@@ -1340,41 +1275,36 @@ def boruvka_forest(
     always suffices; dense graphs contract in 3-4).
 
     Scale: per round one contraction join (edges x current labels, the
-    pre-partitioned-static-side discipline) + a per-component
-    hash-aggregated min over a precomputed primitive edge RANK + a
-    COMPONENT-sized min-label closure (the chosen edges form
+    pre-partitioned-static-side discipline) + a per-component min
+    window + a COMPONENT-sized min-label closure (the chosen edges form
     a pseudo-forest over components — vanishingly small next to E), so
     round cost is O(E) with log-bounded round count."""
     nparts = n_partitions or edges.sparkSession.sparkContext.defaultParallelism
-    # Rank every directed edge ONCE by the (w, src, dst) total order —
-    # the r13 A/B showed min(struct(w, src, dst)) is not hash-aggregable
-    # (SortAggregate, 39-53 s vs 17 s), so the per-round argmin instead
-    # runs over a primitive long proxy: rank is order-preserving for
-    # (w, src, dst), so min(rank) IS the argmin and the payload is
-    # recovered by a rank-equi-join against the (static) ranked edge
-    # table. Scale-safe global ranking: range-partition + in-partition
-    # sort + monotonically_increasing_id (ids are (partition << 33) +
-    # offset and range partitions are ordered, so ids are globally
-    # order-preserving) — one distributed sort per run, no global
-    # window, no driver collect. The specific id VALUES depend on the
-    # sampled range boundaries, but only their ORDER is used, so the
-    # chosen edges are deterministic regardless.
-    ranked = (
+    e = prepartition_for_rounds(
         edges.select(
             F.col("src").cast("string").alias("src"),
             F.col("dst").cast("string").alias("dst"),
             F.col("w").cast("long").alias("w"),
-        )
-        .repartitionByRange(nparts, "w", "src", "dst")
-        .sortWithinPartitions("w", "src", "dst")
-        .withColumn("rank", F.monotonically_increasing_id())
+        ),
+        nparts,
+        "src",
     )
-    e = prepartition_for_rounds(ranked, nparts, "src")
     lab = (
         e.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # Per-component min edge stays a row_number window, NOT a
+    # min(struct(w, src, dst, cb)) aggregate: the aggregate form would
+    # shrink the exchange to partial mins (guide §2.3), but min over a
+    # struct is not hash-aggregable (immutable agg buffer), so the plan
+    # degrades to SortAggregate with a map-side Sort of ALL candidate
+    # rows per round plus interpreted per-row struct allocation —
+    # measured 39-53 s vs 17 s end-to-end at sf0.1 (r13 A/B, quiet
+    # host), the same struct-allocation lesson as the pca covariance
+    # rewrite. The window pays one E-sized exchange per round but sorts
+    # within hash partitions with codegen'd comparators.
+    wnd = Window.partitionBy("ca").orderBy("w", "src", "dst")
     forest = None
     for r in range(1, rounds + 1):
         la = lab.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
@@ -1384,18 +1314,9 @@ def boruvka_forest(
             .join(lb, on="dst")
             .filter(F.col("ca") != F.col("cb"))
         )
-        # Per-component min edge: hash aggregate over the primitive rank
-        # (map-side partial agg shrinks the exchange from E candidate
-        # rows to C-per-task partials — guide §2.3), then recover
-        # (src, dst, w) by joining the C-sized winner list back to the
-        # static ranked edge table and the round's labels (cb). Both
-        # recovery joins have a C-sized side, so AQE broadcasts them at
-        # bench scale; at cluster scale they are narrow-key shuffles of
-        # C rows vs the window form's full E-row exchange + sort.
-        winners = ce.groupBy("ca").agg(F.min("rank").alias("rank"))
         chosen = (
-            winners.join(e, on="rank")
-            .join(lb, on="dst")
+            ce.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
             .select("ca", "cb", "src", "dst", "w")
             .localCheckpoint(eager=True)
         )
