@@ -902,3 +902,38 @@ def test_hadoop_fs_default_routing_by_scheme(spark, tmp_path):
     assert isinstance(t._fs, _LocalTableFS)
     th = SnapshotTable(spark, f"file://{tmp_path}/p2", use_hadoop_fs=True)
     assert isinstance(th._fs, _HadoopTableFS)
+
+
+def test_manifest_bucket_stats_match_exact_aggregate(spark, tmp_path):
+    """r14: _write_buckets derives per-bucket key min/max from the written
+    parquet FOOTERS (no Spark job) for footer-exact dtypes. The manifest
+    values must equal the exact groupBy aggregate over the stored data —
+    for LONG and STRING keys alike — or pruning counts (oracle-checked by
+    the zorder/range queries) could drift."""
+    df = spark.createDataFrame(
+        [(i, f"name_{i:04d}_{'x' * (i % 7)}", float(i) / 3) for i in range(200)],
+        "ik long, sk string, v double",
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["ik", "sk"], n_buckets=4)
+    m = t._read_manifest(1)
+    from graph_db_spark.writers.snapshots import _bucket_col
+
+    exact = {
+        r["_bucket"]: r
+        for r in t.read()
+        .withColumn("_bucket", _bucket_col(["ik", "sk"], 4))
+        .groupBy("_bucket")
+        .agg(
+            F.min("ik").alias("ik_mn"), F.max("ik").alias("ik_mx"),
+            F.min("sk").alias("sk_mn"), F.max("sk").alias("sk_mx"),
+        )
+        .collect()
+    }
+    assert m["files"], "no files written"
+    seen = set()
+    for e in m["files"]:
+        b, st = e["bucket"], e["stats"]
+        seen.add(b)
+        assert st["ik"] == [exact[b]["ik_mn"], exact[b]["ik_mx"]], (b, st)
+        assert st["sk"] == [exact[b]["sk_mn"], exact[b]["sk_mx"]], (b, st)
+    assert seen == set(exact)
